@@ -1,0 +1,79 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Set-level replacements for the reference's per-row dimension-conformance
+  * loops (/root/reference/warehouse.py:76-170).
+  *
+  * The reference pattern — for each row: `SELECT id FROM dim WHERE id=%s`,
+  * skip if found, else INSERT (warehouse.py:78-92 and five clones) — is a
+  * left-anti join expressed one row at a time with 2-4 network round trips
+  * per row. Everything here is whole-DataFrame, shuffle-aware, and
+  * collect-free, so it holds at 100 TB: the "existing" side of a dim
+  * anti-join is broadcast when small, and nothing ever iterates rows on the
+  * driver.
+  */
+object DimOps {
+
+  /** J3/E1 — insert-if-absent as a left-anti join: the rows of `incoming`
+    * whose key is NOT already present in `existing` (first-wins semantics,
+    * warehouse.py:78-81). Within-batch duplicates are also collapsed
+    * (warehouse.py:81 skips them via the same existence check), keeping the
+    * lowest-sorting row per key so the result is deterministic — plain
+    * `dropDuplicates` lets Spark pick an arbitrary row.
+    */
+  def newRows(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val deduped = firstWins(incoming, keys)
+    deduped.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti")
+  }
+
+  /** A1 — deterministic first-wins dedup by key: keeps, per key, the row
+    * that sorts lowest on the remaining columns. The reference's "first"
+    * is MySQL insertion order (warehouse.py:81); ours is a total order so
+    * re-runs and the DuckDB oracle agree.
+    */
+  def firstWins(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val rest = df.columns.filterNot(keys.contains).map(col)
+    val ordered = if (rest.isEmpty) Seq(lit(1)) else rest.toSeq
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordered.map(_.asc_nulls_first): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Idempotent upsert: existing ∪ (incoming ∖ existing). Running it twice
+    * equals running it once — the reference's core invariant
+    * (warehouse.py:78-94). */
+  def antiUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(newRows(existing, incoming, keys))
+
+  /** §7.3 — deterministic surrogate keys replacing MySQL AUTO_INCREMENT
+    * (warehouse.py:109-110, 150-151): `offset + dense_rank() OVER (ORDER BY
+    * naturalKey)`. Gap-free, order-independent, reproducible by the DuckDB
+    * oracle. The un-partitioned window funnels through one task — fine for
+    * dimension tables (≪ fact); fact-scale keys use a composite encode
+    * instead (see FactLoad.factId), never a global sort.
+    */
+  def withSurrogateKey(df: DataFrame, naturalKey: Seq[String],
+                       keyName: String = "id", offset: Long = 0L): DataFrame = {
+    val w = Window.orderBy(naturalKey.map(col(_).asc): _*)
+    df.withColumn(keyName, (dense_rank().over(w).cast("long") + lit(offset)))
+      .select((keyName +: df.columns.toSeq).map(col): _*)
+  }
+
+  /** A2 — one row per distinct natural key (warehouse.py:104-110 for
+    * subcategory, 145-151 for year, 158-162 for (day,month,year)). */
+  def distinctByNaturalKey(df: DataFrame, naturalKey: Seq[String]): DataFrame =
+    df.select(naturalKey.map(col): _*).distinct()
+
+  /** P5 — CASE/decode mapping (warehouse.py:83-91). The reference has no
+    * else-branch: an unmatched name raises UnboundLocalError or silently
+    * reuses the previous row's value (SURVEY.md Appendix Q1). We normalize
+    * to `otherwise(null)` — the evident intent. */
+  def decode(c: Column, mapping: Seq[(String, String)]): Column = {
+    val first = when(c === mapping.head._1, lit(mapping.head._2))
+    mapping.tail.foldLeft(first) { case (acc, (k, v)) =>
+      acc.when(c === k, lit(v))
+    }.otherwise(lit(null).cast("string"))
+  }
+}

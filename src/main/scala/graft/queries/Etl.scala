@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.{DimOps, StarSchema}
+
+/** The reference's ETL surface as verifiable queries: every dimension
+  * loader, the fact load, and the cube rebuild
+  * (/root/reference/warehouse.py:76-305), each paired with ANSI SQL the
+  * DuckDB oracle replays on the same parquet. Surrogate keys are
+  * deterministic (dense_rank, SURVEY.md §7.3) so both engines agree.
+  */
+object Etl {
+
+  /** Shared oracle CTE text for the dims (DuckDB side of StarSchema). */
+  private val subcatCte =
+    """subcat AS (
+      |  SELECT CAST(dense_rank() OVER (ORDER BY p_type) AS BIGINT) AS id,
+      |         p_type AS subcategory
+      |  FROM (SELECT DISTINCT p_type FROM part))""".stripMargin
+
+  private val yearsCte =
+    """years AS (
+      |  SELECT CAST(dense_rank() OVER (ORDER BY y) AS BIGINT) AS id,
+      |         y AS year
+      |  FROM (SELECT DISTINCT CAST(year(o_orderdate) AS BIGINT) AS y FROM orders))""".stripMargin
+
+  private val datesCte =
+    """dimdate AS (
+      |  SELECT CAST(dense_rank() OVER (ORDER BY d.date) AS BIGINT) AS id,
+      |         d.date,
+      |         CAST(day(d.date) AS BIGINT) AS day,
+      |         CAST(month(d.date) AS BIGINT) AS month_id,
+      |         y.id AS year_id,
+      |         CAST((quarter(d.date)-1)*3+1 AS BIGINT) AS three_months
+      |  FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS date FROM orders) d
+      |  JOIN years y ON CAST(year(d.date) AS BIGINT) = y.year)""".stripMargin
+
+  private val clientDecodeSql =
+    """CASE c_mktsegment
+      |  WHEN 'BUILDING'   THEN 'industry'
+      |  WHEN 'AUTOMOBILE' THEN 'mechanic_company'
+      |  WHEN 'MACHINERY'  THEN 'mechanic_company'
+      |  WHEN 'HOUSEHOLD'  THEN 'electric_company'
+      |  WHEN 'FURNITURE'  THEN 'industry'
+      |END""".stripMargin
+
+  private val factCte =
+    """fact AS (
+      |  SELECT CAST(l_orderkey*100 + l_linenumber AS BIGINT) AS id,
+      |         l_partkey AS product_id,
+      |         o_custkey AS client_id,
+      |         CAST(o_orderdate AS DATE) AS date_id,
+      |         CAST(c_nationkey AS BIGINT) AS country_id,
+      |         l_quantity AS quantity,
+      |         l_extendedprice AS price,
+      |         CAST(year(l_shipdate) AS BIGINT) AS year
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey  = c_custkey)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "etl_dim_client" -> ((s, dir) =>
+      StarSchema.dimClient(Tables.customer(s, dir)).orderBy("id")),
+
+    "etl_dim_product_subcategory" -> ((s, dir) =>
+      StarSchema.dimProductSubcategory(Tables.part(s, dir)).orderBy("id")),
+
+    "etl_dim_product" -> ((s, dir) => {
+      val part = Tables.part(s, dir)
+      StarSchema.dimProduct(part, StarSchema.dimProductSubcategory(part)).orderBy("id")
+    }),
+
+    "etl_dim_country" -> ((s, dir) =>
+      StarSchema.dimCountry(Tables.nation(s, dir)).orderBy("id")),
+
+    "etl_dim_country_subregion" -> ((s, dir) =>
+      StarSchema.dimCountrySubregion(Tables.region(s, dir)).orderBy("id")),
+
+    "etl_dim_date_month" -> ((s, dir) =>
+      StarSchema.dimDateMonth(s).orderBy("id")),
+
+    "etl_dim_date_year" -> ((s, dir) =>
+      StarSchema.dimDateYear(Tables.orders(s, dir), "o_orderdate").orderBy("id")),
+
+    "etl_dim_date" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      StarSchema.dimDate(orders, "o_orderdate",
+        StarSchema.dimDateYear(orders, "o_orderdate")).orderBy("id")
+    }),
+
+    // The composite fact id (orderkey×100+linenumber) is not unique on this
+    // generator (duplicate (orderkey,linenumber) pairs exist), so tie-safe
+    // determinism needs the full column list as sort key — same in the oracle.
+    "etl_fact_load" -> ((s, dir) => {
+      val f = StarSchema.fact(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir))
+      f.orderBy(f.columns.map(col): _*)
+    }),
+
+    "etl_cube_build" -> ((s, dir) => {
+      val c = StarSchema.build(s, dir).cube
+      c.orderBy(c.columns.map(col): _*)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "etl_dim_client" ->
+      s"""SELECT c_custkey AS id, c_name AS client_name,
+         |       $clientDecodeSql AS company_type
+         |FROM customer ORDER BY id""".stripMargin,
+
+    "etl_dim_product_subcategory" ->
+      s"""WITH $subcatCte
+         |SELECT id, subcategory FROM subcat ORDER BY id""".stripMargin,
+
+    "etl_dim_product" ->
+      s"""WITH $subcatCte
+         |SELECT p_partkey AS id, p_name AS product_name, p_brand AS code,
+         |       p_type AS family, sc.id AS category_id
+         |FROM part LEFT JOIN subcat sc ON part.p_type = sc.subcategory
+         |ORDER BY id""".stripMargin,
+
+    "etl_dim_country" ->
+      """SELECT n_nationkey AS id, n_name AS name,
+        |       n_regionkey AS subregion_id
+        |FROM nation ORDER BY id""".stripMargin,
+
+    "etl_dim_country_subregion" ->
+      "SELECT r_regionkey AS id, r_name AS subregion FROM region ORDER BY id",
+
+    "etl_dim_date_month" ->
+      """SELECT CAST(range AS BIGINT) AS id,
+        |       monthname(make_date(2000, CAST(range AS INT), 1)) AS month
+        |FROM range(1, 13) ORDER BY id""".stripMargin,
+
+    "etl_dim_date_year" ->
+      s"""WITH $yearsCte
+         |SELECT id, year FROM years ORDER BY id""".stripMargin,
+
+    "etl_dim_date" ->
+      s"""WITH $yearsCte, $datesCte
+         |SELECT id, date, day, month_id, year_id, three_months
+         |FROM dimdate ORDER BY id""".stripMargin,
+
+    "etl_fact_load" ->
+      s"""WITH $factCte
+         |SELECT * FROM fact
+         |ORDER BY id, product_id, client_id, date_id, country_id,
+         |         quantity, price, year""".stripMargin,
+
+    "etl_cube_build" ->
+      s"""WITH $subcatCte, $yearsCte, $datesCte, $factCte
+         |SELECT tf.id AS fact_id,
+         |       tf.product_id AS product_id,
+         |       sc.subcategory AS category,
+         |       p.p_name AS product_name,
+         |       p.p_type AS family,
+         |       tf.client_id AS client_id,
+         |       c.c_name AS client_name,
+         |       dd.id AS date_id,
+         |       dd.day AS day,
+         |       dd.month_id AS month_id,
+         |       monthname(dd.date) AS month,
+         |       y.year AS year,
+         |       tf.country_id AS country_id,
+         |       n.n_name AS country_name,
+         |       tf.quantity AS quantity,
+         |       tf.price AS price
+         |FROM fact tf
+         |JOIN part p   ON tf.product_id = p.p_partkey
+         |JOIN subcat sc ON p.p_type = sc.subcategory
+         |JOIN customer c ON tf.client_id = c.c_custkey
+         |JOIN dimdate dd ON tf.date_id = dd.date
+         |JOIN years y  ON dd.year_id = y.id
+         |JOIN nation n ON tf.country_id = n.n_nationkey
+         |ORDER BY fact_id, product_id, category, product_name, family,
+         |         client_id, client_name, date_id, day, month_id, month,
+         |         year, country_id, country_name, quantity, price""".stripMargin)
+}

@@ -1,0 +1,594 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.etl.DimOps
+
+/** SURVEY.md §2 relational operator inventory (S/P/J/A/G/W/O/U/F rows),
+  * one verifiable query per operator, each with a DuckDB oracle. Query
+  * names carry the §2 ids. All outputs are explicitly ordered and all
+  * double aggregates go through Det.dsum/davg so both engines agree
+  * bit-for-bit.
+  */
+object Relational {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ── S: scans / sources ────────────────────────────────────────────
+    // S1 full table scan (reference: SELECT * per table, warehouse.py:34).
+    "s1_full_scan" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("l_shipdate", to_date(col("l_shipdate")))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // S2 routed scan (warehouse.py:31-34): table name decides the source.
+    "s2_routed_scan" -> ((s, dir) =>
+      Tables.routedRead(s, dir, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // S3 multi-table concat (warehouse.py:28-38): like-schema union.
+    "s3_multi_concat" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select(col("c_name").as("name"), lit("customer").as("src"))
+      val su = Tables.supplier(s, dir).select(col("s_name").as("name"), lit("supplier").as("src"))
+      val p = Tables.part(s, dir).select(col("p_name").as("name"), lit("part").as("src"))
+      c.unionByName(su).unionByName(p).orderBy("src", "name")
+    }),
+
+    // S4 point lookup by key (warehouse.py:78 per-row SELECT ... WHERE id).
+    "s4_point_lookup" -> ((s, dir) =>
+      Tables.orders(s, dir).filter(col("o_orderkey") === 42L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")),
+
+    // S5 lookup by natural key (warehouse.py:104): value → surrogate id.
+    "s5_natural_key_lookup" -> ((s, dir) => {
+      val subcat = graft.etl.StarSchema.dimProductSubcategory(Tables.part(s, dir))
+      subcat.join(broadcast(subcat.agg(min("subcategory").as("mn"))),
+        col("subcategory") === col("mn")).drop("mn")
+    }),
+
+    // ── P: projections / predicates ───────────────────────────────────
+    // P1+P6 fact-shaped projection with NULL injection (warehouse.py:207-208).
+    "p1_fact_projection" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey").as("purchase_id"),
+        col("o_custkey").as("client_id"),
+        to_date(col("o_orderdate")).as("date"),
+        lit(null).cast("long").as("quantity"),
+        lit(null).cast("double").as("price"),
+        year(col("o_orderdate")).cast("long").as("year"))
+        .orderBy("purchase_id")),
+
+    // P2 aliasing projection (warehouse.py:258-274).
+    "p2_alias_projection" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey").as("order_id"),
+        col("o_custkey").as("client_id"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("total_price"),
+        col("o_orderpriority").as("priority"))
+        .orderBy("order_id")),
+
+    // P3 equality predicate (warehouse.py:78,104,145).
+    "p3_eq_predicate" -> ((s, dir) =>
+      Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P4 conjunctive predicate (warehouse.py:158).
+    "p4_conj_predicate" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter(year(col("o_orderdate")) === 1997 &&
+                month(col("o_orderdate")) === 3 &&
+                col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // P5 CASE/decode mapping (warehouse.py:83-91; unmatched → null, Q1).
+    "p5_decode" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .select(col("c_custkey").as("id"),
+          DimOps.decode(col("c_mktsegment"), Seq(
+            "BUILDING"   -> "industry",
+            "AUTOMOBILE" -> "mechanic_company",
+            "MACHINERY"  -> "mechanic_company",
+            "HOUSEHOLD"  -> "electric_company",
+            "FURNITURE"  -> "industry")).as("company_type"))
+        .orderBy("id")),
+
+    // ── J: joins ──────────────────────────────────────────────────────
+    // J1 star equi-join, dims broadcast (warehouse.py:275-283).
+    "j1_star_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o  = Tables.orders(s, dir)
+      val c  = Tables.customer(s, dir)
+      val n  = Tables.nation(s, dir)
+      val r  = Tables.region(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // J2 cube view (warehouse.py:214-246): temp view + SQL over it.
+    "j2_cube_view" -> ((s, dir) => {
+      graft.etl.StarSchema.build(s, dir).cube.createOrReplaceTempView("cube_view")
+      s.sql("""SELECT category, year,
+               |       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+               |       COUNT(*) AS n
+               |FROM cube_view GROUP BY category, year
+               |ORDER BY category, year""".stripMargin)
+    }),
+
+    // J3 anti-join: insert-if-absent core (warehouse.py:78-81 et al).
+    "j3_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // J4 semi-join: lookup-reuse (warehouse.py:104-112).
+    "j4_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 100000.0)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // ── A: dedup / distinct ───────────────────────────────────────────
+    // A1 first-wins dedup by key (warehouse.py:81).
+    "a1_first_wins_dedup" -> ((s, dir) =>
+      DimOps.firstWins(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
+        Seq("l_orderkey"))
+        .orderBy("l_orderkey")),
+
+    // A2 distinct on natural key (warehouse.py:145-151).
+    "a2_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // ── G: aggregation [extension per §2.4] ───────────────────────────
+    "g1_groupby_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("sum_charge"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          Det.davg(col("l_extendedprice")).as("avg_price"),
+          Det.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "g2_rollup" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      val c = Tables.customer(s, dir)
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), Det.dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+
+    "g3_cube_grouping" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "g4_having" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("spend"))
+        .filter(col("n_orders") >= 15)
+        .orderBy("o_custkey")),
+
+    "g5_count_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")),
+
+    // HLL sketch: approx values differ across engines → rows-only check.
+    "g6_approx_count_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy("l_returnflag")),
+
+    // ── W: window functions [extension per §2.5] ──────────────────────
+    "w1_row_number" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_orderkey").orderBy("l_linenumber")))
+        .select("l_orderkey", "l_linenumber", "rn")
+        .orderBy("l_orderkey", "l_linenumber", "rn")),
+
+    "w2_rank_dense" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("rnk", rank().over(
+          Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)))
+        .withColumn("drnk", dense_rank().over(
+          Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)))
+        .filter(col("rnk") <= 10)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk", "drnk")
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")),
+
+    "w3_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_price")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    "w4_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .over(w).cast("double"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "running_spend")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // ── O: sort / limit / top-k [extension per §2.6] ──────────────────
+    "o1_multi_sort" -> ((s, dir) =>
+      Tables.supplier(s, dir)
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .orderBy(col("s_nationkey").asc, col("s_acctbal").desc, col("s_suppkey").asc)),
+
+    // top-k plans as TakeOrderedAndProject — no full sort at scale.
+    "o2_topk" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)),
+
+    // ── U/E/I: set operations (§2.7) ──────────────────────────────────
+    "u1_union_all" -> ((s, dir) => {
+      val cn = Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
+      val sn = Tables.supplier(s, dir).select(col("s_nationkey").cast("long").as("nationkey"))
+      cn.unionByName(sn).groupBy("nationkey").agg(count(lit(1)).as("n")).orderBy("nationkey")
+    }),
+
+    "e1_except" -> ((s, dir) => {
+      val cn = Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
+      val sn = Tables.supplier(s, dir).select(col("s_nationkey").cast("long").as("nationkey"))
+      cn.except(sn).orderBy("nationkey")
+    }),
+
+    "i1_intersect" -> ((s, dir) => {
+      val cn = Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
+      val sn = Tables.supplier(s, dir).select(col("s_nationkey").cast("long").as("nationkey"))
+      cn.intersect(sn).orderBy("nationkey")
+    }),
+
+    // ── F: scalar functions (§2.8) ────────────────────────────────────
+    // F1-F5: date parts incl. the reference's quarter-start-month
+    // ("three_months", warehouse.py:164-165).
+    "f1_date_parts" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        quarter(col("o_orderdate")).cast("long").as("q"),
+        ((quarter(col("o_orderdate")) - 1) * 3 + 1).cast("long").as("three_months"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month_start"))
+        .orderBy("o_orderkey")),
+
+    "f2_string_funcs" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        lower(col("p_name")).as("lo"),
+        upper(col("p_brand")).as("up"),
+        trim(col("p_type")).as("tr"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cat"),
+        size(split(col("p_name"), " ")).as("n_words"),
+        length(col("p_name")).cast("long").as("len"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("novowel"))
+        .orderBy("p_partkey")),
+
+    "f3_math_funcs" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_quantity") - 25.0).as("dev"),
+        floor(col("l_extendedprice")).cast("long").as("fl"),
+        ceil(col("l_extendedprice")).cast("long").as("ce"),
+        round(col("l_discount") * 100, 0).as("disc_pct"),
+        sqrt(col("l_quantity")).as("rt"),
+        pmod(col("l_orderkey"), lit(7L)).as("mod7"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // F-json [extension]: events.props is JSON text (FIXTURES.md).
+    "f4_json_extract" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    "f5_conditional" -> ((s, dir) =>
+      Tables.customer(s, dir).select(
+        col("c_custkey"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("DEFAULT")).as("seg"),
+        when(col("c_acctbal") < 0, "debtor")
+          .when(col("c_acctbal") < 5000, "regular")
+          .otherwise("premium").as("tier"))
+        .orderBy("c_custkey")))
+
+  val oracles: Map[String, String] = Map(
+    "s1_full_scan" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+        |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+        |       CAST(l_shipdate AS DATE) AS l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s2_routed_scan" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey",
+
+    "s3_multi_concat" ->
+      """SELECT name, src FROM (
+        |  SELECT c_name AS name, 'customer' AS src FROM customer
+        |  UNION ALL SELECT s_name, 'supplier' FROM supplier
+        |  UNION ALL SELECT p_name, 'part' FROM part)
+        |ORDER BY src, name""".stripMargin,
+
+    "s4_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
+
+    "s5_natural_key_lookup" ->
+      """WITH subcat AS (
+        |  SELECT CAST(dense_rank() OVER (ORDER BY p_type) AS BIGINT) AS id,
+        |         p_type AS subcategory
+        |  FROM (SELECT DISTINCT p_type FROM part))
+        |SELECT id, subcategory FROM subcat
+        |WHERE subcategory = (SELECT min(subcategory) FROM subcat)""".stripMargin,
+
+    "p1_fact_projection" ->
+      """SELECT o_orderkey AS purchase_id, o_custkey AS client_id,
+        |       CAST(o_orderdate AS DATE) AS date,
+        |       CAST(NULL AS BIGINT) AS quantity,
+        |       CAST(NULL AS DOUBLE) AS price,
+        |       CAST(year(o_orderdate) AS BIGINT) AS year
+        |FROM orders ORDER BY purchase_id""".stripMargin,
+
+    "p2_alias_projection" ->
+      """SELECT o_orderkey AS order_id, o_custkey AS client_id,
+        |       o_orderstatus AS status, o_totalprice AS total_price,
+        |       o_orderpriority AS priority
+        |FROM orders ORDER BY order_id""".stripMargin,
+
+    "p3_eq_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p4_conj_predicate" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE year(o_orderdate) = 1997 AND month(o_orderdate) = 3
+        |  AND o_orderstatus = 'F'
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "p5_decode" ->
+      """SELECT c_custkey AS id,
+        |  CASE c_mktsegment
+        |    WHEN 'BUILDING'   THEN 'industry'
+        |    WHEN 'AUTOMOBILE' THEN 'mechanic_company'
+        |    WHEN 'MACHINERY'  THEN 'mechanic_company'
+        |    WHEN 'HOUSEHOLD'  THEN 'electric_company'
+        |    WHEN 'FURNITURE'  THEN 'industry'
+        |  END AS company_type
+        |FROM customer ORDER BY id""".stripMargin,
+
+    "j1_star_join" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j3_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "a1_first_wins_dedup" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        |         row_number() OVER (PARTITION BY l_orderkey
+        |           ORDER BY l_linenumber ASC NULLS FIRST, l_partkey ASC NULLS FIRST,
+        |                    l_quantity ASC NULLS FIRST) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "a2_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "g1_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "g2_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "g3_cube_grouping" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "g4_having" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+
+    "g5_count_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "w1_row_number" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, rn""".stripMargin,
+
+    "w2_rank_dense" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rnk, drnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+        |  FROM orders) WHERE rnk <= 10
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+
+    "w3_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w4_running_sum" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "o1_multi_sort" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+        |ORDER BY s_nationkey ASC, s_acctbal DESC, s_suppkey ASC""".stripMargin,
+
+    "o2_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+
+    "u1_union_all" ->
+      """SELECT nationkey, COUNT(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |  UNION ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |GROUP BY nationkey ORDER BY nationkey""".stripMargin,
+
+    "e1_except" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "i1_intersect" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "f1_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST((quarter(o_orderdate)-1)*3+1 AS BIGINT) AS three_months,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f2_string_funcs" ->
+      """SELECT p_partkey,
+        |  lower(p_name) AS lo, upper(p_brand) AS up, trim(p_type) AS tr,
+        |  substr(p_name, 1, 5) AS sub,
+        |  concat_ws('|', p_brand, p_type) AS cat,
+        |  CAST(len(str_split(p_name, ' ')) AS INT) AS n_words,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS novowel
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f3_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS dev,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+        |  round(l_discount * 100, 0) AS disc_pct,
+        |  sqrt(l_quantity) AS rt,
+        |  l_orderkey % 7 AS mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f4_json_extract" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f5_conditional" ->
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg,
+        |  CASE WHEN c_acctbal < 0 THEN 'debtor'
+        |       WHEN c_acctbal < 5000 THEN 'regular'
+        |       ELSE 'premium' END AS tier
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "j2_cube_view" -> {
+      val subcatCte =
+        """subcat AS (
+          |  SELECT CAST(dense_rank() OVER (ORDER BY p_type) AS BIGINT) AS id,
+          |         p_type AS subcategory
+          |  FROM (SELECT DISTINCT p_type FROM part))""".stripMargin
+      s"""WITH $subcatCte
+         |SELECT sc.subcategory AS category,
+         |       CAST(year(o_orderdate) AS BIGINT) AS year,
+         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+         |       COUNT(*) AS n
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN part p ON l_partkey = p.p_partkey
+         |JOIN subcat sc ON p.p_type = sc.subcategory
+         |GROUP BY category, year ORDER BY category, year""".stripMargin
+    })
+}

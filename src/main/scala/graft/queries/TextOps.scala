@@ -1,0 +1,8 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object TextOps {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val oracles: Map[String, String] = Map()
+}
