@@ -1,8 +1,284 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.DetHash
 
+/** Deduplication operators for LLM training-data pipelines [extension —
+  * north star]: exact (hash-groupBy), MinHash+LSH, SimHash, n-gram
+  * Jaccard, and embedding-cosine near-dup. All hashing is the
+  * engine-portable md5-derived family from [[DetHash]], so even the fuzzy
+  * pipelines are DuckDB-oracle-checked end to end (dd5's hyperplane
+  * signatures included).
+  *
+  * Scale posture: every pipeline is candidate-generation (banded LSH
+  * buckets / shared-shingle join) followed by exact verification on
+  * candidates only — never an all-pairs cross join. Signature computation
+  * is a pure map (higher-order Catalyst expressions, no UDFs, no
+  * shuffle); the only shuffles are the bucket joins, keyed on band
+  * values whose cardinality grows with the corpus.
+  */
 object DedupOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+  import DetHash.{A, B, P}
+
+  // ── shared Spark-SQL expression snippets ───────────────────────────
+  private val tokSql = "split(trim(text), '\\\\s+')"
+
+  /** n-token shingles of `tokens` (empty when the doc is too short). */
+  private def shinglesSql(n: Int): String = {
+    val parts = (0 until n).map(k => s"element_at(tokens, i + $k)").mkString(", ' ', ")
+    s"CASE WHEN size(tokens) >= $n THEN transform(sequence(1, size(tokens) - ${n - 1}), i -> concat($parts)) ELSE array() END"
+  }
+
+  /** 60-bit md5 hash reduced mod P, per shingle. */
+  private val hmodSql = s"transform(shingles, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % $P)"
+
+  /** 16-component MinHash signature over `hmod`. */
+  private val sigSql = {
+    val comps = (0 until DetHash.K).map(i =>
+      s"array_min(transform(hmod, x -> (${A(i)} * x + ${B(i)}) % $P))").mkString(", ")
+    s"array($comps)"
+  }
+
+  // ── shared DuckDB snippets ─────────────────────────────────────────
+  private val duckToks = "str_split_regex(trim(text), '\\s+')"
+  private def duckShingles(n: Int): String = {
+    val parts = (0 until n).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, len(t) - ${n - 1}), i -> $parts)"
+  }
+  private val duckHmod =
+    s"list_transform(s, x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT)::BIGINT % $P)"
+  private val duckSig = {
+    val comps = (0 until DetHash.K).map(i =>
+      s"list_min(list_transform(hm, x -> (${A(i)} * x + ${B(i)}) % $P))").mkString(", ")
+    s"[$comps]"
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // dd1 — exact dedup: hash-groupBy on the normalized-content
+    // fingerprint; the lowest doc_id per group is canonical (the
+    // distributed form of the reference's first-wins insert-if-absent,
+    // warehouse.py:81).
+    "dd1_exact_dedup" -> ((s, dir) => {
+      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), fp.as("fingerprint"))
+        .withColumn("canonical_id", min("doc_id").over(Window.partitionBy("fingerprint")))
+        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
+        .orderBy("doc_id")
+    }),
+
+    // dd2 — MinHash + LSH: 3-token shingles → 16 minhashes → 4 bands of
+    // 4 → bucket-join candidates → signature-estimated Jaccard ≥ 0.5.
+    "dd2_minhash_lsh" -> ((s, dir) => {
+      val sigs = Tables.documents(s, dir)
+        .withColumn("tokens", expr(tokSql))
+        .withColumn("shingles", expr(shinglesSql(3)))
+        .filter(size(col("shingles")) > 0)
+        .withColumn("hmod", expr(hmodSql))
+        .select(col("doc_id"), expr(sigSql).as("sig"))
+      val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(expr(
+          """array(concat_ws('_', slice(sig, 1, 4)), concat_ws('_', slice(sig, 5, 4)),
+            |      concat_ws('_', slice(sig, 9, 4)), concat_ws('_', slice(sig, 13, 4)))""".stripMargin))
+          .as(Seq("band", "bkey")))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .withColumn("est_jaccard",
+          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / 16.0)
+        .filter(col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // dd3 — SimHash: 48-bit signature from per-token hash bit votes;
+    // candidate pairs via 4 × 12-bit chunk banding (pigeonhole: hamming
+    // ≤ 3 ⇒ at least one identical chunk), verified hamming ≤ 3.
+    "dd3_simhash" -> ((s, dir) => {
+      val sims = Tables.documents(s, dir)
+        .withColumn("tokens", expr(tokSql))
+        .withColumn("hs", expr("transform(tokens, w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
+        .select(col("doc_id"), expr(
+          """aggregate(
+            |  transform(sequence(0, 47), b ->
+            |    if(aggregate(hs, 0, (acc, hv) -> acc + if((shiftright(hv, b) & 1) = 1, 1, -1)) > 0,
+            |       shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
+            |  cast(0 as bigint), (acc2, v) -> acc2 + v)""".stripMargin).as("simhash"))
+      val chunks = sims.select(col("doc_id"), col("simhash"),
+        posexplode(expr(
+          """array(simhash & 4095, shiftright(simhash, 12) & 4095,
+            |      shiftright(simhash, 24) & 4095, shiftright(simhash, 36) & 4095)""".stripMargin))
+          .as(Seq("chunk_idx", "chunk")))
+      chunks.as("a").join(chunks.as("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // dd4 — exact n-gram Jaccard: 5-token shingle sets, candidates from
+    // a shared-shingle join (never all pairs), exact |A∩B|/|A∪B| ≥ 0.5.
+    "dd4_ngram_jaccard" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .withColumn("tokens", expr(tokSql))
+        .withColumn("shingles", expr(shinglesSql(5)))
+        .filter(size(col("shingles")) > 0)
+        .select(col("doc_id"), array_distinct(col("shingles")).as("shset"))
+      val sizes = sh.select(col("doc_id"), size(col("shset")).as("nsh"))
+      val exploded = sh.select(col("doc_id"), explode(col("shset")).as("sh"))
+      val inter = exploded.as("a").join(exploded.as("b"),
+          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+        .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+        .filter(col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // dd5 — embedding-cosine near-dup: 16-bit random-hyperplane
+    // signature (planes md5-derived), 4 × 4-bit band candidates, exact
+    // decimal-dot cosine ≥ 0.4 verification. ~50% recall at the
+    // threshold by the SimHash collision bound — the efficient scale
+    // path; sim1 is the exact brute-force complement.
+    "dd5_embedding_neardup" -> ((s, dir) => {
+      val pl = typedlit(DetHash.planes(64).map(_.toIndexedSeq))
+      val sigs = Tables.embeddings(s, dir)
+        .withColumn("pl", pl)
+        .withColumn("sig", expr(graft.functions.VectorExprs.sparkSig()))
+        .withColumn("norm2", expr(graft.functions.VectorExprs.sparkNorm2))
+        .select(col("vec_id"), col("embedding"), col("sig"), col("norm2"))
+      val bands = sigs.select(col("vec_id"), col("embedding"), col("norm2"),
+        posexplode(expr(
+          """array(sig & 15, shiftright(sig, 4) & 15,
+            |      shiftright(sig, 8) & 15, shiftright(sig, 12) & 15)""".stripMargin))
+          .as(Seq("band", "bkey")))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.embedding").as("ea"), col("b.embedding").as("eb"),
+          col("a.norm2").as("na"), col("b.norm2").as("nb"))
+        .distinct()
+        .withColumn("dot", expr(graft.functions.VectorExprs.sparkPairDot))
+        .withColumn("cos_sim",
+          col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+        .filter(col("cos_sim") >= 0.4)
+        .select("vec_a", "vec_b", "cos_sim")
+        .orderBy("vec_a", "vec_b")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |  min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS is_dup
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dd2_minhash_lsh" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles(3)} AS s
+         |       FROM toks WHERE len(t) >= 3),
+         |hm AS (SELECT doc_id, $duckHmod AS hm FROM sh),
+         |sigs AS (SELECT doc_id, $duckSig AS sig FROM hm),
+         |bands AS (
+         |  SELECT doc_id, j AS band,
+         |         array_to_string(list_slice(sig, 4*j + 1, 4*j + 4), '_') AS bkey
+         |  FROM sigs, UNNEST([0, 1, 2, 3]) u(j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM cand
+         |JOIN sigs sa ON cand.doc_a = sa.doc_id
+         |JOIN sigs sb ON cand.doc_b = sb.doc_id
+         |WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) >= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd3_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |hs AS (SELECT doc_id,
+         |  list_transform(t, w -> (('0x' || substr(md5(w), 1, 15))::UBIGINT)::BIGINT) AS hs
+         |  FROM toks),
+         |sims AS (SELECT doc_id,
+         |  list_sum(list_transform(generate_series(0, 47), b ->
+         |    if(list_sum(list_transform(hs, hv -> if(((hv >> b) & 1) = 1, 1, -1))) > 0,
+         |       (1::BIGINT << b), 0::BIGINT)))::BIGINT AS simhash
+         |  FROM hs),
+         |chunks AS (
+         |  SELECT doc_id, simhash, j AS chunk_idx, ((simhash >> (12*j)) & 4095) AS chunk
+         |  FROM sims, UNNEST([0, 1, 2, 3]) u(j)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM chunks a JOIN chunks b
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd4_ngram_jaccard" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(${duckShingles(5)}) AS shset
+         |       FROM toks WHERE len(t) >= 5),
+         |sizes AS (SELECT doc_id, len(shset) AS nsh FROM sh),
+         |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) AS jaccard
+         |FROM inter
+         |JOIN sizes na ON inter.doc_a = na.doc_id
+         |JOIN sizes nb ON inter.doc_b = nb.doc_id
+         |WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd5_embedding_neardup" -> {
+      val planeLit = graft.functions.VectorExprs.duckPlaneLit(64)
+      s"""WITH p AS (SELECT $planeLit AS pl),
+         |sigs AS (
+         |  SELECT vec_id, embedding,
+         |    list_sum(list_transform(generate_series(1, 16), i ->
+         |      if(list_sum(list_transform(generate_series(1, 64), j ->
+         |           CAST(pl[i][j] * CAST(embedding[j] AS DOUBLE) AS DECIMAL(38,12)))) > 0,
+         |         (1::BIGINT << (i - 1)), 0::BIGINT)))::BIGINT AS sig,
+         |    list_sum(list_transform(embedding, x ->
+         |      CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12)))) AS norm2
+         |  FROM embeddings, p),
+         |bands AS (
+         |  SELECT vec_id, embedding, norm2, j AS band, ((sig >> (4*j)) & 15) AS bkey
+         |  FROM sigs, UNNEST([0, 1, 2, 3]) u(j)),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         a.embedding AS ea, b.embedding AS eb, a.norm2 AS na, b.norm2 AS nb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT vec_a, vec_b,
+         |    CAST(list_sum(list_transform(generate_series(1, 64), j ->
+         |      CAST(CAST(ea[j] AS DOUBLE) * CAST(eb[j] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)
+         |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos_sim
+         |  FROM cand)
+         |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin
+    })
 }

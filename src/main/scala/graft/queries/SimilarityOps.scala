@@ -1,8 +1,138 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{DetHash, VectorExprs}
 
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * [extension — north star]. Two paths:
+  *
+  *   sim1 — brute-force exact cosine top-k: the correctness baseline.
+  *     Query side is a tiny fixed set broadcast against the corpus; the
+  *     scan stays map-side (one pass over the corpus per batch of
+  *     queries), then a per-query top-k window. Scale: O(|Q|·N) with no
+  *     shuffle of the corpus — the right baseline even at 100 TB when
+  *     |Q| is small.
+  *
+  *   sim2 — multi-probe LSH ANN: 8-bit random-hyperplane signatures
+  *     (md5-derived planes, [[DetHash.planes]]); each query probes its
+  *     own bucket plus all 8 hamming-1 buckets, then exact-verifies
+  *     only the candidates. Scale: candidates per query ≈ 9·N/2^8 —
+  *     the corpus is joined on signature equality, never cross-joined;
+  *     widen SIGBITS as the corpus grows to keep buckets small.
+  *
+  * Both are DuckDB-oracle-checked: decimal-cast dot products make the
+  * cosine bit-identical across engines (see [[VectorExprs]]).
+  */
 object SimilarityOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private val TOPK = 10
+  private val NQUERIES = 10
+  /** ANN bucket width: 8 bits → 256 buckets; hamming-1 multi-probe. */
+  private val SIGBITS = 8
+
+  private def corpusWithSig(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("pl", typedlit(DetHash.planes(64).map(_.toIndexedSeq)))
+      .withColumn("sig", expr(VectorExprs.sparkSig(SIGBITS)))
+      .withColumn("norm2", expr(VectorExprs.sparkNorm2))
+      .drop("pl")
+
+  private def scoreAndRank(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("dot", expr(VectorExprs.sparkPairDot))
+      .withColumn("cos_sim",
+        col("dot").cast("double") / (sqrt(col("qnorm").cast("double")) * sqrt(col("cnorm").cast("double"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TOPK)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "sim1_cosine_topk" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+        .withColumn("norm2", expr(VectorExprs.sparkNorm2))
+      val qs = corpus.filter(col("vec_id") < NQUERIES)
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+          col("norm2").as("qnorm"))
+      scoreAndRank(
+        corpus.select(col("vec_id"), col("embedding").as("eb"), col("norm2").as("cnorm"))
+          .crossJoin(broadcast(qs))
+          .filter(col("query_id") =!= col("vec_id")))
+    }),
+
+    "sim2_ann_lsh" -> ((s, dir) => {
+      val corpus = corpusWithSig(s, dir)
+      val qs = corpus.filter(col("vec_id") < NQUERIES)
+        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
+          col("norm2").as("qnorm"),
+          explode(expr(
+            s"""transform(sequence(0, $SIGBITS), k ->
+               |  if(k = 0, sig, sig ^ shiftleft(cast(1 as bigint), k - 1)))""".stripMargin))
+            .as("probe"))
+      val cand = corpus
+        .select(col("vec_id"), col("embedding").as("eb"),
+          col("norm2").as("cnorm"), col("sig"))
+        .join(broadcast(qs), col("sig") === col("probe") && col("query_id") =!= col("vec_id"))
+        .select("query_id", "vec_id", "ea", "eb", "qnorm", "cnorm")
+        .distinct()
+      scoreAndRank(cand)
+    }))
+
+  private def duckCos(qTable: String): String =
+    s"""CAST(${VectorExprs.duckPairDot} AS DOUBLE)
+       |      / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE)))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sim1_cosine_topk" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${VectorExprs.duckNorm2} AS norm2
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS ea, norm2 AS qnorm
+         |      FROM e WHERE vec_id < $NQUERIES),
+         |pairs AS (
+         |  SELECT q.query_id, c.vec_id, q.ea, c.embedding AS eb,
+         |         q.qnorm, c.norm2 AS cnorm
+         |  FROM e c, q WHERE q.query_id <> c.vec_id),
+         |scored AS (
+         |  SELECT query_id, vec_id, ${duckCos("q")} AS cos_sim
+         |  FROM pairs),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin,
+
+    "sim2_ann_lsh" ->
+      s"""WITH p AS (SELECT ${VectorExprs.duckPlaneLit(64)} AS pl),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    ${VectorExprs.duckSig(SIGBITS)} AS sig,
+         |    ${VectorExprs.duckNorm2} AS norm2
+         |  FROM embeddings, p),
+         |q AS (
+         |  SELECT vec_id AS query_id, embedding AS ea, norm2 AS qnorm,
+         |         if(k = 0, sig, xor(sig, (1::BIGINT << (k - 1)))) AS probe
+         |  FROM e, UNNEST(generate_series(0, $SIGBITS)) u(k)
+         |  WHERE vec_id < $NQUERIES),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, c.vec_id, q.ea, c.embedding AS eb,
+         |         q.qnorm, c.norm2 AS cnorm
+         |  FROM e c JOIN q ON c.sig = q.probe AND q.query_id <> c.vec_id),
+         |scored AS (
+         |  SELECT query_id, vec_id, ${duckCos("q")} AS cos_sim
+         |  FROM cand),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin)
 }

@@ -1,8 +1,133 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
 
+/** Text analysis for LLM training-data pipelines [absent in reference —
+  * extension per SURVEY.md §2.8/north star]: token counting, quality
+  * scoring, content fingerprinting, and keyword-profile language ID over
+  * the `documents` table. Everything is built from codegen'd Catalyst
+  * expressions (split/filter/transform — no UDFs), so the whole pipeline
+  * stays inside WholeStageCodegen and scales linearly with document count:
+  * no shuffle at all, a pure map over the corpus.
+  *
+  * All four queries are DuckDB-oracle-checked — the scoring arithmetic is
+  * restricted to operations both engines evaluate identically (integer
+  * counts, IEEE double division).
+  */
 object TextOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** Whitespace tokens of the trimmed text (the engine's "tokenizer"). */
+  private val tokens = split(trim(col("text")), "\\s+")
+
+  private def wordCount(w: String) =
+    size(expr(s"filter(split(trim(text), '\\\\s+'), x -> x = '$w')"))
+
+  private val sqlTokens = "str_split_regex(trim(text), '\\s+')"
+  private def sqlWordCount(w: String) =
+    s"len(list_filter($sqlTokens, x -> x = '$w'))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Token counting: whitespace tokens + distinct types + a BPE-ish
+    // regex token count (letters / digits / other runs).
+    "tx1_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(tokens).as("n_tokens"),
+        size(array_distinct(tokens)).as("n_types"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+")).cast("int").as("n_bpe_ish"),
+        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+          size(tokens)).as("avg_token_len"))
+        .orderBy("doc_id")),
+
+    // Quality scoring: length/stopword/type-token signals + a keep flag —
+    // the shape of a pretraining quality filter.
+    "tx2_quality_score" -> ((s, dir) => {
+      val nTok = size(tokens)
+      val stop = (wordCount("the") + wordCount("a")).cast("double")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        nTok.as("n_tokens"),
+        (stop / nTok).as("stopword_ratio"),
+        (size(array_distinct(tokens)).cast("double") / nTok).as("type_token_ratio"),
+        (nTok >= 20 && nTok <= 1000 && (stop / nTok) > lit(0.01)).as("keep"))
+        .orderBy("doc_id")
+    }),
+
+    // Content fingerprinting: md5 over whitespace-normalized text — the
+    // exact-dedup key (used again by dd1_exact_dedup).
+    "tx3_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"),
+        greatest(size(tokens) - 2, lit(0)).as("n_shingles3"))
+        .orderBy("doc_id")),
+
+    // Keyword-profile language ID: per-language marker-word scores,
+    // argmax with a fixed tie order, 'und' when no marker fires.
+    "tx4_lang_id" -> ((s, dir) => {
+      val sEn = wordCount("the") + wordCount("a") + wordCount("is")
+      val sDe = wordCount("der") + wordCount("die") + wordCount("und")
+      val sEs = wordCount("el") + wordCount("la") + wordCount("y")
+      val sFr = wordCount("le") + wordCount("les") + wordCount("et")
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
+        when(sEn >= sDe && sEn >= sEs && sEn >= sFr && sEn > 0, "en")
+          .when(sDe >= sEs && sDe >= sFr && sDe > 0, "de")
+          .when(sEs >= sFr && sEs > 0, "es")
+          .when(sFr > 0, "fr")
+          .otherwise("und").as("pred_lang"))
+        .orderBy("doc_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "tx1_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($sqlTokens) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct($sqlTokens)) AS INT) AS n_types,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_bpe_ish,
+         |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |    / len($sqlTokens) AS avg_token_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx2_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS len_chars,
+         |  CAST(len($sqlTokens) AS INT) AS n_tokens,
+         |  CAST(${sqlWordCount("the")} + ${sqlWordCount("a")} AS DOUBLE)
+         |    / len($sqlTokens) AS stopword_ratio,
+         |  CAST(len(list_distinct($sqlTokens)) AS DOUBLE)
+         |    / len($sqlTokens) AS type_token_ratio,
+         |  (len($sqlTokens) BETWEEN 20 AND 1000 AND
+         |   CAST(${sqlWordCount("the")} + ${sqlWordCount("a")} AS DOUBLE)
+         |     / len($sqlTokens) > 0.01) AS keep
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx3_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+         |  CAST(greatest(len($sqlTokens) - 2, 0) AS INT) AS n_shingles3
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx4_lang_id" -> {
+      val en = s"${sqlWordCount("the")} + ${sqlWordCount("a")} + ${sqlWordCount("is")}"
+      val de = s"${sqlWordCount("der")} + ${sqlWordCount("die")} + ${sqlWordCount("und")}"
+      val es = s"${sqlWordCount("el")} + ${sqlWordCount("la")} + ${sqlWordCount("y")}"
+      val fr = s"${sqlWordCount("le")} + ${sqlWordCount("les")} + ${sqlWordCount("et")}"
+      s"""SELECT doc_id, lang,
+         |  CAST($en AS INT) AS s_en, CAST($de AS INT) AS s_de,
+         |  CAST($es AS INT) AS s_es, CAST($fr AS INT) AS s_fr,
+         |  CASE
+         |    WHEN ($en) >= ($de) AND ($en) >= ($es) AND ($en) >= ($fr) AND ($en) > 0 THEN 'en'
+         |    WHEN ($de) >= ($es) AND ($de) >= ($fr) AND ($de) > 0 THEN 'de'
+         |    WHEN ($es) >= ($fr) AND ($es) > 0 THEN 'es'
+         |    WHEN ($fr) > 0 THEN 'fr'
+         |    ELSE 'und'
+         |  END AS pred_lang
+         |FROM documents ORDER BY doc_id""".stripMargin
+    })
 }
