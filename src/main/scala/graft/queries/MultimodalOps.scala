@@ -1,8 +1,135 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
 
+/** Multimodal-column plumbing [extension — north star]: image/audio/video
+  * payloads as opaque `binary` columns with a typed metadata struct,
+  * processed batch-at-a-time per partition.
+  *
+  * The container has no codec libraries, so the decode step is a
+  * DETERMINISTIC FAKE (clearly marked below): payload bytes are the UTF-8
+  * text of `documents`, and "features" are stride-averaged byte values.
+  * Everything around the stub is the real production shape: binary
+  * payload column, metadata struct, a partition-batched decode
+  * (`mapPartitions` — the Scala analogue of `mapInPandas`: one codec
+  * instance per partition, amortized over its rows, never per-row
+  * driver-side), and an explicit output schema. Swapping the fake for a
+  * JPEG/ffmpeg codec changes only the function body.
+  *
+  * Because the fake decode is byte arithmetic, even these queries are
+  * DuckDB-oracle-checked (ord() over the same bytes).
+  */
 object MultimodalOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  private val NFEATURES = 8
+  private val FRAMESTEP = 16
+
+  /** The simulated ingest: documents → (doc_id, payload binary, meta). */
+  private def binaryTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("application/octet-stream").as("mime"),
+        col("source").as("origin"),
+        octet_length(col("text")).cast("long").as("n_bytes")).as("meta"))
+
+  /** STUB DECODE (deterministic fake — no codec libs in the container):
+    * feature k = mean of payload bytes at positions ≡ k (mod NFEATURES).
+    * A real implementation would decode the image here and emit e.g.
+    * channel statistics; the batch shape and signature would not change. */
+  private def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
+    val sums = new Array[Long](NFEATURES)
+    val counts = new Array[Long](NFEATURES)
+    var i = 0
+    while (i < payload.length) {
+      val k = i % NFEATURES
+      sums(k) += payload(i) & 0xff
+      counts(k) += 1
+      i += 1
+    }
+    (0 until NFEATURES).map(k =>
+      if (counts(k) == 0) 0.0 else sums(k).toDouble / counts(k)).toArray
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // mm1 — binary ingest: payload + typed metadata; outputs the typed
+    // metadata projection (the payload itself stays opaque).
+    "mm1_binary_meta" -> ((s, dir) =>
+      binaryTable(s, dir).select(
+        col("doc_id"),
+        col("meta.mime").as("mime"),
+        col("meta.origin").as("origin"),
+        col("meta.n_bytes").as("n_bytes"),
+        octet_length(col("payload")).cast("long").as("payload_bytes"))
+        .orderBy("doc_id")),
+
+    // mm2 — partition-batched decode + feature extraction through the
+    // stubbed codec; one decode context per partition, rows streamed
+    // through it (the 100 TB shape: decode parallelism == partitions).
+    "mm2_decode_features" -> ((s, dir) => {
+      import s.implicits._
+      val out = binaryTable(s, dir)
+        .select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { rows =>
+          // per-partition "codec init" would go here (open decoder once)
+          rows.map { case (id, payload) => (id, fakeDecodeFeatures(payload)) }
+        }
+        .toDF("doc_id", "features")
+      out.select(
+        col("doc_id"),
+        round(element_at(col("features"), 1), 6).as("f0"),
+        round(element_at(col("features"), 2), 6).as("f1"),
+        round(element_at(col("features"), 8), 6).as("f7"))
+        .orderBy("doc_id")
+    }),
+
+    // mm3 — frame sampling: every FRAMESTEP-th byte is a "frame";
+    // outputs frame count and a checksum over sampled frames (the shape
+    // of video frame-subsampling, minus the codec).
+    "mm3_frame_sample" -> ((s, dir) =>
+      binaryTable(s, dir)
+        // byte i of the binary payload as an int: hex(1-byte slice) → conv
+        .withColumn("frames", expr(
+          s"""transform(sequence(1, octet_length(payload), $FRAMESTEP), i ->
+             |  cast(conv(hex(substring(payload, i, 1)), 16, 10) as bigint))""".stripMargin))
+        .select(
+          col("doc_id"),
+          size(col("frames")).as("n_frames"),
+          expr("aggregate(frames, cast(0 as bigint), (acc, b) -> acc + b)").as("checksum"),
+          expr("cast(conv(hex(substring(payload, 1, 1)), 16, 10) as bigint)").as("first_byte"))
+        .orderBy("doc_id")))
+
+  val oracles: Map[String, String] = Map(
+    "mm1_binary_meta" ->
+      """SELECT doc_id,
+        |  'application/octet-stream' AS mime,
+        |  source AS origin,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm2_decode_features" -> {
+      def f(k: Int) =
+        s"""round(CAST(list_sum(list_filter(list_transform(generate_series(1, length(text)), i ->
+           |  CASE WHEN (i - 1) % $NFEATURES = $k THEN ord(substr(text, i, 1)) END), v -> v IS NOT NULL)) AS DOUBLE)
+           |  / len(list_filter(generate_series(1, length(text)), i -> (i - 1) % $NFEATURES = $k)), 6)""".stripMargin
+      s"""SELECT doc_id,
+         |  ${f(0)} AS f0,
+         |  ${f(1)} AS f1,
+         |  ${f(7)} AS f7
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "mm3_frame_sample" ->
+      s"""SELECT doc_id,
+         |  CAST(len(generate_series(1, length(text), $FRAMESTEP)) AS INT) AS n_frames,
+         |  CAST(list_sum(list_transform(generate_series(1, length(text), $FRAMESTEP), i ->
+         |    ord(substr(text, i, 1)))) AS BIGINT) AS checksum,
+         |  CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_byte
+         |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -49,6 +49,43 @@ object Relational {
         col("subcategory") === col("mn")).drop("mn")
     }),
 
+    // S6 batch dim sink (warehouse.py:82 per-row INSERTs → one atomic
+    // parquet write) + read-back.
+    "s6_dim_sink" -> ((s, dir) => {
+      val out = s"/root/repo/target/sink/s6_dim_${math.abs(dir.hashCode)}"
+      graft.etl.StarSchema.dimClient(Tables.customer(s, dir))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("id")
+    }),
+
+    // S7 partitioned fact sink (warehouse.py:188-200 RANGE partitions →
+    // partitionBy(year) layout); the read-back filter prunes to one
+    // partition directory.
+    "s7_partitioned_fact_sink" -> ((s, dir) => {
+      val out = s"/root/repo/target/sink/s7_fact_${math.abs(dir.hashCode)}"
+      graft.etl.StarSchema.fact(Tables.lineitem(s, dir), Tables.orders(s, dir),
+          Tables.customer(s, dir))
+        .write.mode("overwrite").partitionBy("year").parquet(out)
+      val back = s.read.parquet(out).filter(col("year") === 1997)
+      back.select(col("id"), col("product_id"), col("client_id"), col("date_id"),
+          col("country_id"), col("quantity"), col("price"),
+          col("year").cast("long").as("year"))
+        .orderBy("id", "product_id", "client_id", "date_id", "country_id",
+          "quantity", "price")
+    }),
+
+    // S8 full-refresh sink (warehouse.py:254 TRUNCATE+INSERT...SELECT →
+    // atomic overwrite of the cube) + aggregate read-back.
+    "s8_full_refresh_sink" -> ((s, dir) => {
+      val out = s"/root/repo/target/sink/s8_cube_${math.abs(dir.hashCode)}"
+      graft.etl.StarSchema.build(s, dir).cube
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("price")).as("total_price"))
+        .orderBy("category")
+    }),
+
     // ── P: projections / predicates ───────────────────────────────────
     // P1+P6 fact-shaped projection with NULL injection (warehouse.py:207-208).
     "p1_fact_projection" -> ((s, dir) =>
@@ -364,6 +401,43 @@ object Relational {
         |  FROM (SELECT DISTINCT p_type FROM part))
         |SELECT id, subcategory FROM subcat
         |WHERE subcategory = (SELECT min(subcategory) FROM subcat)""".stripMargin,
+
+    "s6_dim_sink" ->
+      s"""SELECT c_custkey AS id, c_name AS client_name,
+         |  CASE c_mktsegment
+         |    WHEN 'BUILDING'   THEN 'industry'
+         |    WHEN 'AUTOMOBILE' THEN 'mechanic_company'
+         |    WHEN 'MACHINERY'  THEN 'mechanic_company'
+         |    WHEN 'HOUSEHOLD'  THEN 'electric_company'
+         |    WHEN 'FURNITURE'  THEN 'industry'
+         |  END AS company_type
+         |FROM customer ORDER BY id""".stripMargin,
+
+    "s7_partitioned_fact_sink" ->
+      """SELECT CAST(l_orderkey*100 + l_linenumber AS BIGINT) AS id,
+        |       l_partkey AS product_id, o_custkey AS client_id,
+        |       CAST(o_orderdate AS DATE) AS date_id,
+        |       CAST(c_nationkey AS BIGINT) AS country_id,
+        |       l_quantity AS quantity, l_extendedprice AS price,
+        |       CAST(year(l_shipdate) AS BIGINT) AS year
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE year(l_shipdate) = 1997
+        |ORDER BY id, product_id, client_id, date_id, country_id,
+        |         quantity, price""".stripMargin,
+
+    "s8_full_refresh_sink" ->
+      """WITH subcat AS (
+        |  SELECT CAST(dense_rank() OVER (ORDER BY p_type) AS BIGINT) AS id,
+        |         p_type AS subcategory
+        |  FROM (SELECT DISTINCT p_type FROM part))
+        |SELECT sc.subcategory AS category, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        |FROM lineitem
+        |JOIN part p ON l_partkey = p.p_partkey
+        |JOIN subcat sc ON p.p_type = sc.subcategory
+        |GROUP BY category ORDER BY category""".stripMargin,
 
     "p1_fact_projection" ->
       """SELECT o_orderkey AS purchase_id, o_custkey AS client_id,

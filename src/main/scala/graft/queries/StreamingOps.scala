@@ -1,8 +1,116 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.streaming.Streams
+
+/** Structured Streaming operators over the `events` fixture [extension —
+  * SURVEY.md §2.10]: windowed aggregation, watermarked dedup (the
+  * streaming analogue of the reference's insert-if-absent J3/A1), and
+  * custom sessionization state via flatMapGroupsWithState. Each runs to
+  * completion with Trigger.AvailableNow into a memory sink, so results
+  * are batch-verifiable against DuckDB.
+  */
+/** Output row of st3's sessionizer (top-level so the Catalyst encoder can
+  * codegen its constructor). */
+final case class Session(
+    user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
 
 object StreamingOps {
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  val oracles: Map[String, String] = Map()
+
+  /** Session gap: events within this many µs of the previous event of the
+    * same user belong to one session. */
+  private val GAP_US = 3600L * 1000000L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // st1 — tumbling-window aggregation with a watermark. Complete mode:
+    // AvailableNow replays the fixture in one batch, and complete emits
+    // every window (append would hold back windows newer than the
+    // watermark). In production the same plan runs append + trigger.
+    "st1_stream_window_agg" -> ((s, dir) => {
+      val agg = Streams.events(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total_value"))
+      Streams.runToTable(s, agg, s"st1_out_${math.abs(dir.hashCode)}", "complete")
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start_us", "event_type")
+    }),
+
+    // st2 — dropDuplicatesWithinWatermark: the stream is the fixture
+    // unioned with itself (every event arrives twice); dedup state keyed
+    // on event_id emits each exactly once. State stays bounded by the
+    // watermark — the streaming form of the reference's existence-check
+    // skip (warehouse.py:78-81).
+    "st2_stream_dedup" -> ((s, dir) => {
+      val ev = Streams.events(s, dir)
+      val deduped = ev.union(ev)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+      Streams.runToTable(s, deduped, s"st2_out_${math.abs(dir.hashCode)}", "append")
+        .orderBy("event_id")
+    }),
+
+    // st3 — custom sessionization state: flatMapGroupsWithState per user,
+    // splitting the user's event times on gaps > GAP_US. One AvailableNow
+    // batch delivers each user's full history, so the emitted sessions
+    // are the complete sessionization (verified by the gaps-and-islands
+    // SQL oracle). Live, the same function holds open sessions in
+    // GroupState across batches.
+    "st3_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Streams.events(s, dir)
+        .select(col("user_id").cast("long"), unix_micros(col("ts")).as("tus"))
+        .as[(Long, Long)]
+      val sessions = ev.groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[Long]) => {
+            val ts = rows.map(_._2).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+            var start = 0
+            var i = 1
+            while (i <= ts.length) {
+              if (i == ts.length || ts(i) - ts(i - 1) > GAP_US) {
+                out += Session(uid, ts(start), ts(i - 1), (i - start).toLong)
+                start = i
+              }
+              i += 1
+            }
+            out.iterator
+          })
+      Streams.runToTable(s, sessions.toDF(), s"st3_out_${math.abs(dir.hashCode)}", "append")
+        .orderBy("user_id", "session_start_us")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "st1_stream_window_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    "st2_stream_dedup" ->
+      """SELECT event_id, event_type, user_id, value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "st3_stream_sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+         |o AS (SELECT user_id, tus,
+         |        lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+         |      FROM e),
+         |f AS (SELECT user_id, tus,
+         |        CASE WHEN prev IS NULL OR tus - prev > $GAP_US THEN 1 ELSE 0 END AS newses
+         |      FROM o),
+         |g AS (SELECT user_id, tus,
+         |        SUM(newses) OVER (PARTITION BY user_id ORDER BY tus
+         |          ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM f)
+         |SELECT user_id, min(tus) AS session_start_us, max(tus) AS session_end_us,
+         |       COUNT(*) AS n_events
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start_us""".stripMargin)
 }

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming building blocks [extension — SURVEY.md §2.10; the
+  * reference is strictly batch, its only "incrementality" is idempotent
+  * re-run via anti-joins].
+  *
+  * Streams read the same parquet fixtures through `readStream` (schema
+  * pinned from a batch read), run with a watermark, and are driven to
+  * completion with Trigger.AvailableNow + a memory sink so the driver's
+  * batch harness can verify results. On a live cluster the same plans run
+  * unchanged against a file/Kafka source with a real trigger; state stays
+  * bounded by the watermark.
+  */
+object Streams {
+
+  /** Streaming view of `events` with the nanos→micros ts normalization
+    * (same as Tables.events, streaming flavor). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file source streams a directory; glob down to the events table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the materialized result. AvailableNow processes the whole
+    * fixture then stops — batch-equivalent semantics, streaming plan. */
+  def runToTable(spark: SparkSession, streamed: DataFrame, name: String,
+                 outputMode: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}
