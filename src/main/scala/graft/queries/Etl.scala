@@ -102,6 +102,41 @@ object Etl {
     "etl_cube_build" -> ((s, dir) => {
       val c = StarSchema.build(s, dir).cube
       c.orderBy(c.columns.map(col): _*)
+    }),
+
+    // O1 — pipeline driver (warehouse.py:307-314): every stage built in
+    // dependency order, summarized as per-output row counts (the shape of
+    // a pipeline run report).
+    "o1_pipeline_counts" -> ((s, dir) => {
+      val out = StarSchema.build(s, dir)
+      val parts: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "1_dimproduct_subcategory" -> out.subcategory,
+        "2_dimproduct" -> out.product,
+        "3_dimclient" -> out.client,
+        "4_dimcountry" -> out.country,
+        "5_dimcountry_subregion" -> out.subregion,
+        "6_dimdate_month" -> out.months,
+        "7_dimdate_year" -> out.years,
+        "8_dimdate" -> out.dates,
+        "9_transportfact" -> out.fact,
+        "10_cube_table" -> out.cube)
+      parts.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"), col("n_rows"))
+      }.reduce(_ unionByName _).orderBy("stage")
+    }),
+
+    // O3 — skip/violation accounting (warehouse.py:94,116,...): the
+    // anti-join upsert yields inserted-vs-skipped counts for free.
+    // Existing = clients with odd keys (a prior partial load); incoming =
+    // the full source; re-running inserts only the evens.
+    "o3_upsert_audit" -> ((s, dir) => {
+      val incoming = StarSchema.dimClient(Tables.customer(s, dir))
+      val existing = incoming.filter(col("id") % 2 === 1)
+      val inserted = DimOps.newRows(existing, incoming, Seq("id"))
+      inserted.agg(count(lit(1)).as("inserted"))
+        .crossJoin(incoming.agg(count(lit(1)).as("total")))
+        .select(col("inserted"), (col("total") - col("inserted")).as("skipped"),
+          col("total"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -176,5 +211,28 @@ object Etl {
          |JOIN nation n ON tf.country_id = n.n_nationkey
          |ORDER BY fact_id, product_id, category, product_name, family,
          |         client_id, client_name, date_id, day, month_id, month,
-         |         year, country_id, country_name, quantity, price""".stripMargin)
+         |         year, country_id, country_name, quantity, price""".stripMargin,
+
+    "o1_pipeline_counts" ->
+      """SELECT stage, n_rows FROM (
+        |  SELECT '1_dimproduct_subcategory' AS stage,
+        |         (SELECT COUNT(DISTINCT p_type) FROM part) AS n_rows
+        |  UNION ALL SELECT '2_dimproduct', (SELECT COUNT(*) FROM part)
+        |  UNION ALL SELECT '3_dimclient', (SELECT COUNT(*) FROM customer)
+        |  UNION ALL SELECT '4_dimcountry', (SELECT COUNT(*) FROM nation)
+        |  UNION ALL SELECT '5_dimcountry_subregion', (SELECT COUNT(*) FROM region)
+        |  UNION ALL SELECT '6_dimdate_month', 12
+        |  UNION ALL SELECT '7_dimdate_year',
+        |    (SELECT COUNT(DISTINCT year(o_orderdate)) FROM orders)
+        |  UNION ALL SELECT '8_dimdate',
+        |    (SELECT COUNT(DISTINCT CAST(o_orderdate AS DATE)) FROM orders)
+        |  UNION ALL SELECT '9_transportfact', (SELECT COUNT(*) FROM lineitem)
+        |  UNION ALL SELECT '10_cube_table', (SELECT COUNT(*) FROM lineitem))
+        |ORDER BY stage""".stripMargin,
+
+    "o3_upsert_audit" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 0) AS inserted,
+        |  (SELECT COUNT(*) FROM customer WHERE c_custkey % 2 = 1) AS skipped,
+        |  (SELECT COUNT(*) FROM customer) AS total""".stripMargin)
 }

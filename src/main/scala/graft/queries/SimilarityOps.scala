@@ -18,10 +18,11 @@ import graft.functions.{DetHash, VectorExprs}
   *
   *   sim2 — multi-probe LSH ANN: 8-bit random-hyperplane signatures
   *     (md5-derived planes, [[DetHash.planes]]); each query probes its
-  *     own bucket plus all 8 hamming-1 buckets, then exact-verifies
-  *     only the candidates. Scale: candidates per query ≈ 9·N/2^8 —
-  *     the corpus is joined on signature equality, never cross-joined;
-  *     widen SIGBITS as the corpus grows to keep buckets small.
+  *     own bucket plus every bucket within hamming distance 2, then
+  *     exact-verifies only the candidates. Scale: candidates per query
+  *     ≈ 37·N/2^8 — the corpus is joined on signature equality, never
+  *     cross-joined; widen SIGBITS / shrink probe depth as the corpus
+  *     grows to keep buckets small.
   *
   * Both are DuckDB-oracle-checked: decimal-cast dot products make the
   * cosine bit-identical across engines (see [[VectorExprs]]).
@@ -30,8 +31,20 @@ object SimilarityOps {
 
   private val TOPK = 10
   private val NQUERIES = 10
-  /** ANN bucket width: 8 bits → 256 buckets; hamming-1 multi-probe. */
+  /** ANN bucket width: 8 bits → 256 buckets. */
   private val SIGBITS = 8
+
+  /** Multi-probe masks: the query's own bucket plus every bucket within
+    * hamming distance 2 (1 + 8 + 28 = 37 of 256 buckets ≈ 14% of the
+    * corpus examined — the probe depth trades recall for work; depth 1
+    * is ~3.5%). Deterministic, shared verbatim with the SQL oracle. */
+  private val PROBE_MASKS: Seq[Long] = {
+    val single = (0 until SIGBITS).map(1L << _)
+    val double = for {
+      i <- 0 until SIGBITS; j <- (i + 1) until SIGBITS
+    } yield (1L << i) | (1L << j)
+    0L +: (single ++ double)
+  }
 
   private def corpusWithSig(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -68,12 +81,10 @@ object SimilarityOps {
     "sim2_ann_lsh" -> ((s, dir) => {
       val corpus = corpusWithSig(s, dir)
       val qs = corpus.filter(col("vec_id") < NQUERIES)
+        .withColumn("masks", typedlit(PROBE_MASKS))
         .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
           col("norm2").as("qnorm"),
-          explode(expr(
-            s"""transform(sequence(0, $SIGBITS), k ->
-               |  if(k = 0, sig, sig ^ shiftleft(cast(1 as bigint), k - 1)))""".stripMargin))
-            .as("probe"))
+          explode(expr("transform(masks, m -> sig ^ m)")).as("probe"))
       val cand = corpus
         .select(col("vec_id"), col("embedding").as("eb"),
           col("norm2").as("cnorm"), col("sig"))
@@ -118,8 +129,8 @@ object SimilarityOps {
          |  FROM embeddings, p),
          |q AS (
          |  SELECT vec_id AS query_id, embedding AS ea, norm2 AS qnorm,
-         |         if(k = 0, sig, xor(sig, (1::BIGINT << (k - 1)))) AS probe
-         |  FROM e, UNNEST(generate_series(0, $SIGBITS)) u(k)
+         |         xor(sig, m) AS probe
+         |  FROM e, UNNEST([${PROBE_MASKS.mkString(", ")}]) u(m)
          |  WHERE vec_id < $NQUERIES),
          |cand AS (
          |  SELECT DISTINCT q.query_id, c.vec_id, q.ea, c.embedding AS eb,

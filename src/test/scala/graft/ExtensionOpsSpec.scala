@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupOps, SimilarityOps, StreamingOps, TextOps}
+
+/** Semantics of the LLM-pipeline extensions beyond the oracle gate:
+  * LSH recall against exact ground truth, ANN overlap with brute force,
+  * streaming dedup/sessionization conservation laws. All inputs are
+  * deterministic, so the asserted bounds are stable, not flaky. */
+class ExtensionOpsSpec extends SparkSuite {
+
+  test("minhash estimate tracks exact jaccard on reported pairs (±0.35 @ 16 comps)") {
+    val est = DedupOps.queries("dd2_minhash_lsh")(spark, sf)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    // exact 3-gram jaccard for the same pairs, via the dd4 machinery at n=3
+    val docs = Tables.documents(spark, sf)
+      .withColumn("tokens", expr("split(trim(text), '\\\\s+')"))
+      .withColumn("sh", expr(
+        """CASE WHEN size(tokens) >= 3
+          |THEN transform(sequence(1, size(tokens) - 2), i ->
+          |  concat(element_at(tokens, i), ' ', element_at(tokens, i + 1), ' ', element_at(tokens, i + 2)))
+          |ELSE array() END""".stripMargin))
+      .select(col("doc_id"), array_distinct(col("sh")).as("shset"))
+    val pairs = est
+      .join(docs.select(col("doc_id").as("doc_a"), col("shset").as("sa")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shset").as("sb")), "doc_b")
+      .withColumn("exact",
+        size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))))
+      .select("est_jaccard", "exact").collect()
+    assert(pairs.nonEmpty, "LSH should surface at least one near-dup pair at sf0.001")
+    pairs.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) <= 0.35,
+        s"est ${r.getDouble(0)} vs exact ${r.getDouble(1)}")
+    }
+  }
+
+  test("simhash pairs have verified hamming <= 3 and symmetric ordering") {
+    val rows = DedupOps.queries("dd3_simhash")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("hamming") <= 3)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+  }
+
+  test("ngram jaccard pairs are exact and above threshold") {
+    val rows = DedupOps.queries("dd4_ngram_jaccard")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("ANN (sim2) hits overlap brute-force (sim1) top-10 — deterministic recall floor") {
+    val brute = SimilarityOps.queries("sim1_cosine_topk")(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SimilarityOps.queries("sim2_ann_lsh")(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ann.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.10, s"ANN recall vs brute force fell to $recall")
+  }
+
+  test("exact dedup canonical ids are minimal within their fingerprint group") {
+    val df = DedupOps.queries("dd1_exact_dedup")(spark, sf)
+    val bad = df.groupBy("fingerprint").agg(min("doc_id").as("mn"),
+        first("canonical_id").as("cid"))
+      .filter(col("mn") =!= col("cid"))
+    assert(bad.count() === 0)
+  }
+
+  test("streaming dedup of a doubled stream returns each event exactly once") {
+    val n = Tables.events(spark, sf).count()
+    val deduped = StreamingOps.queries("st2_stream_dedup")(spark, sf).count()
+    assert(deduped === n)
+  }
+
+  test("sessions partition each user's events (conservation of n_events)") {
+    val sessions = StreamingOps.queries("st3_stream_sessionize")(spark, sf)
+    val total = sessions.agg(sum("n_events")).head().getLong(0)
+    assert(total === Tables.events(spark, sf).count())
+    val overlapping = sessions.filter(col("session_end_us") < col("session_start_us"))
+    assert(overlapping.count() === 0)
+  }
+
+  test("language id falls back to 'und' only when no marker fires") {
+    val df = TextOps.queries("tx4_lang_id")(spark, sf)
+    val bad = df.filter(col("pred_lang") === "und" &&
+      (col("s_en") + col("s_de") + col("s_es") + col("s_fr")) > 0)
+    assert(bad.count() === 0)
+  }
+}
