@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+
+/** Native implementations of the vector folds in [[VectorExprs]] — same
+  * sequential left-to-right double arithmetic, so results stay
+  * bit-identical to the DuckDB oracle (list_sum is a sequential fold in
+  * both engines; see VectorExprs). Used in the hot paths where the
+  * higher-order-expression form is CodegenFallback and interprets one
+  * lambda per element (candidate-pair cosines dominate the dedup/ANN
+  * bench otherwise).
+  */
+object VectorUdfs {
+
+  /** Squared norm: left fold of x². */
+  val norm2: UserDefinedFunction = udf { (v: Seq[Float]) =>
+    var acc = 0.0
+    var i = 0
+    while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
+    acc
+  }
+
+  /** Dot product: left fold of elementwise products. */
+  val pairDot: UserDefinedFunction = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** `bits`-bit random-hyperplane signature (planes from [[DetHash]]);
+    * per-plane dot is the same left fold as [[VectorExprs.sparkSig]]. */
+  def planeSig(bits: Int): UserDefinedFunction = {
+    val planes = DetHash.planes(64)
+    udf { (v: Seq[Float]) =>
+      var sig = 0L
+      var i = 0
+      while (i < bits) {
+        val row = planes(i)
+        var acc = 0.0
+        var j = 0
+        val n = math.min(row.length, v.length)
+        while (j < n) { acc += row(j) * v(j).toDouble; j += 1 }
+        if (acc > 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+  }
+}

@@ -16,31 +16,15 @@ import graft.functions.DetHash
   * Scale posture: every pipeline is candidate-generation (banded LSH
   * buckets / shared-shingle join) followed by exact verification on
   * candidates only — never an all-pairs cross join. Signature computation
-  * is a pure map (higher-order Catalyst expressions, no UDFs, no
-  * shuffle); the only shuffles are the bucket joins, keyed on band
-  * values whose cardinality grows with the corpus.
+  * is a pure shuffle-free map via single-pass deterministic UDFs
+  * ([[graft.functions.TextHashUdfs]] / [[graft.functions.VectorUdfs]] —
+  * the SURVEY.md §7.4 escape hatch; the equivalent higher-order
+  * expressions are CodegenFallback and ~10-30× slower); the only
+  * shuffles are the bucket joins, keyed on band values whose cardinality
+  * grows with the corpus.
   */
 object DedupOps {
   import DetHash.{A, B, P}
-
-  // ── shared Spark-SQL expression snippets ───────────────────────────
-  private val tokSql = "split(trim(text), '\\\\s+')"
-
-  /** n-token shingles of `tokens` (empty when the doc is too short). */
-  private def shinglesSql(n: Int): String = {
-    val parts = (0 until n).map(k => s"element_at(tokens, i + $k)").mkString(", ' ', ")
-    s"CASE WHEN size(tokens) >= $n THEN transform(sequence(1, size(tokens) - ${n - 1}), i -> concat($parts)) ELSE array() END"
-  }
-
-  /** 60-bit md5 hash reduced mod P, per shingle. */
-  private val hmodSql = s"transform(shingles, s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % $P)"
-
-  /** 16-component MinHash signature over `hmod`. */
-  private val sigSql = {
-    val comps = (0 until DetHash.K).map(i =>
-      s"array_min(transform(hmod, x -> (${A(i)} * x + ${B(i)}) % $P))").mkString(", ")
-    s"array($comps)"
-  }
 
   // ── shared DuckDB snippets ─────────────────────────────────────────
   private val duckToks = "str_split_regex(trim(text), '\\s+')"
@@ -75,11 +59,9 @@ object DedupOps {
     // 4 → bucket-join candidates → signature-estimated Jaccard ≥ 0.5.
     "dd2_minhash_lsh" -> ((s, dir) => {
       val sigs = Tables.documents(s, dir)
-        .withColumn("tokens", expr(tokSql))
-        .withColumn("shingles", expr(shinglesSql(3)))
-        .filter(size(col("shingles")) > 0)
-        .withColumn("hmod", expr(hmodSql))
-        .select(col("doc_id"), expr(sigSql).as("sig"))
+        .select(col("doc_id"),
+          graft.functions.TextHashUdfs.minhashSig3(col("text")).as("sig"))
+        .filter(col("sig").isNotNull)
       val bands = sigs.select(col("doc_id"), col("sig"),
         posexplode(expr(
           """array(concat_ws('_', slice(sig, 1, 4)), concat_ws('_', slice(sig, 5, 4)),
@@ -105,14 +87,8 @@ object DedupOps {
     // ≤ 3 ⇒ at least one identical chunk), verified hamming ≤ 3.
     "dd3_simhash" -> ((s, dir) => {
       val sims = Tables.documents(s, dir)
-        .withColumn("tokens", expr(tokSql))
-        .withColumn("hs", expr("transform(tokens, w -> cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint))"))
-        .select(col("doc_id"), expr(
-          """aggregate(
-            |  transform(sequence(0, 47), b ->
-            |    if(aggregate(hs, 0, (acc, hv) -> acc + if((shiftright(hv, b) & 1) = 1, 1, -1)) > 0,
-            |       shiftleft(cast(1 as bigint), b), cast(0 as bigint))),
-            |  cast(0 as bigint), (acc2, v) -> acc2 + v)""".stripMargin).as("simhash"))
+        .select(col("doc_id"),
+          graft.functions.TextHashUdfs.simhash48(col("text")).as("simhash"))
       val chunks = sims.select(col("doc_id"), col("simhash"),
         posexplode(expr(
           """array(simhash & 4095, shiftright(simhash, 12) & 4095,
@@ -132,10 +108,9 @@ object DedupOps {
     // a shared-shingle join (never all pairs), exact |A∩B|/|A∪B| ≥ 0.5.
     "dd4_ngram_jaccard" -> ((s, dir) => {
       val sh = Tables.documents(s, dir)
-        .withColumn("tokens", expr(tokSql))
-        .withColumn("shingles", expr(shinglesSql(5)))
-        .filter(size(col("shingles")) > 0)
-        .select(col("doc_id"), array_distinct(col("shingles")).as("shset"))
+        .select(col("doc_id"),
+          graft.functions.TextHashUdfs.shingleSet(5)(col("text")).as("shset"))
+        .filter(col("shset").isNotNull)
       val sizes = sh.select(col("doc_id"), size(col("shset")).as("nsh"))
       val exploded = sh.select(col("doc_id"), explode(col("shset")).as("sh"))
       val inter = exploded.as("a").join(exploded.as("b"),
@@ -153,29 +128,33 @@ object DedupOps {
 
     // dd5 — embedding-cosine near-dup: 16-bit random-hyperplane
     // signature (planes md5-derived), 4 × 4-bit band candidates, exact
-    // decimal-dot cosine ≥ 0.4 verification. ~50% recall at the
+    // cosine ≥ 0.4 verification on candidates. ~50% recall at the
     // threshold by the SimHash collision bound — the efficient scale
     // path; sim1 is the exact brute-force complement.
     "dd5_embedding_neardup" -> ((s, dir) => {
-      val pl = typedlit(DetHash.planes(64).map(_.toIndexedSeq))
       val sigs = Tables.embeddings(s, dir)
-        .withColumn("pl", pl)
-        .withColumn("sig", expr(graft.functions.VectorExprs.sparkSig()))
-        .withColumn("norm2", expr(graft.functions.VectorExprs.sparkNorm2))
+        .withColumn("sig", graft.functions.VectorUdfs.planeSig(16)(col("embedding")))
+        .withColumn("norm2", graft.functions.VectorUdfs.norm2(col("embedding")))
         .select(col("vec_id"), col("embedding"), col("sig"), col("norm2"))
-      val bands = sigs.select(col("vec_id"), col("embedding"), col("norm2"),
+      val bands = sigs.select(col("vec_id"),
         posexplode(expr(
           """array(sig & 15, shiftright(sig, 4) & 15,
             |      shiftright(sig, 8) & 15, shiftright(sig, 12) & 15)""".stripMargin))
           .as(Seq("band", "bkey")))
-      bands.as("a").join(bands.as("b"),
+      // dedup on the id pair alone (a pair can match in several bands),
+      // THEN re-attach vectors via broadcast — never shuffle embeddings.
+      val pairs = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          col("a.embedding").as("ea"), col("b.embedding").as("eb"),
-          col("a.norm2").as("na"), col("b.norm2").as("nb"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
-        .withColumn("dot", expr(graft.functions.VectorExprs.sparkPairDot))
+      val vecs = sigs.select(col("vec_id"), col("embedding"), col("norm2"))
+      pairs
+        .join(broadcast(vecs.select(col("vec_id").as("vec_a"),
+          col("embedding").as("ea"), col("norm2").as("na"))), "vec_a")
+        .join(broadcast(vecs.select(col("vec_id").as("vec_b"),
+          col("embedding").as("eb"), col("norm2").as("nb"))), "vec_b")
+        .withColumn("dot", graft.functions.VectorUdfs.pairDot(col("ea"), col("eb")))
         .withColumn("cos_sim",
           col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
         .filter(col("cos_sim") >= 0.4)
@@ -257,12 +236,8 @@ object DedupOps {
       s"""WITH p AS (SELECT $planeLit AS pl),
          |sigs AS (
          |  SELECT vec_id, embedding,
-         |    list_sum(list_transform(generate_series(1, 16), i ->
-         |      if(list_sum(list_transform(generate_series(1, 64), j ->
-         |           CAST(pl[i][j] * CAST(embedding[j] AS DOUBLE) AS DECIMAL(38,12)))) > 0,
-         |         (1::BIGINT << (i - 1)), 0::BIGINT)))::BIGINT AS sig,
-         |    list_sum(list_transform(embedding, x ->
-         |      CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(38,12)))) AS norm2
+         |    ${graft.functions.VectorExprs.duckSig()} AS sig,
+         |    ${graft.functions.VectorExprs.duckNorm2} AS norm2
          |  FROM embeddings, p),
          |bands AS (
          |  SELECT vec_id, embedding, norm2, j AS band, ((sig >> (4*j)) & 15) AS bkey
@@ -274,9 +249,8 @@ object DedupOps {
          |    ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
          |scored AS (
          |  SELECT vec_a, vec_b,
-         |    CAST(list_sum(list_transform(generate_series(1, 64), j ->
-         |      CAST(CAST(ea[j] AS DOUBLE) * CAST(eb[j] AS DOUBLE) AS DECIMAL(38,12)))) AS DOUBLE)
-         |      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos_sim
+         |    ${graft.functions.VectorExprs.duckPairDot}
+         |      / (sqrt(na) * sqrt(nb)) AS cos_sim
          |  FROM cand)
          |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin

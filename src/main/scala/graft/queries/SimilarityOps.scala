@@ -48,14 +48,12 @@ object SimilarityOps {
 
   private def corpusWithSig(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
-      .withColumn("pl", typedlit(DetHash.planes(64).map(_.toIndexedSeq)))
-      .withColumn("sig", expr(VectorExprs.sparkSig(SIGBITS)))
-      .withColumn("norm2", expr(VectorExprs.sparkNorm2))
-      .drop("pl")
+      .withColumn("sig", graft.functions.VectorUdfs.planeSig(SIGBITS)(col("embedding")))
+      .withColumn("norm2", graft.functions.VectorUdfs.norm2(col("embedding")))
 
   private def scoreAndRank(pairs: DataFrame): DataFrame =
     pairs
-      .withColumn("dot", expr(VectorExprs.sparkPairDot))
+      .withColumn("dot", graft.functions.VectorUdfs.pairDot(col("ea"), col("eb")))
       .withColumn("cos_sim",
         col("dot").cast("double") / (sqrt(col("qnorm").cast("double")) * sqrt(col("cnorm").cast("double"))))
       .withColumn("rank", row_number().over(
@@ -68,7 +66,7 @@ object SimilarityOps {
 
     "sim1_cosine_topk" -> ((s, dir) => {
       val corpus = Tables.embeddings(s, dir)
-        .withColumn("norm2", expr(VectorExprs.sparkNorm2))
+        .withColumn("norm2", graft.functions.VectorUdfs.norm2(col("embedding")))
       val qs = corpus.filter(col("vec_id") < NQUERIES)
         .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
           col("norm2").as("qnorm"))
