@@ -132,9 +132,10 @@ object DedupOps {
     // threshold by the SimHash collision bound — the efficient scale
     // path; sim1 is the exact brute-force complement.
     "dd5_embedding_neardup" -> ((s, dir) => {
+      graft.functions.NativeVectorExpressions.register(s)
       val sigs = Tables.embeddings(s, dir)
         .withColumn("sig", graft.functions.VectorUdfs.planeSig(16)(col("embedding")))
-        .withColumn("norm2", graft.functions.VectorUdfs.norm2(col("embedding")))
+        .withColumn("norm2", expr("vec_norm2(embedding)"))
         .select(col("vec_id"), col("embedding"), col("sig"), col("norm2"))
       val bands = sigs.select(col("vec_id"),
         posexplode(expr(
@@ -154,7 +155,7 @@ object DedupOps {
           col("embedding").as("ea"), col("norm2").as("na"))), "vec_a")
         .join(broadcast(vecs.select(col("vec_id").as("vec_b"),
           col("embedding").as("eb"), col("norm2").as("nb"))), "vec_b")
-        .withColumn("dot", graft.functions.VectorUdfs.pairDot(col("ea"), col("eb")))
+        .withColumn("dot", expr("vec_dot(ea, eb)"))
         .withColumn("cos_sim",
           col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
         .filter(col("cos_sim") >= 0.4)

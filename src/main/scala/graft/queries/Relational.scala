@@ -86,6 +86,26 @@ object Relational {
         .orderBy("category")
     }),
 
+    // Source-format coverage [extension]: the engine reads/writes csv and
+    // json alongside parquet (the reference's only "format" is a MySQL
+    // wire protocol). Round-trip through each format and read back.
+    "src_csv_roundtrip" -> ((s, dir) => {
+      val out = s"/root/repo/target/sink/src_csv_${math.abs(dir.hashCode)}"
+      Tables.nation(s, dir).write.mode("overwrite")
+        .option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+        .csv(out).orderBy("n_nationkey")
+    }),
+
+    "src_json_roundtrip" -> ((s, dir) => {
+      val out = s"/root/repo/target/sink/src_json_${math.abs(dir.hashCode)}"
+      Tables.supplier(s, dir).write.mode("overwrite").json(out)
+      s.read
+        .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .json(out).orderBy("s_suppkey")
+    }),
+
     // ── P: projections / predicates ───────────────────────────────────
     // P1+P6 fact-shaped projection with NULL injection (warehouse.py:207-208).
     "p1_fact_projection" -> ((s, dir) =>
@@ -401,6 +421,13 @@ object Relational {
         |  FROM (SELECT DISTINCT p_type FROM part))
         |SELECT id, subcategory FROM subcat
         |WHERE subcategory = (SELECT min(subcategory) FROM subcat)""".stripMargin,
+
+    "src_csv_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "src_json_roundtrip" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "s6_dim_sink" ->
       s"""SELECT c_custkey AS id, c_name AS client_name,

@@ -46,14 +46,16 @@ object SimilarityOps {
     0L +: (single ++ double)
   }
 
-  private def corpusWithSig(s: SparkSession, dir: String): DataFrame =
+  private def corpusWithSig(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.NativeVectorExpressions.register(s)
     Tables.embeddings(s, dir)
       .withColumn("sig", graft.functions.VectorUdfs.planeSig(SIGBITS)(col("embedding")))
-      .withColumn("norm2", graft.functions.VectorUdfs.norm2(col("embedding")))
+      .withColumn("norm2", expr("vec_norm2(embedding)"))
+  }
 
   private def scoreAndRank(pairs: DataFrame): DataFrame =
     pairs
-      .withColumn("dot", graft.functions.VectorUdfs.pairDot(col("ea"), col("eb")))
+      .withColumn("dot", expr("vec_dot(ea, eb)"))
       .withColumn("cos_sim",
         col("dot").cast("double") / (sqrt(col("qnorm").cast("double")) * sqrt(col("cnorm").cast("double"))))
       .withColumn("rank", row_number().over(
@@ -65,8 +67,9 @@ object SimilarityOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim1_cosine_topk" -> ((s, dir) => {
+      graft.functions.NativeVectorExpressions.register(s)
       val corpus = Tables.embeddings(s, dir)
-        .withColumn("norm2", graft.functions.VectorUdfs.norm2(col("embedding")))
+        .withColumn("norm2", expr("vec_norm2(embedding)"))
       val qs = corpus.filter(col("vec_id") < NQUERIES)
         .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
           col("norm2").as("qnorm"))
