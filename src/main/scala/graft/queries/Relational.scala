@@ -307,6 +307,108 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     }),
 
+    // w5 — distribution analytics: ntile / percent_rank / cume_dist
+    // (pure rank arithmetic — engine-identical).
+    "w5_analytic_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      Tables.orders(s, dir)
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .select("o_orderpriority", "o_orderkey", "o_totalprice",
+          "quartile", "pct_rank", "cume")
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+    }),
+
+    // g7 — explicit GROUPING SETS with grouping-flag disambiguation.
+    "g7_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+              |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INT) AS gid,
+              |  COUNT(*) AS n
+              |FROM li_gs
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+              |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    }),
+
+    // g8 — exact second-moment statistics: variance/stddev/corr from
+    // decimal-exact power sums (engine-native stddev/corr use different
+    // accumulation orders across engines; the two-pass power-sum form is
+    // deterministic and still one distributed aggregation).
+    "g8_stats_powersums" -> ((s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(38, 6)
+      val q = col("l_quantity").cast(D)
+      val p = col("l_extendedprice").cast(D)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).cast("double").as("s_q"),
+          sum((col("l_quantity") * col("l_quantity")).cast(D)).cast("double").as("s_qq"),
+          sum(p).cast("double").as("s_p"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(D)).cast("double").as("s_qp"))
+        .select(
+          col("l_returnflag"),
+          col("n"),
+          (col("s_q") / col("n")).as("mean_q"),
+          ((col("s_qq") - col("s_q") * col("s_q") / col("n")) / (col("n") - 1)).as("var_q"),
+          sqrt((col("s_qq") - col("s_q") * col("s_q") / col("n")) / (col("n") - 1)).as("stddev_q"),
+          ((col("s_qp") - col("s_q") * col("s_p") / col("n")) / (col("n") - 1)).as("covar_qp"))
+        .orderBy("l_returnflag")
+    }),
+
+    // f6 — array aggregation: per-group sorted distinct collection.
+    "f6_array_collect" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))
+        .orderBy("l_returnflag")),
+
+    // j5 — as-of join [absent in reference — extension]: each order joins
+    // the most recent quarter-start anchor ≤ its date. Implemented with
+    // the scalable union + last_value(ignoreNulls) window trick
+    // (partitioned by year — anchors recur every quarter so no
+    // cross-partition carry is needed); the oracle replays it with
+    // DuckDB's native ASOF JOIN.
+    "j5_asof_join" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir).select(
+        col("o_orderkey"), to_date(col("o_orderdate")).as("d"),
+        year(col("o_orderdate")).as("yr"))
+      val anchors = orders
+        .select(col("yr"), to_date(date_trunc("quarter", col("d"))).as("d")).distinct()
+        .withColumn("rate", (col("yr") * 100 + month(col("d"))).cast("long"))
+      val tagged = orders
+        .select(col("yr"), col("d"), col("o_orderkey"),
+          lit(null).cast("long").as("rate"), lit(1).as("is_point"))
+        .unionByName(anchors.select(col("yr"), col("d"),
+          lit(null).cast("long").as("o_orderkey"), col("rate"), lit(0).as("is_point")))
+      val w = Window.partitionBy("yr")
+        .orderBy(col("d").asc, col("is_point").asc, col("o_orderkey").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_rate", last(col("rate"), ignoreNulls = true).over(w))
+        .filter(col("is_point") === 1)
+        .select(col("o_orderkey"), col("d").as("o_date"), col("asof_rate"))
+        .orderBy("o_orderkey")
+    }),
+
+    // skew — two-phase salted aggregation: partial aggregate on
+    // (key, salt) spreads a hot key over the cluster, final aggregate
+    // re-combines. Decimal partials keep the result bit-equal to the
+    // unsalted form (the oracle aggregates directly).
+    "skew_salted_agg" -> ((s, dir) => {
+      val D = org.apache.spark.sql.types.DecimalType(38, 6)
+      Tables.orders(s, dir)
+        .withColumn("salt", pmod(col("o_orderkey"), lit(8)))
+        .groupBy("o_orderpriority", "salt")
+        .agg(count(lit(1)).as("pn"), sum(col("o_totalprice").cast(D)).as("ps"))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("pn")).as("n_orders"), sum(col("ps")).cast("double").as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // ── O: sort / limit / top-k [extension per §2.6] ──────────────────
     "o1_multi_sort" -> ((s, dir) =>
       Tables.supplier(s, dir)
@@ -607,6 +709,63 @@ object Relational {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w5_analytic_suite" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)
+        |ORDER BY o_orderpriority, o_totalprice, o_orderkey""".stripMargin,
+
+    "g7_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag)*2 + grouping(l_linestatus) AS INT) AS gid,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "g8_stats_powersums" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s_q,
+        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s_qq,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s_p,
+        |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s_qp
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  s_q / n AS mean_q,
+        |  (s_qq - s_q*s_q/n) / (n - 1) AS var_q,
+        |  sqrt((s_qq - s_q*s_q/n) / (n - 1)) AS stddev_q,
+        |  (s_qp - s_q*s_p/n) / (n - 1) AS covar_qp
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "f6_array_collect" ->
+      """SELECT l_returnflag,
+        |  list_sort(list_distinct(list(l_linestatus))) AS statuses,
+        |  COUNT(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "j5_asof_join" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+        |         CAST(year(o_orderdate) AS INT) AS yr
+        |  FROM orders),
+        |anchors AS (
+        |  SELECT DISTINCT yr, CAST(date_trunc('quarter', d) AS DATE) AS ad,
+        |         CAST(yr*100 + month(date_trunc('quarter', d)) AS BIGINT) AS rate
+        |  FROM o)
+        |SELECT o.o_orderkey, o.d AS o_date, a.rate AS asof_rate
+        |FROM o ASOF JOIN anchors a ON o.yr = a.yr AND o.d >= a.ad
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "o1_multi_sort" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
