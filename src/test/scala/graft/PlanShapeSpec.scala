@@ -1,0 +1,42 @@
+package graft
+
+/** Plan-shape regression tests — the 100 TB posture (SCALE.md) encoded as
+  * assertions on the physical plan, so a future change that silently
+  * reintroduces a shuffle or drops a broadcast fails the build. */
+class PlanShapeSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("star join broadcasts every dimension (no shuffle on the fact side)") {
+    val p = plan("j1_star_join")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in star join")
+  }
+
+  test("point lookup pushes the equality predicate into the parquet scan") {
+    val p = plan("s4_point_lookup")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderkey,42)"),
+      s"predicate not pushed:\n$p")
+  }
+
+  test("top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = plan("o2_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")
+  }
+
+  test("bucketed join reads co-located buckets and elides join exchanges") {
+    val p = plan("bkt_bucketed_join")
+    assert(p.contains("SortMergeJoin"), "merge hint should force SMJ")
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"), "scans must be bucketed")
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey") &&
+           !p.contains("Exchange hashpartitioning(l_orderkey"),
+      s"bucketed join still shuffles on the join key:\n$p")
+  }
+
+  test("cube build keeps the fact side exchange-free before the write") {
+    val p = plan("etl_cube_build")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), "cube dims must broadcast")
+  }
+}
