@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextHashUdfs
+
+/** Public dedup API over arbitrary document DataFrames — the
+  * parameterized form of the verified `dd*` queries (column names and
+  * thresholds are caller-chosen; hash family and band layout are fixed
+  * constants so results stay reproducible across runs and engines).
+  *
+  * All pipelines: shuffle-free signature map → banded candidate join →
+  * exact verification on candidates. See SCALE.md for the 100 TB
+  * analysis of each.
+  */
+object TextDedup {
+
+  /** Normalized-content fingerprint (whitespace-collapsed lowercase md5). */
+  def fingerprint(textCol: Column): Column =
+    md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
+
+  /** Exact dedup: every row keyed by content fingerprint; lowest id per
+    * group is canonical. Output: idCol, fingerprint, canonical_id, is_dup. */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), fingerprint(col(textCol)).as("fingerprint"))
+      .withColumn("canonical_id", min(idCol).over(Window.partitionBy("fingerprint")))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+
+  /** MinHash-LSH near-dup pairs: 16-hash signatures over 3-token
+    * shingles, 4×4 banding, signature-estimated Jaccard ≥ threshold.
+    * Output: doc_a, doc_b, est_jaccard. */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 threshold: Double = 0.5): DataFrame = {
+    val sigs = docs
+      .select(col(idCol).as("__id"), TextHashUdfs.minhashSig3(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+    val bands = sigs.select(col("__id"), col("sig"),
+      posexplode(expr(
+        """array(concat_ws('_', slice(sig, 1, 4)), concat_ws('_', slice(sig, 5, 4)),
+          |      concat_ws('_', slice(sig, 9, 4)), concat_ws('_', slice(sig, 13, 4)))""".stripMargin))
+        .as(Seq("band", "bkey")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("__id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("__id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / 16.0)
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** SimHash near-dup pairs: 48-bit signatures, 4×12-bit chunk banding
+    * (pigeonhole-complete for maxHamming ≤ 3), verified hamming.
+    * Output: doc_a, doc_b, hamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding is only complete for hamming <= 3")
+    val sims = docs.select(col(idCol).as("__id"),
+      TextHashUdfs.simhash48(col(textCol)).as("simhash"))
+    val chunks = sims.select(col("__id"), col("simhash"),
+      posexplode(expr(
+        """array(simhash & 4095, shiftright(simhash, 12) & 4095,
+          |      shiftright(simhash, 24) & 4095, shiftright(simhash, 36) & 4095)""".stripMargin))
+        .as(Seq("chunk_idx", "chunk")))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard pairs via shared-shingle candidate join.
+    * Output: doc_a, doc_b, jaccard. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"),
+        TextHashUdfs.shingleSet(n)(col(textCol)).as("shset"))
+      .filter(col("shset").isNotNull)
+    val sizes = sh.select(col("__id"), size(col("shset")).as("nsh"))
+    val exploded = sh.select(col("__id"), explode(col("shset")).as("sh"))
+    val inter = exploded.as("a").join(exploded.as("b"),
+        col("a.sh") === col("b.sh") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("__id").as("doc_a"), col("nsh").as("na")), "doc_a")
+      .join(sizes.select(col("__id").as("doc_b"), col("nsh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{NativeVectorExpressions, VectorUdfs}
+
+/** Public similarity-search API over embedding DataFrames — the
+  * parameterized form of the verified `sim*`/`dd5` queries. Vectors are
+  * `array<float>` columns; cosine uses the codegen'd vec_dot/vec_norm2
+  * kernels. See SCALE.md for probe-width scaling guidance.
+  */
+object VectorSearch {
+
+  private def withNorm(spark: SparkSession, df: DataFrame, vecCol: String): DataFrame = {
+    NativeVectorExpressions.register(spark)
+    df.withColumn("__norm2", expr(s"vec_norm2($vecCol)"))
+  }
+
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame =
+    pairs
+      .withColumn("cos_sim",
+        expr("vec_dot(__qv, __cv)") / (sqrt(col("__qn")) * sqrt(col("__cn"))))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos_sim", "rank")
+
+  /** Exact brute-force cosine top-k: one map-side pass over the corpus
+    * per (small, broadcast) query set. */
+  def cosineTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+    val c = withNorm(spark, corpus, vecCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"), col("__norm2").as("__cn"))
+    val q = withNorm(spark, queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__norm2").as("__qn"))
+    rankTopK(c.crossJoin(broadcast(q)).filter(col("query_id") =!= col("vec_id")), k)
+  }
+
+  /** XOR masks enumerating every bucket within `probeHamming` of a
+    * signature (shared with the DuckDB oracle text). */
+  def probeMasks(sigBits: Int, probeHamming: Int): Seq[Long] = {
+    require(probeHamming <= 2, "probe enumeration implemented to depth 2")
+    val bits = 0 until sigBits
+    val d1 = if (probeHamming >= 1) bits.map(1L << _) else Nil
+    val d2 = if (probeHamming >= 2)
+      for { i <- bits; j <- bits if j > i } yield (1L << i) | (1L << j)
+    else Nil
+    0L +: (d1 ++ d2)
+  }
+
+  /** Multi-probe LSH ANN top-k: hyperplane signatures, probe all buckets
+    * within `probeHamming` of the query's. Examined corpus fraction ≈
+    * Σ C(sigBits, d) / 2^sigBits for d ≤ probeHamming. */
+  def annTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int = 10,
+              sigBits: Int = 8, probeHamming: Int = 2): DataFrame = {
+    val masks = probeMasks(sigBits, probeHamming)
+    val sig = VectorUdfs.planeSig(sigBits)
+    val c = withNorm(spark, corpus, vecCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
+        col("__norm2").as("__cn"), sig(col(vecCol)).as("__sig"))
+    val q = withNorm(spark, queries, vecCol)
+      .withColumn("__masks", typedlit(masks))
+      .withColumn("__qsig", sig(col(vecCol)))
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col("__norm2").as("__qn"),
+        explode(expr("transform(__masks, m -> __qsig ^ m)")).as("__probe"))
+    val cand = c.join(broadcast(q),
+        col("__sig") === col("__probe") && col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id", "__qv", "__cv", "__qn", "__cn")
+      .distinct()
+    rankTopK(cand, k)
+  }
+
+  /** Embedding near-dup pairs: banded signature candidates + exact
+    * cosine ≥ threshold. Output: vec_a, vec_b, cos_sim. */
+  def nearDupPairs(spark: SparkSession, corpus: DataFrame,
+                   idCol: String, vecCol: String,
+                   threshold: Double = 0.4): DataFrame = {
+    val sig = VectorUdfs.planeSig(16)
+    val sigs = withNorm(spark, corpus, vecCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"),
+        col("__norm2").as("__n"), sig(col(vecCol)).as("sig"))
+    val bands = sigs.select(col("__id"),
+      posexplode(expr(
+        """array(sig & 15, shiftright(sig, 4) & 15,
+          |      shiftright(sig, 8) & 15, shiftright(sig, 12) & 15)""".stripMargin))
+        .as(Seq("band", "bkey")))
+    val pairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("vec_a"), col("b.__id").as("vec_b"))
+      .distinct()
+    pairs
+      .join(broadcast(sigs.select(col("__id").as("vec_a"),
+        col("__v").as("ea"), col("__n").as("na"))), "vec_a")
+      .join(broadcast(sigs.select(col("__id").as("vec_b"),
+        col("__v").as("eb"), col("__n").as("nb"))), "vec_b")
+      .withColumn("cos_sim",
+        expr("vec_dot(ea, eb)") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos_sim") >= threshold)
+      .select("vec_a", "vec_b", "cos_sim")
+  }
+}

@@ -46,122 +46,38 @@ object DedupOps {
     // fingerprint; the lowest doc_id per group is canonical (the
     // distributed form of the reference's first-wins insert-if-absent,
     // warehouse.py:81).
-    "dd1_exact_dedup" -> ((s, dir) => {
-      val fp = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
-      Tables.documents(s, dir)
-        .select(col("doc_id"), fp.as("fingerprint"))
-        .withColumn("canonical_id", min("doc_id").over(Window.partitionBy("fingerprint")))
-        .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
-        .orderBy("doc_id")
-    }),
+    "dd1_exact_dedup" -> ((s, dir) =>
+      graft.ops.TextDedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // dd2 — MinHash + LSH: 3-token shingles → 16 minhashes → 4 bands of
     // 4 → bucket-join candidates → signature-estimated Jaccard ≥ 0.5.
-    "dd2_minhash_lsh" -> ((s, dir) => {
-      val sigs = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          graft.functions.TextHashUdfs.minhashSig3(col("text")).as("sig"))
-        .filter(col("sig").isNotNull)
-      val bands = sigs.select(col("doc_id"), col("sig"),
-        posexplode(expr(
-          """array(concat_ws('_', slice(sig, 1, 4)), concat_ws('_', slice(sig, 5, 4)),
-            |      concat_ws('_', slice(sig, 9, 4)), concat_ws('_', slice(sig, 13, 4)))""".stripMargin))
-          .as(Seq("band", "bkey")))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      cand
-        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-        .withColumn("est_jaccard",
-          expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / 16.0)
-        .filter(col("est_jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "est_jaccard")
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd2_minhash_lsh" -> ((s, dir) =>
+      graft.ops.TextDedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
 
     // dd3 — SimHash: 48-bit signature from per-token hash bit votes;
     // candidate pairs via 4 × 12-bit chunk banding (pigeonhole: hamming
     // ≤ 3 ⇒ at least one identical chunk), verified hamming ≤ 3.
-    "dd3_simhash" -> ((s, dir) => {
-      val sims = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          graft.functions.TextHashUdfs.simhash48(col("text")).as("simhash"))
-      val chunks = sims.select(col("doc_id"), col("simhash"),
-        posexplode(expr(
-          """array(simhash & 4095, shiftright(simhash, 12) & 4095,
-            |      shiftright(simhash, 24) & 4095, shiftright(simhash, 36) & 4095)""".stripMargin))
-          .as(Seq("chunk_idx", "chunk")))
-      chunks.as("a").join(chunks.as("b"),
-          col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd3_simhash" -> ((s, dir) =>
+      graft.ops.TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
 
     // dd4 — exact n-gram Jaccard: 5-token shingle sets, candidates from
     // a shared-shingle join (never all pairs), exact |A∩B|/|A∪B| ≥ 0.5.
-    "dd4_ngram_jaccard" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"),
-          graft.functions.TextHashUdfs.shingleSet(5)(col("text")).as("shset"))
-        .filter(col("shset").isNotNull)
-      val sizes = sh.select(col("doc_id"), size(col("shset")).as("nsh"))
-      val exploded = sh.select(col("doc_id"), explode(col("shset")).as("sh"))
-      val inter = exploded.as("a").join(exploded.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("nsh").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("nsh").as("nb")), "doc_b")
-        .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-        .filter(col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
-    }),
+    "dd4_ngram_jaccard" -> ((s, dir) =>
+      graft.ops.TextDedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
 
     // dd5 — embedding-cosine near-dup: 16-bit random-hyperplane
     // signature (planes md5-derived), 4 × 4-bit band candidates, exact
     // cosine ≥ 0.4 verification on candidates. ~50% recall at the
     // threshold by the SimHash collision bound — the efficient scale
     // path; sim1 is the exact brute-force complement.
-    "dd5_embedding_neardup" -> ((s, dir) => {
-      graft.functions.NativeVectorExpressions.register(s)
-      val sigs = Tables.embeddings(s, dir)
-        .withColumn("sig", graft.functions.VectorUdfs.planeSig(16)(col("embedding")))
-        .withColumn("norm2", expr("vec_norm2(embedding)"))
-        .select(col("vec_id"), col("embedding"), col("sig"), col("norm2"))
-      val bands = sigs.select(col("vec_id"),
-        posexplode(expr(
-          """array(sig & 15, shiftright(sig, 4) & 15,
-            |      shiftright(sig, 8) & 15, shiftright(sig, 12) & 15)""".stripMargin))
-          .as(Seq("band", "bkey")))
-      // dedup on the id pair alone (a pair can match in several bands),
-      // THEN re-attach vectors via broadcast — never shuffle embeddings.
-      val pairs = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
-      val vecs = sigs.select(col("vec_id"), col("embedding"), col("norm2"))
-      pairs
-        .join(broadcast(vecs.select(col("vec_id").as("vec_a"),
-          col("embedding").as("ea"), col("norm2").as("na"))), "vec_a")
-        .join(broadcast(vecs.select(col("vec_id").as("vec_b"),
-          col("embedding").as("eb"), col("norm2").as("nb"))), "vec_b")
-        .withColumn("dot", expr("vec_dot(ea, eb)"))
-        .withColumn("cos_sim",
-          col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-        .filter(col("cos_sim") >= 0.4)
-        .select("vec_a", "vec_b", "cos_sim")
-        .orderBy("vec_a", "vec_b")
-    }))
+    "dd5_embedding_neardup" -> ((s, dir) =>
+      graft.ops.VectorSearch.nearDupPairs(s, Tables.embeddings(s, dir),
+        "vec_id", "embedding")
+        .orderBy("vec_a", "vec_b")))
 
   val oracles: Map[String, String] = Map(
     "dd1_exact_dedup" ->

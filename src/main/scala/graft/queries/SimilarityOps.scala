@@ -34,65 +34,21 @@ object SimilarityOps {
   /** ANN bucket width: 8 bits → 256 buckets. */
   private val SIGBITS = 8
 
-  /** Multi-probe masks: the query's own bucket plus every bucket within
-    * hamming distance 2 (1 + 8 + 28 = 37 of 256 buckets ≈ 14% of the
-    * corpus examined — the probe depth trades recall for work; depth 1
-    * is ~3.5%). Deterministic, shared verbatim with the SQL oracle. */
-  private val PROBE_MASKS: Seq[Long] = {
-    val single = (0 until SIGBITS).map(1L << _)
-    val double = for {
-      i <- 0 until SIGBITS; j <- (i + 1) until SIGBITS
-    } yield (1L << i) | (1L << j)
-    0L +: (single ++ double)
-  }
-
-  private def corpusWithSig(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.NativeVectorExpressions.register(s)
-    Tables.embeddings(s, dir)
-      .withColumn("sig", graft.functions.VectorUdfs.planeSig(SIGBITS)(col("embedding")))
-      .withColumn("norm2", expr("vec_norm2(embedding)"))
-  }
-
-  private def scoreAndRank(pairs: DataFrame): DataFrame =
-    pairs
-      .withColumn("dot", expr("vec_dot(ea, eb)"))
-      .withColumn("cos_sim",
-        col("dot").cast("double") / (sqrt(col("qnorm").cast("double")) * sqrt(col("cnorm").cast("double"))))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)))
-      .filter(col("rank") <= TOPK)
-      .select("query_id", "vec_id", "cos_sim", "rank")
-      .orderBy("query_id", "rank")
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "sim1_cosine_topk" -> ((s, dir) => {
-      graft.functions.NativeVectorExpressions.register(s)
       val corpus = Tables.embeddings(s, dir)
-        .withColumn("norm2", expr("vec_norm2(embedding)"))
-      val qs = corpus.filter(col("vec_id") < NQUERIES)
-        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
-          col("norm2").as("qnorm"))
-      scoreAndRank(
-        corpus.select(col("vec_id"), col("embedding").as("eb"), col("norm2").as("cnorm"))
-          .crossJoin(broadcast(qs))
-          .filter(col("query_id") =!= col("vec_id")))
+      graft.ops.VectorSearch.cosineTopK(s, corpus,
+          corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding", TOPK)
+        .orderBy("query_id", "rank")
     }),
 
     "sim2_ann_lsh" -> ((s, dir) => {
-      val corpus = corpusWithSig(s, dir)
-      val qs = corpus.filter(col("vec_id") < NQUERIES)
-        .withColumn("masks", typedlit(PROBE_MASKS))
-        .select(col("vec_id").as("query_id"), col("embedding").as("ea"),
-          col("norm2").as("qnorm"),
-          explode(expr("transform(masks, m -> sig ^ m)")).as("probe"))
-      val cand = corpus
-        .select(col("vec_id"), col("embedding").as("eb"),
-          col("norm2").as("cnorm"), col("sig"))
-        .join(broadcast(qs), col("sig") === col("probe") && col("query_id") =!= col("vec_id"))
-        .select("query_id", "vec_id", "ea", "eb", "qnorm", "cnorm")
-        .distinct()
-      scoreAndRank(cand)
+      val corpus = Tables.embeddings(s, dir)
+      graft.ops.VectorSearch.annTopK(s, corpus,
+          corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding", TOPK,
+          sigBits = SIGBITS, probeHamming = 2)
+        .orderBy("query_id", "rank")
     }))
 
   private def duckCos(qTable: String): String =
@@ -131,7 +87,7 @@ object SimilarityOps {
          |q AS (
          |  SELECT vec_id AS query_id, embedding AS ea, norm2 AS qnorm,
          |         xor(sig, m) AS probe
-         |  FROM e, UNNEST([${PROBE_MASKS.mkString(", ")}]) u(m)
+         |  FROM e, UNNEST([${graft.ops.VectorSearch.probeMasks(SIGBITS, 2).mkString(", ")}]) u(m)
          |  WHERE vec_id < $NQUERIES),
          |cand AS (
          |  SELECT DISTINCT q.query_id, c.vec_id, q.ea, c.embedding AS eb,

@@ -55,6 +55,37 @@ object StreamingOps {
         .orderBy("event_id")
     }),
 
+    // st4 — sliding-window aggregation: 1-hour windows every 30 minutes;
+    // each event lands in exactly two windows. Oracle replays by
+    // unnesting both candidate window starts per event.
+    "st4_stream_sliding_agg" -> ((s, dir) => {
+      val agg = Streams.events(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total_value"))
+      Streams.runToTable(s, agg, s"st4_out_${math.abs(dir.hashCode)}", "complete")
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start_us", "event_type")
+    }),
+
+    // st5 — stream-static join: the event stream enriched against a
+    // static dimension (broadcast into every micro-batch — the standard
+    // streaming-enrichment shape).
+    "st5_stream_static_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq(
+        ("click", "engagement"), ("view", "engagement"),
+        ("purchase", "revenue"), ("signup", "growth"), ("error", "ops"))
+        .toDF("event_type", "category")
+      val joined = Streams.events(s, dir)
+        .join(broadcast(dim), Seq("event_type"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total_value"))
+      Streams.runToTable(s, joined, s"st5_out_${math.abs(dir.hashCode)}", "complete")
+        .orderBy("category")
+    }),
+
     // st3 — custom sessionization state: flatMapGroupsWithState per user,
     // splitting the user's event times on gaps > GAP_US. One AvailableNow
     // batch delivers each user's full history, so the emitted sessions
@@ -96,6 +127,31 @@ object StreamingOps {
     "st2_stream_dedup" ->
       """SELECT event_id, event_type, user_id, value
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "st4_stream_sliding_agg" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    unnest([epoch_us(date_trunc('hour', ts) +
+        |              CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+        |                   ELSE INTERVAL 0 MINUTE END),
+        |            epoch_us(date_trunc('hour', ts) +
+        |              CASE WHEN minute(ts) >= 30 THEN INTERVAL 30 MINUTE
+        |                   ELSE INTERVAL 0 MINUTE END) - 1800000000]) AS window_start_us
+        |  FROM events)
+        |SELECT window_start_us, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM w GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
+
+    "st5_stream_static_join" ->
+      """WITH dim AS (
+        |  SELECT * FROM (VALUES
+        |    ('click', 'engagement'), ('view', 'engagement'),
+        |    ('purchase', 'revenue'), ('signup', 'growth'),
+        |    ('error', 'ops')) AS t(event_type, category))
+        |SELECT category, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM events JOIN dim USING (event_type)
+        |GROUP BY category ORDER BY category""".stripMargin,
 
     "st3_stream_sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),

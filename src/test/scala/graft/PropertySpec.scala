@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.etl.DimOps
+
+/** Property-style invariants (SURVEY.md §5.3) over generated inputs —
+  * seeds are fixed so runs are reproducible, not flaky. */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def cases[A](gen: Gen[A], n: Int = 5): Seq[A] =
+    (0 until n).map(i => gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val idRows: Gen[List[(Long, String)]] =
+    Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 15L), Gen.alphaLowerStr.map(_.take(6))))
+
+  test("property: antiUpsert is idempotent and never duplicates a key") {
+    cases(Gen.zip(idRows, idRows)).foreach { case (ex, in) =>
+      val existing = DimOps.firstWins(ex.toDF("id", "v"), Seq("id"))
+      val incoming = in.toDF("id", "v")
+      val once = DimOps.antiUpsert(existing, incoming, Seq("id"))
+      val twice = DimOps.antiUpsert(once, incoming, Seq("id"))
+      assert(once.count() === twice.count())
+      val dupKeys = once.groupBy("id").count().filter($"count" > 1).count()
+      assert(dupKeys === 0, "antiUpsert produced duplicate keys")
+      // union of key sets
+      val expected = (ex.map(_._1) ++ in.map(_._1)).toSet.size
+      assert(once.count() === expected)
+    }
+  }
+
+  test("property: surrogate keys are dense 1..n in natural-key order") {
+    val names = Gen.listOfN(25, Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty))
+    cases(names).foreach { xs =>
+      val distinct = xs.distinct
+      val keyed = DimOps.withSurrogateKey(distinct.toDF("name"), Seq("name"))
+        .orderBy("id").collect()
+      assert(keyed.map(_.getLong(0)).toSeq === (1L to distinct.size).toSeq)
+      assert(keyed.map(_.getString(1)).toSeq === distinct.sorted)
+    }
+  }
+
+  test("property: decode maps listed keys and nulls everything else") {
+    val mapping = Seq("a" -> "x", "b" -> "y")
+    val words = Gen.listOfN(30, Gen.oneOf("a", "b", "c", "d", ""))
+    cases(words).foreach { xs =>
+      val out = xs.toDF("k")
+        .select(col("k"), DimOps.decode(col("k"), mapping).as("v"))
+        .collect()
+      out.foreach { r =>
+        val k = r.getString(0)
+        val expected = mapping.toMap.get(k).orNull
+        assert(r.getString(1) === expected, s"decode($k)")
+      }
+    }
+  }
+
+  test("property: firstWins output is independent of input row order") {
+    cases(idRows).foreach { xs =>
+      val a = DimOps.firstWins(xs.toDF("id", "v"), Seq("id"))
+        .orderBy("id", "v").collect().toSeq
+      val b = DimOps.firstWins(xs.reverse.toDF("id", "v"), Seq("id"))
+        .orderBy("id", "v").collect().toSeq
+      assert(a === b, "firstWins depends on input order")
+    }
+  }
+}
