@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Public text-analysis API — parameterized form of the verified `tx*`
+  * queries. Pure map over the corpus (no shuffles, no UDFs: split/
+  * filter/regexp built-ins only), so throughput scales with input
+  * partitions. */
+object TextAnalysis {
+
+  private def toks(textCol: Column): Column = split(trim(textCol), "\\s+")
+
+  private def wordCount(textCol: String, w: String): Column =
+    size(expr(s"filter(split(trim($textCol), '\\\\s+'), x -> x = '$w')"))
+
+  /** Whitespace/type/BPE-ish token counts + mean token length. */
+  def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    docs.select(col(idCol),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_types"),
+      regexp_count(col(textCol), lit("[a-z]+|[0-9]+")).cast("int").as("n_bpe_ish"),
+      (length(regexp_replace(col(textCol), "\\s", "")).cast("double") / size(t))
+        .as("avg_token_len"))
+  }
+
+  /** Length/stopword/type-token quality signals + keep flag. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String,
+                   stopwords: Seq[String] = Seq("the", "a"),
+                   minTokens: Int = 20, maxTokens: Int = 1000,
+                   minStopRatio: Double = 0.01): DataFrame = {
+    val t = toks(col(textCol))
+    val nTok = size(t)
+    val stop = stopwords.map(wordCount(textCol, _)).reduce(_ + _).cast("double")
+    docs.select(col(idCol),
+      length(col(textCol)).cast("long").as("len_chars"),
+      nTok.as("n_tokens"),
+      (stop / nTok).as("stopword_ratio"),
+      (size(array_distinct(t)).cast("double") / nTok).as("type_token_ratio"),
+      (nTok >= minTokens && nTok <= maxTokens && (stop / nTok) > lit(minStopRatio))
+        .as("keep"))
+  }
+
+  /** Normalized-content md5 fingerprint + 3-gram shingle count. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = toks(col(textCol))
+    docs.select(col(idCol),
+      TextDedup.fingerprint(col(textCol)).as("fingerprint"),
+      greatest(size(t) - 2, lit(0)).as("n_shingles3"))
+  }
+
+  /** Keyword-profile language ID: marker-word scores per language,
+    * argmax with the profile's declaration order as tie-break, 'und'
+    * when nothing fires. `carry` columns pass through untouched. */
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+             profiles: Seq[(String, Seq[String])] = Seq(
+               "en" -> Seq("the", "a", "is"),
+               "de" -> Seq("der", "die", "und"),
+               "es" -> Seq("el", "la", "y"),
+               "fr" -> Seq("le", "les", "et")),
+             carry: Seq[String] = Nil): DataFrame = {
+    val scores = profiles.map { case (lang, words) =>
+      lang -> words.map(wordCount(textCol, _)).reduce(_ + _)
+    }
+    val pred = scores.zipWithIndex.foldLeft(when(lit(false), "")) {
+      case (acc, ((lang, s), i)) =>
+        val beatsLater = scores.drop(i + 1).map(_._2).foldLeft(lit(true)) {
+          (c, other) => c && s >= other
+        }
+        acc.when(beatsLater && s > 0, lang)
+    }.otherwise("und")
+    docs.select((col(idCol) +: carry.map(col)) ++
+      scores.map { case (l, s) => s.as(s"s_$l") } :+ pred.as("pred_lang"): _*)
+  }
+}

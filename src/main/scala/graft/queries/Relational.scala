@@ -214,6 +214,27 @@ object Relational {
       Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // a3 — typed Aggregator[IN,BUF,OUT] (§2.9 UDAF surface): exact
+    // top-3-per-group with an O(k) bounded buffer — map-side combine
+    // ships k pairs per group per partition instead of every row. The
+    // oracle replays it with the window row_number form.
+    "a3_topk_aggregator" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator(3),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      Tables.orders(s, dir)
+        .groupBy("o_orderpriority")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        .select(col("o_orderpriority"),
+          posexplode(col("top")).as(Seq("rk0", "pair")))
+        .select(col("o_orderpriority"),
+          (col("rk0") + 1).cast("int").as("rk"),
+          element_at(col("pair"), 1).as("o_totalprice"),
+          element_at(col("pair"), 2).cast("long").as("o_orderkey"))
+        .orderBy("o_orderpriority", "rk")
+    }),
+
     // ── G: aggregation [extension per §2.4] ───────────────────────────
     "g1_groupby_agg" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -702,6 +723,14 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    "a3_topk_aggregator" ->
+      """SELECT o_orderpriority, rk, o_totalprice, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_totalprice, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_orderpriority, rk""".stripMargin,
 
     "a1_first_wins_dedup" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (

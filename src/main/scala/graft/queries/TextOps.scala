@@ -18,71 +18,26 @@ import graft.Tables
   */
 object TextOps {
 
-  /** Whitespace tokens of the trimmed text (the engine's "tokenizer"). */
-  private val tokens = split(trim(col("text")), "\\s+")
-
-  private def wordCount(w: String) =
-    size(expr(s"filter(split(trim(text), '\\\\s+'), x -> x = '$w')"))
-
   private val sqlTokens = "str_split_regex(trim(text), '\\s+')"
   private def sqlWordCount(w: String) =
     s"len(list_filter($sqlTokens, x -> x = '$w'))"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // Token counting: whitespace tokens + distinct types + a BPE-ish
-    // regex token count (letters / digits / other runs).
     "tx1_token_count" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        size(tokens).as("n_tokens"),
-        size(array_distinct(tokens)).as("n_types"),
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+")).cast("int").as("n_bpe_ish"),
-        (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
-          size(tokens)).as("avg_token_len"))
+      graft.ops.TextAnalysis.tokenStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // Quality scoring: length/stopword/type-token signals + a keep flag —
-    // the shape of a pretraining quality filter.
-    "tx2_quality_score" -> ((s, dir) => {
-      val nTok = size(tokens)
-      val stop = (wordCount("the") + wordCount("a")).cast("double")
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        length(col("text")).cast("long").as("len_chars"),
-        nTok.as("n_tokens"),
-        (stop / nTok).as("stopword_ratio"),
-        (size(array_distinct(tokens)).cast("double") / nTok).as("type_token_ratio"),
-        (nTok >= 20 && nTok <= 1000 && (stop / nTok) > lit(0.01)).as("keep"))
-        .orderBy("doc_id")
-    }),
+    "tx2_quality_score" -> ((s, dir) =>
+      graft.ops.TextAnalysis.qualityScore(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
 
-    // Content fingerprinting: md5 over whitespace-normalized text — the
-    // exact-dedup key (used again by dd1_exact_dedup).
     "tx3_fingerprint" -> ((s, dir) =>
-      Tables.documents(s, dir).select(
-        col("doc_id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fingerprint"),
-        greatest(size(tokens) - 2, lit(0)).as("n_shingles3"))
+      graft.ops.TextAnalysis.fingerprint(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // Keyword-profile language ID: per-language marker-word scores,
-    // argmax with a fixed tie order, 'und' when no marker fires.
-    "tx4_lang_id" -> ((s, dir) => {
-      val sEn = wordCount("the") + wordCount("a") + wordCount("is")
-      val sDe = wordCount("der") + wordCount("die") + wordCount("und")
-      val sEs = wordCount("el") + wordCount("la") + wordCount("y")
-      val sFr = wordCount("le") + wordCount("les") + wordCount("et")
-      Tables.documents(s, dir).select(
-        col("doc_id"), col("lang"),
-        sEn.as("s_en"), sDe.as("s_de"), sEs.as("s_es"), sFr.as("s_fr"),
-        when(sEn >= sDe && sEn >= sEs && sEn >= sFr && sEn > 0, "en")
-          .when(sDe >= sEs && sDe >= sFr && sDe > 0, "de")
-          .when(sEs >= sFr && sEs > 0, "es")
-          .when(sFr > 0, "fr")
-          .otherwise("und").as("pred_lang"))
-        .orderBy("doc_id")
-    }))
+    "tx4_lang_id" -> ((s, dir) =>
+      graft.ops.TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text",
+        carry = Seq("lang")).orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "tx1_token_count" ->
