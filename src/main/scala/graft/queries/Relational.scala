@@ -214,6 +214,24 @@ object Relational {
       Tables.lineitem(s, dir).select("l_returnflag", "l_linestatus").distinct()
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // ds1 — typed Dataset[T] pipeline (SURVEY.md §1.5): case-class
+    // schema, lambda filter, groupByKey + count / reduceGroups — the
+    // compile-time-safe form of the reference's positional row access
+    // (warehouse.py:140 row[8]). Output values are order-independent
+    // (count, max) so typed lambdas cost nothing in determinism.
+    "ds1_typed_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val ds = Tables.lineitem(s, dir).as[graft.Schemas.LineItem]
+      val filtered = ds.filter(_.l_quantity > 30.0)
+      val counts = filtered.groupByKey(_.l_returnflag).count()
+        .toDF("l_returnflag", "n")
+      val maxq = filtered.groupByKey(_.l_returnflag)
+        .reduceGroups((a, b) => if (a.l_quantity >= b.l_quantity) a else b)
+        .map { case (k, r) => (k, r.l_quantity) }
+        .toDF("l_returnflag", "max_qty")
+      counts.join(maxq, "l_returnflag").orderBy("l_returnflag")
+    }),
+
     // a3 — typed Aggregator[IN,BUF,OUT] (§2.9 UDAF surface): exact
     // top-3-per-group with an O(k) bounded buffer — map-side combine
     // ships k pairs per group per partition instead of every row. The
@@ -723,6 +741,11 @@ object Relational {
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
         |ORDER BY c_custkey""".stripMargin,
+
+    "ds1_typed_pipeline" ->
+      """SELECT l_returnflag, COUNT(*) AS n, MAX(l_quantity) AS max_qty
+        |FROM lineitem WHERE l_quantity > 30.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a3_topk_aggregator" ->
       """SELECT o_orderpriority, rk, o_totalprice, o_orderkey FROM (
