@@ -32,8 +32,11 @@ object VectorExprs {
     """list_sum(list_transform(embedding, x ->
       |      CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))""".stripMargin
 
+  /** DuckDB: dot of two named vector expressions. */
+  def duckDot(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, 64), j ->
+       |      CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE)))""".stripMargin
+
   /** DuckDB: dot of vectors `ea`, `eb`. */
-  val duckPairDot: String =
-    """list_sum(list_transform(generate_series(1, 64), j ->
-      |      CAST(ea[j] AS DOUBLE) * CAST(eb[j] AS DOUBLE)))""".stripMargin
+  val duckPairDot: String = duckDot("ea", "eb")
 }

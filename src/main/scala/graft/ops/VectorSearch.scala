@@ -73,6 +73,42 @@ object VectorSearch {
     rankTopK(cand, k)
   }
 
+  /** IVF ANN top-k: corpus vectors are assigned to their
+    * nearest-by-cosine centroid (the inverted lists); each query probes
+    * its `nprobe` nearest lists and exact-verifies only those members.
+    * Centroids are caller-supplied seed vectors here (at production
+    * scale, k-means output) — assignment is one map-side pass of
+    * |corpus|×|centroids| codegen'd dots, and the probe join touches
+    * ≈ nprobe/|centroids| of the corpus per query. */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+              centroids: DataFrame, idCol: String, vecCol: String,
+              k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val cent = withNorm(spark, centroids, vecCol)
+      .select(col(idCol).as("cid"), col(vecCol).as("__centv"), col("__norm2").as("__centn"))
+    def nearestLists(df: DataFrame, outId: String, vOut: String, nOut: String,
+                     depth: Int, rankCol: String): DataFrame =
+      df.crossJoin(broadcast(cent))
+        .withColumn("__ccos",
+          expr(s"vec_dot($vOut, __centv)") / (sqrt(col(nOut)) * sqrt(col("__centn"))))
+        .withColumn(rankCol, row_number().over(
+          Window.partitionBy(outId).orderBy(col("__ccos").desc, col("cid").asc)))
+        .filter(col(rankCol) <= depth)
+        .drop("__centv", "__centn", "__ccos")
+    val c = nearestLists(
+      withNorm(spark, corpus, vecCol)
+        .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"), col("__norm2").as("__cn")),
+      "vec_id", "__cv", "__cn", 1, "__crk")
+    val q = nearestLists(
+      withNorm(spark, queries, vecCol)
+        .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__norm2").as("__qn")),
+      "query_id", "__qv", "__qn", nprobe, "__qrk")
+    val cand = c.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id", "__qv", "__cv", "__qn", "__cn")
+      .distinct()
+    rankTopK(cand, k)
+  }
+
   /** Embedding near-dup pairs: banded signature candidates + exact
     * cosine ≥ threshold. Output: vec_a, vec_b, cos_sim. */
   def nearDupPairs(spark: SparkSession, corpus: DataFrame,

@@ -49,6 +49,18 @@ object SimilarityOps {
           corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding", TOPK,
           sigBits = SIGBITS, probeHamming = 2)
         .orderBy("query_id", "rank")
+    }),
+
+    // IVF variant: inverted lists under 16 seed-vector centroids
+    // (vec_id 20..35), nprobe=4 — each query exact-verifies ~1/4 of the
+    // corpus instead of all of it.
+    "sim3_ann_ivf" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      graft.ops.VectorSearch.ivfTopK(s, corpus,
+          corpus.filter(col("vec_id") < NQUERIES),
+          corpus.filter(col("vec_id") >= 20 && col("vec_id") < 36),
+          "vec_id", "embedding", TOPK, nprobe = 4)
+        .orderBy("query_id", "rank")
     }))
 
   private def duckCos(qTable: String): String =
@@ -102,5 +114,42 @@ object SimilarityOps {
          |           ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
          |  FROM scored)
          |SELECT query_id, vec_id, cos_sim, rank FROM ranked
-         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin)
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin,
+
+    "sim3_ann_ivf" -> {
+      val dotVC = VectorExprs.duckDot("v.embedding", "c.centv")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${VectorExprs.duckNorm2} AS norm2
+         |  FROM embeddings),
+         |cent AS (
+         |  SELECT vec_id AS cid, embedding AS centv, norm2 AS centn
+         |  FROM e WHERE vec_id >= 20 AND vec_id < 36),
+         |assign AS (
+         |  SELECT vec_id, embedding, norm2, cid FROM (
+         |    SELECT v.vec_id, v.embedding, v.norm2, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ($dotVC / (sqrt(v.norm2) * sqrt(c.centn))) DESC, c.cid ASC) AS rk
+         |    FROM e v, cent c) WHERE rk = 1),
+         |qprobe AS (
+         |  SELECT query_id, qv, qn, cid FROM (
+         |    SELECT v.vec_id AS query_id, v.embedding AS qv, v.norm2 AS qn, c.cid,
+         |      row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |        ($dotVC / (sqrt(v.norm2) * sqrt(c.centn))) DESC, c.cid ASC) AS rk
+         |    FROM e v, cent c WHERE v.vec_id < $NQUERIES) WHERE rk <= 4),
+         |cand AS (
+         |  SELECT DISTINCT q.query_id, a.vec_id, q.qv AS ea, a.embedding AS eb,
+         |         q.qn AS qnorm, a.norm2 AS cnorm
+         |  FROM assign a JOIN qprobe q USING (cid)
+         |  WHERE q.query_id <> a.vec_id),
+         |scored AS (
+         |  SELECT query_id, vec_id, ${duckCos("q")} AS cos_sim
+         |  FROM cand),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+    })
 }
