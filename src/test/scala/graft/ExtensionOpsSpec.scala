@@ -58,6 +58,15 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(recall >= 0.10, s"ANN recall vs brute force fell to $recall")
   }
 
+  test("IVF (sim3) recall vs brute force is a deterministic floor too") {
+    val brute = SimilarityOps.queries("sim1_cosine_topk")(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SimilarityOps.queries("sim3_ann_ivf")(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.15, s"IVF recall vs brute force fell to $recall")
+  }
+
   test("exact dedup canonical ids are minimal within their fingerprint group") {
     val df = DedupOps.queries("dd1_exact_dedup")(spark, sf)
     val bad = df.groupBy("fingerprint").agg(min("doc_id").as("mn"),
