@@ -88,11 +88,16 @@ case class FloatVectorNorm2(child: Expression)
 }
 
 object NativeVectorExpressions {
-  /** Idempotently register vec_dot / vec_norm2 on the session. */
+  /** Idempotently register vec_dot / vec_norm2 (and the self-dot rewrite
+    * rule) on the session. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_norm2", exprs => FloatVectorNorm2(exprs.head), "internal")
+    if (!spark.experimental.extraOptimizations.contains(SelfDotToNorm)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SelfDotToNorm
+    }
   }
 }

@@ -34,6 +34,19 @@ class PlanShapeSpec extends SparkSuite {
       s"bucketed join still shuffles on the join key:\n$p")
   }
 
+  test("optimizer rewrites a self-dot into a squared norm (SelfDotToNorm rule)") {
+    graft.functions.NativeVectorExpressions.register(spark)
+    val df = Tables.embeddings(spark, sf)
+      .selectExpr("vec_dot(embedding, embedding) AS d")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_norm2"), s"rule did not fire:\n$optimized")
+    assert(!optimized.contains("vec_dot"), s"self-dot survived:\n$optimized")
+    // and the rewrite is semantics-preserving
+    val viaNorm = Tables.embeddings(spark, sf).selectExpr("vec_norm2(embedding) AS d")
+    assert(df.collect().map(_.getDouble(0)).toSeq ===
+           viaNorm.collect().map(_.getDouble(0)).toSeq)
+  }
+
   test("cube build keeps the fact side exchange-free before the write") {
     val p = plan("etl_cube_build")
     assert(p.contains("BroadcastHashJoin"))
