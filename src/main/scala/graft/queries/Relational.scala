@@ -106,6 +106,12 @@ object Relational {
         .json(out).orderBy("s_suppkey")
     }),
 
+    "src_orc_roundtrip" -> ((s, dir) => {
+      val out = s"/root/repo/target/sink/src_orc_${math.abs(dir.hashCode)}"
+      Tables.region(s, dir).write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("r_regionkey")
+    }),
+
     // ── P: projections / predicates ───────────────────────────────────
     // P1+P6 fact-shaped projection with NULL injection (warehouse.py:207-208).
     "p1_fact_projection" -> ((s, dir) =>
@@ -306,6 +312,76 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
         .orderBy("l_returnflag")),
+
+    // g9 — exact interpolated percentiles (sort-based; both engines use
+    // linear interpolation over the ordered values).
+    "g9_percentiles" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("q"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("p25"),
+          element_at(col("q"), 2).as("p50"),
+          element_at(col("q"), 3).as("p75"))
+        .orderBy("l_returnflag")),
+
+    // g10 — conditional/filtered aggregation.
+    "g10_filtered_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+          Det.dsum(when(col("l_discount") > 0.05, col("l_extendedprice"))
+            .otherwise(lit(0.0))).as("discounted_price"),
+          count(when(col("l_quantity") >= 25, 1)).as("n_bulk"))
+        .orderBy("l_returnflag")),
+
+    // f7 — bitwise functions.
+    "f7_bitwise" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey").bitwiseAND(255)).as("lo_byte"),
+        (col("l_orderkey").bitwiseOR(4096)).as("with_flag"),
+        (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("xored"),
+        expr("shiftleft(l_orderkey, 2)").as("shl"),
+        expr("shiftright(l_orderkey, 3)").as("shr"),
+        expr("bit_count(l_orderkey)").as("popcnt"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // f8 — pivot: long → wide with fixed pivot values (oracle replays as
+    // conditional aggregation).
+    "f8_pivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)))
+        .orderBy("l_returnflag")),
+
+    // f9 — null-safe equality (<=>) over an injected-null column.
+    "f9_null_safe_eq" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .withColumn("d", when(col("l_discount") > 0.05, col("l_discount")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("d"),
+          (col("d") <=> 0.1).as("is_point_1"),
+          (col("d") <=> lit(null)).as("is_null"),
+          col("d").isNull.as("isnull_fn"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // ts1 — time-series gap filling: the full hourly spine (sequence +
+    // explode) left-joined to observed counts, gaps zero-filled.
+    "ts1_gapfill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      val spine = ev.agg(
+          date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      spine.join(hourly, Seq("h"), "left")
+        .select(unix_micros(col("h")).as("hour_us"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hour_us")
+    }),
 
     // ── W: window functions [extension per §2.5] ──────────────────────
     "w1_row_number" -> ((s, dir) =>
@@ -641,6 +717,60 @@ object Relational {
 
     "src_csv_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "src_orc_roundtrip" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    "g9_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.50) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "g10_filtered_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice
+        |                     ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS discounted_price,
+        |  COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "f7_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_orderkey & 255 AS lo_byte,
+        |  l_orderkey | 4096 AS with_flag,
+        |  xor(l_orderkey, l_partkey) AS xored,
+        |  l_orderkey << 2 AS shl,
+        |  l_orderkey >> 3 AS shr,
+        |  CAST(bit_count(l_orderkey) AS INT) AS popcnt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "f8_pivot" ->
+      """SELECT l_returnflag,
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE l_linestatus = 'O') AS "O"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "f9_null_safe_eq" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount > 0.05 THEN l_discount END AS d,
+        |  (CASE WHEN l_discount > 0.05 THEN l_discount END) IS NOT DISTINCT FROM 0.1 AS is_point_1,
+        |  (CASE WHEN l_discount > 0.05 THEN l_discount END) IS NOT DISTINCT FROM NULL AS is_null,
+        |  (CASE WHEN l_discount > 0.05 THEN l_discount END) IS NULL AS isnull_fn
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "ts1_gapfill" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT epoch_us(spine.h) AS hour_us, coalesce(hourly.n, 0) AS n
+        |FROM spine LEFT JOIN hourly ON spine.h = hourly.h
+        |ORDER BY hour_us""".stripMargin,
 
     "src_json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
