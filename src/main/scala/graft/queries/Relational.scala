@@ -600,6 +600,76 @@ object Relational {
         .limit(20)
     }),
 
+    // f10 — map-type functions: construction, lookup, key listing.
+    "f10_map_funcs" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .withColumn("m", map(
+          lit("price"), col("o_totalprice"),
+          lit("key"), col("o_orderkey").cast("double")))
+        .select(col("o_orderkey"),
+          element_at(col("m"), "price").as("price_via_map"),
+          size(col("m")).as("m_size"),
+          array_join(map_keys(col("m")), ",").as("keys_csv"))
+        .orderBy("o_orderkey")),
+
+    // f11 — regex group extraction.
+    "f11_regexp_extract" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"))
+        .orderBy("p_partkey")),
+
+    // sm1 — deterministic hash sampling: the scale-correct reproducible
+    // sample (hash the key, keep a residue class) — unlike rng-based
+    // df.sample, replayable by any engine.
+    "sm1_hash_sample" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .filter((graft.functions.DetHash.h(col("o_orderkey").cast("string")) % 10) === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // u2 — UNION with set semantics (vs u1's UNION ALL).
+    "u2_union_distinct" -> ((s, dir) => {
+      val cn = Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
+      val sn = Tables.supplier(s, dir).select(col("s_nationkey").cast("long").as("nationkey"))
+      cn.union(sn).distinct().orderBy("nationkey")
+    }),
+
+    // c1 — explicit cross join (small × small).
+    "c1_cross_join" -> ((s, dir) =>
+      Tables.nation(s, dir).select(col("n_name"))
+        .crossJoin(Tables.region(s, dir).select(col("r_name")))
+        .orderBy("n_name", "r_name")),
+
+    // w6 — RANGE frame: value-based window (ties share the frame, so the
+    // result is order-independent within equal sort values).
+    "w6_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(year(col("o_orderdate")).cast("long"))
+        .rangeBetween(-1, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("two_year_spend",
+          sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .over(w).cast("double"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          year(col("o_orderdate")).cast("long").as("yr"), col("two_year_spend"))
+        .orderBy("o_orderkey")
+    }),
+
+    // w7 — value window functions over an explicit full frame.
+    "w7_value_functions" -> ((s, dir) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          first(col("o_totalprice")).over(w).as("max_in_prio"),
+          last(col("o_totalprice")).over(w).as("min_in_prio"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_in_prio"))
+        .orderBy("o_orderkey")
+    }),
+
     // ── O: sort / limit / top-k [extension per §2.6] ──────────────────
     "o1_multi_sort" -> ((s, dir) =>
       Tables.supplier(s, dir)
@@ -1008,6 +1078,52 @@ object Relational {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "f10_map_funcs" ->
+      """SELECT o_orderkey,
+        |  o_totalprice AS price_via_map,
+        |  2 AS m_size,
+        |  'price,key' AS keys_csv
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f11_regexp_extract" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "sm1_hash_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT % 10 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "u2_union_distinct" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        |UNION SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "c1_cross_join" ->
+      """SELECT n_name, r_name FROM nation CROSS JOIN region
+        |ORDER BY n_name, r_name""".stripMargin,
+
+    "w6_range_frame" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |    PARTITION BY o_orderpriority ORDER BY CAST(year(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS two_year_spend
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "w7_value_functions" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  first_value(o_totalprice) OVER w AS max_in_prio,
+        |  last_value(o_totalprice) OVER w AS min_in_prio,
+        |  nth_value(o_totalprice, 2) OVER w AS second_in_prio
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "w5_analytic_suite" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
