@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{TextDedup, VectorSearch}
+
+/** The public ops API must work against caller-named columns, not just
+  * the fixture schema — exercised here with renamed inputs. */
+class OpsApiSpec extends SparkSuite {
+
+  test("TextDedup handles arbitrary id/text column names") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("pk"), col("text").as("body"))
+    val exact = TextDedup.exactDedup(docs, "pk", "body")
+    assert(exact.columns.toSeq === Seq("pk", "fingerprint", "canonical_id", "is_dup"))
+    assert(exact.count() === 500)
+    val pairs = TextDedup.minhashLsh(docs, "pk", "body", threshold = 0.5)
+    assert(pairs.columns.toSeq === Seq("doc_a", "doc_b", "est_jaccard"))
+    assert(pairs.count() > 0)
+    val jac = TextDedup.ngramJaccard(docs, "pk", "body", n = 3, threshold = 0.8)
+    jac.collect().foreach(r => assert(r.getAs[Double]("jaccard") >= 0.8))
+  }
+
+  test("VectorSearch handles arbitrary id/vector column names and k") {
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("pk"), col("embedding").as("v"))
+    val top3 = VectorSearch.cosineTopK(spark, vecs,
+      vecs.filter(col("pk") < 3), "pk", "v", k = 3)
+    assert(top3.columns.toSeq === Seq("query_id", "vec_id", "cos_sim", "rank"))
+    assert(top3.count() === 9)
+    assert(top3.groupBy("query_id").count().filter(col("count") =!= 3).count() === 0)
+    val ivf = VectorSearch.ivfTopK(spark, vecs, vecs.filter(col("pk") < 3),
+      vecs.filter(col("pk") >= 20 && col("pk") < 28), "pk", "v", k = 3, nprobe = 2)
+    assert(ivf.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
+  }
+
+  test("thresholds actually gate the pair sets") {
+    val docs = Tables.documents(spark, sf)
+    val loose = TextDedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5).count()
+    val tight = TextDedup.minhashLsh(docs, "doc_id", "text", threshold = 0.9).count()
+    assert(tight <= loose)
+  }
+}
