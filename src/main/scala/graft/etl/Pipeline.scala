@@ -24,9 +24,16 @@ object Pipeline {
 
   final case class LoadReport(table: String, inserted: Long, skipped: Long)
 
-  private def existing(spark: SparkSession, path: String, like: DataFrame): DataFrame =
-    try spark.read.parquet(path).select(like.columns.map(col): _*)
-    catch { case _: org.apache.spark.sql.AnalysisException => like.limit(0) }
+  /** Current table state, or an empty frame when the path doesn't exist
+    * yet. Only absence is tolerated — a present-but-drifted table (e.g.
+    * missing a column after a schema change) must FAIL loudly, not be
+    * treated as empty (which would silently duplicate every batch). */
+  private def existing(spark: SparkSession, path: String, like: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) like.limit(0)
+    else spark.read.parquet(path).select(like.columns.map(col): _*)
+  }
 
   /** Insert-if-absent append of `incoming` into `dir/table`; keys = match
     * columns (all columns → full-row idempotence). */
@@ -35,13 +42,16 @@ object Pipeline {
                            partitionCols: Seq[String] = Nil): LoadReport = {
     val path = s"$dir/$table"
     val cur = existing(spark, path, incoming)
-    val fresh = DimOps.newRows(cur, incoming, keys)
-    val writer = fresh.write.mode("append")
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(path)
-    val inserted = spark.read.parquet(path).count() - cur.count()
-    val total = incoming.count()
-    LoadReport(table, inserted, total - inserted)
+    // persist the anti-join result so the report costs O(batch), not a
+    // re-scan of the whole accumulated table per load
+    val fresh = DimOps.newRows(cur, incoming, keys).persist()
+    try {
+      val inserted = fresh.count()
+      val writer = fresh.write.mode("append")
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(path)
+      LoadReport(table, inserted, incoming.count() - inserted)
+    } finally fresh.unpersist()
   }
 
   /** Run the full load from a fixture dir into a warehouse dir. */

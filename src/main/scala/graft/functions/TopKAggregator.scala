@@ -14,7 +14,7 @@ import org.apache.spark.sql.expressions.Aggregator
   * Ordering: value DESC, then id ASC (ties deterministic).
   */
 class TopKAggregator(k: Int)
-    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[Seq[Double]]] {
+    extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Double, Long)]] {
 
   private def ord(a: (Double, Long), b: (Double, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
@@ -34,12 +34,12 @@ class TopKAggregator(k: Int)
     if (merged.length > k) merged.take(k) else merged
   }
 
-  // emit as [[value, id], ...] rows for easy explosion
-  override def finish(buf: Seq[(Double, Long)]): Seq[Seq[Double]] =
-    buf.map(p => Seq(p._1, p._2.toDouble))
+  // emit as array<struct<_1: value, _2: id>> — ids stay Long end to end
+  // (routing them through Double would corrupt keys above 2^53)
+  override def finish(buf: Seq[(Double, Long)]): Seq[(Double, Long)] = buf
 
   override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
-  override def outputEncoder: Encoder[Seq[Seq[Double]]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Seq[Double]]]()
+  override def outputEncoder: Encoder[Seq[(Double, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
 }

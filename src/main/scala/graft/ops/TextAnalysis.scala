@@ -11,8 +11,11 @@ object TextAnalysis {
 
   private def toks(textCol: Column): Column = split(trim(textCol), "\\s+")
 
+  /** Occurrences of `w` among the tokens — built from Column operations
+    * (not interpolated SQL text), so words with quotes and column names
+    * needing backticks are safe. */
   private def wordCount(textCol: String, w: String): Column =
-    size(expr(s"filter(split(trim($textCol), '\\\\s+'), x -> x = '$w')"))
+    size(filter(toks(col(textCol)), _ === lit(w)))
 
   /** Whitespace/type/BPE-ish token counts + mean token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {

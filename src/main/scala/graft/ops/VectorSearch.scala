@@ -27,14 +27,21 @@ object VectorSearch {
       .select("query_id", "vec_id", "cos_sim", "rank")
 
   /** Exact brute-force cosine top-k: one map-side pass over the corpus
-    * per (small, broadcast) query set. */
+    * per (small, broadcast) query set.
+    *
+    * `excludeSelf` drops pairs whose ids are equal — correct when the
+    * queries are drawn FROM the corpus (a vector should not be its own
+    * neighbor); set it false when the query table has an independent id
+    * space, or corpus members sharing a query's id would be lost. */
   def cosineTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-                 idCol: String, vecCol: String, k: Int = 10): DataFrame = {
+                 idCol: String, vecCol: String, k: Int = 10,
+                 excludeSelf: Boolean = true): DataFrame = {
     val c = withNorm(spark, corpus, vecCol)
       .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"), col("__norm2").as("__cn"))
     val q = withNorm(spark, queries, vecCol)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__norm2").as("__qn"))
-    rankTopK(c.crossJoin(broadcast(q)).filter(col("query_id") =!= col("vec_id")), k)
+    val pairs = c.crossJoin(broadcast(q))
+    rankTopK(if (excludeSelf) pairs.filter(col("query_id") =!= col("vec_id")) else pairs, k)
   }
 
   /** XOR masks enumerating every bucket within `probeHamming` of a
@@ -54,7 +61,8 @@ object VectorSearch {
     * Σ C(sigBits, d) / 2^sigBits for d ≤ probeHamming. */
   def annTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 10,
-              sigBits: Int = 8, probeHamming: Int = 2): DataFrame = {
+              sigBits: Int = 8, probeHamming: Int = 2,
+              excludeSelf: Boolean = true): DataFrame = {
     val masks = probeMasks(sigBits, probeHamming)
     val sig = VectorUdfs.planeSig(sigBits)
     val c = withNorm(spark, corpus, vecCol)
@@ -66,8 +74,8 @@ object VectorSearch {
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
         col("__norm2").as("__qn"),
         explode(expr("transform(__masks, m -> __qsig ^ m)")).as("__probe"))
-    val cand = c.join(broadcast(q),
-        col("__sig") === col("__probe") && col("query_id") =!= col("vec_id"))
+    val self = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
+    val cand = c.join(broadcast(q), col("__sig") === col("__probe") && self)
       .select("query_id", "vec_id", "__qv", "__cv", "__qn", "__cn")
       .distinct()
     rankTopK(cand, k)
@@ -82,7 +90,8 @@ object VectorSearch {
     * ≈ nprobe/|centroids| of the corpus per query. */
   def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
               centroids: DataFrame, idCol: String, vecCol: String,
-              k: Int = 10, nprobe: Int = 4): DataFrame = {
+              k: Int = 10, nprobe: Int = 4,
+              excludeSelf: Boolean = true): DataFrame = {
     val cent = withNorm(spark, centroids, vecCol)
       .select(col(idCol).as("cid"), col(vecCol).as("__centv"), col("__norm2").as("__centn"))
     def nearestLists(df: DataFrame, outId: String, vOut: String, nOut: String,
@@ -103,7 +112,7 @@ object VectorSearch {
         .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__norm2").as("__qn")),
       "query_id", "__qv", "__qn", nprobe, "__qrk")
     val cand = c.join(broadcast(q), Seq("cid"))
-      .filter(col("query_id") =!= col("vec_id"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .select("query_id", "vec_id", "__qv", "__cv", "__qn", "__cn")
       .distinct()
     rankTopK(cand, k)

@@ -254,8 +254,8 @@ object Relational {
           posexplode(col("top")).as(Seq("rk0", "pair")))
         .select(col("o_orderpriority"),
           (col("rk0") + 1).cast("int").as("rk"),
-          element_at(col("pair"), 1).as("o_totalprice"),
-          element_at(col("pair"), 2).cast("long").as("o_orderkey"))
+          col("pair._1").as("o_totalprice"),
+          col("pair._2").as("o_orderkey"))
         .orderBy("o_orderpriority", "rk")
     }),
 

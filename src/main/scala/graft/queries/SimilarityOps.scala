@@ -63,7 +63,7 @@ object SimilarityOps {
         .orderBy("query_id", "rank")
     }))
 
-  private def duckCos(qTable: String): String =
+  private val duckCos: String =
     s"""CAST(${VectorExprs.duckPairDot} AS DOUBLE)
        |      / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE)))""".stripMargin
 
@@ -79,7 +79,7 @@ object SimilarityOps {
          |         q.qnorm, c.norm2 AS cnorm
          |  FROM e c, q WHERE q.query_id <> c.vec_id),
          |scored AS (
-         |  SELECT query_id, vec_id, ${duckCos("q")} AS cos_sim
+         |  SELECT query_id, vec_id, $duckCos AS cos_sim
          |  FROM pairs),
          |ranked AS (
          |  SELECT query_id, vec_id, cos_sim,
@@ -106,7 +106,7 @@ object SimilarityOps {
          |         q.qnorm, c.norm2 AS cnorm
          |  FROM e c JOIN q ON c.sig = q.probe AND q.query_id <> c.vec_id),
          |scored AS (
-         |  SELECT query_id, vec_id, ${duckCos("q")} AS cos_sim
+         |  SELECT query_id, vec_id, $duckCos AS cos_sim
          |  FROM cand),
          |ranked AS (
          |  SELECT query_id, vec_id, cos_sim,
@@ -142,7 +142,7 @@ object SimilarityOps {
          |  FROM assign a JOIN qprobe q USING (cid)
          |  WHERE q.query_id <> a.vec_id),
          |scored AS (
-         |  SELECT query_id, vec_id, ${duckCos("q")} AS cos_sim
+         |  SELECT query_id, vec_id, $duckCos AS cos_sim
          |  FROM cand),
          |ranked AS (
          |  SELECT query_id, vec_id, cos_sim,

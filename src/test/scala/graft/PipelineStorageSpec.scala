@@ -31,4 +31,20 @@ class PipelineStorageSpec extends SparkSuite {
 
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
   }
+
+  test("a drifted warehouse table fails loudly instead of silently duplicating") {
+    import org.apache.spark.sql.functions.col
+    val wh = s"/root/repo/target/test_warehouse_${System.nanoTime()}"
+    Pipeline.run(spark, sf, wh)
+    // simulate schema drift: rewrite dimclient without company_type
+    val drifted = spark.read.parquet(s"$wh/dimclient").select("id", "client_name")
+    drifted.write.mode("overwrite").parquet(s"$wh/dimclient_tmp")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$wh/dimclient"))
+    new java.io.File(s"$wh/dimclient_tmp").renameTo(new java.io.File(s"$wh/dimclient"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Pipeline.run(spark, sf, wh)
+    }
+    assert(e.getMessage.contains("company_type"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(wh))
+  }
 }
