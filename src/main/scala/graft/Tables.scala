@@ -18,6 +18,19 @@ object Tables {
   def read(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Collision-free, identifier-safe tag for per-fixture sink paths and
+    * table names: sanitized path tail + 8 hex chars of md5. (Replaces
+    * math.abs(hashCode), which could collide across dirs and went
+    * negative at Int.MinValue.) */
+  def dirSlug(dir: String): String = {
+    val tail = dir.replaceAll("[^A-Za-z0-9]+", "_")
+      .replaceAll("^_+|_+$", "").takeRight(24)
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    val hex = md5.take(4).map("%02x".format(_)).mkString
+    s"${tail}_$hex"
+  }
+
   def region(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = read(spark, dir, "nation")
   def customer(spark: SparkSession, dir: String): DataFrame  = read(spark, dir, "customer")

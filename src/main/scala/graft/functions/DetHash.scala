@@ -39,6 +39,13 @@ object DetHash {
     (0 until K).map(i => (0 until dim).map(j =>
       (hScala(s"plane_${i}_$j") % 2001L - 1000L) / 1000.0))
 
+  /** Memoized [[planes]] for per-row use on executors (16×dim md5 calls
+    * amortize to one materialization per distinct vector width). */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, IndexedSeq[IndexedSeq[Double]]]()
+  def planesFor(dim: Int): IndexedSeq[IndexedSeq[Double]] =
+    planeCache.computeIfAbsent(dim, d => planes(d))
+
   /** Column form of H: 60-bit hash of a string column. */
   def h(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 

@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Catalyst-native float-vector kernels (SURVEY.md §7.4 preference order:
   * custom codegen'd `Expression` > Scala UDF). Unlike the UDF forms in
@@ -16,10 +16,14 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * Registered as SQL functions `vec_dot` / `vec_norm2` by [[register]].
   */
 case class FloatVectorDot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
+  // array<float> only: getFloat on a wider element type would silently
+  // reinterpret the slot bytes, so misuse must fail at analysis time.
+  // (return type inferred: AbstractDataType itself is private[sql])
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -52,10 +56,11 @@ case class FloatVectorDot(left: Expression, right: Expression)
 }
 
 case class FloatVectorNorm2(child: Expression)
-    extends UnaryExpression {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_norm2"
+  override def inputTypes = Seq(ArrayType(FloatType))
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]

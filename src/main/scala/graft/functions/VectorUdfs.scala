@@ -31,10 +31,18 @@ object VectorUdfs {
   }
 
   /** `bits`-bit random-hyperplane signature (planes from [[DetHash]]);
-    * per-plane dot is the same left fold as [[VectorExprs.sparkSig]]. */
+    * per-plane dot is the same left fold as [[VectorExprs.sparkSig]].
+    * Plane width follows each vector's own length (memoized per dim on
+    * the executor), so wide embeddings are no longer silently truncated
+    * to 64 dims; plane component (i, j) is derived purely from its index
+    * pair, so a wider matrix agrees with a narrower one on the shared
+    * prefix. */
   def planeSig(bits: Int): UserDefinedFunction = {
-    val planes = DetHash.planes(64)
+    require(bits >= 1 && bits <= DetHash.K,
+      s"planeSig supports 1..${DetHash.K} signature bits (DetHash defines " +
+        s"${DetHash.K} hyperplanes); got $bits")
     udf { (v: Seq[Float]) =>
+      val planes = DetHash.planesFor(v.length)
       var sig = 0L
       var i = 0
       while (i < bits) {

@@ -11,20 +11,27 @@ object TextAnalysis {
 
   private def toks(textCol: Column): Column = split(trim(textCol), "\\s+")
 
+  /** size() that yields NULL for a null array regardless of
+    * spark.sql.legacy.sizeOfNull / ANSI mode — a NULL document must
+    * produce NULL stats (matching SQL semantics), never -1-derived
+    * nonsense. */
+  private def sz(arr: Column): Column =
+    when(arr.isNull, lit(null).cast("int")).otherwise(size(arr))
+
   /** Occurrences of `w` among the tokens — built from Column operations
     * (not interpolated SQL text), so words with quotes and column names
     * needing backticks are safe. */
   private def wordCount(textCol: String, w: String): Column =
-    size(filter(toks(col(textCol)), _ === lit(w)))
+    sz(filter(toks(col(textCol)), _ === lit(w)))
 
   /** Whitespace/type/BPE-ish token counts + mean token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))
     docs.select(col(idCol),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_types"),
+      sz(t).as("n_tokens"),
+      sz(array_distinct(t)).as("n_types"),
       regexp_count(col(textCol), lit("[a-z]+|[0-9]+")).cast("int").as("n_bpe_ish"),
-      (length(regexp_replace(col(textCol), "\\s", "")).cast("double") / size(t))
+      (length(regexp_replace(col(textCol), "\\s", "")).cast("double") / sz(t))
         .as("avg_token_len"))
   }
 
@@ -34,13 +41,13 @@ object TextAnalysis {
                    minTokens: Int = 20, maxTokens: Int = 1000,
                    minStopRatio: Double = 0.01): DataFrame = {
     val t = toks(col(textCol))
-    val nTok = size(t)
+    val nTok = sz(t)
     val stop = stopwords.map(wordCount(textCol, _)).reduce(_ + _).cast("double")
     docs.select(col(idCol),
       length(col(textCol)).cast("long").as("len_chars"),
       nTok.as("n_tokens"),
       (stop / nTok).as("stopword_ratio"),
-      (size(array_distinct(t)).cast("double") / nTok).as("type_token_ratio"),
+      (sz(array_distinct(t)).cast("double") / nTok).as("type_token_ratio"),
       (nTok >= minTokens && nTok <= maxTokens && (stop / nTok) > lit(minStopRatio))
         .as("keep"))
   }
@@ -50,7 +57,8 @@ object TextAnalysis {
     val t = toks(col(textCol))
     docs.select(col(idCol),
       TextDedup.fingerprint(col(textCol)).as("fingerprint"),
-      greatest(size(t) - 2, lit(0)).as("n_shingles3"))
+      when(col(textCol).isNull, lit(null).cast("int"))
+        .otherwise(greatest(sz(t) - 2, lit(0))).as("n_shingles3"))
   }
 
   /** Keyword-profile language ID: marker-word scores per language,

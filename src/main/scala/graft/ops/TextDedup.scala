@@ -35,7 +35,10 @@ object TextDedup {
     val sigs = docs
       .select(col(idCol).as("__id"), TextHashUdfs.minhashSig3(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
-    val bands = sigs.select(col("__id"), col("sig"),
+    // bands carries only (id, band, bkey): the candidate self-join must
+    // not shuffle the 16-long signature arrays — they re-attach after
+    // the id-pair dedup.
+    val bands = sigs.select(col("__id"),
       posexplode(expr(
         """array(concat_ws('_', slice(sig, 1, 4)), concat_ws('_', slice(sig, 5, 4)),
           |      concat_ws('_', slice(sig, 9, 4)), concat_ws('_', slice(sig, 13, 4)))""".stripMargin))

@@ -21,6 +21,9 @@ object VectorSearch {
     pairs
       .withColumn("cos_sim",
         expr("vec_dot(__qv, __cv)") / (sqrt(col("__qn")) * sqrt(col("__cn"))))
+      // project the embedding arrays away BEFORE the window's shuffle:
+      // the exchange then moves (id, id, double) rows, not vectors
+      .select("query_id", "vec_id", "cos_sim")
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos_sim").desc, col("vec_id").asc)))
       .filter(col("rank") <= k)
@@ -75,9 +78,12 @@ object VectorSearch {
         col("__norm2").as("__qn"),
         explode(expr("transform(__masks, m -> __qsig ^ m)")).as("__probe"))
     val self = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
+    // No dedup needed: a (query, corpus) pair matches exactly one probe
+    // row (its mask is forced to qsig ^ csig), so candidates are already
+    // unique — a distinct() here would shuffle full embedding arrays for
+    // nothing (it cost round 1 ~10 s at sf0.1).
     val cand = c.join(broadcast(q), col("__sig") === col("__probe") && self)
       .select("query_id", "vec_id", "__qv", "__cv", "__qn", "__cn")
-      .distinct()
     rankTopK(cand, k)
   }
 
@@ -111,10 +117,12 @@ object VectorSearch {
       withNorm(spark, queries, vecCol)
         .select(col(idCol).as("query_id"), col(vecCol).as("__qv"), col("__norm2").as("__qn")),
       "query_id", "__qv", "__qn", nprobe, "__qrk")
+    // Unique by construction: a corpus vector sits in exactly one list
+    // (__crk = 1) and a query probes each list at most once, so no
+    // distinct() — see annTopK.
     val cand = c.join(broadcast(q), Seq("cid"))
       .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
       .select("query_id", "vec_id", "__qv", "__cv", "__qn", "__cn")
-      .distinct()
     rankTopK(cand, k)
   }
 

@@ -113,11 +113,15 @@ object MultimodalOps {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // mm2/mm3 oracles operate on the UTF-8 payload BYTES — byte i of
+    // encode(text) is read as the i-th 2-hex-char slice of
+    // hex(encode(text)) (DuckDB has no BLOB substring) — matching the
+    // Spark side's octet semantics even if fixtures gain non-ASCII text.
     "mm2_decode_features" -> {
       def f(k: Int) =
-        s"""round(CAST(list_sum(list_filter(list_transform(generate_series(1, length(text)), i ->
-           |  CASE WHEN (i - 1) % $NFEATURES = $k THEN ord(substr(text, i, 1)) END), v -> v IS NOT NULL)) AS DOUBLE)
-           |  / len(list_filter(generate_series(1, length(text)), i -> (i - 1) % $NFEATURES = $k)), 6)""".stripMargin
+        s"""round(CAST(list_sum(list_filter(list_transform(generate_series(1, octet_length(encode(text))), i ->
+           |  CASE WHEN (i - 1) % $NFEATURES = $k THEN ('0x' || substr(hex(encode(text)), 2*i-1, 2))::INT END), v -> v IS NOT NULL)) AS DOUBLE)
+           |  / len(list_filter(generate_series(1, octet_length(encode(text))), i -> (i - 1) % $NFEATURES = $k)), 6)""".stripMargin
       s"""SELECT doc_id,
          |  ${f(0)} AS f0,
          |  ${f(1)} AS f1,
@@ -127,9 +131,9 @@ object MultimodalOps {
 
     "mm3_frame_sample" ->
       s"""SELECT doc_id,
-         |  CAST(len(generate_series(1, length(text), $FRAMESTEP)) AS INT) AS n_frames,
-         |  CAST(list_sum(list_transform(generate_series(1, length(text), $FRAMESTEP), i ->
-         |    ord(substr(text, i, 1)))) AS BIGINT) AS checksum,
-         |  CAST(ord(substr(text, 1, 1)) AS BIGINT) AS first_byte
+         |  CAST(len(generate_series(1, octet_length(encode(text)), $FRAMESTEP)) AS INT) AS n_frames,
+         |  CAST(list_sum(list_transform(generate_series(1, octet_length(encode(text)), $FRAMESTEP), i ->
+         |    ('0x' || substr(hex(encode(text)), 2*i-1, 2))::INT)) AS BIGINT) AS checksum,
+         |  CAST(('0x' || substr(hex(encode(text)), 1, 2))::INT AS BIGINT) AS first_byte
          |FROM documents ORDER BY doc_id""".stripMargin)
 }

