@@ -115,4 +115,24 @@ object TextHashUdfs {
       seen.toArray(new Array[String](seen.size))
     }
   }
+
+  /** Distinct HASHED n-token shingle set: H(shingle) per element. Joining
+    * candidates on an 8-byte long instead of a ~30-char shingle string
+    * shrinks the self-join shuffle several-fold; the oracle applies the
+    * same H to its shingles, so even a (≈2^-60 per pair) collision yields
+    * identical results in both engines. */
+  def shingleHashSet(n: Int): UserDefinedFunction = udf { (text: String) =>
+    val sh = shingleStrings(tokenize(text), n)
+    if (sh.isEmpty) null
+    else {
+      val seen = new java.util.LinkedHashSet[java.lang.Long]()
+      var i = 0
+      while (i < sh.length) { seen.add(h(sh(i))); i += 1 }
+      val out = new Array[Long](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      out
+    }
+  }
 }

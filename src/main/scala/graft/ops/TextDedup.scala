@@ -79,12 +79,17 @@ object TextDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard pairs via shared-shingle candidate join.
+  /** n-gram Jaccard pairs via shared-shingle candidate join. Shingles
+    * are joined by their 60-bit md5-derived hash (H), not the raw
+    * string: the self-join shuffle then moves 8-byte longs instead of
+    * ~30-char strings. Jaccard is computed over the hashed sets — exact
+    * up to H collisions (≈2^-60 per shingle pair, and deterministic:
+    * any engine replaying H sees the identical result).
     * Output: doc_a, doc_b, jaccard. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 5, threshold: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol).as("__id"),
-        TextHashUdfs.shingleSet(n)(col(textCol)).as("shset"))
+        TextHashUdfs.shingleHashSet(n)(col(textCol)).as("shset"))
       .filter(col("shset").isNotNull)
     val sizes = sh.select(col("__id"), size(col("shset")).as("nsh"))
     val exploded = sh.select(col("__id"), explode(col("shset")).as("sh"))

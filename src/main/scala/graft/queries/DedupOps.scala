@@ -63,8 +63,9 @@ object DedupOps {
       graft.ops.TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
-    // dd4 — exact n-gram Jaccard: 5-token shingle sets, candidates from
-    // a shared-shingle join (never all pairs), exact |A∩B|/|A∪B| ≥ 0.5.
+    // dd4 — n-gram Jaccard: 5-token shingle sets (H-hashed to 8-byte
+    // join keys), candidates from a shared-shingle join (never all
+    // pairs), |A∩B|/|A∪B| ≥ 0.5 — exact up to 60-bit hash collisions.
     "dd4_ngram_jaccard" -> ((s, dir) =>
       graft.ops.TextDedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
@@ -130,9 +131,13 @@ object DedupOps {
          |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // shingles are H-hashed before the distinct/join (mirrors the Spark
+    // side: 8-byte join keys; any hash collision is identical in both
+    // engines by construction)
     "dd4_ngram_jaccard" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-         |sh AS (SELECT doc_id, list_distinct(${duckShingles(5)}) AS shset
+         |sh AS (SELECT doc_id, list_distinct(list_transform(${duckShingles(5)},
+         |         x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT)::BIGINT)) AS shset
          |       FROM toks WHERE len(t) >= 5),
          |sizes AS (SELECT doc_id, len(shset) AS nsh FROM sh),
          |ex AS (SELECT doc_id, unnest(shset) AS s FROM sh),
