@@ -126,6 +126,72 @@ object VectorSearch {
     rankTopK(cand, k)
   }
 
+  /** Deterministic k-means (Lloyd) centroids for IVF list construction.
+    *
+    * Init: the `k` lowest-id corpus vectors (reproducible, no RNG).
+    * Each iteration assigns every vector to its nearest-by-cosine
+    * centroid (one map-side pass of codegen'd dots against the broadcast
+    * centroid set) and recomputes centroids as element-wise means via
+    * [[graft.functions.VectorMeanAggregator]] (map-side partial sums —
+    * the shuffle is k×dim per mapper, never the member vectors). Only
+    * the k centroids themselves are collected per iteration, so the loop
+    * is driver-light at any corpus size. Output: cid, centroid
+    * (array<float>), n_members. */
+  def kmeansCentroids(spark: SparkSession, corpus: DataFrame,
+                      idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    val vecs = corpus.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+    val dim = vecs.select(size(col("__v"))).as[Int].head()
+    val meanAgg = udaf(new graft.functions.VectorMeanAggregator(dim),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+
+    // deterministic init: the k lowest-id vectors (no RNG to reproduce)
+    var cents: Array[Array[Float]] = vecs.orderBy("__id").limit(k)
+      .select("__v").as[Seq[Float]].collect().map(_.toArray)
+
+    var result: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      // assignment is a pure map: the centroid set (k×dim floats) rides
+      // in the UDF closure — no join, no shuffle; ties break to the
+      // lowest cid so runs are reproducible
+      val snap = cents
+      val assign = udf { (v: Seq[Float]) =>
+        var best = 0; var bestCos = Double.MinValue
+        var c = 0
+        while (c < snap.length) {
+          val cv = snap(c)
+          var dot = 0.0; var nv = 0.0; var nc = 0.0
+          var i = 0
+          val m = math.min(v.length, cv.length)
+          while (i < m) {
+            val a = v(i).toDouble; val b = cv(i).toDouble
+            dot += a * b; nv += a * a; nc += b * b
+            i += 1
+          }
+          val cos = if (nv == 0.0 || nc == 0.0) -2.0
+                    else dot / (math.sqrt(nv) * math.sqrt(nc))
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        best + 1L // cids are 1-based like the seed-vector variant
+      }
+      result = vecs.select(assign(col("__v")).as("cid"), col("__v"))
+        .groupBy("cid")
+        .agg(meanAgg(col("__v")).as("centroid"), count(lit(1)).as("n_members"))
+      // only the k centroids come back to the driver per iteration
+      cents = result.orderBy("cid").select("cid", "centroid")
+        .as[(Long, Seq[Float])].collect()
+        .foldLeft(cents.clone()) { case (acc, (cid, v)) =>
+          acc((cid - 1).toInt) = v.toArray; acc
+        }
+      it += 1
+    }
+    result.orderBy("cid")
+  }
+
   /** Embedding near-dup pairs: banded signature candidates + exact
     * cosine ≥ threshold. Output: vec_a, vec_b, cos_sim. */
   def nearDupPairs(spark: SparkSession, corpus: DataFrame,

@@ -631,6 +631,33 @@ object Relational {
         .limit(20)
     }),
 
+    // q6 shape — pure scan + selective filter + global aggregate: the
+    // pushdown showcase (no join, no shuffle beyond the final combine;
+    // every predicate reaches the parquet scan).
+    "tpch_q6_forecast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(year(col("l_shipdate")) === 1996 &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(Det.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // q12 shape — join + conditional aggregation: priority-class line
+    // counts per linestatus (fixtures carry no l_shipmode, so linestatus
+    // plays its role).
+    "tpch_q12_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir).filter(year(col("l_shipdate")) === 1996)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+            .as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
     // f10 — map-type functions: construction, lookup, key listing.
     "f10_map_funcs" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -1109,6 +1136,23 @@ object Relational {
         |WHERE l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "tpch_q6_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE year(l_shipdate) = 1996
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "tpch_q12_priority" ->
+      """SELECT l_linestatus,
+        |  COUNT(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+        |  COUNT(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE year(l_shipdate) = 1996
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
 
     "f10_map_funcs" ->
       """SELECT o_orderkey,

@@ -67,6 +67,33 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(recall >= 0.15, s"IVF recall vs brute force fell to $recall")
   }
 
+  test("k-means centroids: deterministic, cover the corpus, and serve IVF") {
+    import graft.ops.VectorSearch
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val c1 = VectorSearch.kmeansCentroids(spark, emb, "vec_id", "embedding",
+      k = 8, iters = 3).collect()
+    val c2 = VectorSearch.kmeansCentroids(spark, emb, "vec_id", "embedding",
+      k = 8, iters = 3).collect()
+    // no RNG anywhere → bit-identical across runs
+    assert(c1.map(_.toString).toSeq === c2.map(_.toString).toSeq)
+    // every corpus vector is assigned to exactly one list
+    assert(c1.map(_.getAs[Long]("n_members")).sum === n)
+    // the learned lists plug straight into ivfTopK and hold a recall floor
+    val cents = VectorSearch.kmeansCentroids(spark, emb, "vec_id", "embedding",
+        k = 8, iters = 3)
+      .select(org.apache.spark.sql.functions.col("cid").as("vec_id"),
+        org.apache.spark.sql.functions.col("centroid").as("embedding"))
+    val brute = SimilarityOps.queries("sim1_cosine_topk")(spark, sf)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = VectorSearch.ivfTopK(spark, emb,
+        emb.filter(col("vec_id") < 10), cents, "vec_id", "embedding",
+        k = 10, nprobe = 3)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.15, s"IVF-with-kmeans recall vs brute force fell to $recall")
+  }
+
   test("exact dedup canonical ids are minimal within their fingerprint group") {
     val df = DedupOps.queries("dd1_exact_dedup")(spark, sf)
     val bad = df.groupBy("fingerprint").agg(min("doc_id").as("mn"),
