@@ -61,6 +61,15 @@ object TextAnalysis {
         .otherwise(greatest(sz(t) - 2, lit(0))).as("n_shingles3"))
   }
 
+  /** Fixed-width histogram over a numeric column (corpus length/token
+    * profiling): one hash aggregation, bucket_lo = floor(v/width)*width.
+    * Output: bucket_lo, n_docs. */
+  def histogram(docs: DataFrame, valueCol: String, width: Long): DataFrame = {
+    require(width >= 1, s"bucket width must be >= 1, got $width")
+    docs.select((floor(col(valueCol) / width).cast("long") * width).as("bucket_lo"))
+      .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Keyword-profile language ID: marker-word scores per language,
     * argmax with the profile's declaration order as tie-break, 'und'
     * when nothing fires. `carry` columns pass through untouched. */

@@ -20,6 +20,21 @@ object TextDedup {
   def fingerprint(textCol: Column): Column =
     md5(regexp_replace(lower(trim(textCol)), "\\s+", " "))
 
+  /** Canonical-representative selection: per content-fingerprint group,
+    * keep the "best" document — highest `qualityCol`, ties to the lowest
+    * id. One aggregate with map-side combine (min over an inverted-
+    * quality struct), no window, so it holds at any group count.
+    * Output: fingerprint, rep_id, rep_quality, n_docs. */
+  def pickCanonical(docs: DataFrame, idCol: String, textCol: String,
+                    qualityCol: String): DataFrame =
+    docs.select(fingerprint(col(textCol)).as("fingerprint"),
+        col(idCol).as("__id"), col(qualityCol).as("__q"))
+      .groupBy("fingerprint")
+      .agg(min(struct((-col("__q")).as("negq"), col("__id").as("id"))).as("__m"),
+        count(lit(1)).as("n_docs"))
+      .select(col("fingerprint"), col("__m.id").as("rep_id"),
+        (-col("__m.negq")).as("rep_quality"), col("n_docs"))
+
   /** Exact dedup: every row keyed by content fingerprint; lowest id per
     * group is canonical. Output: idCol, fingerprint, canonical_id, is_dup. */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -70,6 +70,15 @@ object DedupOps {
       graft.ops.TextDedup.ngramJaccard(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
 
+    // dd6 — canonical-representative pick [extension]: per duplicate
+    // cluster keep the highest-quality doc (longest, ties to lowest id)
+    // via a single arg-min-by-struct aggregate — the "keep best copy"
+    // step that follows any dedup pass in a training-data pipeline.
+    "dd6_canonical_pick" -> ((s, dir) =>
+      graft.ops.TextDedup.pickCanonical(
+        Tables.documents(s, dir), "doc_id", "text", "n_chars")
+        .orderBy("fingerprint")),
+
     // dd5 — embedding-cosine near-dup: 16-bit random-hyperplane
     // signature (planes md5-derived), 4 × 4-bit band candidates, exact
     // cosine ≥ 0.4 verification on candidates. ~50% recall at the
@@ -152,6 +161,20 @@ object DedupOps {
          |JOIN sizes nb ON inter.doc_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd6_canonical_pick" ->
+      """WITH f AS (
+        |  SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+        |         doc_id, n_chars
+        |  FROM documents),
+        |r AS (
+        |  SELECT fingerprint, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY fingerprint
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk,
+        |    COUNT(*) OVER (PARTITION BY fingerprint) AS n_docs
+        |  FROM f)
+        |SELECT fingerprint, doc_id AS rep_id, n_chars AS rep_quality, n_docs
+        |FROM r WHERE rk = 1 ORDER BY fingerprint""".stripMargin,
 
     "dd5_embedding_neardup" -> {
       val planeLit = graft.functions.VectorExprs.duckPlaneLit(64)

@@ -632,11 +632,15 @@ object Relational {
     }),
 
     // q6 shape — pure scan + selective filter + global aggregate: the
-    // pushdown showcase (no join, no shuffle beyond the final combine;
-    // every predicate reaches the parquet scan).
+    // pushdown showcase (no join, no shuffle beyond the final combine).
+    // The year predicate is written as a literal timestamp RANGE, not
+    // year(l_shipdate)=1996: a function over the column defeats parquet
+    // filter pushdown, a range on the raw column reaches the scan and
+    // prunes row groups by min/max stats (PlanShapeSpec asserts it).
     "tpch_q6_forecast" -> ((s, dir) =>
       Tables.lineitem(s, dir)
-        .filter(year(col("l_shipdate")) === 1996 &&
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
           col("l_quantity") < 24)
         .agg(Det.dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),

@@ -116,6 +116,34 @@ object StreamingOps {
           })
       Streams.runToTable(s, sessions.toDF(), s"st3_out_${Tables.dirSlug(dir)}", "append")
         .orderBy("user_id", "session_start_us")
+    }),
+
+    // st6 — watermarked stream-stream inner join: each view event joins
+    // purchase events by the same user within the following 30 minutes.
+    // Both sides carry watermarks and the join condition bounds event
+    // time on both ends, so state is evictable — the shape that keeps a
+    // stream-stream join's state finite on an unbounded 100 TB/day feed.
+    "st6_stream_stream_join" -> ((s, dir) => {
+      val views = Streams.events(s, dir)
+        .filter(col("event_type") === "view")
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"))
+      val buys = Streams.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id").as("b_user"), col("ts").as("buy_ts"),
+          col("event_id").as("buy_id"))
+      val joined = views.join(buys,
+        col("user_id") === col("b_user") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr("INTERVAL 30 MINUTES"))
+      Streams.runToTable(s, joined, s"st6_out_${Tables.dirSlug(dir)}", "append")
+        .select(col("user_id"),
+          unix_micros(col("view_ts")).as("view_ts_us"),
+          unix_micros(col("buy_ts")).as("buy_ts_us"),
+          col("view_id"), col("buy_id"))
+        .orderBy("user_id", "view_ts_us", "buy_ts_us", "view_id", "buy_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -153,6 +181,16 @@ object StreamingOps {
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         |FROM events JOIN dim USING (event_type)
         |GROUP BY category ORDER BY category""".stripMargin,
+
+    "st6_stream_stream_join" ->
+      """SELECT a.user_id, epoch_us(a.ts) AS view_ts_us,
+        |  epoch_us(b.ts) AS buy_ts_us,
+        |  a.event_id AS view_id, b.event_id AS buy_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY a.user_id, view_ts_us, buy_ts_us, view_id, buy_id""".stripMargin,
 
     "st3_stream_sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),

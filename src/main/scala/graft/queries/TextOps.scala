@@ -37,7 +37,13 @@ object TextOps {
 
     "tx4_lang_id" -> ((s, dir) =>
       graft.ops.TextAnalysis.langId(Tables.documents(s, dir), "doc_id", "text",
-        carry = Seq("lang")).orderBy("doc_id")))
+        carry = Seq("lang")).orderBy("doc_id")),
+
+    // tx5 — corpus length profile: fixed-width histogram over n_chars
+    // (the distribution snapshot a curation pipeline reports per shard).
+    "tx5_length_histogram" -> ((s, dir) =>
+      graft.ops.TextAnalysis.histogram(Tables.documents(s, dir), "n_chars", 100L)
+        .orderBy("bucket_lo")))
 
   val oracles: Map[String, String] = Map(
     "tx1_token_count" ->
@@ -84,5 +90,9 @@ object TextOps {
          |    ELSE 'und'
          |  END AS pred_lang
          |FROM documents ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "tx5_length_histogram" ->
+      """SELECT (n_chars // 100) * 100 AS bucket_lo, COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
 }

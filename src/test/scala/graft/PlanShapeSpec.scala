@@ -20,6 +20,17 @@ class PlanShapeSpec extends SparkSuite {
       s"predicate not pushed:\n$p")
   }
 
+  test("q6's range + measure predicates all reach the parquet scan") {
+    val p = plan("tpch_q6_forecast")
+    assert(p.contains("PushedFilters"), s"no pushdown section:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+           p.contains("LessThan(l_shipdate"),
+      s"shipdate range not pushed (year() wrapping would cause this):\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
+           p.contains("LessThan(l_quantity,24.0)"),
+      s"measure predicates not pushed:\n$p")
+  }
+
   test("top-k plans TakeOrderedAndProject, not a global sort") {
     val p = plan("o2_topk")
     assert(p.contains("TakeOrderedAndProject"), s"top-k fell back to full sort:\n$p")

@@ -15,6 +15,9 @@ object SparkSuite {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.warehouse.dir", "/root/repo/target/spark-warehouse")
+      // plan-shape tests assert on PushedFilters/ReadSchema; the default
+      // 100-char metadata truncation would hide the later entries
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
