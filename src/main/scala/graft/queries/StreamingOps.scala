@@ -118,6 +118,23 @@ object StreamingOps {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // st7 — built-in session_window aggregation (SURVEY §2.10 names it
+    // explicitly; st3 is the custom-state flavor of the same shape):
+    // per-user sessions close after 30 idle minutes, window.end is
+    // last-event + gap by definition.
+    "st7_session_window" -> ((s, dir) => {
+      val agg = Streams.events(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total_value"))
+      Streams.runToTable(s, agg, s"st7_out_${Tables.dirSlug(dir)}", "complete")
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n"), col("total_value"))
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // st6 — watermarked stream-stream inner join: each view event joins
     // purchase events by the same user within the following 30 minutes.
     // Both sides carry watermarks and the join condition bounds event
@@ -181,6 +198,27 @@ object StreamingOps {
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         |FROM events JOIN dim USING (event_type)
         |GROUP BY category ORDER BY category""".stripMargin,
+
+    // 30-minute-gap sessions via gaps-and-islands; session end is
+    // last-event + gap, matching session_window's definition
+    "st7_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),
+        |o AS (SELECT user_id, tus, value,
+        |        lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+        |      FROM e),
+        |f AS (SELECT user_id, tus, value,
+        |        CASE WHEN prev IS NULL OR tus - prev > 1800000000 THEN 1 ELSE 0 END AS newses
+        |      FROM o),
+        |g AS (SELECT user_id, tus, value,
+        |        SUM(newses) OVER (PARTITION BY user_id ORDER BY tus
+        |          ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM f)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |       max(tus) + 1800000000 AS session_end_us,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "st6_stream_stream_join" ->
       """SELECT a.user_id, epoch_us(a.ts) AS view_ts_us,
