@@ -44,20 +44,36 @@ object TextDedup {
 
   /** MinHash-LSH near-dup pairs: 16-hash signatures over 3-token
     * shingles, 4×4 banding, signature-estimated Jaccard ≥ threshold.
+    *
+    * `maxBucketSize` is the hot-bucket guard for collapsed-vocabulary
+    * corpora (boilerplate pages sharing one band value would otherwise
+    * make that bucket's self-join quadratic): buckets with more than
+    * `max` members are dropped before the join, bounding any bucket's
+    * pair count by max². Guarded output ⊆ unguarded output; `None`
+    * (default) changes nothing.
     * Output: doc_a, doc_b, est_jaccard. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5,
+                 maxBucketSize: Option[Int] = None): DataFrame = {
     val sigs = docs
       .select(col(idCol).as("__id"), TextHashUdfs.minhashSig3(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
     // bands carries only (id, band, bkey): the candidate self-join must
     // not shuffle the 16-long signature arrays — they re-attach after
     // the id-pair dedup.
-    val bands = sigs.select(col("__id"),
+    val bands0 = sigs.select(col("__id"),
       posexplode(expr(
         """array(concat_ws('_', slice(sig, 1, 4)), concat_ws('_', slice(sig, 5, 4)),
           |      concat_ws('_', slice(sig, 9, 4)), concat_ws('_', slice(sig, 13, 4)))""".stripMargin))
         .as(Seq("band", "bkey")))
+    val bands = maxBucketSize match {
+      case None => bands0
+      case Some(max) =>
+        val ok = bands0.groupBy("band", "bkey")
+          .agg(count(lit(1)).as("__n")).filter(col("__n") <= max)
+          .select("band", "bkey")
+        bands0.join(ok, Seq("band", "bkey"), "left_semi")
+    }
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.__id") < col("b.__id"))
@@ -102,12 +118,27 @@ object TextDedup {
     * any engine replaying H sees the identical result).
     * Output: doc_a, doc_b, jaccard. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 5, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 5, threshold: Double = 0.5,
+                   maxShingleDf: Option[Int] = None): DataFrame = {
     val sh = docs.select(col(idCol).as("__id"),
         TextHashUdfs.shingleHashSet(n)(col(textCol)).as("shset"))
       .filter(col("shset").isNotNull)
     val sizes = sh.select(col("__id"), size(col("shset")).as("nsh"))
-    val exploded = sh.select(col("__id"), explode(col("shset")).as("sh"))
+    val exploded0 = sh.select(col("__id"), explode(col("shset")).as("sh"))
+    // stop-shingle removal: a shingle in f docs yields f² join rows, so
+    // boilerplate shared by thousands of docs would dominate the shuffle;
+    // dropping shingles with df > cutoff bounds that (None = exact).
+    // NOTE: unlike the bucket guard above this changes jaccard values
+    // (intersections lose the dropped shingles) — it is the standard
+    // accuracy/cost trade, off by default.
+    val exploded = maxShingleDf match {
+      case None => exploded0
+      case Some(cut) =>
+        val ok = exploded0.groupBy("sh")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cut)
+          .select("sh")
+        exploded0.join(ok, Seq("sh"), "left_semi")
+    }
     val inter = exploded.as("a").join(exploded.as("b"),
         col("a.sh") === col("b.sh") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))

@@ -336,6 +336,35 @@ object Relational {
           count(when(col("l_quantity") >= 25, 1)).as("n_bulk"))
         .orderBy("l_returnflag")),
 
+    // g11 — KMV (k-minimum-values) distinct-count sketch: the k smallest
+    // distinct md5-derived hashes per group (O(k) buffer, map-side
+    // combine) estimate the cardinality as (k-1)·2^60/h_k. Unlike HLL
+    // (g6, rows-only by necessity), every step is engine-portable
+    // arithmetic, so the ORACLE REPLAYS THE SKETCH EXACTLY — an
+    // approx-distinct whose value is still hash-checked.
+    "g11_kmv_distinct" -> ((s, dir) => {
+      val K = 16
+      val mink = udaf(new graft.functions.MinKAggregator(K),
+        org.apache.spark.sql.Encoders.scalaLong)
+      // (k-1)·2^60: both factors are powers-of-two-scaled small ints, so
+      // the double constant is exact and division is one IEEE op that
+      // any engine reproduces bit-for-bit
+      val scale = lit((K - 1).toDouble * 1.152921504606846976e18)
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"),
+          col("l_partkey"),
+          graft.functions.DetHash.h(col("l_partkey").cast("string")).as("h"))
+        .groupBy("l_returnflag")
+        .agg(mink(col("h")).as("mins"),
+          countDistinct(col("l_partkey")).as("exact_distinct"))
+        .select(col("l_returnflag"),
+          when(size(col("mins")) < K, col("exact_distinct").cast("double"))
+            .otherwise(scale / element_at(col("mins"), K).cast("double"))
+            .as("est_distinct"),
+          col("exact_distinct"))
+        .orderBy("l_returnflag")
+    }),
+
     // f7 — bitwise functions.
     "f7_bitwise" -> ((s, dir) =>
       Tables.lineitem(s, dir).select(
@@ -867,6 +896,26 @@ object Relational {
         |                     ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS discounted_price,
         |  COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // KMV replayed exactly: distinct H per group, 16th-smallest, same
+    // (k-1)·2^60 double constant, one IEEE division
+    "g11_kmv_distinct" ->
+      """WITH d AS (SELECT DISTINCT l_returnflag,
+        |    (('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT AS h
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, h,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk FROM d),
+        |kk AS (SELECT l_returnflag, h AS h_k FROM r WHERE rk = 16),
+        |nh AS (SELECT l_returnflag, COUNT(*) AS nd FROM d GROUP BY 1),
+        |ex AS (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+        |  FROM lineitem GROUP BY 1)
+        |SELECT ex.l_returnflag,
+        |  CASE WHEN nh.nd < 16 THEN CAST(nh.nd AS DOUBLE)
+        |       ELSE (15.0 * 1152921504606846976.0) / CAST(kk.h_k AS DOUBLE)
+        |  END AS est_distinct,
+        |  ex.exact_distinct
+        |FROM ex JOIN nh USING (l_returnflag) LEFT JOIN kk USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
 
     "f7_bitwise" ->
       """SELECT l_orderkey, l_linenumber,

@@ -31,16 +31,29 @@ object Streams {
 
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the materialized result. AvailableNow processes the whole
-    * fixture then stops — batch-equivalent semantics, streaming plan. */
+    * fixture then stops — batch-equivalent semantics, streaming plan.
+    *
+    * State partitioning is pinned to 8 for the query's lifetime: each
+    * state partition costs a store + checkpoint commit per micro-batch
+    * regardless of data volume, so 32 partitions over a fixture-sized
+    * stream is pure fixed overhead. (On a real cluster the right number
+    * tracks executor count — it is a per-query knob, captured in the
+    * checkpoint on first run.) Results are partitioning-independent;
+    * the session's batch setting is restored afterwards. */
   def runToTable(spark: SparkSession, streamed: DataFrame, name: String,
                  outputMode: String): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = streamed.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
     spark.table(name)
   }
 }

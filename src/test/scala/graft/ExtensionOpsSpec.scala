@@ -67,6 +67,31 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(recall >= 0.15, s"IVF recall vs brute force fell to $recall")
   }
 
+  test("hot-bucket / stop-shingle guards bound degenerate corpora and only shrink output") {
+    import spark.implicits._
+    import graft.ops.TextDedup
+    // 40 docs sharing one boilerplate sentence (collapsed vocabulary)
+    val docs = (0L until 40L).map(i =>
+      (i, s"the quick brown fox jumps over the lazy dog number $i"))
+      .toDF("doc_id", "text")
+    val unguarded = TextDedup.minhashLsh(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = TextDedup.minhashLsh(docs, "doc_id", "text",
+        maxBucketSize = Some(5))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded.subsetOf(unguarded), "bucket guard invented pairs")
+
+    val unguardedJ = TextDedup.ngramJaccard(docs, "doc_id", "text", n = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guardedJ = TextDedup.ngramJaccard(docs, "doc_id", "text", n = 3,
+        maxShingleDf = Some(5))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guardedJ.subsetOf(unguardedJ), "df cutoff invented pairs")
+    // the boilerplate shingles are in all 40 docs (> cutoff), so the
+    // quadratic candidate blowup is gone entirely
+    assert(guardedJ.isEmpty, "df=40 boilerplate shingles must be dropped at cutoff 5")
+  }
+
   test("k-means centroids: deterministic, cover the corpus, and serve IVF") {
     import graft.ops.VectorSearch
     val emb = Tables.embeddings(spark, sf)
