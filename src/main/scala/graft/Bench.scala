@@ -27,14 +27,16 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // Times are rounded to 3 decimals: the driver captures only a bounded
-    // tail of stdout, and round 1's full-precision line (~3 KB) overflowed
-    // that window, truncating the JSON head and failing the parse.
-    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    // The driver captures only a bounded (~2.9 KB) tail of stdout, and
+    // round 1's full-precision line (~3.1 KB) overflowed it, truncating
+    // the JSON head and failing the parse. Per-query times at 2 decimals
+    // and the sf as a basename keep the line ~2.5 KB with margin.
+    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }
