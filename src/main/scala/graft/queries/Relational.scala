@@ -720,6 +720,30 @@ object Relational {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")),
 
+    // sm2 — deterministic STRATIFIED sampling [extension]: per-stratum
+    // rates (50% of 'en' docs, 10% of everything else) from the same
+    // md5-hash bucketing as sm1 — reproducible across runs and engines,
+    // no RNG, pure map (the curation-pipeline downsampling step).
+    "sm2_stratified_sample" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("__h",
+          graft.functions.DetHash.h(col("doc_id").cast("string")) % 100)
+        .filter(when(col("lang") === "en", col("__h") < 50)
+          .otherwise(col("__h") < 10))
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // f12 — date arithmetic: add/diff/last_day/month-truncate.
+    "f12_datetime_arith" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        date_add(to_date(col("o_orderdate")), 30).as("due_date"),
+        datediff(to_date(lit("2000-01-01")), to_date(col("o_orderdate")))
+          .as("days_to_y2k"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"),
+        trunc(to_date(col("o_orderdate")), "month").as("month_start"))
+        .orderBy("o_orderkey")),
+
     // u2 — UNION with set semantics (vs u1's UNION ALL).
     "u2_union_distinct" -> ((s, dir) => {
       val cn = Tables.customer(s, dir).select(col("c_nationkey").cast("long").as("nationkey"))
@@ -1224,6 +1248,22 @@ object Relational {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE (('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT % 10 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "sm2_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT % 100 < 50
+        |  ELSE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT % 100 < 10
+        |END
+        |ORDER BY doc_id""".stripMargin,
+
+    "f12_datetime_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS INT) AS days_to_y2k,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "u2_union_distinct" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer

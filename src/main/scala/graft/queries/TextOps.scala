@@ -43,7 +43,28 @@ object TextOps {
     // (the distribution snapshot a curation pipeline reports per shard).
     "tx5_length_histogram" -> ((s, dir) =>
       graft.ops.TextAnalysis.histogram(Tables.documents(s, dir), "n_chars", 100L)
-        .orderBy("bucket_lo")))
+        .orderBy("bucket_lo")),
+
+    // px1 — the composed curation pipeline: quality gate ∧ language
+    // filter ∧ exact-dedup survivor, then per-source token accounting —
+    // the end-to-end shape every op above exists to serve, proving they
+    // compose (all deterministic, so the whole pipeline is one oracle).
+    "px1_curation_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quality = graft.ops.TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select("doc_id", "n_tokens", "keep")
+      val lang = graft.ops.TextAnalysis.langId(docs, "doc_id", "text")
+        .select("doc_id", "pred_lang")
+      val dedup = graft.ops.TextDedup.exactDedup(docs, "doc_id", "text")
+        .select("doc_id", "is_dup")
+      docs.select("doc_id", "source")
+        .join(quality, "doc_id").join(lang, "doc_id").join(dedup, "doc_id")
+        .filter(col("keep") && !col("is_dup") && col("pred_lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy("source")
+    }))
 
   val oracles: Map[String, String] = Map(
     "tx1_token_count" ->
@@ -94,5 +115,33 @@ object TextOps {
 
     "tx5_length_histogram" ->
       """SELECT (n_chars // 100) * 100 AS bucket_lo, COUNT(*) AS n_docs
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "px1_curation_pipeline" -> {
+      val en = s"${sqlWordCount("the")} + ${sqlWordCount("a")} + ${sqlWordCount("is")}"
+      val de = s"${sqlWordCount("der")} + ${sqlWordCount("die")} + ${sqlWordCount("und")}"
+      val es = s"${sqlWordCount("el")} + ${sqlWordCount("la")} + ${sqlWordCount("y")}"
+      val fr = s"${sqlWordCount("le")} + ${sqlWordCount("les")} + ${sqlWordCount("et")}"
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($sqlTokens) AS INT) AS n_tokens,
+         |    (len($sqlTokens) BETWEEN 20 AND 1000 AND
+         |     CAST(${sqlWordCount("the")} + ${sqlWordCount("a")} AS DOUBLE)
+         |       / len($sqlTokens) > 0.01) AS keep,
+         |    CASE
+         |      WHEN ($en) >= ($de) AND ($en) >= ($es) AND ($en) >= ($fr) AND ($en) > 0 THEN 'en'
+         |      WHEN ($de) >= ($es) AND ($de) >= ($fr) AND ($de) > 0 THEN 'de'
+         |      WHEN ($es) >= ($fr) AND ($es) > 0 THEN 'es'
+         |      WHEN ($fr) > 0 THEN 'fr'
+         |      ELSE 'und'
+         |    END AS pred_lang,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY
+         |      md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))) AS is_dup
+         |  FROM documents)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+         |FROM scored
+         |WHERE keep AND NOT is_dup AND pred_lang = 'en'
+         |GROUP BY source ORDER BY source""".stripMargin
+    })
 }
