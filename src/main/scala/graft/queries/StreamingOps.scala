@@ -118,6 +118,18 @@ object StreamingOps {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // st8 — checkpointed parquet file sink (the production sink the
+    // memory-sink harness queries stand in for): stream-projected events
+    // append to a parquet directory with a commit log, then read back.
+    "st8_stream_file_sink" -> ((s, dir) => {
+      val proj = Streams.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("value"))
+      Streams.runToParquet(s, proj,
+          s"/root/repo/target/sink/st8_${Tables.dirSlug(dir)}")
+        .orderBy("event_id")
+    }),
+
     // st7 — built-in session_window aggregation (SURVEY §2.10 names it
     // explicitly; st3 is the custom-state flavor of the same shape):
     // per-user sessions close after 30 idle minutes, window.end is
@@ -198,6 +210,10 @@ object StreamingOps {
         |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         |FROM events JOIN dim USING (event_type)
         |GROUP BY category ORDER BY category""".stripMargin,
+
+    "st8_stream_file_sink" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     // 30-minute-gap sessions via gaps-and-islands; session end is
     // last-event + gap, matching session_window's definition

@@ -29,6 +29,35 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Run a streaming DataFrame to completion into a checkpointed PARQUET
+    * file sink — the production sink shape (exactly-once via the sink's
+    * commit log; the checkpoint makes re-runs resume, so the sink dir is
+    * cleared first for a deterministic fixture result). Returns the
+    * read-back of the sink directory. */
+  def runToParquet(spark: SparkSession, streamed: DataFrame,
+                   outDir: String): DataFrame = {
+    val fs = new java.io.File(outDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    if (fs.exists) rm(fs)
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = streamed.writeStream
+        .format("parquet")
+        .option("path", s"$outDir/data")
+        .option("checkpointLocation", s"$outDir/chk")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
+    spark.read.parquet(s"$outDir/data")
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the materialized result. AvailableNow processes the whole
     * fixture then stops — batch-equivalent semantics, streaming plan.

@@ -33,6 +33,28 @@ class OpsApiSpec extends SparkSuite {
     assert(ivf.groupBy("query_id").count().filter(col("count") > 3).count() === 0)
   }
 
+  test("pickCanonical / histogram / kmeans handle arbitrary column names") {
+    import graft.ops.TextAnalysis
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id").as("pk"), col("text").as("body"),
+        col("n_chars").as("weight"))
+    val reps = TextDedup.pickCanonical(docs, "pk", "body", "weight")
+    assert(reps.columns.toSeq === Seq("fingerprint", "rep_id", "rep_quality", "n_docs"))
+    // every group's representative carries its max quality
+    assert(reps.filter(col("rep_quality").isNull).count() === 0)
+    assert(reps.agg(sum("n_docs")).head().getLong(0) === docs.count())
+
+    val hist = TextAnalysis.histogram(docs, "weight", 50L)
+    assert(hist.columns.toSeq === Seq("bucket_lo", "n_docs"))
+    assert(hist.agg(sum("n_docs")).head().getLong(0) === docs.count())
+
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("pk"), col("embedding").as("v"))
+    val cents = VectorSearch.kmeansCentroids(spark, vecs, "pk", "v", k = 4, iters = 2)
+    assert(cents.columns.toSeq === Seq("cid", "centroid", "n_members"))
+    assert(cents.count() <= 4)
+  }
+
   test("thresholds actually gate the pair sets") {
     val docs = Tables.documents(spark, sf)
     val loose = TextDedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5).count()
