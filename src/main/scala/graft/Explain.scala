@@ -21,7 +21,9 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.nonEmpty) args.toSeq
       else Seq("j1_star_join", "etl_cube_build", "s1_full_scan", "o2_topk",
-        "p3_eq_predicate", "g1_groupby_agg")
+        "p3_eq_predicate", "g1_groupby_agg", "tpch_q6_forecast",
+        "tpch_q14_promo", "tpch_q18_large_orders", "w2_rank_dense",
+        "sim2_ann_lsh", "g11_kmv_distinct")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

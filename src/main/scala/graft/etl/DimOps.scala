@@ -57,6 +57,31 @@ object DimOps {
   def antiUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
     existing.unionByName(newRows(existing, incoming, keys))
 
+  /** SCD-1 merge (MERGE INTO … WHEN MATCHED THEN UPDATE, WHEN NOT
+    * MATCHED THEN INSERT): matched keys take the incoming row's values,
+    * unmatched existing rows pass through, new keys insert. One
+    * full-outer join + per-column coalesce — set-level, no per-row
+    * logic, one shuffle on the key (or none if both sides are already
+    * co-partitioned). Incoming must be key-unique (enforce upstream
+    * with [[firstWins]]); schemas must match by name. */
+  def merge(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    require(existing.columns.sorted.sameElements(incoming.columns.sorted),
+      s"merge requires matching schemas; existing=${existing.columns.mkString(",")} " +
+        s"incoming=${incoming.columns.mkString(",")}")
+    val rest = existing.columns.filterNot(keys.contains).toSeq
+    val e = rest.foldLeft(existing)((d, c) => d.withColumnRenamed(c, s"__e_$c"))
+    // a row-presence marker, not per-column coalesce: the incoming row
+    // wins WHOLESALE on a key match, so an incoming NULL value updates
+    // to NULL instead of silently keeping the old value
+    val i = rest.foldLeft(incoming)((d, c) => d.withColumnRenamed(c, s"__i_$c"))
+      .withColumn("__i_present", lit(true))
+    e.join(i, keys, "full_outer")
+      .select(keys.map(col) ++
+        rest.map(c => when(col("__i_present"), col(s"__i_$c"))
+          .otherwise(col(s"__e_$c")).as(c)): _*)
+      .select(existing.columns.toSeq.map(col): _*)
+  }
+
   /** §7.3 — deterministic surrogate keys replacing MySQL AUTO_INCREMENT
     * (warehouse.py:109-110, 150-151): `offset + dense_rank() OVER (ORDER BY
     * naturalKey)`. Gap-free, order-independent, reproducible by the DuckDB

@@ -691,6 +691,62 @@ object Relational {
         .orderBy("l_linestatus")
     }),
 
+    // q14 shape — join + conditional ratio: promo revenue share for one
+    // shipdate month (literal range → pushed scan filter; part side
+    // broadcasts).
+    "tpch_q14_promo" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+      val p = Tables.part(s, dir)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          Det.dsum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(lit(0.0))).as("promo_rev"),
+          Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("total_rev"))
+        .select(
+          (lit(100.0) * col("promo_rev") / col("total_rev")).as("promo_pct"),
+          col("promo_rev"), col("total_rev"))
+    }),
+
+    // q18 shape — large-volume orders: aggregate-then-having on the fact,
+    // join survivors back to their order/customer rows, top-20.
+    "tpch_q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(Det.dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150.0)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          to_date(col("o_orderdate")).as("o_date"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    // o4 — SCD-1 merge (MERGE INTO semantics): matched keys take the
+    // incoming row, unmatched existing rows survive, brand-new keys
+    // insert — one full-outer join + coalesce, no per-row logic. The
+    // "updates" are a deterministic derivation from the fixture
+    // (acctbal +100 for every third supplier, plus synthetic new keys).
+    "o4_scd1_merge" -> ((s, dir) => {
+      val existing = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+          col("s_acctbal").as("acctbal"))
+      val updates = existing.filter(col("id") % 3 === 0)
+        .withColumn("acctbal", col("acctbal") + 100.0)
+      val inserts = existing.filter(col("id") % 7 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(lit("NEW "), col("name")).as("name"), col("acctbal"))
+      graft.etl.DimOps.merge(existing, updates.unionByName(inserts), Seq("id"))
+        .orderBy("id")
+    }),
+
     // f10 — map-type functions: construction, lookup, key listing.
     "f10_map_funcs" -> ((s, dir) =>
       Tables.orders(s, dir)
@@ -1230,6 +1286,42 @@ object Relational {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE year(l_shipdate) = 1996
         |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
+    "tpch_q14_promo" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS promo_rev,
+        |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01')
+        |SELECT (100.0 * promo_rev) / total_rev AS promo_pct, promo_rev, total_rev
+        |FROM s""".stripMargin,
+
+    "tpch_q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |  o_totalprice, sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey,
+        |        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |      FROM lineitem GROUP BY 1) b ON o_orderkey = b.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE sum_qty > 150.0
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "o4_scd1_merge" ->
+      """WITH ex AS (SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal
+        |            FROM supplier),
+        |upd AS (SELECT id, name, acctbal + 100.0 AS acctbal FROM ex WHERE id % 3 = 0),
+        |ins AS (SELECT id + 1000000 AS id, 'NEW ' || name AS name, acctbal
+        |        FROM ex WHERE id % 7 = 0),
+        |inc AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT COALESCE(inc.id, ex.id) AS id,
+        |  CASE WHEN inc.id IS NOT NULL THEN inc.name ELSE ex.name END AS name,
+        |  CASE WHEN inc.id IS NOT NULL THEN inc.acctbal ELSE ex.acctbal END AS acctbal
+        |FROM ex FULL OUTER JOIN inc ON ex.id = inc.id
+        |ORDER BY id""".stripMargin,
 
     "f10_map_funcs" ->
       """SELECT o_orderkey,

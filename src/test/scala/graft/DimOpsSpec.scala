@@ -33,6 +33,23 @@ class DimOpsSpec extends SparkSuite {
     assert(twice.except(once).count() === 0)
   }
 
+  test("merge: incoming wins wholesale on match (even NULLs), new keys insert, rest survive") {
+    val existing = Seq((1L, Some("old1"), 10.0), (2L, Some("old2"), 20.0))
+      .toDF("id", "v", "x")
+    val incoming = Seq((2L, None: Option[String], 99.0), (3L, Some("new3"), 30.0))
+      .toDF("id", "v", "x")
+    val out = DimOps.merge(existing, incoming, Seq("id")).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0).getString(1) === "old1")
+    // matched row takes the incoming values WHOLESALE: v updates to NULL
+    assert(out(1).isNullAt(1) && out(1).getDouble(2) === 99.0)
+    assert(out(2).getString(1) === "new3")
+    // idempotent: merging the same incoming again changes nothing
+    val again = DimOps.merge(
+      DimOps.merge(existing, incoming, Seq("id")), incoming, Seq("id"))
+    assert(again.orderBy("id").collect().toSeq === out.toSeq)
+  }
+
   test("firstWins keeps the lowest-sorting row per key, deterministically") {
     val df = Seq((1L, 9, "z"), (1L, 3, "m"), (1L, 3, "a"), (2L, 5, "x"))
       .toDF("id", "n", "s")
