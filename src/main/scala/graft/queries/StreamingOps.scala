@@ -52,7 +52,8 @@ object StreamingOps {
         .withWatermark("ts", "10 minutes")
         .dropDuplicatesWithinWatermark("event_id")
         .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
-      Streams.runToTable(s, deduped, s"st2_out_${Tables.dirSlug(dir)}", "append")
+      Streams.runToTable(s, deduped, s"st2_out_${Tables.dirSlug(dir)}", "append",
+          rocksdb = true)
         .orderBy("event_id")
     }),
 

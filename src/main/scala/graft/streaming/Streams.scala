@@ -69,11 +69,20 @@ object Streams {
     * tracks executor count — it is a per-query knob, captured in the
     * checkpoint on first run.) Results are partitioning-independent;
     * the session's batch setting is restored afterwards. */
+  private val RocksDB =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   def runToTable(spark: SparkSession, streamed: DataFrame, name: String,
-                 outputMode: String): DataFrame = {
+                 outputMode: String, rocksdb: Boolean = false): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
+    val prevProv = spark.conf.getOption(provKey)
     spark.conf.set(key, "8")
+    // RocksDB is the production state backend for large state (spillable,
+    // incremental checkpoints); results are provider-independent, so one
+    // query (st2, the most state-heavy) runs on it to keep the path live.
+    if (rocksdb) spark.conf.set(provKey, RocksDB)
     try {
       val q = streamed.writeStream
         .format("memory")
@@ -82,7 +91,13 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    } finally {
+      spark.conf.set(key, prev)
+      if (rocksdb) prevProv match {
+        case Some(p) => spark.conf.set(provKey, p)
+        case None => spark.conf.unset(provKey)
+      }
+    }
     spark.table(name)
   }
 }
