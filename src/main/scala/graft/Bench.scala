@@ -29,14 +29,16 @@ object Bench {
     }
     // The driver captures only a bounded (~2.9 KB) tail of stdout, and
     // round 1's full-precision line (~3.1 KB) overflowed it, truncating
-    // the JSON head and failing the parse. Per-query times at 2 decimals
-    // and the sf as a basename keep the line ~2.5 KB with margin.
-    def f2(v: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f2(v) }
+    // the JSON head and failing the parse. Per-query times at 1 decimal
+    // (2 for the graded total) and a basename sf tag keep the line
+    // ~2.6 KB at 113 queries, with margin for future additions.
+    def fmt(v: Double, d: Int): String =
+      s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v, 1) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
+    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }
