@@ -22,7 +22,48 @@ object TextAnalysis {
     * (not interpolated SQL text), so words with quotes and column names
     * needing backticks are safe. */
   private def wordCount(textCol: String, w: String): Column =
-    sz(filter(toks(col(textCol)), _ === lit(w)))
+    wordCountCol(col(textCol), w)
+  private def wordCountCol(textCol: Column, w: String): Column =
+    sz(filter(toks(textCol), _ === lit(w)))
+
+  // ── Column-level building blocks ────────────────────────────────────
+  // The DataFrame APIs below wrap these; expose them so several analyses
+  // can be computed as columns of ONE corpus scan (joining the
+  // DataFrame-level outputs on the id would re-scan and re-shuffle the
+  // corpus once per analysis — the wrong shape at 100 TB; see
+  // px1_curation_pipeline).
+
+  /** Whitespace token count of a text column (NULL text → NULL). */
+  def nTokensCol(textCol: Column): Column = sz(toks(textCol))
+
+  /** The quality-gate keep flag of [[qualityScore]], as a column. */
+  def keepCol(textCol: Column,
+              stopwords: Seq[String] = Seq("the", "a"),
+              minTokens: Int = 20, maxTokens: Int = 1000,
+              minStopRatio: Double = 0.01): Column = {
+    val nTok = nTokensCol(textCol)
+    val stop = stopwords.map(wordCountCol(textCol, _)).reduce(_ + _).cast("double")
+    nTok >= minTokens && nTok <= maxTokens && (stop / nTok) > lit(minStopRatio)
+  }
+
+  /** The predicted language of [[langId]], as a column. */
+  def predLangCol(textCol: Column,
+                  profiles: Seq[(String, Seq[String])] = Seq(
+                    "en" -> Seq("the", "a", "is"),
+                    "de" -> Seq("der", "die", "und"),
+                    "es" -> Seq("el", "la", "y"),
+                    "fr" -> Seq("le", "les", "et"))): Column = {
+    val scores = profiles.map { case (lang, words) =>
+      lang -> words.map(wordCountCol(textCol, _)).reduce(_ + _)
+    }
+    scores.zipWithIndex.foldLeft(when(lit(false), "")) {
+      case (acc, ((lang, s), i)) =>
+        val beatsLater = scores.drop(i + 1).map(_._2).foldLeft(lit(true)) {
+          (c, other) => c && s >= other
+        }
+        acc.when(beatsLater && s > 0, lang)
+    }.otherwise("und")
+  }
 
   /** Whitespace/type/BPE-ish token counts + mean token length. */
   def tokenStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -48,7 +89,7 @@ object TextAnalysis {
       nTok.as("n_tokens"),
       (stop / nTok).as("stopword_ratio"),
       (sz(array_distinct(t)).cast("double") / nTok).as("type_token_ratio"),
-      (nTok >= minTokens && nTok <= maxTokens && (stop / nTok) > lit(minStopRatio))
+      keepCol(col(textCol), stopwords, minTokens, maxTokens, minStopRatio)
         .as("keep"))
   }
 
@@ -83,14 +124,8 @@ object TextAnalysis {
     val scores = profiles.map { case (lang, words) =>
       lang -> words.map(wordCount(textCol, _)).reduce(_ + _)
     }
-    val pred = scores.zipWithIndex.foldLeft(when(lit(false), "")) {
-      case (acc, ((lang, s), i)) =>
-        val beatsLater = scores.drop(i + 1).map(_._2).foldLeft(lit(true)) {
-          (c, other) => c && s >= other
-        }
-        acc.when(beatsLater && s > 0, lang)
-    }.otherwise("und")
     docs.select((col(idCol) +: carry.map(col)) ++
-      scores.map { case (l, s) => s.as(s"s_$l") } :+ pred.as("pred_lang"): _*)
+      scores.map { case (l, s) => s.as(s"s_$l") } :+
+      predLangCol(col(textCol), profiles).as("pred_lang"): _*)
   }
 }

@@ -47,19 +47,32 @@ object TextOps {
 
     // px1 — the composed curation pipeline: quality gate ∧ language
     // filter ∧ exact-dedup survivor, then per-source token accounting —
-    // the end-to-end shape every op above exists to serve, proving they
-    // compose (all deterministic, so the whole pipeline is one oracle).
+    // the end-to-end shape every op above exists to serve. Composed the
+    // 100 TB way: ONE corpus scan computes quality, language, and the
+    // content fingerprint side by side (joining the three ops' outputs
+    // on doc_id would scan the corpus three times and shuffle it three
+    // times); the only shuffle before the final aggregate is the
+    // per-fingerprint dedup decision. Same semantics as the op-by-op
+    // form — the oracle replays the op definitions unchanged.
     "px1_curation_pipeline" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val quality = graft.ops.TextAnalysis.qualityScore(docs, "doc_id", "text")
-        .select("doc_id", "n_tokens", "keep")
-      val lang = graft.ops.TextAnalysis.langId(docs, "doc_id", "text")
-        .select("doc_id", "pred_lang")
-      val dedup = graft.ops.TextDedup.exactDedup(docs, "doc_id", "text")
-        .select("doc_id", "is_dup")
-      docs.select("doc_id", "source")
-        .join(quality, "doc_id").join(lang, "doc_id").join(dedup, "doc_id")
-        .filter(col("keep") && !col("is_dup") && col("pred_lang") === "en")
+      import graft.ops.{TextAnalysis, TextDedup}
+      // one-pass fusion via the ops' Column-level building blocks: the
+      // corpus is scanned ONCE, with quality, language, and the content
+      // fingerprint computed side by side (joining the DataFrame-level
+      // op outputs on doc_id would scan and shuffle the corpus once per
+      // analysis); the only pre-aggregate shuffle is the
+      // per-fingerprint dedup decision
+      val scored = Tables.documents(s, dir).select(
+        col("doc_id"), col("source"),
+        TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
+        TextAnalysis.keepCol(col("text")).as("keep"),
+        TextAnalysis.predLangCol(col("text")).as("pred_lang"),
+        TextDedup.fingerprint(col("text")).as("__fp"))
+      scored
+        .withColumn("__canon", min("doc_id").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__fp")))
+        .filter(col("keep") && col("doc_id") === col("__canon") &&
+          col("pred_lang") === "en")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens").cast("long")).as("total_tokens"))
