@@ -45,6 +45,16 @@ object TextOps {
       graft.ops.TextAnalysis.histogram(Tables.documents(s, dir), "n_chars", 100L)
         .orderBy("bucket_lo")),
 
+    // f13 — generator/UDTF surface: explode the token array into rows
+    // (the lateral-view shape) and aggregate — corpus word count, top 20.
+    "f13_word_count" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(20)),
+
     // px1 — the composed curation pipeline: quality gate ∧ language
     // filter ∧ exact-dedup survivor, then per-source token accounting —
     // the end-to-end shape every op above exists to serve. Composed the
@@ -129,6 +139,11 @@ object TextOps {
     "tx5_length_histogram" ->
       """SELECT (n_chars // 100) * 100 AS bucket_lo, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f13_word_count" ->
+      s"""SELECT word, COUNT(*) AS n
+         |FROM (SELECT unnest($sqlTokens) AS word FROM documents)
+         |GROUP BY 1 ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
 
     "px1_curation_pipeline" -> {
       val en = s"${sqlWordCount("the")} + ${sqlWordCount("a")} + ${sqlWordCount("is")}"

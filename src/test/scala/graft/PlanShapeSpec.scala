@@ -20,6 +20,16 @@ class PlanShapeSpec extends SparkSuite {
       s"predicate not pushed:\n$p")
   }
 
+  test("year-partitioned fact read-back prunes to partition filters, not data filters") {
+    val p = plan("s7_partitioned_fact_sink")
+    assert(p.contains("PartitionFilters") && p.contains("year"),
+      s"no partition filter on the year-partitioned layout:\n$p")
+    assert(p.contains("(year") || p.contains("year#"),
+      s"year predicate missing from partition filters:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(year"),
+      s"year landed in data filters — the partition layout is not pruning:\n$p")
+  }
+
   test("q6's range + measure predicates all reach the parquet scan") {
     val p = plan("tpch_q6_forecast")
     assert(p.contains("PushedFilters"), s"no pushdown section:\n$p")
