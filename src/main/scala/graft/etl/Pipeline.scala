@@ -47,7 +47,14 @@ object Pipeline {
     val fresh = DimOps.newRows(cur, incoming, keys).persist()
     try {
       val inserted = fresh.count()
-      val writer = fresh.write.mode("append")
+      // cluster rows inside each partition directory by the natural key:
+      // parquet row-group min/max stats then prune key-ranged reads on
+      // the SECOND dimension too (directory pruning covers the first)
+      val clustered =
+        if (partitionCols.nonEmpty && keys.nonEmpty)
+          fresh.sortWithinPartitions((partitionCols ++ keys).map(col): _*)
+        else fresh
+      val writer = clustered.write.mode("append")
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(path)
       LoadReport(table, inserted, incoming.count() - inserted)

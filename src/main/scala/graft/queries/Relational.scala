@@ -63,8 +63,11 @@ object Relational {
     // partition directory.
     "s7_partitioned_fact_sink" -> ((s, dir) => {
       val out = s"/root/repo/target/sink/s7_fact_${Tables.dirSlug(dir)}"
+      // sortWithinPartitions clusters each year directory by the fact id
+      // so parquet row-group stats also prune id-ranged reads (SCALE.md)
       graft.etl.StarSchema.fact(Tables.lineitem(s, dir), Tables.orders(s, dir),
           Tables.customer(s, dir))
+        .sortWithinPartitions("year", "id")
         .write.mode("overwrite").partitionBy("year").parquet(out)
       val back = s.read.parquet(out).filter(col("year") === 1997)
       back.select(col("id"), col("product_id"), col("client_id"), col("date_id"),
