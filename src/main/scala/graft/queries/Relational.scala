@@ -566,6 +566,60 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
+    // p7 — DYNAMIC partition pruning [scale path]: the fact is laid out
+    // partitionBy(year); the joined dim's qualifying years are only
+    // known at runtime (the filter is on a derived dim attribute, not
+    // the partition column), so Catalyst injects a dynamicpruning
+    // subquery into the fact scan — at 100 TB the fact reads only the
+    // partitions the dim selects, discovered at run time (PlanShapeSpec
+    // asserts the dynamicpruningexpression).
+    "p7_dynamic_pruning" -> ((s, dir) => {
+      val out = s"/root/repo/target/sink/p7_fact_${Tables.dirSlug(dir)}"
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("year"))
+        .write.mode("overwrite").partitionBy("year").parquet(out)
+      val fact = s.read.parquet(out)
+      val dim = Tables.lineitem(s, dir)
+        .select(year(col("l_shipdate")).as("year")).distinct()
+        .withColumn("tag", col("year") % 2)
+        .filter(col("tag") === 1)
+      fact.join(broadcast(dim), Seq("year"))
+        .groupBy("year")
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("total"))
+        .select(col("year").cast("long").as("year"), col("n_orders"), col("total"))
+        .orderBy("year")
+    }),
+
+    // j7 — RANGE (interval) join [absent in reference — extension]: each
+    // lineitem joins the quarter interval containing its ship date.
+    // Scalable form: a naive range join is a cross product + filter, so
+    // instead each interval EXPLODES to the coarse month bins it covers
+    // and each point maps to its bin — the join is then an equi-join on
+    // the bin (3 rows per quarter interval), refined by the exact range
+    // predicate. Candidate count is |points| (each point meets only its
+    // own bin's intervals), not |points|·|intervals|. The oracle is
+    // DuckDB's native inequality join.
+    "j7_range_join" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          to_date(col("l_shipdate")).as("d"),
+          col("l_extendedprice"))
+      val intervals = li
+        .select(to_date(date_trunc("quarter", col("d"))).as("qstart")).distinct()
+        .withColumn("qend", add_months(col("qstart"), 3))
+      // bin = month: a quarter interval spans exactly 3 month bins
+      val binned = intervals.withColumn("bin",
+        explode(array((0 until 3).map(i => add_months(col("qstart"), i)): _*)))
+      li.withColumn("bin", to_date(date_trunc("month", col("d"))))
+        .join(broadcast(binned), Seq("bin"))
+        .filter(col("d") >= col("qstart") && col("d") < col("qend"))
+        .groupBy("qstart")
+        .agg(count(lit(1)).as("n_lines"),
+          Det.dsum(col("l_extendedprice")).as("revenue"))
+        .orderBy("qstart")
+    }),
+
     // skew — two-phase salted aggregation: partial aggregate on
     // (key, salt) spreads a hot key over the cluster, final aggregate
     // re-combines. Decimal partials keep the result bit-equal to the
@@ -1439,6 +1493,33 @@ object Relational {
         |SELECT o.o_orderkey, o.d AS o_date, a.rate AS asof_rate
         |FROM o ASOF JOIN anchors a ON o.yr = a.yr AND o.d >= a.ad
         |ORDER BY o_orderkey""".stripMargin,
+
+    "p7_dynamic_pruning" ->
+      """WITH f AS (
+        |  SELECT o_orderkey, o_totalprice, year(o_orderdate) AS year FROM orders),
+        |d AS (
+        |  SELECT year FROM (SELECT DISTINCT year(l_shipdate) AS year FROM lineitem)
+        |  WHERE year % 2 = 1)
+        |SELECT CAST(f.year AS BIGINT) AS year, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |FROM f JOIN d USING (year)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // native inequality join replays the binned range join
+    "j7_range_join" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS d,
+        |         l_extendedprice
+        |  FROM lineitem),
+        |iv AS (
+        |  SELECT DISTINCT CAST(date_trunc('quarter', d) AS DATE) AS qstart,
+        |    CAST(date_trunc('quarter', d) AS DATE) + INTERVAL 3 MONTH AS qend
+        |  FROM li)
+        |SELECT iv.qstart,
+        |  COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM li JOIN iv ON li.d >= iv.qstart AND li.d < iv.qend
+        |GROUP BY iv.qstart ORDER BY iv.qstart""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,

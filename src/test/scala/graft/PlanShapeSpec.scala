@@ -20,6 +20,12 @@ class PlanShapeSpec extends SparkSuite {
       s"predicate not pushed:\n$p")
   }
 
+  test("runtime-filtered dim join triggers dynamic partition pruning on the fact scan") {
+    val p = plan("p7_dynamic_pruning")
+    assert(p.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the fact scan's partition filters:\n$p")
+  }
+
   test("year-partitioned fact read-back prunes to partition filters, not data filters") {
     val p = plan("s7_partitioned_fact_sink")
     assert(p.contains("PartitionFilters") && p.contains("year"),
