@@ -68,6 +68,8 @@ object DimOps {
     require(existing.columns.sorted.sameElements(incoming.columns.sorted),
       s"merge requires matching schemas; existing=${existing.columns.mkString(",")} " +
         s"incoming=${incoming.columns.mkString(",")}")
+    require(!existing.columns.exists(_.startsWith("__")),
+      "merge reserves the __ column-name prefix for its internal markers")
     val rest = existing.columns.filterNot(keys.contains).toSeq
     val e = rest.foldLeft(existing)((d, c) => d.withColumnRenamed(c, s"__e_$c"))
     // a row-presence marker, not per-column coalesce: the incoming row

@@ -142,6 +142,8 @@ object VectorSearch {
                       k: Int, iters: Int = 5): DataFrame = {
     import spark.implicits._
     require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters (the result is " +
+      "the assignment + mean of the final iteration)")
     val vecs = corpus.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
     val dim = vecs.select(size(col("__v"))).as[Int].head()
     val meanAgg = udaf(new graft.functions.VectorMeanAggregator(dim),
