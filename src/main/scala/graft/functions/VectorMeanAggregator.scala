@@ -19,10 +19,13 @@ class VectorMeanAggregator(dim: Int)
   override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
 
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
+    // A jagged corpus must fail, not skew: a short vector prefix-summed
+    // but still counted in n drags the centroid tail toward zero.
+    require(v.length == dim,
+      s"VectorMeanAggregator(dim=$dim) saw a vector of length ${v.length}")
     val (sums, n) = b
     var i = 0
-    val m = math.min(dim, v.length)
-    while (i < m) { sums(i) += v(i); i += 1 }
+    while (i < dim) { sums(i) += v(i); i += 1 }
     (sums, n + 1)
   }
 

@@ -36,12 +36,22 @@ object VectorUdfs {
     * the executor), so wide embeddings are no longer silently truncated
     * to 64 dims; plane component (i, j) is derived purely from its index
     * pair, so a wider matrix agrees with a narrower one on the shared
-    * prefix. */
-  def planeSig(bits: Int): UserDefinedFunction = {
+    * prefix.
+    *
+    * `oracleDim ≥ 0` pins the expected vector width: any row whose
+    * length differs throws instead of silently signing with a plane
+    * matrix the differential oracle (which hardcodes its plane width in
+    * SQL) doesn't have. Oracle-backed queries pass the fixture dim;
+    * the open-ended API leaves it at -1. */
+  def planeSig(bits: Int, oracleDim: Int = -1): UserDefinedFunction = {
     require(bits >= 1 && bits <= DetHash.K,
       s"planeSig supports 1..${DetHash.K} signature bits (DetHash defines " +
         s"${DetHash.K} hyperplanes); got $bits")
     udf { (v: Seq[Float]) =>
+      if (oracleDim >= 0 && v.length != oracleDim)
+        throw new IllegalArgumentException(
+          s"planeSig: vector dim ${v.length} != oracle plane dim $oracleDim " +
+            "— Spark and the SQL oracle would sign with different plane matrices")
       val planes = DetHash.planesFor(v.length)
       var sig = 0L
       var i = 0

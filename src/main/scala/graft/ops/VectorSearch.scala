@@ -65,9 +65,9 @@ object VectorSearch {
   def annTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int = 10,
               sigBits: Int = 8, probeHamming: Int = 2,
-              excludeSelf: Boolean = true): DataFrame = {
+              excludeSelf: Boolean = true, oracleDim: Int = -1): DataFrame = {
     val masks = probeMasks(sigBits, probeHamming)
-    val sig = VectorUdfs.planeSig(sigBits)
+    val sig = VectorUdfs.planeSig(sigBits, oracleDim)
     val c = withNorm(spark, corpus, vecCol)
       .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
         col("__norm2").as("__cn"), sig(col(vecCol)).as("__sig"))
@@ -198,8 +198,8 @@ object VectorSearch {
     * cosine ≥ threshold. Output: vec_a, vec_b, cos_sim. */
   def nearDupPairs(spark: SparkSession, corpus: DataFrame,
                    idCol: String, vecCol: String,
-                   threshold: Double = 0.4): DataFrame = {
-    val sig = VectorUdfs.planeSig(16)
+                   threshold: Double = 0.4, oracleDim: Int = -1): DataFrame = {
+    val sig = VectorUdfs.planeSig(16, oracleDim)
     val sigs = withNorm(spark, corpus, vecCol)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         col("__norm2").as("__n"), sig(col(vecCol)).as("sig"))

@@ -86,7 +86,7 @@ object DedupOps {
     // path; sim1 is the exact brute-force complement.
     "dd5_embedding_neardup" -> ((s, dir) =>
       graft.ops.VectorSearch.nearDupPairs(s, Tables.embeddings(s, dir),
-        "vec_id", "embedding")
+        "vec_id", "embedding", oracleDim = 64) // oracle plane width is 64
         .orderBy("vec_a", "vec_b")))
 
   val oracles: Map[String, String] = Map(

@@ -438,10 +438,13 @@ object Relational {
       val orders = Tables.orders(s, dir)
       val thr = orders.groupBy("o_orderpriority")
         .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
-        // groups with < 10 rows keep everything (null threshold → -inf)
+        // groups with < 10 rows keep everything (short buffer → -inf).
+        // ANSI mode makes element_at throw on out-of-range indexes, so
+        // the size() guard — not coalesce — carries the fallback.
         .select(col("o_orderpriority"),
-          coalesce(element_at(col("top"), 10).getField("_1"),
-            lit(Double.NegativeInfinity)).as("__thr"))
+          when(size(col("top")) >= 10,
+            element_at(col("top"), 10).getField("_1"))
+            .otherwise(lit(Double.NegativeInfinity)).as("__thr"))
       orders.join(broadcast(thr), "o_orderpriority")
         .filter(col("o_totalprice") >= col("__thr"))
         .withColumn("rnk", rank().over(

@@ -47,7 +47,10 @@ object SimilarityOps {
       val corpus = Tables.embeddings(s, dir)
       graft.ops.VectorSearch.annTopK(s, corpus,
           corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding", TOPK,
-          sigBits = SIGBITS, probeHamming = 2)
+          sigBits = SIGBITS, probeHamming = 2,
+          // the DuckDB oracle hardcodes duckPlaneLit(64); fail loudly if
+          // the fixture ever carries a different embedding width
+          oracleDim = 64)
         .orderBy("query_id", "rank")
     }),
 

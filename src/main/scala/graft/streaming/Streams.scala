@@ -38,7 +38,8 @@ object Streams {
                    outDir: String): DataFrame = {
     val fs = new java.io.File(outDir)
     def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
+      // listFiles() is null (not empty) on unreadable/raced entries
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
     }
     if (fs.exists) rm(fs)
@@ -55,7 +56,9 @@ object Streams {
         .start()
       q.awaitTermination()
     } finally spark.conf.set(key, prev)
-    spark.read.parquet(s"$outDir/data")
+    // A zero-row stream leaves no parquet files, so schema inference on
+    // the sink dir would throw — read back with the plan's known schema.
+    spark.read.schema(streamed.schema).parquet(s"$outDir/data")
   }
 
   /** Run a streaming DataFrame to completion into a memory sink and

@@ -147,4 +147,53 @@ class ExtensionOpsSpec extends SparkSuite {
       (col("s_en") + col("s_de") + col("s_es") + col("s_fr")) > 0)
     assert(bad.count() === 0)
   }
+
+  test("top-k threshold survives groups smaller than k under ANSI mode") {
+    import spark.implicits._
+    // regression: element_at(top, 10) throws INVALID_ARRAY_INDEX under
+    // ANSI when a group has < 10 rows; the size() guard must carry the
+    // -inf fallback (a coalesce does NOT catch the error).
+    val topk = udaf(new graft.functions.TopKAggregator(10),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.Encoders.scalaLong))
+    val tiny = Seq(("a", 5.0, 1L), ("a", 3.0, 2L), ("b", 9.0, 3L))
+      .toDF("grp", "price", "id")
+    val thr = tiny.groupBy("grp")
+      .agg(topk(col("price"), col("id")).as("top"))
+      .select(col("grp"),
+        when(size(col("top")) >= 10, element_at(col("top"), 10).getField("_1"))
+          .otherwise(lit(Double.NegativeInfinity)).as("thr"))
+      .collect()
+    assert(thr.length === 2)
+    assert(thr.forall(_.getDouble(1) == Double.NegativeInfinity))
+  }
+
+  test("vector mean aggregator rejects jagged corpora instead of skewing") {
+    import spark.implicits._
+    val agg = udaf(new graft.functions.VectorMeanAggregator(3))
+    val jagged = Seq(Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f)).toDF("v")
+    val ex = intercept[Exception] {
+      jagged.agg(agg(col("v"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(_.getMessage != null) &&
+      causes(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("VectorMeanAggregator")))
+  }
+
+  test("planeSig with a pinned oracle dim rejects mismatched vectors") {
+    import spark.implicits._
+    val sig = graft.functions.VectorUdfs.planeSig(8, oracleDim = 4)
+    val ok = Seq(Seq(1.0f, 0.0f, 0.0f, 0.0f)).toDF("v")
+      .select(sig(col("v"))).collect()
+    assert(ok.length === 1)
+    val bad = Seq(Seq(1.0f, 0.0f)).toDF("v")
+    val ex = intercept[Exception] { bad.select(sig(col("v"))).collect() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("oracle plane dim")))
+  }
 }
