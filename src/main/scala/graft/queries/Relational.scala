@@ -789,6 +789,245 @@ object Relational {
         .limit(20)
     }),
 
+    // q2 shape — min-cost supplier per part: the correlated-scalar-min
+    // subquery, decorrelated into one window min over the per-(part,
+    // supplier) aggregate (fixtures carry no partsupp, so avg unit price
+    // from lineitem plays ps_supplycost). Both the aggregate and the
+    // window shuffle on l_partkey — one exchange feeds both.
+    "tpch_q2_min_cost" -> ((s, dir) => {
+      val unit = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(Det.davg(col("l_extendedprice") / col("l_quantity")).as("avg_unit"))
+      val best = unit
+        .withColumn("min_unit",
+          min(col("avg_unit")).over(Window.partitionBy("l_partkey")))
+        .filter(col("avg_unit") === col("min_unit"))
+      best.join(broadcast(Tables.part(s, dir).filter(col("p_size") < 10)),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("min_unit"))
+        .orderBy("p_partkey", "s_suppkey")
+    }),
+
+    // q4 shape — EXISTS decorrelated to a left-semi join (fixtures carry
+    // no commit/receipt dates, so "late" ≙ a returned line).
+    "tpch_q4_priority_exists" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1996-10-01")))
+      val ret = Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
+      o.join(ret, o("o_orderkey") === ret("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // q13 shape — customer order-count distribution: LEFT OUTER join so
+    // zero-order customers survive into the c_count=0 bucket, then a
+    // second aggregate over the first.
+    "tpch_q13_custdist" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      Tables.customer(s, dir)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // q15 shape — top supplier by period revenue: the scalar MAX
+    // subquery as a 1-row broadcast joined back on equality (ties all
+    // surface, deterministically — revenue is decimal-exact).
+    "tpch_q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.join(broadcast(mx), col("total_revenue") === col("max_revenue"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+
+    // q17 shape — correlated per-part AVG subquery, decorrelated: semi-
+    // join the fact down to the brand's parts FIRST (so the threshold agg
+    // reads only relevant rows), then agg and join share one l_partkey
+    // exchange.
+    "tpch_q17_small_qty" -> ((s, dir) => {
+      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#23")
+        .select("p_partkey")
+      val lb = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+      val thr = lb.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((Det.davg(col("l_quantity")) * 0.2).as("qty_thr"))
+      lb.join(thr, col("l_partkey") === col("t_partkey"))
+        .filter(col("l_quantity") < col("qty_thr"))
+        .agg((Det.dsum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+    }),
+
+    // q19 shape — disjunction of conjunct groups as the join residual:
+    // Catalyst extracts the common l_partkey equi-key and pushes the
+    // p_brand/p_size disjuncts to the broadcast side.
+    "tpch_q19_disjunctive" -> ((s, dir) => {
+      val disj =
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)),
+          col("l_partkey") === col("p_partkey") && disj)
+        .agg(Det.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // q21 shape — the EXISTS / NOT-EXISTS pair over the same fact: lines
+    // returned in finished multi-supplier orders where no OTHER supplier
+    // also returned. Semi + anti self-joins all keyed on l_orderkey with
+    // the supplier inequality as residual — one exchange feeds the chain.
+    "tpch_q21_waiting" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+      val fOrders = Tables.orders(s, dir)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val l1 = l.filter(col("l_returnflag") === "R")
+        .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val withOther = l1.join(others,
+        col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      val othersR = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      val sole = withOther.join(othersR,
+        col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      sole.groupBy("l_suppkey")
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey").asc)
+        .limit(20)
+    }),
+
+    // q22 shape — global scalar AVG + NOT EXISTS: rich idle customers.
+    // The average broadcasts as a 1-row join; the no-orders test is a
+    // left-anti join (fixtures carry no phone, nationkey plays the
+    // country code).
+    "tpch_q22_balance" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val avgbal = c.filter(col("c_acctbal") > 0.0)
+        .agg(Det.davg(col("c_acctbal")).as("avg_bal"))
+      c.join(broadcast(avgbal), col("c_acctbal") > col("avg_bal"))
+        .join(Tables.orders(s, dir).select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          Det.dsum(col("c_acctbal")).as("totacctbal"))
+        .orderBy("c_nationkey")
+    }),
+
+    // f14 — unpivot (wide → long), the inverse of f8's pivot: per-year
+    // status counts melted back to (year, status, count) rows via the
+    // native unpivot operator (a generator, not a union of scans).
+    "f14_unpivot" -> ((s, dir) => {
+      val wide = Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(when(col("o_orderstatus") === "O", 1)).as("n_open"),
+          count(when(col("o_orderstatus") === "F", 1)).as("n_filled"),
+          count(when(col("o_orderstatus") === "P", 1)).as("n_pending"))
+      wide.unpivot(Array(col("order_year")),
+          Array(col("n_open"), col("n_filled"), col("n_pending")),
+          "status_col", "n_orders")
+        .orderBy("order_year", "status_col")
+    }),
+
+    // g12 — sampled approximate quantiles [scale path]: exact interpolated
+    // quantiles over a 10% deterministic hash sample — the estimate both
+    // engines can replay bit-for-bit (same md5 predicate, same sample;
+    // binary-exact fractions keep the interpolation arithmetic identical,
+    // as in g9). At 100 TB this reads a tenth of the data for quantiles
+    // within ~1e-2 of exact.
+    "g12_sampled_quantile" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter((graft.functions.DetHash.h(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))) % 10) === 0)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, array(0.25, 0.5, 0.75))").as("q"),
+          count(lit(1)).as("n_sampled"))
+        .select(col("l_returnflag"),
+          element_at(col("q"), 1).as("p25"),
+          element_at(col("q"), 2).as("p50"),
+          element_at(col("q"), 3).as("p75"),
+          col("n_sampled"))
+        .orderBy("l_returnflag")),
+
+    // o5 — SCD-2 history build: each order is an "update" to its
+    // customer's priority attribute; change detection (lag) keeps only
+    // transitions, then validity intervals come from lead over the
+    // surviving changes — [valid_from, valid_to) rows with is_current,
+    // the classic type-2 dimension. Both windows shuffle once on custkey.
+    "o5_scd2_history" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val changes = Tables.orders(s, dir)
+        .withColumn("prev_p", lag(col("o_orderpriority"), 1).over(w))
+        .filter(col("prev_p").isNull || col("prev_p") =!= col("o_orderpriority"))
+      changes
+        .withColumn("next_from", lead(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey").as("cust_id"),
+          col("o_orderkey").as("change_id"),
+          col("o_orderpriority").as("priority"),
+          to_date(col("o_orderdate")).as("valid_from"),
+          coalesce(to_date(col("next_from")), to_date(lit("9999-12-31")))
+            .as("valid_to"),
+          col("next_from").isNull.as("is_current"))
+        .orderBy("cust_id", "valid_from", "change_id")
+    }),
+
+    // o6 — MERGE with deletes: the full MERGE INTO surface (WHEN MATCHED
+    // AND op='D' THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT
+    // MATCHED THEN INSERT) as one full-outer join + row-presence picks.
+    // Incoming rows derive deterministically from the fixture.
+    "o6_merge_delete" -> ((s, dir) => {
+      val ex = Tables.supplier(s, dir)
+        .select(col("s_suppkey").as("id"), col("s_name").as("name"),
+          col("s_acctbal").as("acctbal"))
+      val upd = ex.filter(col("id") % 3 === 0 && col("id") % 5 =!= 0)
+        .select(col("id"), col("name"),
+          (col("acctbal") + 100.0).as("acctbal"), lit("U").as("op"))
+      val del = ex.filter(col("id") % 5 === 0)
+        .select(col("id"), col("name"), col("acctbal"), lit("D").as("op"))
+      val ins = ex.filter(col("id") % 7 === 0)
+        .select((col("id") + 2000000L).as("id"),
+          concat(lit("INS "), col("name")).as("name"),
+          col("acctbal"), lit("I").as("op"))
+      val inc = upd.unionByName(del).unionByName(ins)
+        .select(col("id").as("i_id"), col("name").as("i_name"),
+          col("acctbal").as("i_acctbal"), col("op"))
+      ex.join(inc, col("id") === col("i_id"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(coalesce(col("id"), col("i_id")).as("id"),
+          when(col("op").isin("U", "I"), col("i_name"))
+            .otherwise(col("name")).as("name"),
+          when(col("op").isin("U", "I"), col("i_acctbal"))
+            .otherwise(col("acctbal")).as("acctbal"))
+        .orderBy("id")
+    }),
+
     // o4 — SCD-1 merge (MERGE INTO semantics): matched keys take the
     // incoming row, unmatched existing rows survive, brand-new keys
     // insert — one full-outer join + coalesce, no per-row logic. The
@@ -1369,6 +1608,175 @@ object Relational {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE sum_qty > 150.0
         |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "tpch_q2_min_cost" ->
+      """WITH unit AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice / l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(l_extendedprice / l_quantity) AS avg_unit
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (SELECT *, MIN(avg_unit) OVER (PARTITION BY l_partkey) AS min_unit
+        |      FROM unit)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, min_unit
+        |FROM m
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE avg_unit = min_unit AND p_size < 10
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    "tpch_q4_priority_exists" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate <  TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "tpch_q13_custdist" ->
+      """WITH cc AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM cc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "tpch_q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "tpch_q17_small_qty" ->
+      """WITH b AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')),
+        |t AS (
+        |  SELECT l_partkey AS t_partkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(l_quantity) * 0.2 AS qty_thr
+        |  FROM b GROUP BY 1)
+        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+        |  AS avg_yearly
+        |FROM b JOIN t ON l_partkey = t_partkey
+        |WHERE l_quantity < qty_thr""".stripMargin,
+
+    "tpch_q19_disjunctive" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "tpch_q21_waiting" ->
+      """WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem),
+        |l1 AS (
+        |  SELECT * FROM l
+        |  WHERE l_returnflag = 'R'
+        |    AND EXISTS (SELECT 1 FROM orders
+        |                WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F'))
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE EXISTS (SELECT 1 FROM l l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM l l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey ASC LIMIT 20""".stripMargin,
+
+    "tpch_q22_balance" ->
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        |    / COUNT(c_acctbal) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+        |FROM customer, ab
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "f14_unpivot" ->
+      """WITH wide AS (
+        |  SELECT year(o_orderdate) AS order_year,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        |    COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+        |  FROM orders GROUP BY 1)
+        |SELECT order_year, 'n_open' AS status_col, n_open AS n_orders FROM wide
+        |UNION ALL
+        |SELECT order_year, 'n_filled', n_filled FROM wide
+        |UNION ALL
+        |SELECT order_year, 'n_pending', n_pending FROM wide
+        |ORDER BY order_year, status_col""".stripMargin,
+
+    "g12_sampled_quantile" ->
+      s"""SELECT l_returnflag,
+         |  quantile_cont(l_quantity, 0.25) AS p25,
+         |  quantile_cont(l_quantity, 0.50) AS p50,
+         |  quantile_cont(l_quantity, 0.75) AS p75,
+         |  COUNT(*) AS n_sampled
+         |FROM lineitem
+         |WHERE ${graft.functions.DetHash.hSql(
+              "concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey)")} % 10 = 0
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "o5_scd2_history" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER
+        |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_p
+        |  FROM orders),
+        |chg AS (SELECT * FROM ord
+        |        WHERE prev_p IS NULL OR prev_p <> o_orderpriority)
+        |SELECT o_custkey AS cust_id, o_orderkey AS change_id,
+        |  o_orderpriority AS priority,
+        |  CAST(o_orderdate AS DATE) AS valid_from,
+        |  COALESCE(CAST(lead(o_orderdate) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    DATE '9999-12-31') AS valid_to,
+        |  lead(o_orderdate) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+        |    AS is_current
+        |FROM chg ORDER BY cust_id, valid_from, change_id""".stripMargin,
+
+    "o6_merge_delete" ->
+      """WITH ex AS (SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal
+        |            FROM supplier),
+        |upd AS (SELECT id, name, acctbal + 100.0 AS acctbal, 'U' AS op
+        |        FROM ex WHERE id % 3 = 0 AND id % 5 <> 0),
+        |del AS (SELECT id, name, acctbal, 'D' AS op FROM ex WHERE id % 5 = 0),
+        |ins AS (SELECT id + 2000000 AS id, 'INS ' || name AS name, acctbal, 'I' AS op
+        |        FROM ex WHERE id % 7 = 0),
+        |inc AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+        |        UNION ALL SELECT * FROM ins)
+        |SELECT COALESCE(ex.id, inc.id) AS id,
+        |  CASE WHEN inc.op IN ('U', 'I') THEN inc.name ELSE ex.name END AS name,
+        |  CASE WHEN inc.op IN ('U', 'I') THEN inc.acctbal ELSE ex.acctbal END
+        |    AS acctbal
+        |FROM ex FULL OUTER JOIN inc ON ex.id = inc.id
+        |WHERE inc.op IS NULL OR inc.op <> 'D'
+        |ORDER BY id""".stripMargin,
 
     "o4_scd1_merge" ->
       """WITH ex AS (SELECT s_suppkey AS id, s_name AS name, s_acctbal AS acctbal

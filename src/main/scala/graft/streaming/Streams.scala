@@ -19,13 +19,17 @@ object Streams {
 
   /** Streaming view of `events` with the nanos→micros ts normalization
     * (same as Tables.events, streaming flavor). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def events(spark: SparkSession, dir: String,
+             readOptions: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file source streams a directory; glob down to the events table
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val reader = readOptions.foldLeft(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    reader.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
