@@ -19,8 +19,10 @@ class VectorMeanAggregator(dim: Int)
   override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
 
   override def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
-    // A jagged corpus must fail, not skew: a short vector prefix-summed
-    // but still counted in n drags the centroid tail toward zero.
+    // A NULL or jagged corpus must fail with a diagnosable message, not
+    // skew (a short vector prefix-summed but still counted in n drags
+    // the centroid tail toward zero) or NPE inside v.length.
+    require(v != null, s"VectorMeanAggregator(dim=$dim) saw a NULL vector")
     require(v.length == dim,
       s"VectorMeanAggregator(dim=$dim) saw a vector of length ${v.length}")
     val (sums, n) = b

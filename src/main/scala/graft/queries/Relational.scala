@@ -922,16 +922,20 @@ object Relational {
         .limit(20)
     }),
 
-    // q22 shape — global scalar AVG + NOT EXISTS: rich idle customers.
-    // The average broadcasts as a 1-row join; the no-orders test is a
-    // left-anti join (fixtures carry no phone, nationkey plays the
-    // country code).
+    // q22 shape — global scalar AVG + NOT EXISTS: rich customers with no
+    // large orders. The average broadcasts as a 1-row join; the NOT
+    // EXISTS is a left-anti join against the filtered orders (fixtures
+    // carry no phone, nationkey plays the country code; every fixture
+    // customer has *some* order, so the anti-join is against
+    // o_totalprice > 300000 — non-empty at sf0.001/0.01/0.1 so the
+    // differential gate actually exercises the join direction).
     "tpch_q22_balance" -> ((s, dir) => {
       val c = Tables.customer(s, dir)
       val avgbal = c.filter(col("c_acctbal") > 0.0)
         .agg(Det.davg(col("c_acctbal")).as("avg_bal"))
       c.join(broadcast(avgbal), col("c_acctbal") > col("avg_bal"))
-        .join(Tables.orders(s, dir).select("o_custkey"),
+        .join(Tables.orders(s, dir)
+            .filter(col("o_totalprice") > 300000.0).select("o_custkey"),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"),
@@ -1713,7 +1717,9 @@ object Relational {
         |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
         |FROM customer, ab
         |WHERE c_acctbal > avg_bal
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_totalprice > 300000)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     "f14_unpivot" ->
