@@ -22,4 +22,15 @@ object Det {
   private val D = DecimalType(38, 6)
   def dsum(c: Column): Column = sum(c.cast(D)).cast("double")
   def davg(c: Column): Column = sum(c.cast(D)).cast("double") / count(c)
+
+  /** Pre-quantize a double to 6 decimals with exact IEEE arithmetic so the
+    * subsequent DECIMAL(38,6) cast is tie-free. A per-row division like
+    * extendedprice/quantity can land EXACTLY on a half (e.g. 6998.25/32 =
+    * 218.6953125, dyadic) — Spark's double→decimal cast rounds such ties
+    * HALF_UP, DuckDB HALF_EVEN, so the engines diverge by 1e-6.
+    * floor(x*1e6 + 0.5)/1e6 is computed identically in both engines
+    * (every step exact for |x|·1e6 < 2^53) and resolves the tie once, on
+    * the double side. Oracle: FLOOR(x*1000000 + 0.5)/1000000.
+    * Use on any division-derived addend feeding dsum/davg. */
+  def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 }

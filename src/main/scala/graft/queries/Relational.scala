@@ -797,7 +797,7 @@ object Relational {
     "tpch_q2_min_cost" -> ((s, dir) => {
       val unit = Tables.lineitem(s, dir)
         .groupBy(col("l_partkey"), col("l_suppkey"))
-        .agg(Det.davg(col("l_extendedprice") / col("l_quantity")).as("avg_unit"))
+        .agg(Det.davg(Det.q6(col("l_extendedprice") / col("l_quantity"))).as("avg_unit"))
       val best = unit
         .withColumn("min_unit",
           min(col("avg_unit")).over(Window.partitionBy("l_partkey")))
@@ -1616,7 +1616,8 @@ object Relational {
     "tpch_q2_min_cost" ->
       """WITH unit AS (
         |  SELECT l_partkey, l_suppkey,
-        |    CAST(SUM(CAST(l_extendedprice / l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5) / 1000000
+        |                  AS DECIMAL(38,6))) AS DOUBLE)
         |      / COUNT(l_extendedprice / l_quantity) AS avg_unit
         |  FROM lineitem GROUP BY 1, 2),
         |m AS (SELECT *, MIN(avg_unit) OVER (PARTITION BY l_partkey) AS min_unit
