@@ -136,7 +136,13 @@ object VectorSearch {
     * the shuffle is k×dim per mapper, never the member vectors). Only
     * the k centroids themselves are collected per iteration, so the loop
     * is driver-light at any corpus size. Output: cid, centroid
-    * (array<float>), n_members. */
+    * (array<float>), n_members.
+    *
+    * `vecCol` must be non-NULL and uniform-length: the mean aggregator
+    * hard-fails on NULL or jagged vectors (diverging from the SQL
+    * skip-NULLs convention on purpose — a silently dropped or
+    * prefix-summed vector would skew centroids). Pre-filter with
+    * `.filter(col(vecCol).isNotNull)` over corpora that carry NULLs. */
   def kmeansCentroids(spark: SparkSession, corpus: DataFrame,
                       idCol: String, vecCol: String,
                       k: Int, iters: Int = 5): DataFrame = {

@@ -183,6 +183,19 @@ class ExtensionOpsSpec extends SparkSuite {
         c.getMessage.contains("VectorMeanAggregator")))
   }
 
+  test("vector mean aggregator rejects NULL vectors with a diagnosable message") {
+    import spark.implicits._
+    val agg = udaf(new graft.functions.VectorMeanAggregator(3))
+    val withNull = Seq(Some(Seq(1.0f, 2.0f, 3.0f)), None).toDF("v")
+    val ex = intercept[Exception] {
+      withNull.agg(agg(col("v"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("NULL vector")))
+  }
+
   test("planeSig with a pinned oracle dim rejects mismatched vectors") {
     import spark.implicits._
     val sig = graft.functions.VectorUdfs.planeSig(8, oracleDim = 4)
