@@ -943,6 +943,198 @@ object Relational {
         .orderBy("c_nationkey")
     }),
 
+    // q1 shape — the full pricing-summary battery over one scan: eight
+    // aggregates reduce map-side to 4 groups before the single exchange.
+    // Product addends are Det.q6-quantized so the decimal casts are
+    // tie-free in both engines (see Det.q6).
+    "tpch_q1_pricing" -> ((s, dir) => {
+      val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      val charge = disc * (lit(1) + col("l_tax"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Det.dsum(col("l_quantity")).as("sum_qty"),
+          Det.dsum(col("l_extendedprice")).as("sum_base_price"),
+          Det.dsum(Det.q6(disc)).as("sum_disc_price"),
+          Det.dsum(Det.q6(charge)).as("sum_charge"),
+          Det.davg(col("l_quantity")).as("avg_qty"),
+          Det.davg(col("l_extendedprice")).as("avg_price"),
+          Det.davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // q7 shape — volume shipping between two nations, both directions.
+    // Supplier and customer are nation-filtered BEFORE the fact joins
+    // (the disjunctive pair predicate can't be pushed through the join,
+    // but its single-side implication can — manually), so the broadcast
+    // hash tables carry only the two nations' rows; the only shuffle is
+    // lineitem⋈orders on orderkey.
+    "tpch_q7_volume" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
+      val n = Tables.nation(s, dir).filter(col("n_name").isin(pair: _*))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(n.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("s_nationkey") === col("snk"))
+        .select("s_suppkey", "supp_nation")
+      val cust = Tables.customer(s, dir)
+        .join(broadcast(n.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("c_nationkey") === col("cnk"))
+        .select("c_custkey", "cust_nation")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(Det.dsum(Det.q6(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
+    // q8 shape — national market share inside a region: the share is a
+    // ratio of two decimal-exact sums over the same grouped rows (one
+    // aggregate, identical division in both engines). Part and customer
+    // survive only as semi-join filters — no payload columns travel.
+    "tpch_q8_market_share" -> ((s, dir) => {
+      val vol = Det.q6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      val amerCust = Tables.customer(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+            .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "AMERICA")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey").as("amk"))),
+          col("c_nationkey") === col("amk"), "left_semi")
+        .select("c_custkey")
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")
+            .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate").between(
+              to_timestamp(lit("1996-01-01")), to_timestamp(lit("1997-12-31"))))
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(amerCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((Det.dsum(when(col("supp_nation") === "NATION_1", vol).otherwise(lit(0.0))) /
+          Det.dsum(vol)).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
+    // q9 shape — product profit by nation × year. The fixtures carry no
+    // partsupp, so supply cost is the per-(part, supplier) mean unit
+    // price (q2's derivation): a second aggregate over the fact joined
+    // back on the (partkey, suppkey) pair — a genuine shuffle join whose
+    // two sides share the grouping key; dims broadcast.
+    "tpch_q9_profit" -> ((s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+        .agg(Det.davg(Det.q6(col("l_extendedprice") / col("l_quantity")))
+          .as("ps_supplycost"))
+      val amount = Det.q6(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        col("ps_supplycost") * col("l_quantity"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("small%"))
+            .select("p_partkey")),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .join(ps, col("l_partkey") === col("ps_partkey") &&
+          col("l_suppkey") === col("ps_suppkey"))
+        .join(Tables.orders(s, dir).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(Det.dsum(amount).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // q11 shape — important stock: synthetic partsupp rows derived from
+    // the fact (availqty = lifetime shipped qty, cost = mean unit
+    // price), per-part value vs a 1e-4 global-value threshold delivered
+    // as a broadcast one-row cross join (never a collect).
+    "tpch_q11_important_stock" -> ((s, dir) => {
+      val sup3 = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select("s_suppkey")
+      val ps = Tables.lineitem(s, dir)
+        .join(broadcast(sup3), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(Det.dsum(col("l_quantity")).as("availqty"),
+          Det.davg(Det.q6(col("l_extendedprice") / col("l_quantity"))).as("unit_cost"))
+        .withColumn("value", Det.q6(col("availqty") * col("unit_cost")))
+      val grp = ps.groupBy("l_partkey").agg(Det.dsum(col("value")).as("part_value"))
+      val tot = ps.agg((Det.dsum(col("value")) * lit(1e-4)).as("threshold"))
+      grp.crossJoin(broadcast(tot))
+        .filter(col("part_value") > col("threshold"))
+        .select("l_partkey", "part_value")
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    // q16 shape — supplier-relationship count per part attribute. The
+    // distinct (part, supplier) fact pairs play partsupp; suppliers with
+    // negative balance play the complaint filter; COUNT(DISTINCT) is
+    // exact (expand + two-phase agg, no sketch).
+    "tpch_q16_supplier_cnt" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir).select("l_partkey", "l_suppkey").distinct()
+      val bad = Tables.supplier(s, dir).filter(col("s_acctbal") < 0).select("s_suppkey")
+      pairs
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#9" && !col("p_type").like("MED%") &&
+              col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // q20 shape — potential promotion: suppliers whose 1998 availability
+    // of a 'small%' part exceeds half their 1996 shipments. Both sides
+    // of the comparison aggregate the same fact under different date
+    // windows and meet on the (part, supplier) pair — two map-filtered
+    // aggregates, one pair join, then everything broadcasts.
+    "tpch_q20_promotion" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val shipped96 = li
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")))
+        .groupBy(col("l_partkey").as("k96p"), col("l_suppkey").as("k96s"))
+        .agg(Det.dsum(col("l_quantity")).as("qty96"))
+      val avail98 = li
+        .filter(col("l_shipdate") >= to_timestamp(lit("1998-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1999-01-01")))
+        .groupBy(col("l_partkey").as("k98p"), col("l_suppkey").as("k98s"))
+        .agg(Det.dsum(col("l_quantity")).as("avail98"))
+      val cand = avail98
+        .join(shipped96, col("k98p") === col("k96p") && col("k98s") === col("k96s"))
+        .filter(col("avail98") > lit(0.5) * col("qty96"))
+        .join(broadcast(Tables.part(s, dir).filter(col("p_name").like("small%"))
+            .select("p_partkey")),
+          col("k98p") === col("p_partkey"), "left_semi")
+        .select(col("k98s").as("cand_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(cand), col("s_suppkey") === col("cand_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, dir)
+            .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
     // f14 — unpivot (wide → long), the inverse of f8's pivot: per-year
     // status counts melted back to (year, status, count) rows via the
     // native unpivot operator (a generator, not a union of scans).
@@ -1722,6 +1914,138 @@ object Relational {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_totalprice > 300000)
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    "tpch_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*1000000 + 0.5)/1000000
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5)/1000000
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "tpch_q7_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*1000000 + 0.5)/1000000
+        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+        |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "tpch_q8_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS o_year, n1.n_name AS supp_nation,
+        |    FLOOR(l_extendedprice*(1-l_discount)*1000000 + 0.5)/1000000 AS vol
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        |    AND o_custkey IN (
+        |      SELECT c_custkey FROM customer
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      JOIN region ON n2.n_regionkey = r_regionkey
+        |      WHERE r_name = 'AMERICA')
+        |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
+        |SELECT o_year,
+        |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0.0 END
+        |    AS DECIMAL(38,6))) AS DOUBLE)
+        |  / CAST(SUM(CAST(vol AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+        |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tpch_q9_profit" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5) / 1000000
+        |                  AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(*) AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity)
+        |    *1000000 + 0.5)/1000000 AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "tpch_q11_important_stock" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS availqty,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5) / 1000000
+        |                  AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(*) AS unit_cost
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_name = 'NATION_3')
+        |  GROUP BY 1, 2),
+        |v AS (SELECT l_partkey,
+        |        FLOOR(availqty * unit_cost * 1000000 + 0.5)/1000000 AS value FROM ps),
+        |grp AS (SELECT l_partkey,
+        |          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS part_value
+        |        FROM v GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 1e-4 AS threshold
+        |        FROM v)
+        |SELECT l_partkey, part_value FROM grp, tot
+        |WHERE part_value > threshold
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "tpch_q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#9' AND p_type NOT LIKE 'MED%'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "tpch_q20_promotion" ->
+      """WITH s96 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty96
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |a98 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS avail98
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1999-01-01'
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a98.l_suppkey
+        |  FROM a98 JOIN s96 ON a98.l_partkey = s96.l_partkey
+        |               AND a98.l_suppkey = s96.l_suppkey
+        |  WHERE avail98 > 0.5 * qty96
+        |    AND a98.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'))
+        |SELECT s_suppkey, s_name, s_acctbal FROM supplier
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM cand)
+        |  AND s_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3'))
+        |ORDER BY s_suppkey""".stripMargin,
 
     "f14_unpivot" ->
       """WITH wide AS (
