@@ -79,6 +79,19 @@ object DedupOps {
         Tables.documents(s, dir), "doc_id", "text", "n_chars")
         .orderBy("fingerprint")),
 
+    // dd7 — cluster dedup [extension]: connected components over the
+    // MinHash-LSH near-dup pairs (min-label propagation, O(diameter)
+    // rounds), so transitive duplicates (A~B, B~C, A⊥C) land in ONE
+    // cluster keyed by the min doc_id — the sound unit for keep-one
+    // dedup. Oracle: recursive-CTE reachability closure over the same
+    // pair list.
+    "dd7_cluster_dedup" -> ((s, dir) => {
+      val pairs = graft.ops.TextDedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text")
+      graft.ops.Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // dd5 — embedding-cosine near-dup: 16-bit random-hyperplane
     // signature (planes md5-derived), 4 × 4-bit band candidates, exact
     // cosine ≥ 0.4 verification on candidates. ~50% recall at the
@@ -161,6 +174,36 @@ object DedupOps {
          |JOIN sizes nb ON inter.doc_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd7_cluster_dedup" ->
+      s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles(3)} AS s
+         |       FROM toks WHERE len(t) >= 3),
+         |hm AS (SELECT doc_id, $duckHmod AS hm FROM sh),
+         |sigs AS (SELECT doc_id, $duckSig AS sig FROM hm),
+         |bands AS (
+         |  SELECT doc_id, j AS band,
+         |         array_to_string(list_slice(sig, 4*j + 1, 4*j + 4), '_') AS bkey
+         |  FROM sigs, UNNEST([0, 1, 2, 3]) u(j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN sigs sa ON cand.doc_a = sa.doc_id
+         |  JOIN sigs sb ON cand.doc_b = sb.doc_id
+         |  WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) >= 8),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lab GROUP BY 1)
+         |SELECT id AS doc_id, lab.cluster_id, n_members
+         |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,
 
     "dd6_canonical_pick" ->
       """WITH f AS (

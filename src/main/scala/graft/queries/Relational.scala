@@ -415,6 +415,45 @@ object Relational {
         .orderBy("hour_us")
     }),
 
+    // ts2 — resample + linear interpolation [extension]: hourly
+    // per-type means with interior gaps filled by interpolating between
+    // the nearest observed buckets (prev/next located by ignoreNulls
+    // window folds — no self-join, one shuffle on event_type). Spine
+    // endpoints are observed buckets by construction, so every
+    // interpolated row has both neighbors. All arithmetic mirrors the
+    // oracle expression-for-expression (IEEE doubles are
+    // order-deterministic; the bucket mean is decimal-exact).
+    "ts2_resample_interpolate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val bucketed = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(Det.davg(col("value")).as("v"))
+      val spine = bucketed.groupBy("event_type")
+        .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+        .select(col("event_type"),
+          explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+      val j = spine.join(bucketed, Seq("event_type", "h"), "left")
+        .withColumn("hour_us", unix_micros(col("h")))
+      val back = Window.partitionBy("event_type").orderBy("hour_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy("event_type").orderBy("hour_us")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val filled = j
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("ph", last(when(col("v").isNotNull, col("hour_us")),
+          ignoreNulls = true).over(back))
+        .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+        .withColumn("nh", first(when(col("v").isNotNull, col("hour_us")),
+          ignoreNulls = true).over(fwd))
+      filled.select(col("event_type"), col("hour_us"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              ((col("hour_us") - col("ph")).cast("double") /
+                (col("nh") - col("ph")).cast("double"))).as("val"),
+          col("v").isNull.as("is_interp"))
+        .orderBy("event_type", "hour_us")
+    }),
+
     // ── W: window functions [extension per §2.5] ──────────────────────
     "w1_row_number" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -1527,6 +1566,37 @@ object Relational {
         |SELECT epoch_us(spine.h) AS hour_us, coalesce(hourly.n, 0) AS n
         |FROM spine LEFT JOIN hourly ON spine.h = hourly.h
         |ORDER BY hour_us""".stripMargin,
+
+    "ts2_resample_interpolate" ->
+      """WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS v
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT event_type, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM b GROUP BY event_type),
+        |j AS (
+        |  SELECT sp.event_type, epoch_us(sp.h) AS hour_us, b.v
+        |  FROM sp LEFT JOIN b ON sp.event_type = b.event_type AND sp.h = b.h),
+        |w AS (
+        |  SELECT event_type, hour_us, v,
+        |    last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN hour_us END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hour_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |    first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY hour_us
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN hour_us END IGNORE NULLS)
+        |      OVER (PARTITION BY event_type ORDER BY hour_us
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM j)
+        |SELECT event_type, hour_us,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv + (nv - pv) * (CAST(hour_us - ph AS DOUBLE)
+        |                              / CAST(nh - ph AS DOUBLE)) END AS val,
+        |  v IS NULL AS is_interp
+        |FROM w ORDER BY event_type, hour_us""".stripMargin,
 
     "src_json_roundtrip" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal

@@ -55,6 +55,21 @@ class OpsApiSpec extends SparkSuite {
     assert(cents.count() <= 4)
   }
 
+  test("connectedComponents labels each node with the component min id") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle
+    // 10-11-12, isolated pair (20,21); node 4 only appears as a right id.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("a", "b")
+    val cc = graft.ops.Clusters.connectedComponents(pairs, "a", "b")
+    assert(cc.columns.toSeq === Seq("id", "cluster_id", "n_members"))
+    val got = cc.collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      1L -> (1L, 4L), 2L -> (1L, 4L), 3L -> (1L, 4L), 4L -> (1L, 4L),
+      10L -> (10L, 3L), 11L -> (10L, 3L), 12L -> (10L, 3L),
+      20L -> (20L, 2L), 21L -> (20L, 2L)))
+  }
+
   test("thresholds actually gate the pair sets") {
     val docs = Tables.documents(spark, sf)
     val loose = TextDedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5).count()
