@@ -51,16 +51,17 @@ object Clusters {
       val nbrMin = edges
         .join(labels.select(col("id").as("nid"), col("label")), col("dst") === col("nid"))
         .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr_min"))
+      // prev rides along in the same plan so convergence detection costs
+      // a filter on the cached round result, not a second join + job
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("prev"))
         .cache()
-      val changed = next
-        .join(labels.select(col("id"), col("label").as("prev")), Seq("id"))
-        .filter(col("label") < col("prev")).count()
+      val changed = next.filter(col("label") < col("prev")).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("prev")
       converged = changed == 0L
       it += 1
     }

@@ -1116,7 +1116,11 @@ object Relational {
           Det.davg(Det.q6(col("l_extendedprice") / col("l_quantity"))).as("unit_cost"))
         .withColumn("value", Det.q6(col("availqty") * col("unit_cost")))
       val grp = ps.groupBy("l_partkey").agg(Det.dsum(col("value")).as("part_value"))
-      val tot = ps.agg((Det.dsum(col("value")) * lit(1e-4)).as("threshold"))
+      // The global threshold re-aggregates grp, not ps: per-part sums of
+      // 6dp-quantized values are exact in double (magnitudes ≪ 2^53·1e-6),
+      // so summing part_value decimal-exactly equals the global sum over
+      // pairs bit-for-bit — and the expensive ps subtree is computed once.
+      val tot = grp.agg((Det.dsum(col("part_value")) * lit(1e-4)).as("threshold"))
       grp.crossJoin(broadcast(tot))
         .filter(col("part_value") > col("threshold"))
         .select("l_partkey", "part_value")
@@ -2074,8 +2078,8 @@ object Relational {
         |grp AS (SELECT l_partkey,
         |          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS part_value
         |        FROM v GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 1e-4 AS threshold
-        |        FROM v)
+        |tot AS (SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) * 1e-4 AS threshold
+        |        FROM grp)
         |SELECT l_partkey, part_value FROM grp, tot
         |WHERE part_value > threshold
         |ORDER BY part_value DESC, l_partkey""".stripMargin,
