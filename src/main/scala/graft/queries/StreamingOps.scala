@@ -148,6 +148,36 @@ object StreamingOps {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // st9 — streaming upsert via foreachBatch MERGE (the streaming form
+    // of o4's SCD-1): per-user running totals maintained in a versioned
+    // parquet state table. The running sum is kept as DECIMAL(38,6)
+    // INSIDE the state (exact, associative — batch boundaries can't
+    // perturb it); the latest event is a lexicographic struct max on
+    // (ts, event_id). Both merge operations are associative, so any
+    // micro-batch split converges to the batch answer.
+    "st9_stream_upsert" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+      def reduceBatch(df: DataFrame): DataFrame = df
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(dec)).as("total_dec"),
+          max(struct(unix_micros(col("ts")).as("us"),
+            col("event_id").as("id"))).as("last"))
+      def mergeStates(prev: DataFrame, cur: DataFrame): DataFrame = prev
+        .unionByName(cur)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("total_dec")).cast(dec).as("total_dec"),
+          max(col("last")).as("last"))
+      Streams.runMergeToParquet(s, Streams.events(s, dir),
+          s"/root/repo/target/sink/st9_${Tables.dirSlug(dir)}")(
+          reduceBatch)(mergeStates)
+        .select(col("user_id"), col("n_events"),
+          col("total_dec").cast("double").as("total_value"),
+          col("last.us").as("last_us"), col("last.id").as("last_event_id"))
+        .orderBy("user_id")
+    }),
+
     // st6 — watermarked stream-stream inner join: each view event joins
     // purchase events by the same user within the following 30 minutes.
     // Both sides carry watermarks and the join condition bounds event
@@ -236,6 +266,16 @@ object StreamingOps {
         |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    "st9_stream_upsert" ->
+      """WITH m AS (
+        |  SELECT user_id, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+        |    max(struct_pack(us := epoch_us(ts), id := event_id)) AS last
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, n_events, total_value,
+        |  last.us AS last_us, last.id AS last_event_id
+        |FROM m ORDER BY user_id""".stripMargin,
 
     "st6_stream_stream_join" ->
       """SELECT a.user_id, epoch_us(a.ts) AS view_ts_us,

@@ -65,6 +65,50 @@ object Streams {
     spark.read.schema(streamed.schema).parquet(s"$outDir/data")
   }
 
+  /** Run a stream through a foreachBatch MERGE into a versioned parquet
+    * state table — the streaming-upsert sink shape (Delta/Iceberg MERGE
+    * INTO stand-in on plain parquet). Each micro-batch is reduced by
+    * `aggFn`, merged with the previous state version by `mergeFn`
+    * (which must be associative so multi-batch replays converge to the
+    * batch answer), and written as `v<batchId>`; versioning keeps the
+    * read and write of a round in different directories (a parquet dir
+    * can't be overwritten while being read). Returns the final state.
+    */
+  def runMergeToParquet(spark: SparkSession, streamed: DataFrame, outDir: String)(
+      aggFn: DataFrame => DataFrame)(
+      mergeFn: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val root = new java.io.File(outDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    @volatile var lastVersion = -1L
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "8")
+    try {
+      val q = streamed.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val agg = aggFn(batch)
+          val merged =
+            if (lastVersion < 0) agg
+            else mergeFn(spark.read.parquet(s"$outDir/v$lastVersion"), agg)
+          merged.write.mode("overwrite").parquet(s"$outDir/v$batchId")
+          lastVersion = batchId
+        }
+        .option("checkpointLocation", s"$outDir/chk")
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(key, prev)
+    if (lastVersion < 0)
+      aggFn(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), streamed.schema))
+    else spark.read.parquet(s"$outDir/v$lastVersion")
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the materialized result. AvailableNow processes the whole
     * fixture then stops — batch-equivalent semantics, streaming plan.
