@@ -23,7 +23,9 @@ object Explain {
       else Seq("j1_star_join", "etl_cube_build", "s1_full_scan", "o2_topk",
         "p3_eq_predicate", "g1_groupby_agg", "tpch_q6_forecast",
         "tpch_q14_promo", "tpch_q18_large_orders", "w2_rank_dense",
-        "sim2_ann_lsh", "g11_kmv_distinct")
+        "sim2_ann_lsh", "g11_kmv_distinct", "tpch_q1_pricing",
+        "tpch_q7_volume", "tpch_q9_profit", "tpch_q11_important_stock",
+        "skew_salted_join", "ts2_resample_interpolate")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

@@ -677,6 +677,28 @@ object Relational {
         .orderBy("o_orderpriority")
     }),
 
+    // skew_salted_join [scale path] — hot-key JOIN salting: the build
+    // side replicates each dim row S times (one per salt), the probe
+    // side computes a deterministic salt, and the join key becomes
+    // (key, salt) — a hot fact key now lands on S reducers instead of
+    // one. Row set provably equals the unsalted join (every fact row
+    // still meets exactly one copy of its dim row), so the oracle joins
+    // plain. AQE's skew-join split is the automatic form; this is the
+    // layout-level form that also works under sort-merge bucketing.
+    "skew_salted_join" -> ((s, dir) => {
+      val S = 8
+      val fact = Tables.lineitem(s, dir)
+        .withColumn("salt", pmod(col("l_orderkey") + col("l_linenumber"), lit(S)))
+      val dim = Tables.supplier(s, dir)
+        .withColumn("salt", explode(lit((0 until S).toArray)))
+      fact.join(dim,
+          col("l_suppkey") === col("s_suppkey") && fact("salt") === dim("salt"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_lines"),
+          Det.dsum(col("l_quantity")).as("total_qty"))
+        .orderBy("s_name")
+    }),
+
     // bkt — bucketed co-located join [scale path]: both sides written
     // bucketBy(orderkey) with matching bucket counts join with NO
     // exchange on either side (the layout decision that removes the
@@ -2341,6 +2363,12 @@ object Relational {
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "skew_salted_join" ->
+      """SELECT s_name, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
     "o1_multi_sort" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
