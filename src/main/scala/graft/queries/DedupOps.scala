@@ -40,6 +40,40 @@ object DedupOps {
     s"[$comps]"
   }
 
+  /** The dd2 MinHash-LSH candidate chain as a reusable CTE list ending in
+    * `pairs(doc_a, doc_b)` — shared by dd7's component closure and px2's
+    * cluster-level curation oracle. */
+  private[queries] val duckLshPairCtes: String =
+    s"""toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+       |sh AS (SELECT doc_id, ${duckShingles(3)} AS s
+       |       FROM toks WHERE len(t) >= 3),
+       |hm AS (SELECT doc_id, $duckHmod AS hm FROM sh),
+       |sigs AS (SELECT doc_id, $duckSig AS sig FROM hm),
+       |bands AS (
+       |  SELECT doc_id, j AS band,
+       |         array_to_string(list_slice(sig, 4*j + 1, 4*j + 4), '_') AS bkey
+       |  FROM sigs, UNNEST([0, 1, 2, 3]) u(j)),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sigs sa ON cand.doc_a = sa.doc_id
+       |  JOIN sigs sb ON cand.doc_b = sb.doc_id
+       |  WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) >= 8)""".stripMargin
+
+  /** Recursive reachability closure over `pairs` → `lab(id, cluster_id)`
+    * (cluster_id = min reachable id). Append after [[duckLshPairCtes]]. */
+  private[queries] val duckComponentCtes: String =
+    """edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+      |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // dd1 — exact dedup: hash-groupBy on the normalized-content
@@ -176,31 +210,8 @@ object DedupOps {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dd7_cluster_dedup" ->
-      s"""WITH RECURSIVE toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-         |sh AS (SELECT doc_id, ${duckShingles(3)} AS s
-         |       FROM toks WHERE len(t) >= 3),
-         |hm AS (SELECT doc_id, $duckHmod AS hm FROM sh),
-         |sigs AS (SELECT doc_id, $duckSig AS sig FROM hm),
-         |bands AS (
-         |  SELECT doc_id, j AS band,
-         |         array_to_string(list_slice(sig, 4*j + 1, 4*j + 4), '_') AS bkey
-         |  FROM sigs, UNNEST([0, 1, 2, 3]) u(j)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN sigs sa ON cand.doc_a = sa.doc_id
-         |  JOIN sigs sb ON cand.doc_b = sb.doc_id
-         |  WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) >= 8),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-         |lab AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      s"""WITH RECURSIVE $duckLshPairCtes,
+         |$duckComponentCtes,
          |sz AS (SELECT cluster_id, COUNT(*) AS n_members FROM lab GROUP BY 1)
          |SELECT id AS doc_id, lab.cluster_id, n_members
          |FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""".stripMargin,

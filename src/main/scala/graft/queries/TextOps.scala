@@ -87,6 +87,34 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens").cast("long")).as("total_tokens"))
         .orderBy("source")
+    }),
+
+    // px2 — cluster-level curation [extension]: px1 with the dedup stage
+    // upgraded from exact fingerprints to FUZZY clusters — MinHash-LSH
+    // pairs → connected components → keep only each cluster's min-id
+    // representative (singletons survive via the left-join coalesce),
+    // then the same quality ∧ language gates and per-source token
+    // accounting. This is the production shape: near-duplicates that
+    // never collide on an exact fingerprint still collapse to one kept
+    // document per transitive cluster.
+    "px2_cluster_curation" -> ((s, dir) => {
+      import graft.ops.{Clusters, TextAnalysis, TextDedup}
+      val docs = Tables.documents(s, dir)
+      val cc = Clusters.connectedComponents(
+          TextDedup.minhashLsh(docs, "doc_id", "text"), "doc_a", "doc_b")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      docs.select(col("doc_id"), col("source"),
+          TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
+          TextAnalysis.keepCol(col("text")).as("keep"),
+          TextAnalysis.predLangCol(col("text")).as("pred_lang"))
+        .join(cc, Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+        .filter(col("doc_id") === col("cluster_id") &&
+          col("keep") && col("pred_lang") === "en")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("total_tokens"))
+        .orderBy("source")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -170,6 +198,37 @@ object TextOps {
          |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
          |FROM scored
          |WHERE keep AND NOT is_dup AND pred_lang = 'en'
+         |GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "px2_cluster_curation" -> {
+      val en = s"${sqlWordCount("the")} + ${sqlWordCount("a")} + ${sqlWordCount("is")}"
+      val de = s"${sqlWordCount("der")} + ${sqlWordCount("die")} + ${sqlWordCount("und")}"
+      val es = s"${sqlWordCount("el")} + ${sqlWordCount("la")} + ${sqlWordCount("y")}"
+      val fr = s"${sqlWordCount("le")} + ${sqlWordCount("les")} + ${sqlWordCount("et")}"
+      s"""WITH RECURSIVE ${DedupOps.duckLshPairCtes},
+         |${DedupOps.duckComponentCtes},
+         |scored AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($sqlTokens) AS INT) AS n_tokens,
+         |    (len($sqlTokens) BETWEEN 20 AND 1000 AND
+         |     CAST(${sqlWordCount("the")} + ${sqlWordCount("a")} AS DOUBLE)
+         |       / len($sqlTokens) > 0.01) AS keep,
+         |    CASE
+         |      WHEN ($en) >= ($de) AND ($en) >= ($es) AND ($en) >= ($fr) AND ($en) > 0 THEN 'en'
+         |      WHEN ($de) >= ($es) AND ($de) >= ($fr) AND ($de) > 0 THEN 'de'
+         |      WHEN ($es) >= ($fr) AND ($es) > 0 THEN 'es'
+         |      WHEN ($fr) > 0 THEN 'fr'
+         |      ELSE 'und'
+         |    END AS pred_lang
+         |  FROM documents),
+         |m AS (
+         |  SELECT scored.*, COALESCE(lab.cluster_id, doc_id) AS cluster_id
+         |  FROM scored LEFT JOIN lab ON scored.doc_id = lab.id)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(n_tokens AS BIGINT)) AS BIGINT) AS total_tokens
+         |FROM m
+         |WHERE doc_id = cluster_id AND keep AND pred_lang = 'en'
          |GROUP BY source ORDER BY source""".stripMargin
     })
 }
