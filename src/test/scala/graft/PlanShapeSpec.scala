@@ -79,4 +79,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"), "cube dims must broadcast")
   }
+
+  test("q1's shipdate cutoff reaches the parquet scan and aggregation is two-phase") {
+    val p = plan("tpch_q1_pricing")
+    assert(p.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate cutoff not pushed:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+  }
+
+  test("q7's manually-implied nation filter reaches both dimension scans") {
+    val p = plan("tpch_q7_volume")
+    // the disjunctive pair predicate can't push through the join, but the
+    // single-side In(n_name, ...) implication must land on the nation scans
+    assert(p.contains("In(n_name, [NATION_1,NATION_2])"),
+      s"nation pre-filter not pushed to the dim scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "dims must broadcast")
+  }
+
+  test("q9's shipdate-independent dims broadcast; only the pair aggregate shuffles") {
+    val p = plan("tpch_q9_profit")
+    assert(p.contains("StringStartsWith(p_name,small)"),
+      s"part name prefix not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "part/supplier/nation must broadcast")
+  }
 }
