@@ -1215,6 +1215,36 @@ object Relational {
         .orderBy("order_year", "status_col")
     }),
 
+    // g13 — histogram quantile [scale path]: approximate median from a
+    // fixed-width bin histogram — one pass, O(bins) state per group,
+    // mergeable across partitions (bin counts add), and fully
+    // engine-portable: unlike HLL (g6), the ESTIMATE hash-matches the
+    // oracle because both engines bin, accumulate, and interpolate
+    // identically. The quantile bin is picked by a min-struct aggregate
+    // over bins past the target rank (no second scan).
+    "g13_histogram_quantile" -> ((s, dir) => {
+      val W = lit(1000.0)
+      val binned = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"), floor(col("o_totalprice") / W).as("bin"))
+        .agg(count(lit(1)).as("n"))
+      val cum = binned
+        .withColumn("cum", sum(col("n")).over(
+          Window.partitionBy("o_orderpriority").orderBy("bin")))
+        .withColumn("tot", sum(col("n")).over(
+          Window.partitionBy("o_orderpriority")))
+      val hit = cum
+        .filter(col("cum").cast("double") >= col("tot").cast("double") * lit(0.5))
+        .groupBy("o_orderpriority")
+        .agg(min(struct(col("bin"), col("n"), col("cum"), col("tot"))).as("s"))
+      hit.select(col("o_orderpriority"),
+          (col("s.bin") * W + W *
+            ((col("s.tot").cast("double") * lit(0.5) -
+              (col("s.cum") - col("s.n")).cast("double")) /
+              col("s.n").cast("double"))).as("est_p50"),
+          col("s.tot").as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // g12 — sampled approximate quantiles [scale path]: exact interpolated
     // quantiles over a 10% deterministic hash sample — the estimate both
     // engines can replay bit-for-bit (same md5 predicate, same sample;
@@ -2156,6 +2186,29 @@ object Relational {
         |UNION ALL
         |SELECT order_year, 'n_pending', n_pending FROM wide
         |ORDER BY order_year, status_col""".stripMargin,
+
+    "g13_histogram_quantile" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority, FLOOR(o_totalprice / 1000.0) AS bin, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |c AS (
+        |  SELECT o_orderpriority, bin, n,
+        |    CAST(SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(SUM(n) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS tot
+        |  FROM b),
+        |hit AS (
+        |  SELECT o_orderpriority,
+        |    min(struct_pack(bin := bin, n := n, cum := cum, tot := tot)) AS s
+        |  FROM c
+        |  WHERE CAST(cum AS DOUBLE) >= CAST(tot AS DOUBLE) * 0.5
+        |  GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  s.bin * 1000.0 + 1000.0 *
+        |    ((CAST(s.tot AS DOUBLE) * 0.5 - CAST(s.cum - s.n AS DOUBLE))
+        |     / CAST(s.n AS DOUBLE)) AS est_p50,
+        |  s.tot AS n_orders
+        |FROM hit ORDER BY o_orderpriority""".stripMargin,
 
     "g12_sampled_quantile" ->
       s"""SELECT l_returnflag,
