@@ -57,6 +57,35 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: connectedComponents matches a local union-find on random graphs") {
+    val edges: Gen[List[(Long, Long)]] =
+      Gen.listOfN(35, Gen.zip(Gen.chooseNum(0L, 24L), Gen.chooseNum(0L, 24L)))
+        .map(_.filter { case (a, b) => a != b })
+    cases(edges, n = 4).foreach { es =>
+      if (es.nonEmpty) {
+        // reference: path-compressed union-find over the same edge list
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        // canonical label = min id per component
+        val nodes = es.flatMap(t => Seq(t._1, t._2)).distinct
+        val want = nodes.groupBy(find).flatMap { case (_, members) =>
+          val m = members.min
+          members.map(_ -> m)
+        }
+        val got = graft.ops.Clusters.connectedComponents(es.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"CC mismatch on edges $es")
+      }
+    }
+  }
+
   test("property: firstWins output is independent of input row order") {
     cases(idRows).foreach { xs =>
       val a = DimOps.firstWins(xs.toDF("id", "v"), Seq("id"))
