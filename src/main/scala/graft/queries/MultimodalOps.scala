@@ -25,6 +25,7 @@ object MultimodalOps {
 
   private val NFEATURES = 8
   private val FRAMESTEP = 16
+  private val RESIZE_TO = 32
 
   /** The simulated ingest: documents → (doc_id, payload binary, meta). */
   private def binaryTable(s: SparkSession, dir: String): DataFrame =
@@ -88,6 +89,28 @@ object MultimodalOps {
         .orderBy("doc_id")
     }),
 
+    // mm4 — resize: nearest-neighbor resample of the payload to a fixed
+    // RESIZE_TO length (out[j] = in[floor(j·len/T)]) — the shape of an
+    // image thumbnail/downsample step, minus the codec. Pure integer
+    // index arithmetic (div), so the oracle replays it byte-for-byte.
+    "mm4_resize" -> ((s, dir) =>
+      binaryTable(s, dir)
+        .withColumn("resized", expr(
+          s"""transform(sequence(0, ${RESIZE_TO - 1}), j ->
+             |  cast(conv(hex(substring(payload,
+             |    cast((j * octet_length(payload)) div $RESIZE_TO as int) + 1, 1)),
+             |    16, 10) as bigint))""".stripMargin))
+        .select(
+          col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_in"),
+          lit(RESIZE_TO).as("n_out"),
+          expr("aggregate(resized, cast(0 as bigint), (acc, b) -> acc + b)")
+            .as("checksum"),
+          concat_ws("-",
+            expr("transform(slice(resized, 1, 8), x -> cast(x as string))"))
+            .as("head"))
+        .orderBy("doc_id")),
+
     // mm3 — frame sampling: every FRAMESTEP-th byte is a "frame";
     // outputs frame count and a checksum over sampled frames (the shape
     // of video frame-subsampling, minus the codec).
@@ -126,6 +149,20 @@ object MultimodalOps {
          |  ${f(0)} AS f0,
          |  ${f(1)} AS f1,
          |  ${f(7)} AS f7
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "mm4_resize" -> {
+      val byteAt =
+        s"('0x' || substr(hex(encode(text)), 2*((j * octet_length(encode(text))) // $RESIZE_TO + 1) - 1, 2))::INT"
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_in,
+         |  $RESIZE_TO AS n_out,
+         |  CAST(list_sum(list_transform(generate_series(0, ${RESIZE_TO - 1}), j ->
+         |    $byteAt)) AS BIGINT) AS checksum,
+         |  array_to_string(list_transform(
+         |    list_slice(list_transform(generate_series(0, ${RESIZE_TO - 1}), j -> $byteAt), 1, 8),
+         |    x -> CAST(x AS VARCHAR)), '-') AS head
          |FROM documents ORDER BY doc_id""".stripMargin
     },
 
