@@ -16,9 +16,18 @@ object Bench {
     // so the first timed query doesn't absorb one-time init cost.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    // Optional comma-separated query-name filter for local iteration
+    // (e.g. SPARK_GRAFT_ONLY=px2_cluster_curation,dd7_cluster_dedup);
+    // unset = the full inventory, which is what the driver runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     // a failed query reports -1.0 (never its partial elapsed time), so a
     // crash can't masquerade as a fast success in the emitted JSON
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -43,9 +52,12 @@ object Bench {
       .mkString(
         s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfTag","nq":${results.size},"queries":{""",
         ",", "}}")
-    try {
+    // resolved against the launch directory (sbt runs from the repo root),
+    // not a hardcoded checkout path; only the complete inventory is dumped
+    // so a filtered local run can't clobber the judge-facing full map
+    if (only.isEmpty) try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_FULL.json"),
         fullJson.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] full dump failed: ${e.getMessage}") }
     val byTimeDesc = results.toSeq.sortBy { case (_, v) => -v }

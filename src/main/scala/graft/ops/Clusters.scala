@@ -8,64 +8,170 @@ import org.apache.spark.sql.functions._
   * whole duplicate clusters, so "keep one per cluster" dedup is sound
   * even when A~B and B~C but A and C never met in a bucket.
   *
-  * Algorithm: iterative min-label propagation. Every node starts labeled
-  * with its own id; each round every node takes the min of its own label
-  * and its neighbors' labels; at fixpoint every node carries the minimum
-  * id reachable in its component — a deterministic canonical cluster id,
-  * independent of partitioning and iteration count. Convergence is
-  * detected by counting strictly-decreased labels per round (labels only
-  * ever decrease, so zero changes == fixpoint).
+  * Two execution paths, chosen by the materialized edge count — the same
+  * small-side principle as a broadcast join:
   *
-  * Scale posture: each round is one shuffle of the edge list joined to
-  * the label table on node id — O(diameter) rounds total. Near-dup
-  * components are bucket-generated near-cliques, so the diameter is
-  * small (single digits) at any corpus size; for adversarial long-chain
-  * graphs the classic alternating large-star/small-star contraction
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  * SoCC'14) halves path lengths per round — not needed for dedup
-  * workloads. Labels are cached per round and the previous round
-  * unpersisted, so lineage stays O(1) deep.
+  * '''Local path''' (edge count ≤ `localEdgeThreshold`): the verified
+  * near-dup pair list is orders of magnitude smaller than the corpus at
+  * any scale (it's the output of LSH candidate verification, not the
+  * corpus itself), so when it fits comfortably on the driver we collect
+  * it and run union-find with path halving + union-by-min — O(E α(E))
+  * with zero further Spark stages. The result comes back as a
+  * LocalRelation, so downstream joins against the label table broadcast
+  * for free. Identical labels to the distributed path (min id per
+  * component) — property-tested against each other.
+  *
+  * '''Distributed path''' (above the threshold): min-label propagation
+  * accelerated by pointer jumping. Every node starts labeled with the
+  * min of its own id and its neighbors' ids (the first propagation round
+  * fused into initialization); each subsequent round every node takes
+  *
+  *   label ← min(label, min over neighbors of their label, label[label])
+  *
+  * The `label[label]` term (pointer jumping, a self-join of the label
+  * table) doubles the known-minimum radius per round, so a diameter-D
+  * component converges in O(log D) rounds instead of O(D) — on a
+  * 1024-node path graph that is ~11 rounds, not ~1023 (pinned by
+  * OpsApiSpec). Convergence is detected by counting strictly-decreased
+  * labels (labels only ever decrease, so zero changes over a full round
+  * == fixpoint); the check is batched to one Spark job per `checkEvery`
+  * rounds. If the loop exhausts `maxIters` without a verified fixpoint
+  * it THROWS (IllegalArgumentException) rather than returning silently
+  * wrong labels.
+  *
+  * Iterative-lineage hygiene (distributed path): each check-boundary
+  * round is `localCheckpoint`ed (lazily — the convergence count job is
+  * what materializes it), truncating the logical plan so plan size stays
+  * O(1) across rounds (each round references its predecessor three
+  * times, so un-truncated lineage would grow 3^rounds). In-between
+  * rounds are cached and unpersisted at the next boundary; checkpoint
+  * blocks are freed by the ContextCleaner once unreferenced, and the
+  * returned frame is NOT cached — its lineage is two small shuffles over
+  * the final materialized label RDD. Each round is one shuffle of the
+  * edge list joined to the label table plus a label self-join: O(|E|)
+  * work per round, O(log diameter) rounds.
   */
 object Clusters {
 
   /** Label every node of the undirected pair graph with the minimum node
     * id in its connected component.
     *
-    * @param pairs one row per undirected edge
-    * @param aCol  left node id column (numeric)
-    * @param bCol  right node id column (numeric)
+    * @param pairs              one row per undirected edge
+    * @param aCol               left node id column (numeric)
+    * @param bCol               right node id column (numeric)
+    * @param maxIters           hard cap on propagation rounds; exceeded ⇒ throw
+    * @param checkEvery         convergence-count job every this many rounds
+    * @param localEdgeThreshold edge counts at or below this are solved with
+    *                           driver-side union-find (set 0 to force the
+    *                           distributed loop, e.g. in tests)
     * @return (id, cluster_id, n_members) — one row per node appearing in
     *         any pair; cluster_id = min id in the component
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50, checkEvery: Int = 2,
+                          localEdgeThreshold: Long = 100000L): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    require(checkEvery >= 1, s"checkEvery must be >= 1, got $checkEvery")
     val fwd = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .cache()
+    val nEdges = fwd.count()
+    val result =
+      if (nEdges <= localEdgeThreshold) localSolve(pairs, fwd)
+      else distributedSolve(fwd, maxIters, checkEvery)
+    fwd.unpersist()
+    result
+  }
+
+  /** Driver-side union-find (path halving, union by min id) over a
+    * collected edge list; O(E α(E)) and zero Spark stages beyond the
+    * collect. Returns a LocalRelation — broadcastable downstream. */
+  private def localSolve(pairs: DataFrame, fwd: DataFrame): DataFrame = {
+    val es = fwd.collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var done = false
+      while (!done) {
+        val p = parent.getOrDefault(x, x)
+        if (p == x) done = true
+        else {
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+        }
+      }
+      x
+    }
+    val nodes = new java.util.TreeSet[java.lang.Long]()
+    es.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      nodes.add(a); nodes.add(b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    import scala.jdk.CollectionConverters._
+    val labeled = nodes.asScala.toSeq.map(id => (id.longValue, find(id)))
+    val sizes = labeled.groupBy(_._2).map { case (root, m) => root -> m.size.toLong }
+    val rows = labeled.map { case (id, root) => (id, root, sizes(root)) }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    rows.toDF("id", "cluster_id", "n_members")
+  }
+
+  private def distributedSolve(fwd: DataFrame, maxIters: Int, checkEvery: Int): DataFrame = {
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+
+    // Fused round 1: label0(id) = min(id, min neighbor id). Every node of
+    // the symmetric edge list appears as src, so this also enumerates the
+    // node set — no separate distinct.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr_min"))
+      .select(col("src").as("id"), least(col("src"), col("nbr_min")).as("label"))
+      .localCheckpoint(false)
+
+    var stale = List.empty[DataFrame] // non-boundary round caches
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("nid"), col("label")), col("dst") === col("nid"))
-        .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr_min"))
-      // prev rides along in the same plan so convergence detection costs
-      // a filter on the cached round result, not a second join + job
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          col("label").as("prev"))
-        .cache()
-      val changed = next.filter(col("label") < col("prev")).count()
-      labels.unpersist()
-      labels = next.drop("prev")
-      converged = changed == 0L
       it += 1
+      val boundary = it % checkEvery == 0 || it == maxIters
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nid"), col("label").as("nlabel")),
+          col("dst") === col("nid"))
+        .groupBy(col("src").as("id")).agg(min(col("nlabel")).as("nbr_min"))
+      // pointer jump: look up the label of my label (always a real node id,
+      // since labels are mins over node ids; left join purely for safety)
+      val grand = labels.select(col("id").as("gid"), col("label").as("glabel"))
+      // prev rides along in the same plan so convergence detection costs a
+      // filter on the materialized round, not a second join + job
+      val nextRaw = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(grand, col("label") === col("gid"), "left")
+        .select(col("id"),
+          least(col("label"),
+            coalesce(col("nbr_min"), col("label")),
+            coalesce(col("glabel"), col("label"))).as("label"),
+          col("label").as("prev"))
+      val next = if (boundary) nextRaw.localCheckpoint(false) else nextRaw.cache()
+      if (!boundary) stale ::= next
+      labels = next.drop("prev")
+      if (boundary) {
+        val changed = next.filter(col("label") < col("prev")).count()
+        stale.foreach(_.unpersist())
+        stale = Nil
+        converged = changed == 0L
+      }
     }
-    edges.unpersist()
+    edges.unpersist() // final labels are materialized by the boundary count
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] rounds=$it converged=$converged")
+    if (!converged) {
+      throw new IllegalArgumentException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          "component diameter too large even for pointer jumping; raise maxIters")
+    }
+
     val sizes = labels.groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
     labels.select(col("id"), col("label").as("cluster_id"))

@@ -2,11 +2,15 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.TokenProfileUdf
 
 /** Public text-analysis API — parameterized form of the verified `tx*`
-  * queries. Pure map over the corpus (no shuffles, no UDFs: split/
-  * filter/regexp built-ins only), so throughput scales with input
-  * partitions. */
+  * queries. Pure map over the corpus (no shuffles), so throughput scales
+  * with input partitions. Word-count-driven signals (quality gate,
+  * language ID) ride on [[TokenProfileUdf]] — one tokenization pass per
+  * row counting every marker word, instead of one interpreted
+  * `filter(split(...))` chain per word; structural signals (type/token
+  * ratio, BPE-ish counts) stay on codegen'd split/regexp built-ins. */
 object TextAnalysis {
 
   private def toks(textCol: Column): Column = split(trim(textCol), "\\s+")
@@ -18,13 +22,19 @@ object TextAnalysis {
   private def sz(arr: Column): Column =
     when(arr.isNull, lit(null).cast("int")).otherwise(size(arr))
 
-  /** Occurrences of `w` among the tokens — built from Column operations
-    * (not interpolated SQL text), so words with quotes and column names
-    * needing backticks are safe. */
-  private def wordCount(textCol: String, w: String): Column =
-    wordCountCol(col(textCol), w)
-  private def wordCountCol(textCol: Column, w: String): Column =
-    sz(filter(toks(textCol), _ === lit(w)))
+  // ── defaults shared by quality gate / language ID / fused pipelines ──
+  val defaultStopwords: Seq[String] = Seq("the", "a")
+  val defaultProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "y"),
+    "fr" -> Seq("le", "les", "et"))
+
+  /** The union marker list covering the default stopwords and language
+    * profiles — pass to [[profileCol]] when one profile should feed every
+    * downstream signal (see px1/px2 in TextOps). */
+  val defaultWords: Seq[String] =
+    (defaultStopwords ++ defaultProfiles.flatMap(_._2)).distinct
 
   // ── Column-level building blocks ────────────────────────────────────
   // The DataFrame APIs below wrap these; expose them so several analyses
@@ -33,28 +43,52 @@ object TextAnalysis {
   // corpus once per analysis — the wrong shape at 100 TB; see
   // px1_curation_pipeline).
 
+  /** One-pass token profile (n_tokens, counts per `words` entry). Calls
+    * with the same word list produce canonically equal expressions, so
+    * codegen subexpression elimination evaluates the pass once per row
+    * however many signals read it. */
+  def profileCol(textCol: Column, words: Seq[String]): Column =
+    TokenProfileUdf(words)(textCol)
+
+  private def countOf(profile: Column, words: Seq[String], w: String): Column = {
+    val i = words.indexOf(w)
+    require(i >= 0, s"word '$w' missing from the profile word list $words")
+    profile.getField("counts").getItem(i)
+  }
+
   /** Whitespace token count of a text column (NULL text → NULL). */
   def nTokensCol(textCol: Column): Column = sz(toks(textCol))
 
-  /** The quality-gate keep flag of [[qualityScore]], as a column. */
-  def keepCol(textCol: Column,
-              stopwords: Seq[String] = Seq("the", "a"),
-              minTokens: Int = 20, maxTokens: Int = 1000,
-              minStopRatio: Double = 0.01): Column = {
-    val nTok = nTokensCol(textCol)
-    val stop = stopwords.map(wordCountCol(textCol, _)).reduce(_ + _).cast("double")
+  /** Token count read from an existing [[profileCol]] — use in fused
+    * scans so the tokenization isn't repeated. */
+  def nTokensFromProfile(profile: Column): Column = profile.getField("n_tokens")
+
+  /** The quality-gate keep flag derived from an existing [[profileCol]]
+    * built over `words` ⊇ `stopwords`. */
+  def keepFromProfile(profile: Column, words: Seq[String],
+                      stopwords: Seq[String] = defaultStopwords,
+                      minTokens: Int = 20, maxTokens: Int = 1000,
+                      minStopRatio: Double = 0.01): Column = {
+    val nTok = nTokensFromProfile(profile)
+    val stop = stopwords.map(countOf(profile, words, _)).reduce(_ + _).cast("double")
     nTok >= minTokens && nTok <= maxTokens && (stop / nTok) > lit(minStopRatio)
   }
 
-  /** The predicted language of [[langId]], as a column. */
-  def predLangCol(textCol: Column,
-                  profiles: Seq[(String, Seq[String])] = Seq(
-                    "en" -> Seq("the", "a", "is"),
-                    "de" -> Seq("der", "die", "und"),
-                    "es" -> Seq("el", "la", "y"),
-                    "fr" -> Seq("le", "les", "et"))): Column = {
-    val scores = profiles.map { case (lang, words) =>
-      lang -> words.map(wordCountCol(textCol, _)).reduce(_ + _)
+  /** The quality-gate keep flag of [[qualityScore]], as a column. */
+  def keepCol(textCol: Column,
+              stopwords: Seq[String] = defaultStopwords,
+              minTokens: Int = 20, maxTokens: Int = 1000,
+              minStopRatio: Double = 0.01): Column =
+    keepFromProfile(profileCol(textCol, stopwords), stopwords, stopwords,
+      minTokens, maxTokens, minStopRatio)
+
+  /** Language prediction derived from an existing [[profileCol]] built
+    * over `words` ⊇ every profile marker: argmax of marker-count scores,
+    * declaration order breaking ties, 'und' when nothing fires. */
+  def predLangFromProfile(profile: Column, words: Seq[String],
+                          profiles: Seq[(String, Seq[String])] = defaultProfiles): Column = {
+    val scores = profiles.map { case (lang, markers) =>
+      lang -> markers.map(countOf(profile, words, _)).reduce(_ + _)
     }
     scores.zipWithIndex.foldLeft(when(lit(false), "")) {
       case (acc, ((lang, s), i)) =>
@@ -63,6 +97,13 @@ object TextAnalysis {
         }
         acc.when(beatsLater && s > 0, lang)
     }.otherwise("und")
+  }
+
+  /** The predicted language of [[langId]], as a column. */
+  def predLangCol(textCol: Column,
+                  profiles: Seq[(String, Seq[String])] = defaultProfiles): Column = {
+    val words = profiles.flatMap(_._2).distinct
+    predLangFromProfile(profileCol(textCol, words), words, profiles)
   }
 
   /** Whitespace/type/BPE-ish token counts + mean token length. */
@@ -78,19 +119,20 @@ object TextAnalysis {
 
   /** Length/stopword/type-token quality signals + keep flag. */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String,
-                   stopwords: Seq[String] = Seq("the", "a"),
+                   stopwords: Seq[String] = defaultStopwords,
                    minTokens: Int = 20, maxTokens: Int = 1000,
                    minStopRatio: Double = 0.01): DataFrame = {
     val t = toks(col(textCol))
-    val nTok = sz(t)
-    val stop = stopwords.map(wordCount(textCol, _)).reduce(_ + _).cast("double")
+    val profile = profileCol(col(textCol), stopwords)
+    val nTok = nTokensFromProfile(profile)
+    val stop = stopwords.map(countOf(profile, stopwords, _)).reduce(_ + _).cast("double")
     docs.select(col(idCol),
       length(col(textCol)).cast("long").as("len_chars"),
       nTok.as("n_tokens"),
       (stop / nTok).as("stopword_ratio"),
       (sz(array_distinct(t)).cast("double") / nTok).as("type_token_ratio"),
-      keepCol(col(textCol), stopwords, minTokens, maxTokens, minStopRatio)
-        .as("keep"))
+      keepFromProfile(profile, stopwords, stopwords, minTokens, maxTokens,
+        minStopRatio).as("keep"))
   }
 
   /** Normalized-content md5 fingerprint + 3-gram shingle count. */
@@ -115,17 +157,15 @@ object TextAnalysis {
     * argmax with the profile's declaration order as tie-break, 'und'
     * when nothing fires. `carry` columns pass through untouched. */
   def langId(docs: DataFrame, idCol: String, textCol: String,
-             profiles: Seq[(String, Seq[String])] = Seq(
-               "en" -> Seq("the", "a", "is"),
-               "de" -> Seq("der", "die", "und"),
-               "es" -> Seq("el", "la", "y"),
-               "fr" -> Seq("le", "les", "et")),
+             profiles: Seq[(String, Seq[String])] = defaultProfiles,
              carry: Seq[String] = Nil): DataFrame = {
-    val scores = profiles.map { case (lang, words) =>
-      lang -> words.map(wordCount(textCol, _)).reduce(_ + _)
+    val words = profiles.flatMap(_._2).distinct
+    val profile = profileCol(col(textCol), words)
+    val scores = profiles.map { case (lang, markers) =>
+      lang -> markers.map(countOf(profile, words, _)).reduce(_ + _)
     }
     docs.select((col(idCol) +: carry.map(col)) ++
       scores.map { case (l, s) => s.as(s"s_$l") } :+
-      predLangCol(col(textCol), profiles).as("pred_lang"): _*)
+      predLangFromProfile(profile, words, profiles).as("pred_lang"): _*)
   }
 }

@@ -70,13 +70,17 @@ object TextOps {
       // corpus is scanned ONCE, with quality, language, and the content
       // fingerprint computed side by side (joining the DataFrame-level
       // op outputs on doc_id would scan and shuffle the corpus once per
-      // analysis); the only pre-aggregate shuffle is the
-      // per-fingerprint dedup decision
+      // analysis); token counting, quality, and language all read ONE
+      // TokenProfile pass (canonically equal UDF calls → CSE), so the
+      // text is tokenized once per row; the only pre-aggregate shuffle
+      // is the per-fingerprint dedup decision
+      val w = TextAnalysis.defaultWords
+      val prof = TextAnalysis.profileCol(col("text"), w)
       val scored = Tables.documents(s, dir).select(
         col("doc_id"), col("source"),
-        TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
-        TextAnalysis.keepCol(col("text")).as("keep"),
-        TextAnalysis.predLangCol(col("text")).as("pred_lang"),
+        TextAnalysis.nTokensFromProfile(prof).as("n_tokens"),
+        TextAnalysis.keepFromProfile(prof, w).as("keep"),
+        TextAnalysis.predLangFromProfile(prof, w).as("pred_lang"),
         TextDedup.fingerprint(col("text")).as("__fp"))
       scored
         .withColumn("__canon", min("doc_id").over(
@@ -103,10 +107,12 @@ object TextOps {
       val cc = Clusters.connectedComponents(
           TextDedup.minhashLsh(docs, "doc_id", "text"), "doc_a", "doc_b")
         .select(col("id").as("doc_id"), col("cluster_id"))
+      val w = TextAnalysis.defaultWords
+      val prof = TextAnalysis.profileCol(col("text"), w)
       docs.select(col("doc_id"), col("source"),
-          TextAnalysis.nTokensCol(col("text")).as("n_tokens"),
-          TextAnalysis.keepCol(col("text")).as("keep"),
-          TextAnalysis.predLangCol(col("text")).as("pred_lang"))
+          TextAnalysis.nTokensFromProfile(prof).as("n_tokens"),
+          TextAnalysis.keepFromProfile(prof, w).as("keep"),
+          TextAnalysis.predLangFromProfile(prof, w).as("pred_lang"))
         .join(cc, Seq("doc_id"), "left")
         .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
         .filter(col("doc_id") === col("cluster_id") &&

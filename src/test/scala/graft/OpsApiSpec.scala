@@ -70,6 +70,32 @@ class OpsApiSpec extends SparkSuite {
       20L -> (20L, 2L), 21L -> (20L, 2L)))
   }
 
+  test("connectedComponents pointer jumping: 1024-node path converges in O(log n) rounds") {
+    import spark.implicits._
+    // Plain min-label propagation needs ~1023 rounds on this graph; the
+    // pointer-jumped variant doubles the known-minimum radius per round,
+    // so 14 rounds must suffice (2^t growth ⇒ ~10 propagation rounds plus
+    // the verification round, detected on a checkEvery=2 boundary).
+    val path = (0L until 1023L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = graft.ops.Clusters.connectedComponents(path, "a", "b", maxIters = 14,
+      localEdgeThreshold = 0L) // force the distributed loop
+
+    val labels = cc.select("cluster_id").distinct().collect().map(_.getLong(0))
+    assert(labels.toSeq === Seq(0L))
+    assert(cc.count() === 1024L)
+    assert(cc.select("n_members").distinct().collect().map(_.getLong(0)).toSeq === Seq(1024L))
+  }
+
+  test("connectedComponents throws instead of returning unconverged labels") {
+    import spark.implicits._
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Clusters.connectedComponents(path, "a", "b", maxIters = 2,
+        localEdgeThreshold = 0L)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("thresholds actually gate the pair sets") {
     val docs = Tables.documents(spark, sf)
     val loose = TextDedup.minhashLsh(docs, "doc_id", "text", threshold = 0.5).count()

@@ -79,9 +79,16 @@ class PropertySpec extends SparkSuite {
           val m = members.min
           members.map(_ -> m)
         }
-        val got = graft.ops.Clusters.connectedComponents(es.toDF("a", "b"), "a", "b")
+        // default path = driver union-find (these graphs are under the
+        // local threshold); localEdgeThreshold = 0 forces the distributed
+        // pointer-jumped loop — both must agree with the reference
+        val gotLocal = graft.ops.Clusters.connectedComponents(es.toDF("a", "b"), "a", "b")
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got === want, s"CC mismatch on edges $es")
+        assert(gotLocal === want, s"CC (local path) mismatch on edges $es")
+        val gotDist = graft.ops.Clusters.connectedComponents(es.toDF("a", "b"), "a", "b",
+          localEdgeThreshold = 0L)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(gotDist === want, s"CC (distributed path) mismatch on edges $es")
       }
     }
   }
