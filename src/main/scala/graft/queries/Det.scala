@@ -31,6 +31,13 @@ object Det {
     * floor(x*1e6 + 0.5)/1e6 is computed identically in both engines
     * (every step exact for |x|·1e6 < 2^53) and resolves the tie once, on
     * the double side. Oracle: FLOOR(x*1000000 + 0.5)/1000000.
-    * Use on any division-derived addend feeding dsum/davg. */
+    * Use on any division-derived addend feeding dsum/davg.
+    *
+    * Tie convention: floor(x + 0.5) rounds halves toward +infinity for
+    * BOTH signs — a negative tie like -2.0000005 quantizes to -2.000000,
+    * not -2.000001. That is NOT round-half-away-from-zero ("HALF_UP" in
+    * java.math terms) on negatives; it doesn't matter for cross-engine
+    * agreement (the oracle replays the same expression) but don't reuse
+    * q6 where a sign-symmetric convention is required. */
   def q6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 }

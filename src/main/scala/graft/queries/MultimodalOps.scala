@@ -95,6 +95,11 @@ object MultimodalOps {
     // index arithmetic (div), so the oracle replays it byte-for-byte.
     "mm4_resize" -> ((s, dir) =>
       binaryTable(s, dir)
+        // a resize of an EMPTY payload is undefined — and the engines
+        // disagree on the undefined case (Spark conv(hex('')) → NULL,
+        // DuckDB '0x'||'' cast → hard error), so both sides exclude it
+        // explicitly rather than relying on the fixture never being empty
+        .filter(octet_length(col("payload")) > 0)
         .withColumn("resized", expr(
           s"""transform(sequence(0, ${RESIZE_TO - 1}), j ->
              |  cast(conv(hex(substring(payload,
@@ -163,7 +168,8 @@ object MultimodalOps {
          |  array_to_string(list_transform(
          |    list_slice(list_transform(generate_series(0, ${RESIZE_TO - 1}), j -> $byteAt), 1, 8),
          |    x -> CAST(x AS VARCHAR)), '-') AS head
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents WHERE octet_length(encode(text)) > 0
+         |ORDER BY doc_id""".stripMargin
     },
 
     "mm3_frame_sample" ->

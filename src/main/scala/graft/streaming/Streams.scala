@@ -133,11 +133,36 @@ object Streams {
     // RocksDB is the production state backend for large state (spillable,
     // incremental checkpoints); results are provider-independent, so one
     // query (st2, the most state-heavy) runs on it to keep the path live.
-    if (rocksdb) spark.conf.set(provKey, RocksDB)
+    if (rocksdb) {
+      spark.conf.set(provKey, RocksDB)
+      // incremental (changelog) commits instead of a full SST snapshot
+      // upload per batch — the production setting for frequent triggers
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
+    // Ephemeral checkpoint for an ephemeral sink: these harness queries
+    // verify operator semantics into a MEMORY sink, so their checkpoint
+    // has no recovery value — put it on tmpfs (state-store commits fsync
+    // once per partition per batch, which on a disk-backed /tmp is most
+    // of the wall-clock at fixture scale) and delete it afterwards. The
+    // production-sink shapes (runToParquet / runMergeToParquet) keep
+    // durable checkpoints next to their data.
+    val ckRoot = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-chk"
+      else sys.props("java.io.tmpdir") + "/graft-chk"
+    }
+    val ck = new java.io.File(s"$ckRoot/$name-${java.util.UUID.randomUUID}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
     try {
       val q = streamed.writeStream
         .format("memory")
         .queryName(name)
+        .option("checkpointLocation", ck.getAbsolutePath)
         .outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
         .start()
@@ -148,6 +173,7 @@ object Streams {
         case Some(p) => spark.conf.set(provKey, p)
         case None => spark.conf.unset(provKey)
       }
+      rm(ck)
     }
     spark.table(name)
   }

@@ -196,6 +196,29 @@ class ExtensionOpsSpec extends SparkSuite {
       c.getMessage.contains("NULL vector")))
   }
 
+  test("g6 HLL estimate stays within 3x rsd of the exact g5 distinct counts") {
+    // approx_count_distinct has no cross-engine oracle (HLL registers
+    // differ per engine), so the driver gate is rows-only — pin the
+    // ESTIMATE here instead: HLL++ is deterministic for a fixed input,
+    // and the default rsd is 0.05, so a 15% relative-error bound is both
+    // stable and meaningful. Checked at every fixture scale.
+    import graft.queries.Relational
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.1")) {
+      val exact = Relational.queries("g5_count_distinct")(spark, dir)
+        .select("l_returnflag", "n_parts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val approx = Relational.queries("g6_approx_count_distinct")(spark, dir)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx.keySet === exact.keySet, s"group mismatch at $dir")
+      exact.foreach { case (flag, n) =>
+        val a = approx(flag)
+        assert(math.abs(a - n).toDouble / n <= 0.15,
+          s"HLL estimate $a vs exact $n for flag=$flag at $dir")
+      }
+    }
+  }
+
   test("planeSig with a pinned oracle dim rejects mismatched vectors") {
     import spark.implicits._
     val sig = graft.functions.VectorUdfs.planeSig(8, oracleDim = 4)

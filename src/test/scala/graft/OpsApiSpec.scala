@@ -55,6 +55,37 @@ class OpsApiSpec extends SparkSuite {
     assert(cents.count() <= 4)
   }
 
+  test("jdbc option plumbing: routing, partitioned-read options, and guards") {
+    val plain = Tables.jdbcOptions("jdbc:mysql://wh:3306/transportation", "lineitem")
+    assert(plain("url") === "jdbc:mysql://wh:3306/transportation")
+    assert(plain("dbtable") === "lineitem")
+    assert(!plain.contains("partitionColumn"))
+    val part = Tables.jdbcOptions("jdbc:mysql://wh:3306/transportation", "lineitem",
+      options = Map("fetchsize" -> "10000"),
+      partitionColumn = Some("l_orderkey"), bounds = Some((1L, 600000L)),
+      numPartitions = 16)
+    assert(part("partitionColumn") === "l_orderkey")
+    assert(part("lowerBound") === "1" && part("upperBound") === "600000")
+    assert(part("numPartitions") === "16")
+    assert(part("fetchsize") === "10000")
+    intercept[IllegalArgumentException] {
+      Tables.jdbcOptions("not-a-url", "t")
+    }
+    intercept[IllegalArgumentException] {
+      Tables.jdbcOptions("jdbc:mysql://wh/db", "t", partitionColumn = Some("id"))
+    }
+    // dir-based routing picks the JDBC branch for jdbc: dirs (no database
+    // in this sandbox, so resolution must fail INSIDE the jdbc source —
+    // not by trying to read a parquet file named "jdbc:...")
+    val ex = intercept[Throwable] {
+      Tables.read(spark, "jdbc:mysql://nowhere:3306/db", "lineitem")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(!causes(ex).exists(c => c.getMessage != null &&
+      c.getMessage.contains("parquet")))
+  }
+
   test("connectedComponents labels each node with the component min id") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3, needs >1 propagation round), triangle

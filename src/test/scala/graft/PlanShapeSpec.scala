@@ -102,4 +102,30 @@ class PlanShapeSpec extends SparkSuite {
       s"part name prefix not pushed:\n$p")
     assert(p.contains("BroadcastHashJoin"), "part/supplier/nation must broadcast")
   }
+
+  test("dedup/ANN family never shuffles embedding or signature arrays") {
+    // The round-1 regression this pins against: a distinct/join that drags
+    // an array<float> embedding or array<bigint> minhash signature through
+    // a hash Exchange serializes megabytes per partition for keys that fit
+    // in 8 bytes. Candidate generation must shuffle IDS (+ band keys) only;
+    // arrays re-attach map-side afterwards (broadcast is fine — that's the
+    // deliberate small-side ship in sim1/sim2). AQE is disabled for the
+    // assertion because AdaptiveSparkPlanExec hides the tree from collect.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for (q <- Seq("dd2_minhash_lsh", "dd5_embedding_neardup", "sim2_ann_lsh")) {
+        val phys = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val offenders = phys.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            e.output.collect {
+              case a if a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+                s"$q: ${a.name}: ${a.dataType.simpleString}"
+            }
+        }.flatten
+        assert(offenders.isEmpty,
+          s"array columns cross a shuffle Exchange:\n${offenders.mkString("\n")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
