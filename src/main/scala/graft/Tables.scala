@@ -69,6 +69,37 @@ object Tables {
         numPartitions))
       .load()
 
+  /** Rebalance an under-parallel scan before a compute-heavy stage.
+    *
+    * Parquet map parallelism is bounded by row-group count — a
+    * single-row-group file (like every fixture here, and like any
+    * unsplittable input: gzip csv, one-connection JDBC) scans as ONE
+    * task, so everything narrow-dependent downstream (broadcast join
+    * chains, tokenization, vector math, parquet encode) runs on one
+    * core no matter what `maxPartitionBytes` or the AQE advisory says.
+    * Only an explicit exchange can widen it.
+    *
+    * Policy: shuffle the narrow base rows once, but ONLY when the scan
+    * is actually under-parallel (fewer partitions than half the
+    * cluster's cores). On a real multi-row-group 100 TB layout the scan
+    * already yields thousands of splits and this is an exact no-op — no
+    * conditional shuffle sneaks into the plan at scale. Callers apply it
+    * where a compute-bound stage follows the scan; plain
+    * scan→shuffle-agg paths don't need it (the agg's own exchange
+    * already spreads the reduce side, and partial aggregation of narrow
+    * rows is cheap).
+    *
+    * Row-order caveat: `repartition` round-robins, so this is only used
+    * upstream of order-independent logic (joins, aggregates, per-row
+    * projections) — never before first-wins/limit-style operators.
+    */
+  def fanOut(df: DataFrame, parts: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val target = if (parts > 0) parts else spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
   /** Collision-free, identifier-safe tag for per-fixture sink paths and
     * table names: sanitized path tail + 8 hex chars of md5. (Replaces
     * math.abs(hashCode), which could collide across dirs and went

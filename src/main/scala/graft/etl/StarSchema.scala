@@ -180,7 +180,12 @@ object StarSchema {
     val nation   = graft.Tables.nation(spark, dir)
     val region   = graft.Tables.region(spark, dir)
     val orders   = graft.Tables.orders(spark, dir)
-    val lineitem = graft.Tables.lineitem(spark, dir)
+    // The fact input feeds an 8-deep broadcast-join chain plus whatever
+    // sink/aggregate the caller attaches — the most compute-heavy
+    // narrow-dependent pipeline in the engine. fanOut widens an
+    // under-parallel (single-row-group) scan once here so the whole
+    // chain runs on all cores; a no-op on a properly split layout.
+    val lineitem = graft.Tables.fanOut(graft.Tables.lineitem(spark, dir))
 
     val subcat   = dimProductSubcategory(part)
     val product  = dimProduct(part, subcat)

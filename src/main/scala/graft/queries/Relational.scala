@@ -81,14 +81,14 @@ object Relational {
     // atomic overwrite of the cube) + aggregate read-back.
     "s8_full_refresh_sink" -> ((s, dir) => {
       val out = s"/root/repo/target/sink/s8_cube_${Tables.dirSlug(dir)}"
-      // Direct write, no pre-write repartition: AQE already coalesces the
-      // cube's final stage to size-appropriate partitions (3 data files at
-      // sf0.1 — not a tiny-file problem), and an A/B showed the extra
-      // shuffle a repartition adds costs more than the parallel encode it
-      // buys (repartitionByRange is worse still — its range sampler
-      // executes the child once just to pick boundaries). At cluster
-      // scale the cube inherits the fact's partitioning and the same
-      // direct write stays parallel.
+      // Direct write, no pre-write repartition: parallelism comes from
+      // StarSchema.build's fanOut of the fact input (the fixture scans
+      // are single-row-group → 1 task otherwise), which leaves the whole
+      // join-chain + parquet-encode stage running on all cores. An A/B
+      // showed a post-join repartition is strictly worse (it shuffles the
+      // WIDE cube rows; fanOut shuffles the narrow base rows), and
+      // repartitionByRange worse still — its range sampler executes the
+      // child once just to pick boundaries.
       graft.etl.StarSchema.build(s, dir).cube
         .write.mode("overwrite").parquet(out)
       s.read.parquet(out)

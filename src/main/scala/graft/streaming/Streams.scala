@@ -17,6 +17,16 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Streams {
 
+  /** State partition count for the harness-driven streaming queries.
+    * Each state partition costs a store instance + checkpoint commit per
+    * micro-batch regardless of volume, so the session's batch setting
+    * (32) is pure fixed overhead at fixture scale; on a real cluster the
+    * right number tracks executor count. Captured in the checkpoint on
+    * first run, so it is a per-query, recreate-to-change knob.
+    * Env-overridable for perf experiments. */
+  private val stateParts: String =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+
   /** Streaming view of `events` with the nanos→micros ts normalization
     * (same as Tables.events, streaming flavor). */
   def events(spark: SparkSession, dir: String,
@@ -49,7 +59,7 @@ object Streams {
     if (fs.exists) rm(fs)
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, stateParts)
     try {
       val q = streamed.writeStream
         .format("parquet")
@@ -86,7 +96,7 @@ object Streams {
     @volatile var lastVersion = -1L
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, stateParts)
     try {
       val q = streamed.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -109,27 +119,21 @@ object Streams {
     else spark.read.parquet(s"$outDir/v$lastVersion")
   }
 
-  /** Run a streaming DataFrame to completion into a memory sink and
-    * return the materialized result. AvailableNow processes the whole
-    * fixture then stops — batch-equivalent semantics, streaming plan.
-    *
-    * State partitioning is pinned to 8 for the query's lifetime: each
-    * state partition costs a store + checkpoint commit per micro-batch
-    * regardless of data volume, so 32 partitions over a fixture-sized
-    * stream is pure fixed overhead. (On a real cluster the right number
-    * tracks executor count — it is a per-query knob, captured in the
-    * checkpoint on first run.) Results are partitioning-independent;
-    * the session's batch setting is restored afterwards. */
   private val RocksDB =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** Run a streaming DataFrame to completion into a memory sink and
+    * return the materialized result. AvailableNow processes the whole
+    * fixture then stops — batch-equivalent semantics, streaming plan.
+    * Results are partitioning-independent; the session's batch shuffle
+    * setting is restored afterwards (see [[stateParts]]). */
   def runToTable(spark: SparkSession, streamed: DataFrame, name: String,
                  outputMode: String, rocksdb: Boolean = false): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
     val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(key, "8")
+    spark.conf.set(key, stateParts)
     // RocksDB is the production state backend for large state (spillable,
     // incremental checkpoints); results are provider-independent, so one
     // query (st2, the most state-heavy) runs on it to keep the path live.
@@ -167,6 +171,10 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      if (sys.env.contains("SPARK_GRAFT_STREAM_DEBUG"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} " +
+            s"durationMs=${p.durationMs}"))
     } finally {
       spark.conf.set(key, prev)
       if (rocksdb) prevProv match {
