@@ -229,4 +229,54 @@ object VectorSearch {
       .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "cos_sim")
   }
+
+  /** Scalar-quantized (int8) brute-force top-k — the memory/bandwidth
+    * scale path for exact-ish search: embeddings compress 4× (float32 →
+    * int8), so a 100 TB float corpus scans as 25 TB of codes and a
+    * 1000-executor pass keeps 4× more of it in page cache; scoring is
+    * integer multiply-adds. Recall loss at int8 is negligible for
+    * cosine ranking (quantization noise ≪ inter-neighbor gaps).
+    *
+    * Quantization is symmetric with one corpus-global scale:
+    * `q_i = floor(x_i · (127/amax) + 0.5)` where `amax` is the largest
+    * |component| in the corpus (one map-side aggregate, broadcast back —
+    * the same one-row attach as the dd4 threshold). The floor(·+0.5)
+    * form is [[graft.queries.Det.q6]]'s tie-free rounding: every step is
+    * exact IEEE double arithmetic reproduced verbatim by the DuckDB
+    * oracle, so even this *approximate* operator is hash-verified.
+    * Scores are integer dot products (exact); the reported `qcos` is the
+    * cosine over the quantized vectors — a double computed from exact
+    * integers, bit-identical across engines.
+    *
+    * Like [[cosineTopK]], the query side broadcasts and the corpus scan
+    * stays map-side; the window shuffles (id, id, double) rows only —
+    * codes are projected away before any exchange. */
+  def scalarQuantTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int = 10,
+                      excludeSelf: Boolean = true): DataFrame = {
+    val amax = corpus.select(max(expr(
+      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    )).as("__amax"))
+    def quantize(df: DataFrame, outId: String, vOut: String, nOut: String) =
+      df.crossJoin(broadcast(amax))
+        .withColumn(vOut, expr(
+          s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / __amax) + 0.5D) AS BIGINT))"))
+        .withColumn(nOut, expr(s"aggregate($vOut, 0L, (a, x) -> a + x * x)"))
+        .select(col(idCol).as(outId), col(vOut), col(nOut))
+    val c = quantize(corpus, "vec_id", "__cq", "__cn")
+    val q = quantize(queries, "query_id", "__qq", "__qn")
+    val pairs = c.crossJoin(broadcast(q))
+    val self = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
+    pairs.filter(self)
+      .withColumn("__dot", expr(
+        "aggregate(zip_with(__qq, __cq, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .withColumn("qcos",
+        col("__dot").cast("double") / (sqrt(col("__qn").cast("double")) * sqrt(col("__cn").cast("double"))))
+      // codes projected away before the window's exchange (see rankTopK)
+      .select("query_id", "vec_id", "qcos")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("qcos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "qcos", "rank")
+  }
 }

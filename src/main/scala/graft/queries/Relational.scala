@@ -123,6 +123,43 @@ object Relational {
       s.read.orc(out).orderBy("r_regionkey")
     }),
 
+    // Z-order clustered layout [extension — multi-dimensional pruning for
+    // 100 TB fact tables; see ops/Layout.scala]. Writes lineitem clustered
+    // on (l_partkey, l_suppkey), reads it back through a 2-D box filter,
+    // and aggregates per z-bucket — the bucket key re-derives the Morton
+    // interleave on read, so the bit-twiddling itself is oracle-verified,
+    // not just the layout-invisible row content. Footer-stats pruning is
+    // pinned separately in OpsApiSpec.
+    "zo1_zorder_layout" -> ((s, dir) => {
+      val out = s"/root/repo/target/sink/zo1_${Tables.dirSlug(dir)}"
+      graft.ops.Layout.zorderWrite(
+        Tables.lineitem(s, dir)
+          .select("l_partkey", "l_suppkey", "l_extendedprice"),
+        "l_partkey", "l_suppkey", out, nFiles = 16)
+      s.read.parquet(out)
+        .filter(col("l_partkey").between(1, 2000) && col("l_suppkey").between(1, 200))
+        .withColumn("zbucket",
+          shiftright(graft.ops.Layout.zValue(col("l_partkey"), col("l_suppkey")), 16))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("zbucket")
+    }),
+
+    // Small-file compaction [extension — lake maintenance; see
+    // ops/Maintenance.scala]. Fragments orders into 64 shards, compacts
+    // to ~4 MiB targets (narrow coalesce, no shuffle), and aggregates the
+    // compacted copy — identical content proves the rewrite lossless;
+    // file-count mechanics are pinned in OpsApiSpec.
+    "cp1_compaction" -> ((s, dir) => {
+      val frag = s"/root/repo/target/sink/cp1_frag_${Tables.dirSlug(dir)}"
+      val out = s"/root/repo/target/sink/cp1_out_${Tables.dirSlug(dir)}"
+      Tables.orders(s, dir).repartition(64).write.mode("overwrite").parquet(frag)
+      graft.ops.Maintenance.compact(s, frag, out, targetBytes = 4L * 1024 * 1024)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    }),
+
     // ── P: projections / predicates ───────────────────────────────────
     // P1+P6 fact-shaped projection with NULL injection (warehouse.py:207-208).
     "p1_fact_projection" -> ((s, dir) =>
@@ -1559,6 +1596,25 @@ object Relational {
 
     "src_orc_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+
+    // the Morton interleave is generated from the same bit spec as the
+    // Spark Column (Layout.duckZ), so the two engines cannot drift
+    "zo1_zorder_layout" ->
+      s"""WITH z AS (
+         |  SELECT ${graft.ops.Layout.duckZ("l_partkey", "l_suppkey")} AS zv,
+         |         l_extendedprice
+         |  FROM lineitem
+         |  WHERE l_partkey BETWEEN 1 AND 2000 AND l_suppkey BETWEEN 1 AND 200)
+         |SELECT (zv >> 16) AS zbucket, count(*) AS n,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // compaction is content-preserving: the compacted copy aggregates
+    // exactly like the source table
+    "cp1_compaction" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "g9_percentiles" ->
       """SELECT l_returnflag,

@@ -64,6 +64,15 @@ object SimilarityOps {
           corpus.filter(col("vec_id") >= 20 && col("vec_id") < 36),
           "vec_id", "embedding", TOPK, nprobe = 4)
         .orderBy("query_id", "rank")
+    }),
+
+    // int8 scalar quantization: 4× smaller corpus, integer scoring — the
+    // bandwidth/memory scale path (see VectorSearch.scalarQuantTopK).
+    "sim4_scalar_quant" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      graft.ops.VectorSearch.scalarQuantTopK(s, corpus,
+          corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding", TOPK)
+        .orderBy("query_id", "rank")
     }))
 
   private val duckCos: String =
@@ -154,5 +163,38 @@ object SimilarityOps {
          |  FROM scored)
          |SELECT query_id, vec_id, cos_sim, rank FROM ranked
          |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
-    })
+    },
+
+    // Mirrors scalarQuantTopK step for step: same amax fold, same
+    // tie-free floor(x·(127/amax)+0.5) quantizer, integer dots — every
+    // arithmetic step exact or IEEE-identical, so the hash compare holds
+    // even though the operator is "approximate".
+    "sim4_scalar_quant" ->
+      s"""WITH am AS (
+         |  SELECT max(list_max(list_transform(embedding, x ->
+         |    abs(CAST(x AS DOUBLE))))) AS amax FROM embeddings),
+         |e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings, am),
+         |en AS (
+         |  SELECT vec_id, qv,
+         |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+         |  FROM e),
+         |q AS (SELECT vec_id AS query_id, qv AS qa, n2 AS qn
+         |      FROM en WHERE vec_id < $NQUERIES),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    CAST(CAST(list_sum(list_transform(generate_series(1, 64), j ->
+         |        q.qa[j] * c.qv[j])) AS BIGINT) AS DOUBLE)
+         |      / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS qcos
+         |  FROM en c, q WHERE q.query_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, qcos,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY qcos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, qcos, rank FROM ranked
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin)
 }

@@ -133,4 +133,76 @@ class OpsApiSpec extends SparkSuite {
     val tight = TextDedup.minhashLsh(docs, "doc_id", "text", threshold = 0.9).count()
     assert(tight <= loose)
   }
+
+  test("zValue interleaves bits; z-ordered files cover narrow ranges of BOTH dims") {
+    import org.apache.spark.sql.functions._
+    // bit-spec ground truth: (a=5, b=3) → a bits at even, b at odd positions
+    val z = spark.range(1).select(
+      graft.ops.Layout.zValue(lit(5), lit(3)).as("z")).head().getLong(0)
+    assert(z == ((1L << 0) | (1L << 4)      // a = 101b → bits 0, 4
+               | (1L << 1) | (1L << 3)))    // b =  11b → bits 1, 3
+    val out = "/root/repo/target/test/zo_layout"
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey", "l_extendedprice")
+    graft.ops.Layout.zorderWrite(li, "l_partkey", "l_suppkey", out, nFiles = 8)
+    val files = graft.ops.Maintenance.dataFiles(spark, out).map(_._1)
+    assert(files.size > 1, "need multiple files to demonstrate pruning")
+    val Seq(pLo, pHi, sLo, sHi) = li.agg(
+      min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey"))
+      .head().toSeq.map(_.toString.toLong)
+    // Every file must span strictly less than the full domain in BOTH
+    // clustered dims — a single-column sort would leave the other dim's
+    // span at ~100% per file; the z-curve bounds both. (Generous 75%
+    // bound: the top z-range file legitimately spans the widest quads.)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f).agg(
+        min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head()
+      val ps = (r.getLong(1) - r.getLong(0)).toDouble / math.max(1L, pHi - pLo)
+      val ss = (r.getLong(3) - r.getLong(2)).toDouble / math.max(1L, sHi - sLo)
+      (ps, ss)
+    }
+    assert(spans.forall { case (ps, ss) => ps < 0.75 || ss < 0.75 },
+      s"some file spans ~the full domain in both dims: $spans")
+    // and the box predicate used by zo1 prunes: some file's stats fall
+    // fully outside a quadrant box, so footer min/max skip it
+    val boxPHi = pLo + (pHi - pLo) / 4; val boxSHi = sLo + (sHi - sLo) / 4
+    val overlapping = spans.zip(files).count { case (_, f) =>
+      val r = spark.read.parquet(f).agg(
+        min("l_partkey"), max("l_partkey"), min("l_suppkey"), max("l_suppkey")).head()
+      r.getLong(0) <= boxPHi && r.getLong(2) <= boxSHi
+    }
+    assert(overlapping < files.size,
+      "quadrant box should be prunable against at least one file's stats")
+  }
+
+  test("compact rewrites many small files into few without losing rows") {
+    val frag = "/root/repo/target/test/cp_frag"
+    val out = "/root/repo/target/test/cp_out"
+    val orders = Tables.orders(spark, sf)
+    orders.repartition(16).write.mode("overwrite").parquet(frag)
+    val before = graft.ops.Maintenance.dataFiles(spark, frag)
+    assert(before.size == 16)
+    val compacted = graft.ops.Maintenance.compact(spark, frag, out,
+      targetBytes = 64L * 1024 * 1024)
+    val after = graft.ops.Maintenance.dataFiles(spark, out)
+    assert(after.size < before.size)
+    assert(after.map(_._2).sum > 0)
+    assert(compacted.count() == orders.count())
+  }
+
+  test("scalar-quantized ranking tracks exact cosine ranking (recall@10)") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(VectorSearch.cosineTopK(spark, corpus, queries,
+      "vec_id", "embedding", 10).select("query_id", "vec_id"))
+    val quant = topSets(VectorSearch.scalarQuantTopK(spark, corpus, queries,
+      "vec_id", "embedding", 10).select("query_id", "vec_id"))
+    assert(exact.keySet == quant.keySet)
+    val recalls = exact.map { case (q, s) => (quant(q) & s).size.toDouble / s.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.8, s"int8 quantization lost too much ranking fidelity: $avg")
+  }
 }

@@ -103,6 +103,34 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "part/supplier/nation must broadcast")
   }
 
+  test("runtime bloom filter injects on a selective large⋈large join") {
+    // At 100 TB the fact side of a selective join should be pre-filtered
+    // by a bloom filter built from the (post-filter) build side — Spark's
+    // InjectRuntimeFilter does this once the sides cross its size
+    // thresholds. Fixture tables sit below the defaults, so the pin
+    // lowers them: what is asserted is that our join SHAPES are eligible
+    // (equi-join, selective filter, no broadcast), not the thresholds.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1", // force the large⋈large path
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter did not inject on the fact side:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("dedup/ANN family never shuffles embedding or signature arrays") {
     // The round-1 regression this pins against: a distinct/join that drags
     // an array<float> embedding or array<bigint> minhash signature through
