@@ -25,9 +25,17 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    // a failed query reports -1.0 (never its partial elapsed time), so a
-    // crash can't masquerade as a fast success in the emitted JSON
-    val results = selected.map { case (name, fn) =>
+    // Deterministic run order (sorted by name): `queries` is a hash Map,
+    // so iterating it directly runs the battery in an order that
+    // RESHUFFLES whenever any query is added or renamed — round 6 proved
+    // per-query times are strongly order-sensitive (write-heavy
+    // neighbors bleed page-cache/IO into the next query: px2 measured
+    // 17.7 s in the r6 hash order vs 3.3 s standalone, j7 7.0 vs 2.6,
+    // with zero code change). Sorted order makes every round's timing
+    // comparable to the last at the per-query level.
+    // A failed query reports -1.0 (never its partial elapsed time), so a
+    // crash can't masquerade as a fast success in the emitted JSON.
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
@@ -35,7 +43,7 @@ object Bench {
           false
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    }.toMap
     def fmt(v: Double, d: Int): String =
       s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -96,8 +96,35 @@ object Tables {
   def fanOut(df: DataFrame, parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val target = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    if (scanSplitEstimate(df) < math.max(2, target / 2)) df.repartition(target)
     else df
+  }
+
+  /** Plan-side estimate of the scan parallelism feeding `df`, read from
+    * the optimized logical plan so the gate never instantiates an RDD
+    * lineage (`df.rdd.getNumPartitions` builds the physical RDD chain on
+    * every call). File relations estimate Spark's own byte-range split
+    * rule — ceil(totalBytes / maxPartitionBytes), the same quantity the
+    * RDD partition count reflects (small files pack, large files split);
+    * a non-file [[org.apache.spark.sql.sources.BaseRelation]] (e.g. a
+    * single-connection JDBC read) is assumed serial (1); any other leaf
+    * (local rows, cached data, shuffled input) is already parallelized by
+    * Spark itself, so the gate treats it as wide and fanOut no-ops. */
+  private def scanSplitEstimate(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val maxSplit = math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    val ests = df.queryExecution.optimizedPlan.collectLeaves().map {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          math.max(1L, (fs.location.sizeInBytes + maxSplit - 1) / maxSplit)
+        case _ => 1L // non-file source: assume one connection until proven wider
+      }
+      case _: LocalRelation => Long.MaxValue // parallelized at defaultParallelism
+      case _ => Long.MaxValue
+    }
+    if (ests.isEmpty || ests.contains(Long.MaxValue)) Long.MaxValue else ests.sum
   }
 
   /** Collision-free, identifier-safe tag for per-fixture sink paths and

@@ -103,6 +103,19 @@ object StarSchema {
       Seq("date"))
   }
 
+  /** The fact-pipeline input: lineitem pruned to exactly the columns
+    * [[fact]] consumes, THEN widened with [[graft.Tables.fanOut]]. The
+    * projection is applied before the exchange on purpose — the
+    * rebalancing shuffle then moves 6 narrow columns instead of the full
+    * 16-column scan row, explicitly rather than trusting the optimizer
+    * to push a projection through a round-robin repartition. On a
+    * properly split multi-row-group layout fanOut is a no-op and this is
+    * just the column-pruned scan. */
+  def factInput(lineitem: DataFrame): DataFrame =
+    graft.Tables.fanOut(lineitem.select(
+      "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_shipdate"))
+
   /** transportfact (id, product_id, client_id, date_id, country_id,
     * quantity, price, year) — warehouse.py:172-210. The fact id replaces
     * AUTO_INCREMENT (wh.py:174) with a deterministic composite encode of
@@ -182,10 +195,10 @@ object StarSchema {
     val orders   = graft.Tables.orders(spark, dir)
     // The fact input feeds an 8-deep broadcast-join chain plus whatever
     // sink/aggregate the caller attaches — the most compute-heavy
-    // narrow-dependent pipeline in the engine. fanOut widens an
-    // under-parallel (single-row-group) scan once here so the whole
-    // chain runs on all cores; a no-op on a properly split layout.
-    val lineitem = graft.Tables.fanOut(graft.Tables.lineitem(spark, dir))
+    // narrow-dependent pipeline in the engine. factInput prunes columns
+    // and widens an under-parallel (single-row-group) scan once here so
+    // the whole chain runs on all cores; a no-op on a split layout.
+    val lineitem = factInput(graft.Tables.lineitem(spark, dir))
 
     val subcat   = dimProductSubcategory(part)
     val product  = dimProduct(part, subcat)

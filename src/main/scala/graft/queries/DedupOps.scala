@@ -86,9 +86,11 @@ object DedupOps {
 
     // dd2 — MinHash + LSH: 3-token shingles → 16 minhashes → 4 bands of
     // 4 → bucket-join candidates → signature-estimated Jaccard ≥ 0.5.
+    // (Shared.lshPairs: one candidate+verification pass per session,
+    // consumed here and by dd7/px2 — identical edge set three times over
+    // was the round-6 bench's biggest redundancy.)
     "dd2_minhash_lsh" -> ((s, dir) =>
-      graft.ops.TextDedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_a", "doc_b")),
+      Shared.lshPairs(s, dir).orderBy("doc_a", "doc_b")),
 
     // dd3 — SimHash: 48-bit signature from per-token hash bit votes;
     // candidate pairs via 4 × 12-bit chunk banding (pigeonhole: hamming
@@ -119,12 +121,10 @@ object DedupOps {
     // cluster keyed by the min doc_id — the sound unit for keep-one
     // dedup. Oracle: recursive-CTE reachability closure over the same
     // pair list.
-    "dd7_cluster_dedup" -> ((s, dir) => {
-      val pairs = graft.ops.TextDedup.minhashLsh(Tables.documents(s, dir), "doc_id", "text")
-      graft.ops.Clusters.connectedComponents(pairs, "doc_a", "doc_b")
+    "dd7_cluster_dedup" -> ((s, dir) =>
+      Shared.lshClusters(s, dir)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // dd5 — embedding-cosine near-dup: 16-bit random-hyperplane
     // signature (planes md5-derived), 4 × 4-bit band candidates, exact

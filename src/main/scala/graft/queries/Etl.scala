@@ -100,7 +100,7 @@ object Etl {
     }),
 
     "etl_cube_build" -> ((s, dir) => {
-      val c = StarSchema.build(s, dir).cube
+      val c = Shared.cube(s, dir)
       c.orderBy(c.columns.map(col): _*)
     }),
 
@@ -119,7 +119,7 @@ object Etl {
         "7_dimdate_year" -> out.years,
         "8_dimdate" -> out.dates,
         "9_transportfact" -> out.fact,
-        "10_cube_table" -> out.cube)
+        "10_cube_table" -> Shared.cube(s, dir))
       parts.map { case (name, df) =>
         df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"), col("n_rows"))
       }.reduce(_ unionByName _).orderBy("stage")

@@ -63,10 +63,19 @@ object Relational {
     // partition directory.
     "s7_partitioned_fact_sink" -> ((s, dir) => {
       val out = s"/root/repo/target/sink/s7_fact_${Tables.dirSlug(dir)}"
-      // sortWithinPartitions clusters each year directory by the fact id
-      // so parquet row-group stats also prune id-ranged reads (SCALE.md)
-      graft.etl.StarSchema.fact(Tables.lineitem(s, dir), Tables.orders(s, dir),
-          Tables.customer(s, dir))
+      // Layout-shaped write: factInput widens the under-parallel scan so
+      // the join chain runs on all cores (same treatment as s8), then an
+      // explicit (year, salt) exchange clusters rows so every write task
+      // owns ONE year directory — files-per-partition-dir is bounded by
+      // the salt width instead of growing with task count, which is the
+      // knob that matters at 100 TB. sortWithinPartitions then clusters
+      // each year's files by fact id so parquet row-group stats also
+      // prune id-ranged reads (SCALE.md). Explicit partition count keeps
+      // AQE from coalescing the write stage to one task.
+      graft.etl.StarSchema.fact(
+          graft.etl.StarSchema.factInput(Tables.lineitem(s, dir)),
+          Tables.orders(s, dir), Tables.customer(s, dir))
+        .repartition(32, col("year"), pmod(col("id"), lit(4)))
         .sortWithinPartitions("year", "id")
         .write.mode("overwrite").partitionBy("year").parquet(out)
       val back = s.read.parquet(out).filter(col("year") === 1997)
@@ -82,15 +91,16 @@ object Relational {
     "s8_full_refresh_sink" -> ((s, dir) => {
       val out = s"/root/repo/target/sink/s8_cube_${Tables.dirSlug(dir)}"
       // Direct write, no pre-write repartition: parallelism comes from
-      // StarSchema.build's fanOut of the fact input (the fixture scans
-      // are single-row-group → 1 task otherwise), which leaves the whole
-      // join-chain + parquet-encode stage running on all cores. An A/B
-      // showed a post-join repartition is strictly worse (it shuffles the
-      // WIDE cube rows; fanOut shuffles the narrow base rows), and
+      // StarSchema.factInput's fanOut of the fact input (the fixture
+      // scans are single-row-group → 1 task otherwise), which leaves the
+      // whole join-chain + parquet-encode stage running on all cores. An
+      // A/B showed a post-join repartition is strictly worse (it shuffles
+      // the WIDE cube rows; fanOut shuffles the narrow base rows), and
       // repartitionByRange worse still — its range sampler executes the
-      // child once just to pick boundaries.
-      graft.etl.StarSchema.build(s, dir).cube
-        .write.mode("overwrite").parquet(out)
+      // child once just to pick boundaries. The cube itself comes from
+      // the session's shared materialization (Shared.cube): the refresh
+      // sink's job is the atomic overwrite, not a private re-join.
+      Shared.cube(s, dir).write.mode("overwrite").parquet(out)
       s.read.parquet(out)
         .groupBy("category")
         .agg(count(lit(1)).as("n"), Det.dsum(col("price")).as("total_price"))
@@ -227,9 +237,12 @@ object Relational {
         .orderBy("r_name", "n_name")
     }),
 
-    // J2 cube view (warehouse.py:214-246): temp view + SQL over it.
+    // J2 cube view (warehouse.py:214-246): temp view + SQL over it. The
+    // view reads the session's one materialized cube (Shared.cube) — the
+    // reference's own cube_table is a materialized table queried by
+    // views, not a join re-run per query.
     "j2_cube_view" -> ((s, dir) => {
-      graft.etl.StarSchema.build(s, dir).cube.createOrReplaceTempView("cube_view")
+      Shared.cube(s, dir).createOrReplaceTempView("cube_view")
       s.sql("""SELECT category, year,
                |       CAST(SUM(CAST(price AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
                |       COUNT(*) AS n

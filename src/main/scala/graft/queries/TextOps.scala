@@ -102,10 +102,11 @@ object TextOps {
     // never collide on an exact fingerprint still collapse to one kept
     // document per transitive cluster.
     "px2_cluster_curation" -> ((s, dir) => {
-      import graft.ops.{Clusters, TextAnalysis, TextDedup}
+      import graft.ops.TextAnalysis
       val docs = Tables.documents(s, dir)
-      val cc = Clusters.connectedComponents(
-          TextDedup.minhashLsh(docs, "doc_id", "text"), "doc_a", "doc_b")
+      // cluster closure from the session's shared LSH pass (Shared):
+      // dd7 and px2 consume the identical edge set — computed once.
+      val cc = Shared.lshClusters(s, dir)
         .select(col("id").as("doc_id"), col("cluster_id"))
       val w = TextAnalysis.defaultWords
       val prof = TextAnalysis.profileCol(col("text"), w)
