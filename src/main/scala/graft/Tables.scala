@@ -26,9 +26,8 @@ object Tables {
     else spark.read.parquet(s"$dir/$table.parquet")
 
   /** The option map [[readJdbc]] passes to the JDBC source — factored out
-    * (and unit-tested) separately because `spark.read.format("jdbc").load()`
-    * resolves the schema by CONNECTING eagerly, and this sandbox has no
-    * database or driver jar to connect with; see COVERAGE.md. When
+    * so the plumbing is unit-testable without a connection (the JDBC
+    * source resolves schemas by connecting eagerly). When
     * `partitionColumn` is set the read is issued as `numPartitions`
     * parallel bounded range queries — the scale path; a plain JDBC read
     * is ONE connection pulling the whole table through the driver
@@ -56,9 +55,9 @@ object Tables {
   /** JDBC extraction (warehouse.py:25-43 re-expressed as a Spark source:
     * `SELECT * FROM db.{t}` into client memory becomes a prunable,
     * filter-pushing scan; with `partitionColumn` it becomes parallel
-    * bounded range scans). UNTESTED against a live database — the build
-    * sandbox has neither a MySQL server nor a driver jar (documented in
-    * COVERAGE.md); the option plumbing is unit-tested. */
+    * bounded range scans). Exercised live against embedded Apache Derby
+    * (JdbcSourceSpec): round trip, `jdbc:` routing, and the 4-way
+    * parallel bounded-range read. */
   def readJdbc(spark: SparkSession, url: String, table: String,
                options: Map[String, String] = Map.empty,
                partitionColumn: Option[String] = None,

@@ -27,12 +27,20 @@ object Streams {
   private val stateParts: String =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
 
+  /** Fixture schema probe, memoized per directory: `readStream` needs a
+    * user-supplied schema, and deriving it with a batch read costs a
+    * footer-read job per call — eleven times per bench session across
+    * the st* queries for the identical answer. */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   /** Streaming view of `events` with the nanos→micros ts normalization
     * (same as Tables.events, streaming flavor). */
   def events(spark: SparkSession, dir: String,
              readOptions: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val schema = schemaMemo.computeIfAbsent(s"$dir/events.parquet",
+      p => spark.read.parquet(p).schema)
     // the file source streams a directory; glob down to the events table
     val reader = readOptions.foldLeft(
       spark.readStream.schema(schema)

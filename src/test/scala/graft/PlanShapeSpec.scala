@@ -74,10 +74,50 @@ class PlanShapeSpec extends SparkSuite {
            viaNorm.collect().map(_.getDouble(0)).toSeq)
   }
 
-  test("cube build keeps the fact side exchange-free before the write") {
-    val p = plan("etl_cube_build")
-    assert(p.contains("BroadcastHashJoin"))
-    assert(!p.contains("SortMergeJoin"), "cube dims must broadcast")
+  test("flagship cube: all joins broadcast, fact spine carries exactly one exchange") {
+    // Pins the regression class behind round-6's j2 slowdown: the star
+    // build must stay a pure broadcast-join chain over ONE widened fact
+    // scan. Asserted on the raw builder (StarSchema.build), not the
+    // session-cached Shared.cube — and the cache is cleared first, or
+    // Spark's cache manager would substitute a plan-equal InMemoryRelation
+    // for the whole subtree and hide the join topology being pinned.
+    spark.catalog.clearCache()
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val phys = graft.etl.StarSchema.build(spark, sf).cube
+        .queryExecution.executedPlan
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+      val bhj = phys.collect { case j: BroadcastHashJoinExec => j }
+      // 11 = the 7-way cube star (product, subcategory, client, date,
+      // month, year, country) + the fact build's orders and customer
+      // joins + the dim-side builds (dimproduct⋈subcategory,
+      // dimdate⋈years), all broadcast at fixture scale.
+      assert(bhj.size == 11, s"expected 11 broadcast joins, got ${bhj.size}:\n$phys")
+      assert(phys.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"cube must not sort-merge:\n$phys")
+      // Walk the streamed (fact) side from the root: the only shuffle on
+      // that spine is factInput's fanOut rebalance. Dim-side subtrees may
+      // shuffle freely (distinct/dense_rank) — they end in broadcasts.
+      var node: org.apache.spark.sql.execution.SparkPlan = phys
+      var exchanges = 0
+      var done = false
+      while (!done) {
+        node match {
+          case j: BroadcastHashJoinExec =>
+            node = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.left
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => j.right
+            }
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+            exchanges += 1; node = e.child
+          case l if l.children.isEmpty => done = true
+          case other => node = other.children.head
+        }
+      }
+      assert(exchanges == 1,
+        s"fact spine must carry exactly the one fanOut exchange, got $exchanges:\n$phys")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   test("q1's shipdate cutoff reaches the parquet scan and aggregation is two-phase") {
