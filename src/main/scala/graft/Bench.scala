@@ -12,6 +12,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val benchStart = System.nanoTime()
     // Warm up the JVM/session (codegen, parquet reader, shuffle paths)
     // so the first timed query doesn't absorb one-time init cost.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -35,6 +36,7 @@ object Bench {
     // comparable to the last at the per-query level.
     // A failed query reports -1.0 (never its partial elapsed time), so a
     // crash can't masquerade as a fast success in the emitted JSON.
+    val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -42,7 +44,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (debug) System.err.println(
+        f"[bench-debug] +${(System.nanoTime() - benchStart) / 1e9}%.1fs $name%-28s ${sec}%.2fs")
+      name -> (if (ok) sec else -1.0)
     }.toMap
     def fmt(v: Double, d: Int): String =
       s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
