@@ -54,6 +54,19 @@ object Shared {
       graft.ops.TextDedup.minhashLsh(graft.Tables.documents(spark, dir),
         "doc_id", "text"))
 
+  private val once = new ConcurrentHashMap[(Int, String, String), Boolean]()
+
+  /** Run a side-effecting layout setup exactly once per (session, dir) —
+    * for queries whose subject is a PERSISTENT layout artifact (bucketed
+    * tables): the layout is written once and queried many times in a
+    * real warehouse, so re-writing it per query run would benchmark the
+    * setup, not the operator under test. Sink operators (s6-s8, cp1,
+    * zo1) do NOT use this — there the write IS the operator. */
+  def setupOnce(spark: SparkSession, dir: String, what: String)(
+      body: => Unit): Unit =
+    once.computeIfAbsent((System.identityHashCode(spark), dir, what),
+      _ => { body; true }): Unit
+
   /** Connected-component labels over [[lshPairs]] — the transitive
     * cluster closure shared by `dd7` and `px2`. Below the local-path
     * threshold this is a LocalRelation (broadcastable for free), so the
