@@ -17,6 +17,27 @@ object Bench {
     // so the first timed query doesn't absorb one-time init cost.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().count()
+    // Same policy for the streaming engine: the first stateful stream in
+    // the battery otherwise absorbs the one-time class-load/JIT of the
+    // micro-batch engine, state-store providers and memory sink (~1 s
+    // measured at sf0.1) — session setup, not query work. One tiny
+    // windowed agg warms the default (HDFS-backed) provider, one keyed
+    // dedup over a filtered-down stream warms RocksDB (st2 runs on it).
+    locally {
+      import org.apache.spark.sql.functions._
+      import graft.streaming.Streams
+      val ev = Streams.events(spark, sfDir)
+      Streams.runToTable(spark,
+        ev.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour")).count(),
+        "bench_warm_agg", "complete").count()
+      Streams.runToTable(spark,
+        ev.filter(col("event_id") % 97 === 0)
+          .withWatermark("ts", "10 minutes")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select("event_id"),
+        "bench_warm_dedup", "append", rocksdb = true).count()
+    }
     // Optional comma-separated query-name filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=px2_cluster_curation,dd7_cluster_dedup);
     // unset = the full inventory, which is what the driver runs.

@@ -34,6 +34,38 @@ object Streams {
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 
+  /** Session confs applied around every harness-driven stream and
+    * restored afterwards:
+    *  - state/shuffle partitions (see [[stateParts]]);
+    *  - no-data micro-batches OFF: every st* query emits its full output
+    *    in the data batch itself (complete-mode aggregations, the
+    *    immediate-emit dedup, the inner stream-stream join, the
+    *    NoTimeout sessionizer, stateless projections), so the trailing
+    *    empty batch Spark schedules by default only advances the
+    *    watermark to evict state the AvailableNow query is about to
+    *    discard — at fixture scale that is a full state-store
+    *    commit/offset-log cycle (measured 0.55 s on st2, 0.92 s on st6)
+    *    for zero rows. A production query whose OUTPUT depends on
+    *    watermark advancement (append-mode windowed agg, outer
+    *    stream-stream join) must keep the default; none of the harness
+    *    shapes do;
+    *  - local session-window pre-merge: fold each partition's session
+    *    fragments before the state-store shuffle, so the session agg
+    *    shuffles and stores merged sessions, not per-event fragments —
+    *    strictly fewer state rows at any scale. */
+  private def withStreamConfs[T](spark: SparkSession)(body: => T): T = {
+    val pairs = Seq(
+      "spark.sql.shuffle.partitions" -> stateParts,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+      "spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition" -> "true")
+    val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   /** Streaming view of `events` with the nanos→micros ts normalization
     * (same as Tables.events, streaming flavor). */
   def events(spark: SparkSession, dir: String,
@@ -65,10 +97,7 @@ object Streams {
       f.delete(): Unit
     }
     if (fs.exists) rm(fs)
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, stateParts)
-    try {
+    withStreamConfs(spark) {
       val q = streamed.writeStream
         .format("parquet")
         .option("path", s"$outDir/data")
@@ -77,7 +106,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    }
     // A zero-row stream leaves no parquet files, so schema inference on
     // the sink dir would throw — read back with the plan's known schema.
     spark.read.schema(streamed.schema).parquet(s"$outDir/data")
@@ -102,10 +131,7 @@ object Streams {
     }
     if (root.exists) rm(root)
     @volatile var lastVersion = -1L
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, stateParts)
-    try {
+    withStreamConfs(spark) {
       val q = streamed.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val agg = aggFn(batch)
@@ -120,7 +146,7 @@ object Streams {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(key, prev)
+    }
     if (lastVersion < 0)
       aggFn(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), streamed.schema))
@@ -137,11 +163,8 @@ object Streams {
     * setting is restored afterwards (see [[stateParts]]). */
   def runToTable(spark: SparkSession, streamed: DataFrame, name: String,
                  outputMode: String, rocksdb: Boolean = false): DataFrame = {
-    val key = "spark.sql.shuffle.partitions"
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.get(key)
     val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(key, stateParts)
     // RocksDB is the production state backend for large state (spillable,
     // incremental checkpoints); results are provider-independent, so one
     // query (st2, the most state-heavy) runs on it to keep the path live.
@@ -170,7 +193,7 @@ object Streams {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit
     }
-    try {
+    try withStreamConfs(spark) {
       val q = streamed.writeStream
         .format("memory")
         .queryName(name)
@@ -184,7 +207,6 @@ object Streams {
           s"[stream-debug] $name batch=${p.batchId} rows=${p.numInputRows} " +
             s"durationMs=${p.durationMs}"))
     } finally {
-      spark.conf.set(key, prev)
       if (rocksdb) prevProv match {
         case Some(p) => spark.conf.set(provKey, p)
         case None => spark.conf.unset(provKey)
