@@ -40,6 +40,12 @@ object TokenProfileUdf {
     if (b == 0 && e == s.length) s else s.substring(b, e)
   }
 
+  /** The exact `split(trim(text), '\s+')` tokenization every oracle
+    * replays — shared so sibling single-pass UDFs (e.g.
+    * [[RepetitionProfileUdf]]) cannot drift from it. */
+  private[functions] def tokenize(text: String): Array[String] =
+    WS.split(spaceTrim(text), -1)
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[Seq[String], UserDefinedFunction]()
 
@@ -52,7 +58,7 @@ object TokenProfileUdf {
       udf { (text: String) =>
         if (text == null) null
         else {
-          val toks = WS.split(spaceTrim(text), -1)
+          val toks = tokenize(text)
           val counts = new Array[Int](n)
           var i = 0
           while (i < toks.length) {

@@ -135,6 +135,34 @@ object TextAnalysis {
         minStopRatio).as("keep"))
   }
 
+  /** Repetition signals for boilerplate/degenerate-text filtering (the
+    * Gopher/C4-style repetition gate), one
+    * [[graft.functions.RepetitionProfileUdf]] pass per row:
+    * duplicate-token fraction, most-frequent-token share, and duplicate
+    * adjacent-bigram fraction, plus the `repetitive` flag at the given
+    * thresholds. Pure map — no shuffle. NULL text → NULL signals. */
+  def repetitionScore(docs: DataFrame, idCol: String, textCol: String,
+                      maxDupTokenRatio: Double = 0.6,
+                      maxTopTokenRatio: Double = 0.3,
+                      maxDupBigramRatio: Double = 0.5): DataFrame = {
+    val p = graft.functions.RepetitionProfileUdf.instance(col(textCol))
+    val nTok = p.getField("n_tokens")
+    val dupTok = lit(1.0) - p.getField("n_types").cast("double") / nTok
+    val topTok = p.getField("max_tok_freq").cast("double") / nTok
+    val dupBg = when(p.isNull, lit(null).cast("double"))
+      .when(p.getField("n_bigrams") > 0,
+        lit(1.0) - p.getField("n_distinct_bigrams").cast("double")
+          / p.getField("n_bigrams"))
+      .otherwise(0.0)
+    docs.select(col(idCol),
+      nTok.as("n_tokens"),
+      dupTok.as("dup_token_ratio"),
+      topTok.as("top_token_ratio"),
+      dupBg.as("dup_bigram_ratio"),
+      (dupTok > maxDupTokenRatio || topTok > maxTopTokenRatio ||
+        dupBg > maxDupBigramRatio).as("repetitive"))
+  }
+
   /** Normalized-content md5 fingerprint + 3-gram shingle count. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))

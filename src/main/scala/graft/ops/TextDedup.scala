@@ -42,6 +42,49 @@ object TextDedup {
       .withColumn("canonical_id", min(idCol).over(Window.partitionBy("fingerprint")))
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
 
+  /** Incremental dedup of a new document batch against an existing
+    * corpus snapshot — the 100 TB ingestion shape: the snapshot is the
+    * accumulated corpus (huge, append-only), the batch is one crawl/day
+    * increment (small). A full batch⋈snapshot anti-join would shuffle
+    * the entire snapshot on every increment, so the snapshot scan is
+    * pre-filtered with a Bloom filter built over the BATCH fingerprints
+    * (the small side — its sketch is MBs at millions of docs and
+    * broadcastable; a filter over a billion-doc snapshot would not be):
+    * only snapshot rows whose fingerprint might collide with the batch
+    * reach the shuffle. Correct by construction — the filter has no
+    * false negatives, so every true match survives to the exact join,
+    * and false positives are discarded by the equi-join itself.
+    *
+    * The `mightContainString` probe is a scalar UDF over the broadcast
+    * sketch: Spark's own `BloomFilterMightContain` expression (what the
+    * runtime bloom-join rule injects) is not public API, and the probe
+    * sits behind the pushed-down parquet scan either way.
+    *
+    * Output: idCol, fingerprint, is_dup_of_snapshot — every batch row,
+    * flagged. Keep the `false` rows; a pipeline appends them to the
+    * snapshot. */
+  def incrementalDedup(batch: DataFrame, snapshot: DataFrame,
+                       idCol: String, textCol: String,
+                       fpp: Double = 0.01): DataFrame = {
+    val spark = batch.sparkSession
+    val batchFps = batch.select(col(idCol),
+      fingerprint(col(textCol)).as("fingerprint"))
+    val snapFps = snapshot.select(fingerprint(col(textCol)).as("fingerprint"))
+      .filter(col("fingerprint").isNotNull)
+    // expectedNumItems: one column-pruned count over the small side
+    val nBatch = math.max(batchFps.count(), 1L)
+    val bloom = batchFps.filter(col("fingerprint").isNotNull)
+      .stat.bloomFilter("fingerprint", nBatch, fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
+    val hits = snapFps.filter(mightContain(col("fingerprint")))
+      .distinct()
+      .withColumn("__in_snap", lit(true))
+    batchFps.join(hits, Seq("fingerprint"), "left")
+      .select(col(idCol), col("fingerprint"),
+        coalesce(col("__in_snap"), lit(false)).as("is_dup_of_snapshot"))
+  }
+
   /** MinHash-LSH near-dup pairs: 16-hash signatures over 3-token
     * shingles, 4×4 banding, signature-estimated Jaccard ≥ threshold.
     *

@@ -84,6 +84,24 @@ object DedupOps {
       graft.ops.TextDedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // dd8 — incremental dedup [extension]: the upper-id half of the
+    // corpus arrives as a new batch and is checked against the lower-id
+    // half (the accumulated snapshot) — bloom-prefiltered snapshot scan,
+    // exact join on survivors (TextDedup.incrementalDedup's Scaladoc has
+    // the 100 TB asymmetry argument). The median split attaches as a
+    // broadcast scalar, so the query adapts to any fixture scale with no
+    // hardcoded id.
+    "dd8_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thr = docs.agg(expr("(max(doc_id) + 1) div 2").as("__split_at"))
+      val withT = docs.crossJoin(broadcast(thr))
+      graft.ops.TextDedup.incrementalDedup(
+        batch = withT.filter(col("doc_id") >= col("__split_at")),
+        snapshot = withT.filter(col("doc_id") < col("__split_at")),
+        idCol = "doc_id", textCol = "text")
+        .orderBy("doc_id")
+    }),
+
     // dd2 — MinHash + LSH: 3-token shingles → 16 minhashes → 4 bands of
     // 4 → bucket-join candidates → signature-estimated Jaccard ≥ 0.5.
     // (Shared.lshPairs: one candidate+verification pass per session,
@@ -137,6 +155,19 @@ object DedupOps {
         .orderBy("vec_a", "vec_b")))
 
   val oracles: Map[String, String] = Map(
+    "dd8_incremental_dedup" ->
+      """WITH t AS (SELECT (max(doc_id) + 1) // 2 AS split_at FROM documents),
+        |b AS (SELECT doc_id,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |      FROM documents, t WHERE doc_id >= split_at),
+        |sn AS (SELECT DISTINCT
+        |         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+        |       FROM documents, t WHERE doc_id < split_at)
+        |SELECT b.doc_id, b.fingerprint,
+        |       sn.fingerprint IS NOT NULL AS is_dup_of_snapshot
+        |FROM b LEFT JOIN sn ON b.fingerprint = sn.fingerprint
+        |ORDER BY doc_id""".stripMargin,
+
     "dd1_exact_dedup" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,

@@ -71,8 +71,16 @@ object Shared {
     * cluster closure shared by `dd7` and `px2`. Below the local-path
     * threshold this is a LocalRelation (broadcastable for free), so the
     * persist costs nothing; above it, it pins the converged label table. */
-  def lshClusters(spark: SparkSession, dir: String): DataFrame =
+  def lshClusters(spark: SparkSession, dir: String): DataFrame = {
+    // Resolve the dependency BEFORE the memo entry: calling lshPairs
+    // inside this cached() lambda nests a computeIfAbsent in a
+    // computeIfAbsent on the same map, and ConcurrentHashMap throws
+    // "Recursive update" when a clusters consumer (dd7/px2) runs before
+    // any pairs consumer (dd2) AND the two keys land in one hash bin —
+    // run-order- and identityHashCode-dependent, so it surfaces as a
+    // once-in-a-while battery crash, not a test failure.
+    val pairs = lshPairs(spark, dir)
     cached(spark, dir, "lsh_clusters")(
-      graft.ops.Clusters.connectedComponents(lshPairs(spark, dir),
-        "doc_a", "doc_b"))
+      graft.ops.Clusters.connectedComponents(pairs, "doc_a", "doc_b"))
+  }
 }

@@ -45,6 +45,24 @@ object TextOps {
       graft.ops.TextAnalysis.histogram(Tables.documents(s, dir), "n_chars", 100L)
         .orderBy("bucket_lo")),
 
+    // tx6 — repetition signals [extension]: duplicate-token /
+    // top-token / duplicate-bigram fractions + the repetitive flag
+    // (the Gopher/C4-style boilerplate gate), one single-pass UDF per
+    // row (RepetitionProfileUdf Scaladoc has the HOF-vs-UDF argument).
+    "tx6_repetition" -> ((s, dir) =>
+      graft.ops.TextAnalysis.repetitionScore(
+        Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // pk1 — sequence packing [extension]: concat-then-chunk layout of
+    // the token stream into 2048-token packs, built per source shard so
+    // every shard packs in parallel (Packing Scaladoc has the
+    // global-vs-shard window argument).
+    "pk1_sequence_pack" -> ((s, dir) =>
+      graft.ops.Packing.packSequences(
+        Tables.documents(s, dir), "doc_id", "text", "source", 2048L)
+        .orderBy("shard", "id")),
+
     // f13 — generator/UDTF surface: explode the token array into rows
     // (the lateral-view shape) and aggregate — corpus word count, top 20.
     "f13_word_count" -> ((s, dir) =>
@@ -174,6 +192,44 @@ object TextOps {
     "tx5_length_histogram" ->
       """SELECT (n_chars // 100) * 100 AS bucket_lo, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tx6_repetition" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |b AS (SELECT doc_id, len(t) AS n,
+         |        len(list_distinct(t)) AS ntypes,
+         |        list_max(list_transform(list_distinct(t),
+         |          w -> len(list_filter(t, x -> x = w)))) AS maxf,
+         |        CASE WHEN t IS NULL THEN NULL
+         |             WHEN len(t) > 1 THEN list_transform(
+         |               generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+         |             ELSE [] END AS bg
+         |      FROM toks),
+         |r AS (SELECT doc_id, n,
+         |        1.0 - CAST(ntypes AS DOUBLE) / n AS dup_token_ratio,
+         |        CAST(maxf AS DOUBLE) / n AS top_token_ratio,
+         |        CASE WHEN n IS NULL THEN NULL
+         |             WHEN len(bg) > 0
+         |               THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         |             ELSE 0.0 END AS dup_bigram_ratio
+         |      FROM b)
+         |SELECT doc_id, n AS n_tokens, dup_token_ratio, top_token_ratio,
+         |  dup_bigram_ratio,
+         |  (dup_token_ratio > 0.6 OR top_token_ratio > 0.3 OR
+         |   dup_bigram_ratio > 0.5) AS repetitive
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "pk1_sequence_pack" ->
+      s"""WITH t AS (SELECT source AS shard, doc_id AS id,
+         |             CAST(len($sqlTokens) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT shard, id, n_tokens,
+         |        CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY id
+         |          ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
+         |      FROM t)
+         |SELECT shard, id, n_tokens, start_off,
+         |  start_off // 2048 AS first_pack,
+         |  ((start_off + n_tokens - 1) // 2048) - (start_off // 2048) + 1 AS n_packs
+         |FROM c ORDER BY shard, id""".stripMargin,
 
     "f13_word_count" ->
       s"""SELECT word, COUNT(*) AS n

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Packing, TextAnalysis, TextDedup}
+
+/** Hand-computed oracles for the round-7 training-data ops: incremental
+  * snapshot dedup (bloom prefilter + exact join), repetition signals,
+  * and concat-then-chunk sequence packing. The driver's DuckDB gate
+  * covers the fixture corpus; these pin the arithmetic and the edge
+  * cases the fixtures don't contain (cross-split duplicates at test
+  * scale, null text, pack-boundary straddling). */
+class TrainingDataOpsSpec extends SparkSuite {
+
+  test("incrementalDedup flags exactly the batch docs whose fingerprint is in the snapshot") {
+    import spark.implicits._
+    val snapshot = Seq(
+      (1L, "shared doc one"), (2L, "snapshot only"), (3L, "Shared   DOC one"))
+      .toDF("pk", "body") // 3 normalizes to 1's fingerprint
+    val batch = Seq(
+      (10L, "shared doc one"),     // exact dup of snapshot 1
+      (11L, "SHARED  doc ONE  "),  // dup after normalization
+      (12L, "genuinely new"),
+      (13L, null.asInstanceOf[String])) // null text: never a dup
+      .toDF("pk", "body")
+    val out = TextDedup.incrementalDedup(batch, snapshot, "pk", "body")
+      .orderBy("pk").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L, 11L, 12L, 13L))
+    assert(out.map(_.getBoolean(2)).toSeq === Seq(true, true, false, false))
+    // agreement with the plain (no-bloom) formulation on the fixture corpus
+    val docs = Tables.documents(spark, sf)
+    val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head.getLong(0)
+    val b = docs.filter(col("doc_id") >= half)
+    val s = docs.filter(col("doc_id") < half)
+    val viaBloom = TextDedup.incrementalDedup(b, s, "doc_id", "text")
+    val plain = b.select(col("doc_id"), TextDedup.fingerprint(col("text")).as("fp"))
+      .join(s.select(TextDedup.fingerprint(col("text")).as("fp")).distinct()
+          .withColumn("hit", lit(true)),
+        Seq("fp"), "left")
+      .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("is_dup"))
+    val lhs = viaBloom.select("doc_id", "is_dup_of_snapshot").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    val rhs = plain.collect().map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    assert(lhs === rhs)
+  }
+
+  test("repetitionScore arithmetic matches hand computation, null text gives null signals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),  // 4 toks, 2 types, maxf 3; bigrams [a a, a a, a b] -> 3, distinct 2
+      (2L, "x"),        // 1 tok: no bigrams -> dup_bigram 0.0; top ratio 1.0 -> repetitive
+      (3L, "w1 w2 w3 w4 w5"), // all distinct
+      (4L, null.asInstanceOf[String]))
+      .toDF("pk", "body")
+    val out = TextAnalysis.repetitionScore(docs, "pk", "body")
+      .orderBy("pk").collect()
+    val r1 = out(0)
+    assert(r1.getInt(1) === 4)
+    assert(r1.getDouble(2) === 1.0 - 2.0 / 4)     // dup_token_ratio
+    assert(r1.getDouble(3) === 3.0 / 4)           // top_token_ratio
+    assert(r1.getDouble(4) === 1.0 - 2.0 / 3)     // dup_bigram_ratio
+    assert(r1.getBoolean(5))                      // top 0.75 > 0.3
+    val r2 = out(1)
+    assert(r2.getInt(1) === 1 && r2.getDouble(4) === 0.0 && r2.getBoolean(5))
+    val r3 = out(2)
+    assert(r3.getDouble(2) === 0.0 && r3.getDouble(4) === 0.0 && !r3.getBoolean(5))
+    val r4 = out(3)
+    assert((1 to 5).forall(r4.isNullAt))
+  }
+
+  test("packSequences: per-shard offsets, boundary straddling, shard independence") {
+    import spark.implicits._
+    def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq(
+      ("A", 1L, words(7, "a")),  // [0,7)   pack 0
+      ("A", 2L, words(5, "b")),  // [7,12)  straddles packs 0-1 at budget 10
+      ("A", 3L, words(3, "c")),  // [12,15) pack 1
+      ("B", 1L, words(25, "d")), // [0,25)  packs 0-2
+      ("B", 2L, words(1, "e")))  // [25,26) pack 2
+      .toDF("src", "pk", "body")
+    val out = Packing.packSequences(docs, "pk", "body", "src", 10L)
+      .orderBy("shard", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(out === Seq(
+      ("A", 1L, 7L, 0L, 0L, 1L),
+      ("A", 2L, 5L, 7L, 0L, 2L),
+      ("A", 3L, 3L, 12L, 1L, 1L),
+      ("B", 1L, 25L, 0L, 0L, 3L),
+      ("B", 2L, 1L, 25L, 2L, 1L)))
+  }
+}
