@@ -65,16 +65,25 @@ object TextDedup {
     * snapshot. */
   def incrementalDedup(batch: DataFrame, snapshot: DataFrame,
                        idCol: String, textCol: String,
-                       fpp: Double = 0.01): DataFrame = {
+                       fpp: Double = 0.01,
+                       expectedBatchItems: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
     val batchFps = batch.select(col(idCol),
       fingerprint(col(textCol)).as("fingerprint"))
     val snapFps = snapshot.select(fingerprint(col(textCol)).as("fingerprint"))
       .filter(col("fingerprint").isNotNull)
-    // expectedNumItems: one column-pruned count over the small side
-    val nBatch = math.max(batchFps.count(), 1L)
+    // Sizing the filter exactly would cost a count() pass over the batch;
+    // overprovisioning costs only sketch bytes (1M capacity @ 1% ≈ 1.2 MB
+    // — broadcast-trivial, and each scan task carries one sketch into the
+    // merge, so capacity × partitions is the real bound) and DRIVES fpp
+    // DOWN when the batch is smaller, so the default skips the count.
+    // Callers whose batch may exceed the default pass their own estimate:
+    // an undersized filter stays correct (no false negatives ever) but
+    // its fpp degrades and the prefilter passes more of the snapshot
+    // through to the join.
     val bloom = batchFps.filter(col("fingerprint").isNotNull)
-      .stat.bloomFilter("fingerprint", nBatch, fpp)
+      .stat.bloomFilter("fingerprint",
+        math.max(expectedBatchItems.getOrElse(1L << 20), 1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((fp: String) => fp != null && bc.value.mightContainString(fp))
     val hits = snapFps.filter(mightContain(col("fingerprint")))

@@ -196,4 +196,51 @@ class PlanShapeSpec extends SparkSuite {
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("incremental dedup prefilters the snapshot before any exchange; packing shuffles once on the shard") {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // dd8: the snapshot side's bloom probe must sit below the exchange —
+      // a plan that shuffles the raw snapshot and filters after defeats
+      // the whole asymmetry (at 100 TB the snapshot IS the corpus).
+      val dd8 = SparkEntry.queries("dd8_incremental_dedup")(spark, sf)
+        .queryExecution.executedPlan
+      // the snapshot branch is the one whose exchange moves fingerprints
+      // with no id attached (the batch never shuffles at all — it feeds
+      // the probe side of the broadcast join); such an exchange must have
+      // the UDF probe filter somewhere below it
+      val shuffledRawSnapshot = dd8.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.output.exists(_.name.startsWith("fingerprint")) &&
+              !e.output.exists(_.name.startsWith("doc_id")) &&
+              e.child.collectFirst {
+                case f: org.apache.spark.sql.execution.FilterExec
+                    if f.condition.toString.contains("UDF") => f
+              }.isEmpty => e
+      }
+      assert(shuffledRawSnapshot.isEmpty,
+        s"snapshot rows reach an exchange without the bloom prefilter:\n$dd8")
+
+      // pk1: one hash exchange (per-shard window), no global range sort
+      // inside the op itself (the query-level orderBy is presentation).
+      val pk = graft.ops.Packing.packSequences(
+        Tables.documents(spark, sf), "doc_id", "text", "source", 2048L)
+        .queryExecution.executedPlan
+      val exchanges = pk.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1 &&
+          exchanges.head.outputPartitioning.toString.contains("hashpartitioning"),
+        s"packing must shuffle exactly once, hash-partitioned by shard:\n$pk")
+
+      // tx6: a pure map — no exchange at all below the op
+      val tx = graft.ops.TextAnalysis.repetitionScore(
+        Tables.documents(spark, sf), "doc_id", "text")
+        .queryExecution.executedPlan
+      assert(tx.collectFirst {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.isEmpty, s"repetition scoring must not shuffle:\n$tx")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
