@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Det, DedupOps, Etl, MultimodalOps, Relational, SimilarityOps, StreamingOps, TextOps}
+import graft.queries.{CurationOps, Det, DedupOps, Etl, MultimodalOps, Relational, SimilarityOps, StreamingOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,6 +39,7 @@ object SparkEntry {
       (Etl.queries, Etl.oracles),
       (Relational.queries, Relational.oracles),
       (TextOps.queries, TextOps.oracles),
+      (CurationOps.queries, CurationOps.oracles),
       (DedupOps.queries, DedupOps.oracles),
       (SimilarityOps.queries, SimilarityOps.oracles),
       (MultimodalOps.queries, MultimodalOps.oracles),

@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{DetHash, TextHashUdfs, TopKAggregator}
+
+/** Corpus-curation operators for LLM training-data pipelines [extension —
+  * north star; absent in the reference, which stops at warehouse loads]:
+  * benchmark decontamination, PII redaction, per-domain caps,
+  * deterministic stratified sampling, and domain-mixture weights — the
+  * steps that turn a deduped corpus into a training mix.
+  *
+  * Scale posture (details per method): decontamination is a broadcast
+  * semi-structure join against the benchmark shingle set (benchmarks are
+  * MBs; the corpus is never shuffled raw), redaction and sampling are
+  * pure shuffle-free maps, the per-domain cap replaces the full-corpus
+  * window with a bounded O(k) aggregate plus a threshold filter, and
+  * mixture weighting aggregates to one row per stratum. All arithmetic
+  * and hashing is the engine-portable [[DetHash]] family, so every
+  * operator is DuckDB-oracle-checked end to end.
+  */
+object Curation {
+
+  // ── decontamination ────────────────────────────────────────────────
+
+  /** Flag candidate documents that share any `n`-token shingle with a
+    * benchmark/eval set — the standard "did the eval leak into the
+    * training mix" gate (the GPT-3 appendix-C / Dolma decontamination
+    * shape: n-gram overlap, not exact match, so paraphrased-but-copied
+    * passages still trip it).
+    *
+    * Plan shape: the benchmark's distinct shingle hashes are built once
+    * and BROADCAST — eval suites are thousands of documents (MBs of
+    * 8-byte hashes) even when the corpus is 100 TB, so the corpus-side
+    * scan joins map-side and never shuffles text. The only exchange
+    * carries (id, partial overlap count) pairs for matched shingles —
+    * sparse by construction (most corpus shingles miss). Shingles are
+    * compared by their 60-bit md5-derived hash ([[DetHash.h]]): 8-byte
+    * join keys, deterministic across engines, collision odds ≈2⁻⁶⁰.
+    *
+    * Output: idCol, n_shingles (0 for docs shorter than n tokens),
+    * n_overlap, contaminated. Rows = `docs` rows, exactly.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String, n: Int = 4): DataFrame = {
+    val shingles = TextHashUdfs.shingleHashSet(n)
+    val bench = benchmark
+      .select(explode(shingles(col(textCol))).as("__sh"))
+      .distinct()
+    val cand = docs.select(col(idCol), shingles(col(textCol)).as("__s"))
+    val overlap = cand
+      .select(col(idCol), explode(col("__s")).as("__sh"))
+      .join(broadcast(bench), "__sh")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_overlap"))
+    cand
+      .select(col(idCol), coalesce(size(col("__s")), lit(0)).as("n_shingles"))
+      .join(overlap, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // ── PII redaction ──────────────────────────────────────────────────
+
+  /** Redaction patterns, shared with the DuckDB oracle. Restricted to
+    * syntax Java regex and RE2 interpret identically (char classes,
+    * bounded repetition, `\b`): no backrefs, no lookaround. */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pat  = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val LongNumPat = "\\b[0-9]{9,}\\b"
+
+  /** Scrub email addresses, IPv4 addresses, and long digit runs (ids,
+    * phone-ish numbers) from a text column — the minimum-viable PII pass
+    * every web-scale corpus gets before training. Pure map: three
+    * codegen'd regexp_replace + three regexp_count per row, zero
+    * shuffles, linear in corpus size. Replacement order is fixed
+    * (email → ip → number) so counts are taken on the ORIGINAL text and
+    * each pattern sees text untouched by its own placeholder.
+    *
+    * Output: idCol, clean (redacted text), n_emails, n_ips, n_longnums.
+    * Idempotent: redacting `clean` again is the identity (placeholders
+    * match none of the patterns).
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val clean =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailPat, "<EMAIL>"),
+          Ipv4Pat, "<IP>"),
+        LongNumPat, "<NUM>")
+    docs.select(col(idCol),
+      clean.as("clean"),
+      regexp_count(t, lit(EmailPat)).as("n_emails"),
+      regexp_count(t, lit(Ipv4Pat)).as("n_ips"),
+      regexp_count(t, lit(LongNumPat)).as("n_longnums"))
+  }
+
+  // ── per-domain cap ─────────────────────────────────────────────────
+
+  /** Keep at most `k` documents per group, best-first by (valueCol DESC,
+    * idCol ASC) — the per-domain cap that stops one crawl host from
+    * dominating the mix.
+    *
+    * The naive form is row_number over a per-group window: it shuffles
+    * the WHOLE corpus on the group key and sorts every group on one
+    * task — the hottest domain becomes the straggler. Here phase 1
+    * computes each group's exact k-th (value, id) cutoff with the O(k)
+    * map-side [[TopKAggregator]] (shuffle carries ≤ k pairs per group
+    * per mapper), the cutoff broadcast-joins back, and the filter keeps
+    * a row iff its (value, id) sorts at-or-before the cutoff. Because
+    * the sort key is total (ties broken by id), the filter IS row_number
+    * ≤ k — bit-identical to the window form, proven by CurationSpec.
+    * The rank then recomputes over survivors only (≤ k·groups rows).
+    *
+    * Output: groupCol, idCol, valueCol, rk — `rk` the 1-based rank.
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, valueCol: String,
+                  idCol: String, k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    val cutoff = docs.groupBy(groupCol)
+      .agg(topk(col(valueCol).cast("double"), col(idCol).cast("long")).as("top"))
+      // groups with < k rows keep everything: sentinel cutoff sorts last
+      .select(col(groupCol),
+        when(size(col("top")) >= k, element_at(col("top"), k).getField("_1"))
+          .otherwise(lit(Double.NegativeInfinity)).as("__kv"),
+        when(size(col("top")) >= k, element_at(col("top"), k).getField("_2"))
+          .otherwise(lit(Long.MaxValue)).as("__ki"))
+    docs.join(broadcast(cutoff), groupCol)
+      .filter(col(valueCol).cast("double") > col("__kv") ||
+        (col(valueCol).cast("double") === col("__kv") &&
+          col(idCol).cast("long") <= col("__ki")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(groupCol)
+          .orderBy(col(valueCol).desc, col(idCol).asc)))
+      .select(groupCol, idCol, valueCol, "rk")
+  }
+
+  // ── stratified sampling ────────────────────────────────────────────
+
+  /** Deterministic per-stratum downsampling: a row survives iff
+    * H(salt ‖ id) mod 10⁶ < rate(stratum)·10⁶, with [[DetHash.h]] as H.
+    * This is how a 100 TB pipeline samples: hash-gated, so the decision
+    * is a pure shuffle-free map (no RNG state, no seed-per-partition
+    * coupling), reproducible run to run, and stable under repartition —
+    * the same document survives no matter how the scan is split. The
+    * salt gives independent draws for independent sampling stages.
+    *
+    * `rates` maps stratum value → keep-rate in [0, 1]; unlisted strata
+    * get `defaultRate`. Output: the surviving rows, original schema.
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = "sample"): DataFrame = {
+    val M = 1000000L
+    val draw = DetHash.h(concat(lit(salt + "_"), col(idCol).cast("string"))) % M
+    val cut = rates.foldLeft(lit((defaultRate * M).toLong)) {
+      case (acc, (s, r)) => when(col(stratumCol) === s, lit((r * M).toLong)).otherwise(acc)
+    }
+    docs.filter(draw < cut)
+  }
+
+  /** DuckDB replay of [[stratifiedSample]]'s survival predicate (the
+    * CASE over `rates` is up to the caller). */
+  def duckDraw(idExpr: String, salt: String = "sample"): String =
+    s"${DetHash.hSql(s"'${salt}_' || $idExpr")} % 1000000"
+
+  // ── domain-mixture weights ─────────────────────────────────────────
+
+  /** Per-stratum mixture weights: given a target token share per
+    * stratum, compute each stratum's actual token share and the
+    * sampling/repeat weight (target / actual) that reshapes the corpus
+    * into the target mix — the "domain mixing" step (Pile/Dolma-style)
+    * that follows curation. Two tiny aggregates: one row per stratum,
+    * then the grand total attaches by broadcast; token counts sum as
+    * exact BIGINT so both engines agree bit-for-bit, and the shares are
+    * single IEEE divisions.
+    *
+    * Output: stratumCol, n_docs, total_tokens, actual_share,
+    * target_share, weight — one row per stratum present in `docs`.
+    */
+  def mixtureWeights(docs: DataFrame, stratumCol: String, tokensCol: Column,
+                     targets: Map[String, Double],
+                     defaultTarget: Double = 0.0): DataFrame = {
+    val per = docs
+      .select(col(stratumCol), tokensCol.cast("long").as("__tok"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__tok").as("total_tokens"))
+    val grand = per.agg(sum("total_tokens").as("__grand"))
+    val target = targets.foldLeft(lit(defaultTarget)) {
+      case (acc, (s, t)) => when(col(stratumCol) === s, lit(t)).otherwise(acc)
+    }
+    per.crossJoin(broadcast(grand))
+      .select(col(stratumCol), col("n_docs"), col("total_tokens"),
+        (col("total_tokens").cast("double") / col("__grand").cast("double"))
+          .as("actual_share"),
+        target.as("target_share"),
+        (target / (col("total_tokens").cast("double") / col("__grand").cast("double")))
+          .as("weight"))
+  }
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ops.Curation
+
+/** Curation-stage queries for the training-data pipeline [extension —
+  * north star]: decontamination, PII redaction, per-domain caps,
+  * stratified sampling, and mixture weighting over the `documents`
+  * table. Every query is DuckDB-oracle-checked; the fuzzy pieces reuse
+  * the [[graft.functions.DetHash]] portable hash family so both engines
+  * replay the identical bits.
+  */
+object CurationOps {
+
+  // ── shared DuckDB snippets (same family as DedupOps) ───────────────
+  private val duckToks = "str_split_regex(trim(text), '\\s+')"
+  private def duckShingles(n: Int): String = {
+    val parts = (0 until n).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+    s"list_transform(generate_series(1, len(t) - ${n - 1}), i -> $parts)"
+  }
+  private val duckH = "(('0x' || substr(md5(x), 1, 15))::UBIGINT)::BIGINT"
+
+  /** The pii1 fixture text: the corpus carries no PII, so the query
+    * plants a deterministic, doc_id-keyed tail — identically in both
+    * engines — and redacts it. Variation by doc_id (email only on
+    * id%3≠0, ip only on id%2=0) keeps the counts non-constant. */
+  private def plantedText = {
+    val id = col("doc_id")
+    concat(col("text"),
+      when(id % 3 =!= 0,
+        concat(lit(" contact user"), id.cast("string"), lit("@mail.example.com")))
+        .otherwise(lit("")),
+      when(id % 2 === 0,
+        concat(lit(" from 10."), (id % 200).cast("string"), lit(".0."),
+          (id % 250).cast("string"))).otherwise(lit("")),
+      lit(" ref 9"), lpad(id.cast("string"), 8, "0"))
+  }
+  private val duckPlanted =
+    """text ||
+      |  CASE WHEN doc_id % 3 <> 0
+      |       THEN ' contact user' || doc_id || '@mail.example.com' ELSE '' END ||
+      |  CASE WHEN doc_id % 2 = 0
+      |       THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+      |       ELSE '' END ||
+      |  ' ref 9' || lpad(doc_id::VARCHAR, 8, '0')""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ct1 — benchmark decontamination [extension]: every 10th document
+    // plays the eval set; the rest are candidates, flagged when they
+    // share any 4-token shingle with the benchmark. Broadcast benchmark
+    // shingle hashes; the corpus side never shuffles text (Curation
+    // Scaladoc has the 100 TB argument).
+    "ct1_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.decontaminate(
+        docs = docs.filter(col("doc_id") % 10 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text", n = 4)
+        .orderBy("doc_id")
+    }),
+
+    // pii1 — PII redaction [extension]: plant a deterministic email /
+    // IPv4 / long-number tail per doc (the fixture corpus has none),
+    // then scrub it. Counts are taken on the pre-redaction text; the
+    // clean text itself is part of the oracle compare.
+    "pii1_redaction" -> ((s, dir) =>
+      Curation.redactPii(
+        Tables.documents(s, dir).withColumn("text", plantedText),
+        "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // cr1 — per-domain cap [extension]: keep the 5 longest docs per
+    // source (ties to lowest id) WITHOUT a full-corpus window — bounded
+    // TopK aggregate → exact (value, id) cutoff → filter; rank runs
+    // over survivors only.
+    "cr1_domain_cap" -> ((s, dir) =>
+      Curation.capPerGroup(
+        Tables.documents(s, dir).select("source", "doc_id", "n_chars"),
+        groupCol = "source", valueCol = "n_chars", idCol = "doc_id", k = 5)
+        .orderBy("source", "rk")),
+
+    // cr2 — deterministic stratified sampling [extension]: hash-gated
+    // per-language keep rates (en .5 / de .3 / zh .2 / rest .1) — a
+    // pure map, reproducible and partition-stable, the only sampling
+    // shape that audits at 100 TB.
+    "cr2_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(
+        Tables.documents(s, dir).select("doc_id", "lang", "source"),
+        idCol = "doc_id", stratumCol = "lang",
+        rates = Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2),
+        defaultRate = 0.1)
+        .orderBy("doc_id")),
+
+    // cr3 — domain-mixture weights [extension]: actual vs target token
+    // share per language and the resampling weight that achieves the
+    // target mix (uniform 20% here). Exact BIGINT token sums, one row
+    // per language.
+    "cr3_domain_mixture" -> ((s, dir) =>
+      Curation.mixtureWeights(
+        Tables.documents(s, dir), "lang",
+        tokensCol = graft.ops.TextAnalysis.nTokensCol(col("text")),
+        targets = Map("en" -> 0.2, "de" -> 0.2, "es" -> 0.2,
+          "fr" -> 0.2, "zh" -> 0.2))
+        .orderBy("lang")))
+
+  val oracles: Map[String, String] = Map(
+
+    "ct1_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |         list_distinct(list_transform(${duckShingles(4)}, x -> $duckH)) AS s
+         |       FROM toks WHERE len(t) >= 4),
+         |bs AS (SELECT DISTINCT unnest(s) AS h FROM sh WHERE doc_id % 10 = 0),
+         |cs AS (SELECT doc_id, unnest(s) AS h FROM sh WHERE doc_id % 10 <> 0),
+         |ov AS (SELECT doc_id, COUNT(*) AS n_overlap
+         |       FROM cs JOIN bs USING (h) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(len(sh.s), 0) AS INT) AS n_shingles,
+         |  CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+         |FROM documents d
+         |LEFT JOIN sh ON d.doc_id = sh.doc_id
+         |LEFT JOIN ov ON d.doc_id = ov.doc_id
+         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "pii1_redaction" -> {
+      // DuckDB regular strings pass backslashes through verbatim, so the
+      // runtime pattern (e.g. \b...) embeds directly — RE2 sees the same
+      // bytes Java's regex engine does.
+      val email = Curation.EmailPat
+      val ip = Curation.Ipv4Pat
+      val num = Curation.LongNumPat
+      s"""WITH p AS (SELECT doc_id, $duckPlanted AS t FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(t,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g'),
+         |    '$num', '<NUM>', 'g') AS clean,
+         |  CAST(len(regexp_extract_all(t, '$email')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(t, '$ip')) AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(t, '$num')) AS INT) AS n_longnums
+         |FROM p ORDER BY doc_id""".stripMargin
+    },
+
+    "cr1_domain_cap" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars, CAST(rk AS INT) AS rk
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    "cr2_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${Curation.duckDraw("doc_id")} <
+         |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 300000
+         |            WHEN 'zh' THEN 200000 ELSE 100000 END
+         |ORDER BY doc_id""".stripMargin,
+
+    "cr3_domain_mixture" ->
+      s"""WITH per AS (
+         |  SELECT lang, COUNT(*) AS n_docs,
+         |    CAST(SUM(len($duckToks)) AS BIGINT) AS total_tokens
+         |  FROM documents GROUP BY lang),
+         |g AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS grand FROM per)
+         |SELECT lang, n_docs, total_tokens,
+         |  CAST(total_tokens AS DOUBLE) / CAST(grand AS DOUBLE) AS actual_share,
+         |  CAST(0.2 AS DOUBLE) AS target_share,
+         |  CAST(0.2 AS DOUBLE)
+         |    / (CAST(total_tokens AS DOUBLE) / CAST(grand AS DOUBLE)) AS weight
+         |FROM per, g ORDER BY lang""".stripMargin)
+}

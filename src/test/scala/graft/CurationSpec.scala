@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Curation
+
+/** Semantics of the curation operators, on constructed corpora where the
+  * right answer is known by hand — plus the plan-shape pins that encode
+  * their 100 TB posture (broadcast benchmark side, no full-corpus
+  * window, shuffle-free sampling). */
+class CurationSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ── decontamination ──────────────────────────────────────────────
+
+  test("decontaminate flags a planted benchmark copy and spares held-out vocab") {
+    val bench = Seq((0L, "alpha beta gamma delta epsilon zeta")).toDF("id", "txt")
+    val docs = Seq(
+      // full copy of the benchmark doc: every one of its 3 shingles overlaps
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      // partial: contains one benchmark 4-gram inside fresh text
+      (2L, "x y beta gamma delta epsilon z w q r"),
+      // disjoint vocabulary — clean
+      (3L, "uno dos tres cuatro cinco seis siete"),
+      // too short for a 4-shingle — 0 shingles, clean by definition
+      (4L, "tiny doc")).toDF("id", "txt")
+    val out = Curation.decontaminate(docs, bench, "id", "txt", n = 4)
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getBoolean(3))).toSeq ===
+      Seq((1L, 3, 3L, true), (2L, 7, 1L, true), (3L, 4, 0L, false), (4L, 0, 0L, false)))
+  }
+
+  test("decontaminate output is row-complete and benchmark side broadcasts") {
+    val docs = Tables.documents(spark, sf)
+    val cand = docs.filter(col("doc_id") % 10 =!= 0)
+    val out = Curation.decontaminate(cand,
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", n = 4)
+    assert(out.count() === cand.count(), "one output row per candidate doc")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark shingle set must broadcast:\n$p")
+  }
+
+  // ── PII redaction ────────────────────────────────────────────────
+
+  test("redactPii scrubs emails, IPs, long numbers; is idempotent; counts match") {
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@sub.example.org or 192.168.0.1 ref 123456789"),
+      (2L, "no pii here just words"),
+      (3L, "two mails a@b.co c@d.io and ip 10.0.0.255"),
+      (4L, "short number 12345678 stays")).toDF("id", "txt")
+    val out = Curation.redactPii(docs, "id", "txt").orderBy("id").collect()
+    assert(out(0) === Row(1L, "reach me at <EMAIL> or <IP> ref <NUM>", 1, 1, 1))
+    assert(out(1) === Row(2L, "no pii here just words", 0, 0, 0))
+    assert(out(2) === Row(3L, "two mails <EMAIL> <EMAIL> and ip <IP>", 2, 1, 0))
+    // 8 digits < the 9-digit floor — untouched
+    assert(out(3) === Row(4L, "short number 12345678 stays", 0, 0, 0))
+    // idempotence: placeholders match none of the patterns
+    val again = Curation.redactPii(
+      Curation.redactPii(docs, "id", "txt").select(col("id"), col("clean").as("txt")),
+      "id", "txt").orderBy("id").collect()
+    assert(again.map(_.getString(1)).toSeq === out.map(_.getString(1)).toSeq)
+  }
+
+  // ── per-domain cap ───────────────────────────────────────────────
+
+  test("capPerGroup is bit-identical to the window row_number form") {
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "n_chars")
+    val fast = Curation.capPerGroup(docs, "source", "n_chars", "doc_id", k = 5)
+    val naive = docs
+      .withColumn("rk", row_number().over(Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .filter(col("rk") <= 5)
+      .select("source", "doc_id", "n_chars", "rk")
+    assert(fast.exceptAll(naive).isEmpty && naive.exceptAll(fast).isEmpty,
+      "cutoff-filter form must equal the full window form")
+    // ties below k: a group smaller than k keeps everything
+    val tiny = Seq(("a", 1L, 10), ("a", 2L, 10), ("b", 3L, 5)).toDF("g", "id", "v")
+    assert(Curation.capPerGroup(tiny, "g", "v", "id", k = 5).count() === 3)
+  }
+
+  test("capPerGroup never windows the full input — only survivors") {
+    // AQE wraps the tree in AdaptiveSparkPlanExec, hiding WindowExec from
+    // collect() until execution — pin the static plan instead
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val docs = Tables.documents(spark, sf).select("source", "doc_id", "n_chars")
+    val phys = Curation.capPerGroup(docs, "source", "n_chars", "doc_id", k = 5)
+      .queryExecution.executedPlan
+    // the Window node's input must already be filtered by the cutoff —
+    // assert the filter sits below the window in the plan tree
+    val windows = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty, "rank recomputation window expected")
+    // the cutoff may survive as a FilterExec or fold straight into the
+    // broadcast join's condition — either way it must sit BELOW the window
+    assert(windows.forall(_.child.collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if f.condition.toString.contains("__kv") => f
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.condition.exists(_.toString.contains("__kv")) => j }.nonEmpty),
+      s"window must run over cutoff survivors, not the full corpus:\n$phys")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  // ── stratified sampling ──────────────────────────────────────────
+
+  test("stratifiedSample is deterministic, stratum-gated, and shuffle-free") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "source")
+    val rates = Map("en" -> 0.5, "de" -> 0.3, "zh" -> 0.2)
+    val s1 = Curation.stratifiedSample(docs, "doc_id", "lang", rates, 0.1)
+    val s2 = Curation.stratifiedSample(docs, "doc_id", "lang", rates, 0.1)
+    assert(s1.collect().toSeq === s2.collect().toSeq, "hash gate must be deterministic")
+    // survival decision is independent of partitioning
+    val s3 = Curation.stratifiedSample(docs.repartition(7), "doc_id", "lang", rates, 0.1)
+    assert(s3.collect().sortBy(_.getLong(0)).toSeq ===
+      s1.collect().sortBy(_.getLong(0)).toSeq)
+    // a different salt gives an independent draw (almost surely different)
+    val s4 = Curation.stratifiedSample(docs, "doc_id", "lang", rates, 0.1, salt = "other")
+    assert(s4.collect().toSet != s1.collect().toSet,
+      "independent salt must give a different draw")
+    // map-only: no exchange in the plan
+    val p = s1.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+  }
+
+  test("stratifiedSample keep rates track the configured rates") {
+    // uniform ids 0..9999, one stratum: law of large numbers puts the
+    // empirical rate within ±3% absolute of 0.3 for a 60-bit hash
+    val docs = spark.range(10000).select(col("id"), lit("s").as("g"))
+    val kept = Curation.stratifiedSample(docs, "id", "g", Map("s" -> 0.3), 0.0).count()
+    assert(kept > 2700 && kept < 3300, s"expected ≈3000 of 10000, got $kept")
+  }
+
+  // ── mixture weights ──────────────────────────────────────────────
+
+  test("mixtureWeights shares sum to 1 and weights invert the actual share") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.mixtureWeights(docs, "lang",
+      graft.ops.TextAnalysis.nTokensCol(col("text")),
+      targets = Map("en" -> 0.2, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2))
+      .collect()
+    val shares = out.map(_.getAs[Double]("actual_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-12)
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("weight") * r.getAs[Double]("actual_share")
+        - r.getAs[Double]("target_share")) < 1e-12)
+    }
+    // a stratum over target weight < 1, under target weight > 1
+    val w = out.map(r => r.getAs[String]("lang") -> r.getAs[Double]("weight")).toMap
+    val sh = out.map(r => r.getAs[String]("lang") -> r.getAs[Double]("actual_share")).toMap
+    w.foreach { case (l, wt) =>
+      assert((sh(l) > 0.2) == (wt < 1.0) || sh(l) == 0.2, s"weight direction for $l")
+    }
+  }
+}

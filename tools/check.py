@@ -32,6 +32,8 @@ def run_verify(sf_dir, out_dir):
            "-Dspark.sql.session.timeZone=UTC", "-cp", cp,
            "graft.Verify", sf_dir, out_dir]
     env = dict(os.environ, SPARK_GRAFT_CPUS=os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    if run_verify.only:
+        env["SPARK_GRAFT_ONLY"] = ",".join(run_verify.only)
     r = subprocess.run(cmd, env=env, capture_output=True, text=True)
     for line in r.stderr.splitlines():
         if "[verify]" in line or "Exception" in line:
@@ -56,6 +58,7 @@ def main():
     out_dir = f"{REPO}/target/verify_out"
 
     if not args.no_run:
+        run_verify.only = args.names
         run_verify(args.sf, out_dir)
 
     import duckdb
