@@ -137,9 +137,41 @@ object Etl {
         .crossJoin(incoming.agg(count(lit(1)).as("total")))
         .select(col("inserted"), (col("total") - col("inserted")).as("skipped"),
           col("total"))
+    }),
+
+    // O7 — cross-table transactional publish [warehouse.py:50-70,252-301
+    // multi-statement transactions; previously the engine's one
+    // documented non-goal]: two aggregates of the same orders batch
+    // publish ATOMICALLY via AtomicPublish's version-pointer swap, then
+    // read back through ONE resolved snapshot. total_check (the grand
+    // total from the by-year table) equaling the sum of the by-priority
+    // rows is exactly the cross-table consistency a torn publish would
+    // break. Each run bumps the version; vacuum bounds retained history.
+    "o7_atomic_publish" -> ((s, dir) => {
+      import graft.etl.AtomicPublish
+      val root = s"/root/repo/target/sink/o7_pub_${Tables.dirSlug(dir)}"
+      val orders = Tables.orders(s, dir)
+      val byPriority = orders.groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val byYear = orders.groupBy(year(col("o_orderdate")).as("order_year"))
+        .agg(count(lit(1)).as("n"))
+      AtomicPublish.publish(s, root, Seq(
+        "orders_by_priority" -> byPriority, "orders_by_year" -> byYear))
+      AtomicPublish.vacuum(s, root, keep = 2)
+      val snap = AtomicPublish.snapshot(s, root)
+      snap.table(s, "orders_by_priority")
+        .crossJoin(broadcast(
+          snap.table(s, "orders_by_year").agg(sum("n").as("total_check"))))
+        .select(col("o_orderpriority"), col("n"), col("total_check"))
+        .orderBy("o_orderpriority")
     }))
 
   val oracles: Map[String, String] = Map(
+    "o7_atomic_publish" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS total_check
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "etl_dim_client" ->
       s"""SELECT c_custkey AS id, c_name AS client_name,
          |       $clientDecodeSql AS company_type

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.AtomicPublish
+
+/** The cross-table transaction contract (warehouse.py:50-70,252-301):
+  * a batch's tables become visible together or not at all; a resolved
+  * snapshot never tears across a concurrent commit; vacuum reclaims
+  * history without touching retained versions. */
+class AtomicPublishSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String = {
+    val d = s"/root/repo/target/test-publish/$tag-${java.util.UUID.randomUUID}"
+    d
+  }
+
+  test("publish commits all tables of a batch atomically; versions bump") {
+    val root = freshRoot("basic")
+    val v0 = AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((1, "x")).toDF("k", "v"),
+      "b" -> Seq((1, 10L)).toDF("k", "n")))
+    assert(v0 === 0L)
+    assert(AtomicPublish.currentVersion(spark, root) === Some(0L))
+    val snap = AtomicPublish.snapshot(spark, root)
+    assert(snap.table(spark, "a").count() === 1)
+    assert(snap.table(spark, "b").count() === 1)
+    val v1 = AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((1, "x"), (2, "y")).toDF("k", "v"),
+      "b" -> Seq((1, 10L), (2, 20L)).toDF("k", "n")))
+    assert(v1 === 1L)
+    assert(AtomicPublish.readTable(spark, root, "a").count() === 2)
+  }
+
+  test("a failed publish leaves the previous snapshot fully intact") {
+    val root = freshRoot("fail")
+    AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((1, "x")).toDF("k", "v"),
+      "b" -> Seq((1, 10L)).toDF("k", "n")))
+    // second batch: table a writes fine, table b explodes mid-write —
+    // the pointer must not move, so readers keep seeing v0 of BOTH
+    val bomb = udf((k: Int) => {
+      if (k > 0) throw new RuntimeException("boom"); k
+    })
+    val failed = intercept[Exception] {
+      AtomicPublish.publish(spark, root, Seq(
+        "a" -> Seq((1, "x"), (2, "y")).toDF("k", "v"),
+        "b" -> Seq((1, 10L)).toDF("k", "n").withColumn("k", bomb(col("k")))))
+    }
+    assert(failed != null)
+    assert(AtomicPublish.currentVersion(spark, root) === Some(0L),
+      "pointer moved despite a failed batch")
+    val snap = AtomicPublish.snapshot(spark, root)
+    assert(snap.table(spark, "a").count() === 1, "reader saw a torn batch")
+    assert(snap.table(spark, "b").count() === 1)
+    // and the warehouse recovers: the next successful publish wins
+    AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((1, "x"), (2, "y")).toDF("k", "v"),
+      "b" -> Seq((1, 10L), (2, 20L)).toDF("k", "n")))
+    assert(AtomicPublish.readTable(spark, root, "b").count() === 2)
+  }
+
+  test("a resolved snapshot is immune to a commit that lands mid-job") {
+    val root = freshRoot("iso")
+    AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((1, "x")).toDF("k", "v"),
+      "b" -> Seq((1, 10L)).toDF("k", "n")))
+    val snap = AtomicPublish.snapshot(spark, root) // reader starts here
+    val aBefore = snap.table(spark, "a").count()
+    // writer publishes a new batch while the reader's job is "running"
+    AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v"),
+      "b" -> Seq((1, 10L), (2, 20L), (3, 30L)).toDF("k", "n")))
+    // the held snapshot still reads version 0 of BOTH tables
+    assert(snap.table(spark, "a").count() === aBefore)
+    assert(snap.table(spark, "b").count() === 1)
+    // a fresh resolve sees the new version of both
+    val snap2 = AtomicPublish.snapshot(spark, root)
+    assert(snap2.table(spark, "a").count() === 3)
+    assert(snap2.table(spark, "b").count() === 3)
+  }
+
+  test("vacuum reclaims old versions but never the retained window") {
+    val root = freshRoot("vacuum")
+    (0 until 4).foreach { i =>
+      AtomicPublish.publish(spark, root, Seq(
+        "a" -> Seq((i, s"v$i")).toDF("k", "v")))
+    }
+    val removed = AtomicPublish.vacuum(spark, root, keep = 2)
+    assert(removed === Seq(0L, 1L))
+    // retained: v2 (cur-1) and v3 (cur)
+    assert(AtomicPublish.Snapshot(root, 2L).table(spark, "a")
+      .first().getString(1) === "v2")
+    assert(AtomicPublish.readTable(spark, root, "a")
+      .first().getString(1) === "v3")
+    // vacuum on an unpublished root is a no-op
+    assert(AtomicPublish.vacuum(spark, freshRoot("empty")) === Nil)
+  }
+}
