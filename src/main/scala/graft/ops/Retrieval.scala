@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+/** Keyword retrieval over a document corpus [extension — north star]:
+  * the inverted-index query shape a training-data pipeline uses for
+  * targeted corpus slicing ("all docs about X"), decontamination probes,
+  * and eval-set mining.
+  *
+  * Scale shape — the crucial property is that NOTHING the size of the
+  * corpus token stream ever shuffles:
+  *   1. per-doc term frequencies for the QUERY terms only, one
+  *      [[graft.functions.TokenProfileUdf]] pass per row (the query is a
+  *      compile-time constant broadcast inside the UDF's hash map, so
+  *      this is a pure map — no explode of the token stream);
+  *   2. docs matching no term are filtered BEFORE any exchange, so the
+  *      only shuffled rows are actual postings (doc, term, tf) — the
+  *      inverted-index entries for the query terms;
+  *   3. document frequencies aggregate over |terms| keys (tiny), come
+  *      back as a broadcast join;
+  *   4. the final per-doc score is one hash aggregation over postings,
+  *      and top-k is TakeOrderedAndProject (O(k) per partition), never a
+  *      global sort.
+  */
+object Retrieval {
+
+  /** Fixed-point idf scale: idf_fp(t) = (N · idfScale) div df(t), an
+    * exact BIGINT — scores built from it are integer sums, so they are
+    * order-independent and bit-identical in any engine (an ln()-based
+    * idf differs in the last ulp between libm implementations; see
+    * [[bm25TopK]] for the production scorer). */
+  val IdfScale: Long = 10000L
+
+  /** Top-k documents for `terms` scored by fixed-point tf-idf:
+    * score = Σ_t tf(d,t) · idf_fp(t) (exact integer), normalized by
+    * document token length in a SINGLE IEEE division (deterministic).
+    * Output: idCol, n_matched, iscore, score — ordered by score desc,
+    * id asc, limited to k. */
+  def keywordTopK(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct: $terms")
+    val prof = TextAnalysis.profileCol(col(textCol), terms)
+    // postings: one row per (doc, matched term) — built from the profile
+    // struct, so the corpus is tokenized once and the explode is bounded
+    // by |terms| per doc, not token count
+    val postings = docs
+      .select(col(idCol), prof.as("__p"))
+      .select(col(idCol),
+        col("__p").getField("n_tokens").as("dl"),
+        posexplode(col("__p").getField("counts")).as(Seq("__ti", "tf")))
+      .filter(col("tf") > 0)
+    val corpusN = docs.agg(count(lit(1)).as("__n"))
+    val df = postings.groupBy("__ti").agg(count(lit(1)).as("__df"))
+      .crossJoin(broadcast(corpusN))
+      .select(col("__ti"),
+        // integer division (Column./ is IEEE double division, which
+        // would reintroduce the rounding the fixed-point idf exists to
+        // avoid) — `div` matches DuckDB's `//` exactly on positives
+        expr(s"(__n * $IdfScale) div __df").as("__idf"))
+    postings.join(broadcast(df), Seq("__ti"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matched"),
+        sum(col("tf").cast("long") * col("__idf")).as("iscore"),
+        first(col("dl")).as("__dl"))
+      .select(col(idCol), col("n_matched").cast("int").as("n_matched"),
+        col("iscore"),
+        (col("iscore").cast("double") / col("__dl")).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** DuckDB replay of [[keywordTopK]] — generated from the same term
+    * list and [[IdfScale]] so the two engines cannot drift. */
+  def duckKeywordTopK(terms: Seq[String], k: Int = 20,
+                      idCol: String = "doc_id", table: String = "documents",
+                      textCol: String = "text"): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT $idCol, str_split_regex(trim($textCol), '\\s+') AS t
+       |              FROM $table),
+       |q(term) AS (SELECT unnest([$termList])),
+       |post AS (
+       |  SELECT $idCol, term, len(list_filter(t, x -> x = term)) AS tf, len(t) AS dl
+       |  FROM toks, q WHERE len(list_filter(t, x -> x = term)) > 0),
+       |n AS (SELECT COUNT(*) AS n_docs FROM $table),
+       |idf AS (SELECT term, ((SELECT n_docs FROM n) * $IdfScale) // COUNT(*) AS idf
+       |        FROM post GROUP BY term),
+       |sc AS (
+       |  SELECT $idCol, CAST(COUNT(*) AS INT) AS n_matched,
+       |         CAST(SUM(tf * idf) AS BIGINT) AS iscore,
+       |         CAST(SUM(tf * idf) AS DOUBLE) / any_value(dl) AS score
+       |  FROM post JOIN idf USING (term) GROUP BY $idCol)
+       |SELECT $idCol, n_matched, iscore, score FROM sc
+       |ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
+  }
+
+  /** Okapi BM25 top-k — the production scorer, same distributed shape as
+    * [[keywordTopK]] (postings-only shuffle, broadcast idf + corpus
+    * stats, TakeOrderedAndProject):
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)       (Robertson)
+    *
+    * ln() is a transcendental whose last ulp differs across math
+    * libraries, so this variant is pinned in ScalaTest (self-consistent
+    * within the JVM) rather than DuckDB-hash-compared; [[keywordTopK]]
+    * is the oracle-gated form. Output: idCol, n_matched, score. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct: $terms")
+    val prof = TextAnalysis.profileCol(col(textCol), terms)
+    val postings = docs
+      .select(col(idCol), prof.as("__p"))
+      .select(col(idCol),
+        col("__p").getField("n_tokens").as("dl"),
+        posexplode(col("__p").getField("counts")).as(Seq("__ti", "tf")))
+      .filter(col("tf") > 0)
+    // one corpus-stats row: N and avgdl (over all docs with a token
+    // count, the standard convention) — broadcast-attached
+    val stats = docs
+      .select(TextAnalysis.nTokensCol(col(textCol)).cast("double").as("__dl"))
+      .agg(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
+    val idf = postings.groupBy("__ti").agg(count(lit(1)).cast("double").as("__df"))
+      .crossJoin(broadcast(stats))
+      .select(col("__ti"), col("__avgdl"),
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0).as("__idf"))
+    val tfNorm = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
+    postings.join(broadcast(idf), Seq("__ti"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_matched"),
+        sum(col("__idf") * tfNorm).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

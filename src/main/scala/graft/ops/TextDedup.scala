@@ -203,4 +203,60 @@ object TextDedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
+
+  /** Winnowed rolling-hash fingerprint SET per document (the
+    * MOSS/winnowing sketch — [[graft.functions.WinnowUdf]] has the
+    * algorithm and guarantees): normalization is a codegen'd Catalyst
+    * projection (the dd1 fingerprint normalization), hashing+selection
+    * one O(len) UDF pass, no shuffle. Documents shorter than k
+    * normalized characters have no k-gram and are dropped (matching the
+    * oracle's length gate). Output: idCol, fps (array<long>, distinct). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 30, w: Int = 8): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.WinnowUdf(k, w)(
+          regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fps"))
+      .filter(col("fps").isNotNull)
+
+  /** Containment pairs via winnowed fingerprints: detects documents one
+    * of which substantially CONTAINS the other's content (quotes,
+    * boilerplate-wrapped copies, subset pages) — the asymmetric relation
+    * resemblance-based dedup (dd2/dd4's Jaccard) under-scores, because a
+    * small doc inside a big one has low Jaccard but containment ≈ 1.
+    *
+    * Shape: fingerprint map (no shuffle) → explode SETS (density ~2/(w+1)
+    * of positions, not the full k-gram stream) → optional stop-fingerprint
+    * cutoff (same f² join-row argument as [[ngramJaccard]]'s
+    * maxShingleDf; off by default, trades recall for a bounded shuffle)
+    * → shared-fingerprint equi-join on 8-byte longs → per-pair overlap
+    * count → containment = |F_a ∩ F_b| / min(|F_a|, |F_b|), a single
+    * exact IEEE division. Never an all-pairs join.
+    * Output: doc_a, doc_b, containment. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 30, w: Int = 8, threshold: Double = 0.5,
+                       maxFingerprintDf: Option[Int] = None): DataFrame = {
+    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), col("fps"))
+    val sizes = fp.select(col("__id"), size(col("fps")).as("nf"))
+    val exploded0 = fp.select(col("__id"), explode(col("fps")).as("f"))
+    val exploded = maxFingerprintDf match {
+      case None => exploded0
+      case Some(cut) =>
+        val ok = exploded0.groupBy("f")
+          .agg(count(lit(1)).as("__df")).filter(col("__df") <= cut)
+          .select("f")
+        exploded0.join(ok, Seq("f"), "left_semi")
+    }
+    val inter = exploded.as("a").join(exploded.as("b"),
+        col("a.f") === col("b.f") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    inter
+      .join(sizes.select(col("__id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("__id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
 }

@@ -144,6 +144,18 @@ object DedupOps {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
 
+    // dd9 — winnowing containment [extension]: rolling-hash (Rabin-Karp)
+    // character k-grams → winnowed fingerprint sets (MOSS scheme, ~2/(w+1)
+    // density) → shared-fingerprint join → containment =
+    // |F_a ∩ F_b| / min(|F_a|, |F_b|). The asymmetric complement of
+    // dd2/dd4's resemblance: a document CONTAINED in a larger one scores
+    // ≈1 here but low Jaccard there. Oracle evaluates the identical
+    // polynomial hash per position (WinnowUdf.duckHashes — generated from
+    // the same constants, so the engines cannot drift).
+    "dd9_winnowing_containment" -> ((s, dir) =>
+      graft.ops.TextDedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+
     // dd5 — embedding-cosine near-dup: 16-bit random-hyperplane
     // signature (planes md5-derived), 4 × 4-bit band candidates, exact
     // cosine ≥ 0.4 verification on candidates. ~50% recall at the
@@ -239,6 +251,30 @@ object DedupOps {
          |JOIN sizes nb ON inter.doc_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd9_winnowing_containment" -> {
+      import graft.functions.WinnowUdf
+      val k = 30; val w = 8 // containmentPairs defaults
+      s"""WITH norm AS (SELECT doc_id,
+         |       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s
+         |     FROM documents),
+         |hs AS (SELECT doc_id, ${WinnowUdf.duckHashes(k)} AS h
+         |       FROM norm WHERE length(s) >= $k),
+         |fp AS (SELECT doc_id, ${WinnowUdf.duckWinnow(w)} AS fps FROM hs),
+         |sizes AS (SELECT doc_id, len(fps) AS nf FROM fp),
+         |ex AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+         |  FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(shared AS DOUBLE) / least(na.nf, nb.nf) AS containment
+         |FROM inter
+         |JOIN sizes na ON inter.doc_a = na.doc_id
+         |JOIN sizes nb ON inter.doc_b = nb.doc_id
+         |WHERE CAST(shared AS DOUBLE) / least(na.nf, nb.nf) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "dd7_cluster_dedup" ->
       s"""WITH RECURSIVE $duckLshPairCtes,

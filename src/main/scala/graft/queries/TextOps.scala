@@ -19,6 +19,9 @@ import graft.Tables
 object TextOps {
 
   private val sqlTokens = "str_split_regex(trim(text), '\\s+')"
+
+  /** ir1's query terms — one rare (df≈5% of docs), two common. */
+  private val ir1Terms = Seq("dup", "vector", "batch")
   private def sqlWordCount(w: String) =
     s"len(list_filter($sqlTokens, x -> x = '$w'))"
 
@@ -62,6 +65,19 @@ object TextOps {
       graft.ops.Packing.packSequences(
         Tables.documents(s, dir), "doc_id", "text", "source", 2048L)
         .orderBy("shard", "id")),
+
+    // ir1 — keyword retrieval [extension]: inverted-index top-k over the
+    // corpus (targeted slicing / decontamination probes / eval-set
+    // mining). Postings for the query terms only — one TokenProfileUdf
+    // pass per row, matched docs filtered before any exchange, df's
+    // broadcast back, top-k via TakeOrderedAndProject. Scoring is
+    // fixed-point tf-idf (exact integers → engine-portable; Retrieval
+    // .bm25TopK is the ln-idf production scorer, ScalaTest-pinned).
+    // Terms span the fixture df spectrum: 'dup' is rare (high idf),
+    // 'vector' and 'batch' are common.
+    "ir1_keyword_topk" -> ((s, dir) =>
+      graft.ops.Retrieval.keywordTopK(Tables.documents(s, dir), "doc_id", "text",
+        ir1Terms, k = 20)),
 
     // f13 — generator/UDTF surface: explode the token array into rows
     // (the lateral-view shape) and aggregate — corpus word count, top 20.
@@ -230,6 +246,8 @@ object TextOps {
          |  start_off // 2048 AS first_pack,
          |  ((start_off + n_tokens - 1) // 2048) - (start_off // 2048) + 1 AS n_packs
          |FROM c ORDER BY shard, id""".stripMargin,
+
+    "ir1_keyword_topk" -> graft.ops.Retrieval.duckKeywordTopK(ir1Terms, k = 20),
 
     "f13_word_count" ->
       s"""SELECT word, COUNT(*) AS n

@@ -182,7 +182,8 @@ class PlanShapeSpec extends SparkSuite {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      for (q <- Seq("dd2_minhash_lsh", "dd5_embedding_neardup", "sim2_ann_lsh")) {
+      for (q <- Seq("dd2_minhash_lsh", "dd5_embedding_neardup", "sim2_ann_lsh",
+                    "dd9_winnowing_containment")) {
         val phys = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
         val offenders = phys.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
@@ -195,6 +196,19 @@ class PlanShapeSpec extends SparkSuite {
           s"array columns cross a shuffle Exchange:\n${offenders.mkString("\n")}")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("keyword retrieval broadcasts idf and takes top-k without a global sort") {
+    // the inverted-index contract: document frequencies come back as a
+    // broadcast (never a shuffle of the postings against a |terms|-row
+    // table), and the final top-k is TakeOrderedAndProject (O(k) per
+    // partition), not a full Sort of the scored corpus
+    val phys = SparkEntry.queries("ir1_keyword_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BroadcastHashJoin"),
+      s"idf table must broadcast-join the postings:\n$phys")
+    assert(phys.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrderedAndProject, not a global sort:\n$phys")
   }
 
   test("incremental dedup prefilters the snapshot before any exchange; packing shuffles once on the shard") {

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.WinnowUdf
+import graft.ops.{Retrieval, TextDedup}
+
+/** Winnowing fingerprints + keyword retrieval: the rolling hash must
+  * equal the direct polynomial, containment must detect substring
+  * inclusion that resemblance (Jaccard) misses, and the BM25 scorer —
+  * which the DuckDB gate cannot hash-compare because of ln() — is pinned
+  * here against a hand-computed value. */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Direct (non-rolling) winnow reference: O(len·k) polynomial per
+    * position + O(m·w) window mins — the semantics WinnowUdf's rolling
+    * update and deque must reproduce exactly. */
+  private def winnowRef(s: String, k: Int, w: Int): Option[Set[Long]] = {
+    val cps = s.codePoints().toArray
+    val m = cps.length - k + 1
+    if (m <= 0) return None
+    val hs = (0 until m).map { i =>
+      (0 until k).map(j => (cps(i + j) * pow(k - 1 - j)) % WinnowUdf.P)
+        .sum % WinnowUdf.P
+    }
+    Some(
+      if (m < w) Set(hs.min)
+      else (0 to m - w).map(x => hs.slice(x, x + w).min).toSet)
+  }
+  private def pow(e: Int): Long =
+    (0 until e).foldLeft(1L)((v, _) => (v * WinnowUdf.B) % WinnowUdf.P)
+
+  test("rolling hash + deque winnow == direct polynomial reference") {
+    val rng = new scala.util.Random(42)
+    val texts = Seq("abcdefghijklmnopqrstuvwxyz", "aaaaaaaaaaaaaaaa",
+      "short", "exactly-k-chars-here-x") ++
+      (1 to 20).map(_ => rng.alphanumeric.take(5 + rng.nextInt(200)).mkString)
+    for (t <- texts; (k, w) <- Seq((8, 4), (5, 1), (12, 20))) {
+      val row = spark.createDataset(Seq(t)).toDF("s")
+        .select(WinnowUdf(k, w)(col("s")).as("fps"))
+        .head()
+      val got = if (row.isNullAt(0)) None else Some(row.getSeq[Long](0).toSet)
+      assert(got === winnowRef(t, k, w), s"k=$k w=$w text=$t")
+    }
+  }
+
+  test("containment detects substring inclusion that Jaccard misses") {
+    // B is verbatim inside A but only ~28% of A: containment ≈ 1, while
+    // the symmetric Jaccard of their fingerprint sets is far below it
+    val inner = "the quick brown fox jumps over the lazy dog again and again"
+    val a = ("padding words before the match start here " + inner +
+      " and plenty of trailing filler so the host document is much larger " +
+      "than the quoted span by a wide margin indeed").trim
+    val docs = Seq((1L, a), (2L, inner), (3L, "completely unrelated content " +
+      "sharing no thirty character run with either document at all"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.containmentPairs(docs, "doc_id", "text",
+      k = 10, w = 4, threshold = 0.8).collect()
+    assert(pairs.length === 1)
+    assert((pairs(0).getLong(0), pairs(0).getLong(1)) === (1L, 2L))
+    assert(pairs(0).getDouble(2) >= 0.9)
+    // the winnowing guarantee: a shared run of >= k + w - 1 chars shares
+    // at least one fingerprint — so the pair also exists at threshold 0+
+    val loose = TextDedup.containmentPairs(docs, "doc_id", "text",
+      k = 10, w = 4, threshold = 0.0001)
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+    assert(loose.count() === 1)
+  }
+
+  test("keywordTopK ranks rare-term docs above common-term docs") {
+    // idf_fp: N=4, df(rare)=1 → 40000; df(common)=3 → 13333
+    val docs = Seq(
+      (1L, "common words only common words only"),         // tf(common)=2, dl=6
+      (2L, "rare appears here with common filler tokens"), // both terms, dl=7
+      (3L, "common z z z z z z z z z z z z z z z z z z z"),// tf=1, dl=20
+      (4L, "nothing matching at all")).toDF("doc_id", "text")
+    val got = Retrieval.keywordTopK(docs, "doc_id", "text",
+      Seq("rare", "common"), k = 10).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(2L, 1L, 3L))
+    // doc 2: (1*40000 + 1*13333)/7 ; doc 1: 2*13333/6 ; doc 3: 13333/20
+    assert(got(0).getLong(2) === 53333L)
+    assert(got(0).getDouble(3) === 53333.0 / 7)
+    assert(got(1).getLong(2) === 26666L)
+  }
+
+  test("bm25TopK matches the hand-computed Okapi formula") {
+    val docs = Seq(
+      (1L, "x x x y"), // tf(x)=3, dl=4
+      (2L, "x z z z"), // tf(x)=1, dl=4
+      (3L, "z z z z z z z z z z z z")).toDF("doc_id", "text") // dl=12
+    val got = Retrieval.bm25TopK(docs, "doc_id", "text", Seq("x"), k = 5)
+      .collect()
+    // N=3, df=2, avgdl=(4+4+12)/3; idf = ln((3-2+0.5)/(2+0.5)+1)
+    val idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1)
+    val avgdl = 20.0 / 3
+    def s(tf: Double, dl: Double) =
+      idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(math.abs(got(0).getDouble(2) - s(3, 4)) < 1e-12)
+    assert(math.abs(got(1).getDouble(2) - s(1, 4)) < 1e-12)
+  }
+
+  test("fixture corpus: dd9 finds exactly the exact-dup pairs at 0.5") {
+    // the synthetic corpus has no partial-overlap docs, so winnowing
+    // containment at 0.5 must agree with exact dedup's duplicate pairs
+    val docs = Tables.documents(spark, sf)
+    val win = TextDedup.containmentPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = TextDedup.exactDedup(docs, "doc_id", "text")
+      .filter(col("is_dup")).select("canonical_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.subsetOf(win), s"missing exact dups: ${exact -- win}")
+  }
+}
