@@ -212,11 +212,17 @@ object TextDedup {
     * normalized characters have no k-gram and are dropped (matching the
     * oracle's length gate). Output: idCol, fps (array<long>, distinct). */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int = 30, w: Int = 8): DataFrame =
-    docs.select(col(idCol),
-        graft.functions.WinnowUdf(k, w)(
-          regexp_replace(lower(trim(col(textCol))), "\\s+", " ")).as("fps"))
-      .filter(col("fps").isNotNull)
+                         k: Int = 30, w: Int = 8): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // gate on the CHEAP precondition (normalized length ≥ k ⟺ the UDF
+    // yields a non-empty set) instead of filtering the UDF output:
+    // a post-UDF isNotNull gets substituted through the projection by
+    // predicate pushdown and re-evaluates the whole winnow pass inside
+    // the scan filter — this length check pushes down as codegen'd
+    // string arithmetic instead
+    docs.filter(length(norm) >= k)
+      .select(col(idCol), graft.functions.WinnowUdf(k, w)(norm).as("fps"))
+  }
 
   /** Containment pairs via winnowed fingerprints: detects documents one
     * of which substantially CONTAINS the other's content (quotes,
@@ -235,10 +241,13 @@ object TextDedup {
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        k: Int = 30, w: Int = 8, threshold: Double = 0.5,
                        maxFingerprintDf: Option[Int] = None): DataFrame = {
-    val fp = winnowFingerprints(docs, idCol, textCol, k, w)
-      .select(col(idCol).as("__id"), col("fps"))
-    val sizes = fp.select(col("__id"), size(col("fps")).as("nf"))
-    val exploded0 = fp.select(col("__id"), explode(col("fps")).as("f"))
+    // the fingerprint-set size rides along with every posting (4 bytes a
+    // row) instead of a separate sizes table: the denominators then fall
+    // out of the pair aggregation itself, so the corpus is scanned — and
+    // the winnow UDF evaluated — exactly ONCE, with no join-back
+    val exploded0 = winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("__id"), size(col("fps")).as("nf"),
+        explode(col("fps")).as("f"))
     val exploded = maxFingerprintDf match {
       case None => exploded0
       case Some(cut) =>
@@ -247,13 +256,11 @@ object TextDedup {
           .select("f")
         exploded0.join(ok, Seq("f"), "left_semi")
     }
-    val inter = exploded.as("a").join(exploded.as("b"),
+    exploded.as("a").join(exploded.as("b"),
         col("a.f") === col("b.f") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    inter
-      .join(sizes.select(col("__id").as("doc_a"), col("nf").as("na")), "doc_a")
-      .join(sizes.select(col("__id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .agg(count(lit(1)).as("shared"),
+        first(col("a.nf")).as("na"), first(col("b.nf")).as("nb"))
       .withColumn("containment",
         col("shared").cast("double") / least(col("na"), col("nb")))
       .filter(col("containment") >= threshold)
