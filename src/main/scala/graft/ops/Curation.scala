@@ -201,4 +201,69 @@ object Curation {
         (target / (col("total_tokens").cast("double") / col("__grand").cast("double")))
           .as("weight"))
   }
+
+  // ── filter cascade with reason codes ───────────────────────────────
+
+  /** Per-document filter cascade: every doc annotated with keep/drop and
+    * the FIRST failing rule's reason code — the drop-accounting shape a
+    * production curation pipeline reports per shard (knowing *that* 40%
+    * dropped is useless without knowing *why*; rule order makes the
+    * reasons mutually exclusive so they sum to the drop count).
+    *
+    * Rules, in order: null_text → too_short → too_long → language →
+    * low_stopword → repetitive → duplicate. Language ID runs BEFORE the
+    * stopword gate on purpose — the stopword ratio is an
+    * ENGLISH-specific quality heuristic, so a German document must be
+    * attributed to 'language', not to a gate that was never meaningful
+    * for it. Thresholds and semantics are exactly tx2's quality gate,
+    * tx4's language ID, tx6's repetition gate, and dd1's exact dedup
+    * (dup = not the min-id of the content-fingerprint group, judged
+    * against the WHOLE corpus, not just gate-survivors — so the reason
+    * a dup is dropped never depends on its twin's quality).
+    *
+    * One corpus scan computes the token profile, repetition profile, and
+    * content fingerprint side by side (the px1 fusion argument); the
+    * only shuffle is the per-fingerprint dedup window. Output: idCol,
+    * n_tokens, drop_reason (null when kept), keep.
+    */
+  def filterCascade(docs: DataFrame, idCol: String, textCol: String,
+                    lang: String = "en",
+                    minTokens: Int = 20, maxTokens: Int = 1000,
+                    minStopRatio: Double = 0.01,
+                    maxDupTokenRatio: Double = 0.6,
+                    maxTopTokenRatio: Double = 0.3,
+                    maxDupBigramRatio: Double = 0.5): DataFrame = {
+    import graft.ops.TextAnalysis
+    val words = TextAnalysis.defaultWords
+    val prof = TextAnalysis.profileCol(col(textCol), words)
+    val rep = graft.functions.RepetitionProfileUdf.instance(col(textCol))
+    val scanned = docs.select(col(idCol),
+      col(textCol).isNull.as("__null"),
+      prof.as("__p"), rep.as("__r"),
+      TextDedup.fingerprint(col(textCol)).as("__fp"))
+    val nTok = col("__p").getField("n_tokens")
+    val stopRatio = TextAnalysis.defaultStopwords
+      .map(TextAnalysis.countOf(col("__p"), words, _)).reduce(_ + _)
+      .cast("double") / nTok
+    val predLang = TextAnalysis.predLangFromProfile(col("__p"), words)
+    val dupTok = lit(1.0) - col("__r").getField("n_types").cast("double") / nTok
+    val topTok = col("__r").getField("max_tok_freq").cast("double") / nTok
+    val dupBg = when(col("__r").getField("n_bigrams") > 0,
+      lit(1.0) - col("__r").getField("n_distinct_bigrams").cast("double")
+        / col("__r").getField("n_bigrams")).otherwise(0.0)
+    val isDup = col(idCol) =!=
+      min(idCol).over(Window.partitionBy("__fp"))
+    val reason = when(col("__null"), "null_text")
+      .when(nTok < minTokens, "too_short")
+      .when(nTok > maxTokens, "too_long")
+      .when(predLang =!= lang, "language")
+      .when(stopRatio <= minStopRatio, "low_stopword")
+      .when(dupTok > maxDupTokenRatio || topTok > maxTopTokenRatio ||
+        dupBg > maxDupBigramRatio, "repetitive")
+      .when(isDup, "duplicate")
+      .otherwise(lit(null).cast("string"))
+    scanned
+      .select(col(idCol), nTok.as("n_tokens"), reason.as("drop_reason"))
+      .withColumn("keep", col("drop_reason").isNull)
+  }
 }

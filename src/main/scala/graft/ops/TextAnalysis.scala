@@ -50,7 +50,10 @@ object TextAnalysis {
   def profileCol(textCol: Column, words: Seq[String]): Column =
     TokenProfileUdf(words)(textCol)
 
-  private def countOf(profile: Column, words: Seq[String], w: String): Column = {
+  /** Occurrence count of marker `w` read from a [[profileCol]] built over
+    * `words` — public so composed pipelines (px3's filter cascade) can
+    * attribute individual rules without re-tokenizing. */
+  def countOf(profile: Column, words: Seq[String], w: String): Column = {
     val i = words.indexOf(w)
     require(i >= 0, s"word '$w' missing from the profile word list $words")
     profile.getField("counts").getItem(i)

@@ -94,6 +94,16 @@ object CurationOps {
         defaultRate = 0.1)
         .orderBy("doc_id")),
 
+    // px3 — filter cascade with reason codes [extension]: every doc
+    // annotated keep/drop with the FIRST failing rule (null_text →
+    // too_short → too_long → language → low_stopword → repetitive →
+    // duplicate); reasons are mutually exclusive so per-shard drop
+    // accounting sums exactly. One corpus scan + one fingerprint-window
+    // shuffle (Curation.filterCascade Scaladoc).
+    "px3_filter_cascade" -> ((s, dir) =>
+      Curation.filterCascade(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // cr3 — domain-mixture weights [extension]: actual vs target token
     // share per language and the resampling weight that achieves the
     // target mix (uniform 20% here). Exact BIGINT token sums, one row
@@ -107,6 +117,55 @@ object CurationOps {
         .orderBy("lang")))
 
   val oracles: Map[String, String] = Map(
+
+    "px3_filter_cascade" -> {
+      def wc(w: String) = s"len(list_filter(t, x -> x = '$w'))"
+      val en = s"${wc("the")} + ${wc("a")} + ${wc("is")}"
+      val de = s"${wc("der")} + ${wc("die")} + ${wc("und")}"
+      val es = s"${wc("el")} + ${wc("la")} + ${wc("y")}"
+      val fr = s"${wc("le")} + ${wc("les")} + ${wc("et")}"
+      s"""WITH b AS (
+         |  SELECT doc_id, text, $duckToks AS t,
+         |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, text IS NULL AS nulltext, len(t) AS n,
+         |    len(list_distinct(t)) AS ntypes,
+         |    list_max(list_transform(list_distinct(t),
+         |      w -> len(list_filter(t, x -> x = w)))) AS maxf,
+         |    CASE WHEN t IS NULL THEN NULL
+         |         WHEN len(t) > 1 THEN list_transform(
+         |           generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
+         |         ELSE [] END AS bg,
+         |    ${wc("the")} + ${wc("a")} AS st,
+         |    CASE
+         |      WHEN ($en) >= ($de) AND ($en) >= ($es) AND ($en) >= ($fr) AND ($en) > 0 THEN 'en'
+         |      WHEN ($de) >= ($es) AND ($de) >= ($fr) AND ($de) > 0 THEN 'de'
+         |      WHEN ($es) >= ($fr) AND ($es) > 0 THEN 'es'
+         |      WHEN ($fr) > 0 THEN 'fr'
+         |      ELSE 'und'
+         |    END AS pred_lang,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+         |  FROM b),
+         |f AS (
+         |  SELECT doc_id, n,
+         |    CASE WHEN nulltext THEN 'null_text'
+         |         WHEN n < 20 THEN 'too_short'
+         |         WHEN n > 1000 THEN 'too_long'
+         |         WHEN pred_lang <> 'en' THEN 'language'
+         |         WHEN CAST(st AS DOUBLE) / n <= 0.01 THEN 'low_stopword'
+         |         WHEN 1.0 - CAST(ntypes AS DOUBLE) / n > 0.6
+         |           OR CAST(maxf AS DOUBLE) / n > 0.3
+         |           OR (CASE WHEN len(bg) > 0
+         |                 THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         |                 ELSE 0.0 END) > 0.5 THEN 'repetitive'
+         |         WHEN is_dup THEN 'duplicate'
+         |         ELSE NULL END AS drop_reason
+         |  FROM m)
+         |SELECT doc_id, CAST(n AS INT) AS n_tokens, drop_reason,
+         |  drop_reason IS NULL AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     "ct1_decontaminate" ->
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),

@@ -155,4 +155,56 @@ class CurationSpec extends SparkSuite {
       assert((sh(l) > 0.2) == (wt < 1.0) || sh(l) == 0.2, s"weight direction for $l")
     }
   }
+
+  // ── filter cascade ───────────────────────────────────────────────
+
+  test("filterCascade attributes each doc to its FIRST failing rule") {
+    val good = "the quick brown fox jumps over a lazy dog and then " +
+      "the fox rests while a bird watches the scene from a tall tree nearby"
+    val docs = Seq(
+      (1L, good),                                   // keeps
+      (2L, good),                                   // exact dup of 1 → duplicate
+      (3L, "the a short one"),                      // 4 tokens → too_short
+      // 'is' marks it English (marker, not stopword) but the/a never
+      // appear → en-classified, stopword-starved → low_stopword
+      (4L, "is this code base quite large indeed is whatever random filler " +
+        "text goes here for testing one two three four five six seven"),
+      (5L, "der hund und die katze und der vogel und die maus sind hier " +
+        "und der garten ist gross und die sonne scheint heute hell klar"), // German → language
+      (6L, "the " + ("a spam " * 12).trim),         // stopword-heavy loops → repetitive
+      (7L, null.asInstanceOf[String]))              // → null_text
+      .toDF("doc_id", "text")
+    val out = Curation.filterCascade(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val reasons = out.map(r => r.getLong(0) -> r.getAs[String]("drop_reason")).toMap
+    assert(reasons(1L) === null)
+    assert(out.find(_.getLong(0) == 1L).get.getAs[Boolean]("keep"))
+    assert(reasons(2L) === "duplicate")
+    assert(reasons(3L) === "too_short")
+    assert(reasons(4L) === "low_stopword")
+    assert(reasons(5L) === "language")
+    assert(reasons(6L) === "repetitive")
+    assert(reasons(7L) === "null_text")
+    // precedence: doc 3 is ALSO low_stopword-ratio-ok but short — the
+    // earlier rule wins; a doc failing several rules reports exactly one
+    assert(out.forall(r => r.getAs[Boolean]("keep") == (r.getAs[String]("drop_reason") == null)))
+  }
+
+  test("filterCascade drop reasons partition the corpus exactly") {
+    val docs = Tables.documents(spark, sf)
+    val out = Curation.filterCascade(docs, "doc_id", "text")
+    assert(out.count() === docs.count())
+    val byReason = out.groupBy("drop_reason").count().collect()
+      .map(r => Option(r.getAs[String]("drop_reason")).getOrElse("kept") -> r.getLong(1))
+      .toMap
+    assert(byReason.values.sum === docs.count())
+    // reasons come only from the declared rule set, and the corpus
+    // exercises the language path (dups here trip 'repetitive' first —
+    // the synthetic vocab is tiny — so 'duplicate' is pinned on the
+    // constructed corpus above, not the fixture)
+    val known = Set("kept", "null_text", "too_short", "too_long",
+      "language", "low_stopword", "repetitive", "duplicate")
+    assert(byReason.keySet.subsetOf(known), s"got $byReason")
+    assert(byReason.getOrElse("language", 0L) > 0, s"got $byReason")
+  }
 }
