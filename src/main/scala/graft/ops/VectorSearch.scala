@@ -279,4 +279,58 @@ object VectorSearch {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "qcos", "rank")
   }
+
+  /** Embedding-space outlier scoring: squared L2 distance of every
+    * vector to the CORPUS CENTROID, top-k most distant first — the
+    * embedding-quality gate of a training pipeline (mis-embedded, empty,
+    * or off-distribution items sit far from the mass of the corpus).
+    *
+    * Scale shape: the centroid is a per-dimension aggregate (dim rows —
+    * KBs at any corpus size) broadcast back; scoring is a pure map and
+    * top-k is TakeOrderedAndProject, so nothing corpus-sized ever
+    * shuffles. Determinism: per-dim sums go through the q6-quantize →
+    * DECIMAL(38,6) route (Det.scala — decimal sums are exact and
+    * order-independent where a double sum depends on partitioning; the
+    * pre-quantize makes the cast tie-free across engines), and the
+    * distance fold is a sequential IEEE pass both engines replay.
+    * Output: idCol, dist2 — ordered dist2 desc, id asc, limited to k. */
+  def centroidOutliers(vecs: DataFrame, idCol: String, vecCol: String,
+                       k: Int = 20): DataFrame = {
+    val nn = vecs.filter(col(vecCol).isNotNull)
+    val per = nn
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select(col("__d"),
+        (floor(col("__x").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6)).as("__q"))
+      .groupBy("__d")
+      .agg((sum(col("__q").cast("decimal(38,6)")).cast("double")
+        / count(lit(1))).as("__m"))
+    val cent = per
+      .agg(array_sort(collect_list(struct(col("__d"), col("__m")))).as("__s"))
+      .select(transform(col("__s"), s => s.getField("__m")).as("__c"))
+    nn.crossJoin(broadcast(cent))
+      .select(col(idCol), expr(
+        s"""aggregate(zip_with($vecCol, __c, (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+           |CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin).as("dist2"))
+      .orderBy(col("dist2").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** DuckDB replay of [[centroidOutliers]], generated from the same
+    * dim/k constants. */
+  def duckCentroidOutliers(k: Int = 20, dim: Int = 64,
+                           idCol: String = "vec_id", table: String = "embeddings",
+                           vecCol: String = "embedding"): String =
+    s"""WITH nn AS (SELECT $idCol, $vecCol AS v FROM $table WHERE $vecCol IS NOT NULL),
+       |per AS (
+       |  SELECT d,
+       |    CAST(SUM(CAST(floor(CAST(v[d] AS DOUBLE) * 1000000 + 0.5) / 1000000
+       |             AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM nn, UNNEST(generate_series(1, $dim)) u(d)
+       |  GROUP BY d),
+       |cent AS (SELECT list(m ORDER BY d) AS c FROM per)
+       |SELECT $idCol,
+       |  list_sum(list_transform(generate_series(1, $dim), j ->
+       |    (CAST(v[j] AS DOUBLE) - c[j]) * (CAST(v[j] AS DOUBLE) - c[j]))) AS dist2
+       |FROM nn, cent
+       |ORDER BY dist2 DESC, $idCol ASC LIMIT $k""".stripMargin
 }

@@ -73,7 +73,17 @@ object SimilarityOps {
       graft.ops.VectorSearch.scalarQuantTopK(s, corpus,
           corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding", TOPK)
         .orderBy("query_id", "rank")
-    }))
+    }),
+
+    // sim5 — embedding outlier scoring [extension]: squared distance to
+    // the decimal-exact corpus centroid, 20 most distant vectors — the
+    // embedding-quality gate (off-distribution items) a training
+    // pipeline runs beside near-dup removal. Centroid = dim-row
+    // aggregate broadcast back; scoring is a map; top-k is
+    // TakeOrderedAndProject.
+    "sim5_centroid_outliers" -> ((s, dir) =>
+      graft.ops.VectorSearch.centroidOutliers(
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 20)))
 
   private val duckCos: String =
     s"""CAST(${VectorExprs.duckPairDot} AS DOUBLE)
@@ -196,5 +206,8 @@ object SimilarityOps {
          |           ORDER BY qcos DESC, vec_id ASC) AS INT) AS rank
          |  FROM scored)
          |SELECT query_id, vec_id, qcos, rank FROM ranked
-         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin)
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin,
+
+    "sim5_centroid_outliers" ->
+      graft.ops.VectorSearch.duckCentroidOutliers(k = 20, dim = 64))
 }

@@ -100,6 +100,18 @@ class RetrievalSpec extends SparkSuite {
     assert(math.abs(got(1).getDouble(2) - s(1, 4)) < 1e-12)
   }
 
+  test("centroidOutliers: planted outlier first, distances exact, ties by id") {
+    import graft.ops.VectorSearch
+    // 9 unit vectors + one far point → centroid = 2.0 per dim;
+    // dist2(base) = 4·(1−2)² = 4, dist2(outlier) = 4·(11−2)² = 324
+    val vecs = ((1 to 9).map(i => (i.toLong, Array.fill(4)(1.0f))) :+
+      (10L, Array.fill(4)(11.0f))).toDF("pk", "v")
+    val got = VectorSearch.centroidOutliers(vecs, "pk", "v", k = 3).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(10L, 1L, 2L))
+    assert(got(0).getDouble(1) === 324.0)
+    assert(got(1).getDouble(1) === 4.0)
+  }
+
   test("fixture corpus: dd9 finds exactly the exact-dup pairs at 0.5") {
     // the synthetic corpus has no partial-overlap docs, so winnowing
     // containment at 0.5 must agree with exact dedup's duplicate pairs
