@@ -202,6 +202,38 @@ object Curation {
           .as("weight"))
   }
 
+  // ── token-budget selection ─────────────────────────────────────────
+
+  /** Greedy token-budget fill per stratum: take documents in quality
+    * order (best first, ties to lowest id) while the budget has room —
+    * the "give me N tokens of the best data per domain" selection step
+    * that follows scoring. A document is selected iff the tokens
+    * accumulated BEFORE it are still under the budget, so the fill may
+    * overshoot by at most one document (the standard greedy convention;
+    * an exact cut would split a document — that is pk1's packing job,
+    * not selection).
+    *
+    * One shuffle on the stratum key; the cumulative sum is a per-stratum
+    * window — the same per-shard-parallel argument as sequence packing
+    * (a GLOBAL quality order would funnel one task at corpus scale and
+    * buys nothing: budgets are per-domain by construction).
+    * Output: stratumCol, idCol, n_tokens, cum_before, selected. */
+  def tokenBudget(docs: DataFrame, idCol: String, stratumCol: String,
+                  tokensCol: Column, qualityCol: Column,
+                  budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val w = Window.partitionBy(stratumCol)
+      .orderBy(col("__q").desc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(stratumCol), col(idCol), tokensCol.cast("long").as("n_tokens"),
+        qualityCol.as("__q"))
+      .withColumn("cum_before",
+        sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("selected", col("cum_before") < budget)
+      .select(stratumCol, idCol, "n_tokens", "cum_before", "selected")
+  }
+
   // ── filter cascade with reason codes ───────────────────────────────
 
   /** Per-document filter cascade: every doc annotated with keep/drop and

@@ -94,6 +94,18 @@ object CurationOps {
         defaultRate = 0.1)
         .orderBy("doc_id")),
 
+    // cr4 — token-budget selection [extension]: greedily fill a
+    // 2000-token budget per source with the longest (highest-quality
+    // stand-in: n_chars) documents first — the "N tokens of the best
+    // data per domain" step after scoring. Per-stratum window, one
+    // shuffle on source; overshoot ≤ 1 doc by the greedy convention.
+    "cr4_token_budget" -> ((s, dir) =>
+      Curation.tokenBudget(
+        Tables.documents(s, dir), idCol = "doc_id", stratumCol = "source",
+        tokensCol = graft.ops.TextAnalysis.nTokensCol(col("text")),
+        qualityCol = col("n_chars"), budget = 2000L)
+        .orderBy("source", "doc_id")),
+
     // px3 — filter cascade with reason codes [extension]: every doc
     // annotated keep/drop with the FIRST failing rule (null_text →
     // too_short → too_long → language → low_stopword → repetitive →
@@ -117,6 +129,21 @@ object CurationOps {
         .orderBy("lang")))
 
   val oracles: Map[String, String] = Map(
+
+    "cr4_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id,
+         |    CAST(len($duckToks) AS BIGINT) AS n_tokens, n_chars
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY n_chars DESC, doc_id ASC
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+         |  FROM t)
+         |SELECT source, doc_id, n_tokens, cum_before,
+         |  cum_before < 2000 AS selected
+         |FROM c ORDER BY source, doc_id""".stripMargin,
 
     "px3_filter_cascade" -> {
       def wc(w: String) = s"len(list_filter(t, x -> x = '$w'))"

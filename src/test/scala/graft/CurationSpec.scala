@@ -156,6 +156,34 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  // ── token budget ─────────────────────────────────────────────────
+
+  test("tokenBudget greedily fills per stratum, best-first, overshoot ≤ 1 doc") {
+    val docs = Seq(
+      // stratum A: quality order c(9) > b(7) > a(5); budget 100
+      ("A", 1L, 60L, 5L), ("A", 2L, 50L, 7L), ("A", 3L, 40L, 9L),
+      // stratum B: one doc alone exceeds the budget — still selected
+      ("B", 4L, 500L, 1L), ("B", 5L, 10L, 0L))
+      .toDF("src", "id", "toks", "qual")
+    val out = Curation.tokenBudget(docs, "id", "src",
+        tokensCol = col("toks"), qualityCol = col("qual"), budget = 100L)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    // A fills c(40) then b(50) = 90 < 100 → a(60) starts at 90 < 100,
+    // selected too (greedy overshoot); had the budget been 90, a drops
+    assert(out(3L).getAs[Long]("cum_before") === 0L)
+    assert(out(2L).getAs[Long]("cum_before") === 40L)
+    assert(out(1L).getAs[Long]("cum_before") === 90L)
+    assert(Seq(1L, 2L, 3L).forall(out(_).getAs[Boolean]("selected")))
+    val tight = Curation.tokenBudget(docs, "id", "src",
+        tokensCol = col("toks"), qualityCol = col("qual"), budget = 90L)
+      .collect().map(r => r.getLong(1) -> r.getAs[Boolean]("selected")).toMap
+    assert(!tight(1L) && tight(2L) && tight(3L))
+    // B: the 500-token doc is first in quality order → selected even
+    // though it alone blows the budget; the next doc is not
+    assert(out(4L).getAs[Boolean]("selected"))
+    assert(!out(5L).getAs[Boolean]("selected"))
+  }
+
   // ── filter cascade ───────────────────────────────────────────────
 
   test("filterCascade attributes each doc to its FIRST failing rule") {
