@@ -140,6 +140,49 @@ object TextDedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Incremental MinHash-LSH: near-dup pairs between a NEW batch and an
+    * accumulated corpus snapshot — the fuzzy complement of
+    * [[incrementalDedup]] (which only catches byte-identical content).
+    * The asymmetry is the whole design: the snapshot is huge and
+    * append-only, the batch is one increment, so
+    *  - band keys of the BATCH broadcast (a 16-hash/4-band signature set
+    *    over millions of batch docs is small); the snapshot's band rows
+    *    probe them in a broadcast join — the snapshot side NEVER
+    *    shuffles, and with the band-key predicate pushed nothing but
+    *    matching rows leaves the scan stage;
+    *  - only surviving candidate pairs shuffle (ids, not arrays); batch
+    *    signatures re-attach by broadcast, snapshot signatures by an
+    *    id-equi-join over candidates only.
+    * Pairs verified at signature-estimated Jaccard ≥ threshold, exactly
+    * dd2's semantics. Output: snap_id, batch_id, est_jaccard. */
+  def incrementalMinhashLsh(batch: DataFrame, snapshot: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double = 0.5): DataFrame = {
+    def sigs(df: DataFrame) = df
+      .select(col(idCol).as("__id"), TextHashUdfs.minhashSig3(col(textCol)).as("sig"))
+      .filter(col("sig").isNotNull)
+    def bands(s: DataFrame) = s.select(col("__id"),
+      posexplode(expr(
+        """array(concat_ws('_', slice(sig, 1, 4)), concat_ws('_', slice(sig, 5, 4)),
+          |      concat_ws('_', slice(sig, 9, 4)), concat_ws('_', slice(sig, 13, 4)))""".stripMargin))
+        .as(Seq("band", "bkey")))
+    val bSigs = sigs(batch)
+    val sSigs = sigs(snapshot)
+    val cand = bands(sSigs).join(
+        broadcast(bands(bSigs).withColumnRenamed("__id", "batch_id")),
+        Seq("band", "bkey"))
+      .select(col("__id").as("snap_id"), col("batch_id"))
+      .distinct()
+    cand
+      .join(sSigs.select(col("__id").as("snap_id"), col("sig").as("sig_a")), "snap_id")
+      .join(broadcast(bSigs.select(col("__id").as("batch_id"), col("sig").as("sig_b"))),
+        "batch_id")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / 16.0)
+      .filter(col("est_jaccard") >= threshold)
+      .select("snap_id", "batch_id", "est_jaccard")
+  }
+
   /** SimHash near-dup pairs: 48-bit signatures, 4×12-bit chunk banding
     * (pigeonhole-complete for maxHamming ≤ 3), verified hamming.
     * Output: doc_a, doc_b, hamming. */

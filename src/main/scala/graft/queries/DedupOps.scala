@@ -102,6 +102,22 @@ object DedupOps {
         .orderBy("doc_id")
     }),
 
+    // dd10 — incremental fuzzy dedup [extension]: the upper-id half of
+    // the corpus arrives as a batch and is LSH-checked against the
+    // lower-id snapshot — dd8's exact check upgraded to near-dup. Batch
+    // band keys broadcast; the snapshot side never shuffles
+    // (TextDedup.incrementalMinhashLsh has the asymmetry argument).
+    "dd10_incremental_lsh" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val thr = docs.agg(expr("(max(doc_id) + 1) div 2").as("__split_at"))
+      val withT = docs.crossJoin(broadcast(thr))
+      graft.ops.TextDedup.incrementalMinhashLsh(
+        batch = withT.filter(col("doc_id") >= col("__split_at")),
+        snapshot = withT.filter(col("doc_id") < col("__split_at")),
+        idCol = "doc_id", textCol = "text")
+        .orderBy("snap_id", "batch_id")
+    }),
+
     // dd2 — MinHash + LSH: 3-token shingles → 16 minhashes → 4 bands of
     // 4 → bucket-join candidates → signature-estimated Jaccard ≥ 0.5.
     // (Shared.lshPairs: one candidate+verification pass per session,
@@ -251,6 +267,30 @@ object DedupOps {
          |JOIN sizes nb ON inter.doc_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dd10_incremental_lsh" ->
+      s"""WITH sp AS (SELECT (max(doc_id) + 1) // 2 AS split_at FROM documents),
+         |toks AS (SELECT doc_id, $duckToks AS t FROM documents),
+         |sh AS (SELECT doc_id, ${duckShingles(3)} AS s
+         |       FROM toks WHERE len(t) >= 3),
+         |hm AS (SELECT doc_id, $duckHmod AS hm FROM sh),
+         |sigs AS (SELECT doc_id, $duckSig AS sig FROM hm),
+         |bands AS (
+         |  SELECT doc_id, j AS band,
+         |         array_to_string(list_slice(sig, 4*j + 1, 4*j + 4), '_') AS bkey
+         |  FROM sigs, UNNEST([0, 1, 2, 3]) u(j)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS snap_id, b.doc_id AS batch_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey, sp
+         |  WHERE a.doc_id < split_at AND b.doc_id >= split_at)
+         |SELECT snap_id, batch_id,
+         |  CAST(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM cand
+         |JOIN sigs sa ON cand.snap_id = sa.doc_id
+         |JOIN sigs sb ON cand.batch_id = sb.doc_id
+         |WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) >= 8
+         |ORDER BY snap_id, batch_id""".stripMargin,
 
     "dd9_winnowing_containment" -> {
       import graft.functions.WinnowUdf

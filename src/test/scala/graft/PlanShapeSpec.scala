@@ -183,7 +183,7 @@ class PlanShapeSpec extends SparkSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       for (q <- Seq("dd2_minhash_lsh", "dd5_embedding_neardup", "sim2_ann_lsh",
-                    "dd9_winnowing_containment")) {
+                    "dd9_winnowing_containment", "dd10_incremental_lsh")) {
         val phys = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
         val offenders = phys.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
@@ -196,6 +196,16 @@ class PlanShapeSpec extends SparkSuite {
           s"array columns cross a shuffle Exchange:\n${offenders.mkString("\n")}")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("incremental LSH probes the snapshot with BROADCAST batch bands") {
+    // the 100 TB contract: the snapshot (huge side) must never shuffle —
+    // its band rows probe a broadcast of the batch's band keys
+    val p = plan("dd10_incremental_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      s"batch bands must broadcast into the snapshot probe:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"snapshot side must not sort-merge (it would shuffle the corpus):\n$p")
   }
 
   test("keyword retrieval broadcasts idf and takes top-k without a global sort") {

@@ -43,6 +43,24 @@ class TrainingDataOpsSpec extends SparkSuite {
     assert(lhs === rhs)
   }
 
+  test("incrementalMinhashLsh agrees with the symmetric LSH restricted to cross-split pairs") {
+    // ground truth: dd2's full symmetric pair set, filtered to pairs that
+    // straddle the split — the incremental form must produce exactly
+    // those (same signatures, same banding, same verification)
+    val docs = Tables.documents(spark, sf)
+    val half = docs.agg(expr("(max(doc_id) + 1) div 2")).head.getLong(0)
+    val inc = TextDedup.incrementalMinhashLsh(
+        batch = docs.filter(col("doc_id") >= half),
+        snapshot = docs.filter(col("doc_id") < half),
+        idCol = "doc_id", textCol = "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = TextDedup.minhashLsh(docs, "doc_id", "text")
+      .filter(col("doc_a") < half && col("doc_b") >= half)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full)
+    assert(inc.nonEmpty, "fixture should contain cross-split near-dups")
+  }
+
   test("repetitionScore arithmetic matches hand computation, null text gives null signals") {
     import spark.implicits._
     val docs = Seq(
