@@ -234,6 +234,35 @@ object Curation {
       .select(stratumCol, idCol, "n_tokens", "cum_before", "selected")
   }
 
+  // ── quantile trim ──────────────────────────────────────────────────
+
+  /** Adaptive per-stratum outlier trim: keep documents whose metric lies
+    * inside the stratum's [loQ, hiQ] interpolated quantile band — the
+    * "clip the length/score distribution to p05–p95" curation step,
+    * ADAPTIVE where the cascade's absolute thresholds are fixed (a code
+    * domain and a chat domain have very different healthy lengths; one
+    * constant can't serve both).
+    *
+    * One aggregate to |strata| rows of bounds (exact interpolated
+    * percentile — the same mergeable sketch-free aggregate as g9, fine
+    * at any row count because state is per-stratum), broadcast back,
+    * then a pure map — the corpus never shuffles.
+    * Output: stratumCol, idCol, value, lo, hi, kept. */
+  def quantileTrim(docs: DataFrame, idCol: String, stratumCol: String,
+                   valueCol: Column, loQ: Double = 0.05,
+                   hiQ: Double = 0.95): DataFrame = {
+    require(0 <= loQ && loQ <= hiQ && hiQ <= 1, s"need 0 ≤ loQ ≤ hiQ ≤ 1, got $loQ, $hiQ")
+    val vals = docs.select(col(stratumCol), col(idCol),
+      valueCol.cast("double").as("value"))
+    val bounds = vals.groupBy(stratumCol)
+      .agg(expr(s"percentile(value, array($loQ, $hiQ))").as("__q"))
+      .select(col(stratumCol),
+        element_at(col("__q"), 1).as("lo"), element_at(col("__q"), 2).as("hi"))
+    vals.join(broadcast(bounds), Seq(stratumCol))
+      .select(col(stratumCol), col(idCol), col("value"), col("lo"), col("hi"),
+        (col("value") >= col("lo") && col("value") <= col("hi")).as("kept"))
+  }
+
   // ── filter cascade with reason codes ───────────────────────────────
 
   /** Per-document filter cascade: every doc annotated with keep/drop and

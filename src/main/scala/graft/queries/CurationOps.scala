@@ -106,6 +106,17 @@ object CurationOps {
         qualityCol = col("n_chars"), budget = 2000L)
         .orderBy("source", "doc_id")),
 
+    // cr5 — adaptive quantile trim [extension]: clip each source's
+    // token-length distribution to its own p05–p95 band (per-domain
+    // healthy lengths differ; absolute thresholds can't serve all).
+    // Bounds = one |strata|-row aggregate broadcast back; the corpus
+    // never shuffles.
+    "cr5_quantile_trim" -> ((s, dir) =>
+      Curation.quantileTrim(
+        Tables.documents(s, dir), idCol = "doc_id", stratumCol = "source",
+        valueCol = graft.ops.TextAnalysis.nTokensCol(col("text")))
+        .orderBy("source", "doc_id")),
+
     // px3 — filter cascade with reason codes [extension]: every doc
     // annotated keep/drop with the FIRST failing rule (null_text →
     // too_short → too_long → language → low_stopword → repetitive →
@@ -144,6 +155,19 @@ object CurationOps {
          |SELECT source, doc_id, n_tokens, cum_before,
          |  cum_before < 2000 AS selected
          |FROM c ORDER BY source, doc_id""".stripMargin,
+
+    "cr5_quantile_trim" ->
+      s"""WITH t AS (
+         |  SELECT source, doc_id, CAST(len($duckToks) AS DOUBLE) AS value
+         |  FROM documents),
+         |b AS (
+         |  SELECT source, quantile_cont(value, 0.05) AS lo,
+         |         quantile_cont(value, 0.95) AS hi
+         |  FROM t GROUP BY source)
+         |SELECT source, doc_id, value, lo, hi,
+         |  value >= lo AND value <= hi AS kept
+         |FROM t JOIN b USING (source)
+         |ORDER BY source, doc_id""".stripMargin,
 
     "px3_filter_cascade" -> {
       def wc(w: String) = s"len(list_filter(t, x -> x = '$w'))"

@@ -184,6 +184,26 @@ class CurationSpec extends SparkSuite {
     assert(!out(5L).getAs[Boolean]("selected"))
   }
 
+  // ── quantile trim ────────────────────────────────────────────────
+
+  test("quantileTrim clips each stratum to its own interpolated band") {
+    // stratum A values 10..19 (n=10): p25 = 12.25, p75 = 16.75
+    // (interpolated: (n-1)·q = 2.25 → 12 + 0.25·(13-12))
+    val docs = (0 until 10).map(i => ("A", i.toLong, 10L + i)) ++
+      Seq(("B", 100L, 1000L)) // singleton stratum: lo = hi = value → kept
+    val out = Curation.quantileTrim(docs.toDF("src", "id", "v"),
+        idCol = "id", stratumCol = "src", valueCol = col("v"),
+        loQ = 0.25, hiQ = 0.75)
+      .collect().map(r => r.getLong(1) -> r).toMap
+    assert(out(0L).getAs[Double]("lo") === 12.25)
+    assert(out(0L).getAs[Double]("hi") === 16.75)
+    // kept: values 13..16 (inside [12.25, 16.75]); 10-12 and 17-19 out
+    val kept = (0 until 10).filter(i => out(i.toLong).getAs[Boolean]("kept"))
+      .map(10 + _)
+    assert(kept === Seq(13, 14, 15, 16))
+    assert(out(100L).getAs[Boolean]("kept"))
+  }
+
   // ── filter cascade ───────────────────────────────────────────────
 
   test("filterCascade attributes each doc to its FIRST failing rule") {
