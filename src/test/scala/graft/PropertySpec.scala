@@ -102,4 +102,29 @@ class PropertySpec extends SparkSuite {
       assert(a === b, "firstWins depends on input order")
     }
   }
+
+  test("property: winnowing guarantee — a shared run of ≥ k+w-1 chars shares a fingerprint") {
+    // the MOSS selection theorem, checked on generated corpora: two
+    // documents embedding the SAME substring of at least k+w-1
+    // characters (inside otherwise-unrelated text) always share at
+    // least one winnowed fingerprint, so containmentPairs finds the
+    // pair at any positive threshold
+    val k = 10; val w = 4
+    val lowerStr = Gen.listOfN(60, Gen.alphaLowerChar).map(_.mkString)
+    val gen = for {
+      pre  <- lowerStr
+      mid  <- Gen.listOfN(k + w - 1, Gen.alphaLowerChar).map(_.mkString)
+      post <- lowerStr
+      pre2 <- Gen.listOfN(40, Gen.numChar).map(_.mkString)
+      post2 <- Gen.listOfN(40, Gen.numChar).map(_.mkString)
+    } yield (s"$pre$mid$post", s"$pre2$mid$post2")
+    cases(gen, n = 8).foreach { case (a, b) =>
+      val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val pairs = graft.ops.TextDedup.containmentPairs(
+          docs, "doc_id", "text", k = k, w = w, threshold = 1e-9)
+        .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      assert(pairs.count() === 1,
+        s"guarantee violated for shared run of ${k + w - 1} chars:\na=$a\nb=$b")
+    }
+  }
 }
