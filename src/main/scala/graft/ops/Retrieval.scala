@@ -38,20 +38,26 @@ object Retrieval {
     * document token length in a SINGLE IEEE division (deterministic).
     * Output: idCol, n_matched, iscore, score — ordered by score desc,
     * id asc, limited to k. */
-  def keywordTopK(docs: DataFrame, idCol: String, textCol: String,
-                  terms: Seq[String], k: Int = 20): DataFrame = {
+  /** Postings for the query terms: one row per (doc, matched term),
+    * built from one [[TextAnalysis.profileCol]] pass — the corpus is
+    * tokenized once and the explode is bounded by |terms| per doc, not
+    * token count. Shared by both scorers so their rankings cannot
+    * silently diverge on the same corpus. Columns: idCol, dl, __ti, tf. */
+  private def postingsFor(docs: DataFrame, idCol: String, textCol: String,
+                          terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       s"terms must be non-empty and distinct: $terms")
-    val prof = TextAnalysis.profileCol(col(textCol), terms)
-    // postings: one row per (doc, matched term) — built from the profile
-    // struct, so the corpus is tokenized once and the explode is bounded
-    // by |terms| per doc, not token count
-    val postings = docs
-      .select(col(idCol), prof.as("__p"))
+    docs
+      .select(col(idCol), TextAnalysis.profileCol(col(textCol), terms).as("__p"))
       .select(col(idCol),
         col("__p").getField("n_tokens").as("dl"),
         posexplode(col("__p").getField("counts")).as(Seq("__ti", "tf")))
       .filter(col("tf") > 0)
+  }
+
+  def keywordTopK(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], k: Int = 20): DataFrame = {
+    val postings = postingsFor(docs, idCol, textCol, terms)
     val corpusN = docs.agg(count(lit(1)).as("__n"))
     val df = postings.groupBy("__ti").agg(count(lit(1)).as("__df"))
       .crossJoin(broadcast(corpusN))
@@ -77,7 +83,9 @@ object Retrieval {
   def duckKeywordTopK(terms: Seq[String], k: Int = 20,
                       idCol: String = "doc_id", table: String = "documents",
                       textCol: String = "text"): String = {
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    // SQL-escape the terms (' → '') — a term like "don't" must yield
+    // valid DuckDB text just as the Spark side handles it natively
+    val termList = terms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
     s"""WITH toks AS (SELECT $idCol, str_split_regex(trim($textCol), '\\s+') AS t
        |              FROM $table),
        |q(term) AS (SELECT unnest([$termList])),
@@ -110,15 +118,7 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(terms.nonEmpty && terms.distinct == terms,
-      s"terms must be non-empty and distinct: $terms")
-    val prof = TextAnalysis.profileCol(col(textCol), terms)
-    val postings = docs
-      .select(col(idCol), prof.as("__p"))
-      .select(col(idCol),
-        col("__p").getField("n_tokens").as("dl"),
-        posexplode(col("__p").getField("counts")).as(Seq("__ti", "tf")))
-      .filter(col("tf") > 0)
+    val postings = postingsFor(docs, idCol, textCol, terms)
     // one corpus-stats row: N and avgdl (over all docs with a token
     // count, the standard convention) — broadcast-attached
     val stats = docs

@@ -104,20 +104,30 @@ object TextDedup {
     * pair count by max². Guarded output ⊆ unguarded output; `None`
     * (default) changes nothing.
     * Output: doc_a, doc_b, est_jaccard. */
-  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
-                 threshold: Double = 0.5,
-                 maxBucketSize: Option[Int] = None): DataFrame = {
-    val sigs = docs
+  /** (id, 16-long MinHash signature) rows — the shared signature pass
+    * of [[minhashLsh]] and [[incrementalMinhashLsh]] (one definition so
+    * the symmetric and incremental forms cannot drift; their
+    * equivalence is pinned in TrainingDataOpsSpec). */
+  private def minhashSigs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("__id"), TextHashUdfs.minhashSig3(col(textCol)).as("sig"))
       .filter(col("sig").isNotNull)
-    // bands carries only (id, band, bkey): the candidate self-join must
-    // not shuffle the 16-long signature arrays — they re-attach after
-    // the id-pair dedup.
-    val bands0 = sigs.select(col("__id"),
+
+  /** Banded view of [[minhashSigs]] output: (id, band, bkey) only — the
+    * candidate join must not shuffle the signature arrays; they
+    * re-attach after the id-pair dedup. */
+  private def minhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("__id"),
       posexplode(expr(
         """array(concat_ws('_', slice(sig, 1, 4)), concat_ws('_', slice(sig, 5, 4)),
           |      concat_ws('_', slice(sig, 9, 4)), concat_ws('_', slice(sig, 13, 4)))""".stripMargin))
         .as(Seq("band", "bkey")))
+
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 threshold: Double = 0.5,
+                 maxBucketSize: Option[Int] = None): DataFrame = {
+    val sigs = minhashSigs(docs, idCol, textCol)
+    val bands0 = minhashBands(sigs)
     val bands = maxBucketSize match {
       case None => bands0
       case Some(max) =>
@@ -158,18 +168,10 @@ object TextDedup {
   def incrementalMinhashLsh(batch: DataFrame, snapshot: DataFrame,
                             idCol: String, textCol: String,
                             threshold: Double = 0.5): DataFrame = {
-    def sigs(df: DataFrame) = df
-      .select(col(idCol).as("__id"), TextHashUdfs.minhashSig3(col(textCol)).as("sig"))
-      .filter(col("sig").isNotNull)
-    def bands(s: DataFrame) = s.select(col("__id"),
-      posexplode(expr(
-        """array(concat_ws('_', slice(sig, 1, 4)), concat_ws('_', slice(sig, 5, 4)),
-          |      concat_ws('_', slice(sig, 9, 4)), concat_ws('_', slice(sig, 13, 4)))""".stripMargin))
-        .as(Seq("band", "bkey")))
-    val bSigs = sigs(batch)
-    val sSigs = sigs(snapshot)
-    val cand = bands(sSigs).join(
-        broadcast(bands(bSigs).withColumnRenamed("__id", "batch_id")),
+    val bSigs = minhashSigs(batch, idCol, textCol)
+    val sSigs = minhashSigs(snapshot, idCol, textCol)
+    val cand = minhashBands(sSigs).join(
+        broadcast(minhashBands(bSigs).withColumnRenamed("__id", "batch_id")),
         Seq("band", "bkey"))
       .select(col("__id").as("snap_id"), col("batch_id"))
       .distinct()
