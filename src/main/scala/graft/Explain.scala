@@ -25,7 +25,8 @@ object Explain {
         "tpch_q14_promo", "tpch_q18_large_orders", "w2_rank_dense",
         "sim2_ann_lsh", "g11_kmv_distinct", "tpch_q1_pricing",
         "tpch_q7_volume", "tpch_q9_profit", "tpch_q11_important_stock",
-        "skew_salted_join", "ts2_resample_interpolate")
+        "skew_salted_join", "ts2_resample_interpolate",
+        "dd10_incremental_lsh", "ir1_keyword_topk", "sim5_centroid_outliers")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")
