@@ -112,17 +112,31 @@ object Retrieval {
     *   idf(t)   = ln((N − df + 0.5)/(df + 0.5) + 1)       (Robertson)
     *
     * ln() is a transcendental whose last ulp differs across math
-    * libraries, so this variant is pinned in ScalaTest (self-consistent
-    * within the JVM) rather than DuckDB-hash-compared; [[keywordTopK]]
-    * is the oracle-gated form. Output: idCol, n_matched, score. */
+    * libraries, so the float scores are pinned in ScalaTest
+    * (self-consistent within the JVM) rather than DuckDB-hash-compared;
+    * the RANKING is driver-oracle-gated via [[bm25RankedTopK]] /
+    * [[duckBm25TopK]] — everything feeding the ordering except ln()
+    * itself is bit-identical across engines by construction:
+    *  - N and avgdl are computed over the SAME population (docs with a
+    *    non-null token count), so the idf corpus size and the
+    *    length-normalization denominator cannot drift apart on corpora
+    *    with null-text rows;
+    *  - avgdl is exact: token counts are integers, partial double sums
+    *    of integers below 2^53 are exact in any summation order, and
+    *    the final avg is a single IEEE division;
+    *  - the per-doc score is a FIXED-ORDER addition chain over the
+    *    term list (one exact single-posting partial per term, then a
+    *    left-to-right fold) — never an unordered floating SUM, so two
+    *    docs with identical (tf⃗, dl) get bit-equal scores in every
+    *    engine and the deterministic id tiebreak decides their order.
+    * Output: idCol, n_matched, score. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                terms: Seq[String], k: Int = 20,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val postings = postingsFor(docs, idCol, textCol, terms)
-    // one corpus-stats row: N and avgdl (over all docs with a token
-    // count, the standard convention) — broadcast-attached
     val stats = docs
       .select(TextAnalysis.nTokensCol(col(textCol)).cast("double").as("__dl"))
+      .filter(col("__dl").isNotNull)
       .agg(count(lit(1)).cast("double").as("__n"), avg("__dl").as("__avgdl"))
     val idf = postings.groupBy("__ti").agg(count(lit(1)).cast("double").as("__df"))
       .crossJoin(broadcast(stats))
@@ -131,11 +145,78 @@ object Retrieval {
     val tfNorm = col("tf").cast("double") * lit(k1 + 1.0) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
+    val contrib = col("__idf") * tfNorm
+    // fixed-order score: Σ_i partial(i), folded left-to-right — each
+    // partial aggregates at most ONE posting (a doc has one row per
+    // matched term), so it is exact, and the outer chain replays in the
+    // same order in the DuckDB oracle (adding 0.0 for unmatched terms
+    // is exact on the positive contributions)
+    val score = terms.indices
+      .map(i => coalesce(sum(when(col("__ti") === i, contrib)), lit(0.0)))
+      .reduce(_ + _)
     postings.join(broadcast(idf), Seq("__ti"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast("int").as("n_matched"),
-        sum(col("__idf") * tfNorm).as("score"))
+      .agg(count(lit(1)).cast("int").as("n_matched"), score.as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Rank-only view of [[bm25TopK]] for the driver oracle: (rank,
+    * idCol, n_matched) — every column an exact integer, so the hash
+    * compare gates the production scorer's RANKING while the float
+    * scores stay ScalaTest-pinned. The window runs over the already-
+    * limited k rows (a single tiny partition), not the corpus. */
+  def bm25RankedTopK(docs: DataFrame, idCol: String, textCol: String,
+                     terms: Seq[String], k: Int = 20,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bm25TopK(docs, idCol, textCol, terms, k, k1, b)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col(idCol).asc)).cast("int"))
+      .select(col("rank"), col(idCol), col("n_matched"))
+  }
+
+  /** DuckDB replay of [[bm25RankedTopK]] — same term order, same
+    * fixed-order score chain, same (score desc, id asc) tiebreak; the
+    * engines differ only in their libm ln(), which the rank-stability
+    * spec (RetrievalSpec) bounds against the top-k score gaps. */
+  def duckBm25TopK(terms: Seq[String], k: Int = 20,
+                   k1: Double = 1.2, b: Double = 0.75,
+                   idCol: String = "doc_id", table: String = "documents",
+                   textCol: String = "text"): String = {
+    val termList = terms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+    // the CASE chain must fold in the SAME order as the Scala reduce:
+    // term 0 first — term identity is matched by name (the unnest
+    // preserves list order, but the chain is explicit to be safe)
+    val scoreChain = terms.map { t =>
+      val lit = "'" + t.replace("'", "''") + "'"
+      s"COALESCE(SUM(CASE WHEN term = $lit THEN contrib END), 0.0)"
+    }.mkString("(", " + ", ")")
+    s"""WITH toks AS (SELECT $idCol, str_split_regex(trim($textCol), '\\s+') AS t
+       |              FROM $table),
+       |q(term) AS (SELECT unnest([$termList])),
+       |post AS (
+       |  SELECT $idCol, term, len(list_filter(t, x -> x = term)) AS tf, len(t) AS dl
+       |  FROM toks, q WHERE len(list_filter(t, x -> x = term)) > 0),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |                 AVG(CAST(len(t) AS DOUBLE)) AS avgdl
+       |          FROM toks WHERE t IS NOT NULL),
+       |idf AS (SELECT term,
+       |          ln((n - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf,
+       |          any_value(avgdl) AS avgdl
+       |        FROM post, stats GROUP BY term, n),
+       |co AS (
+       |  SELECT $idCol, term,
+       |    idf * (CAST(tf AS DOUBLE) * ${k1 + 1.0} /
+       |      (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl)))
+       |      AS contrib
+       |  FROM post JOIN idf USING (term)),
+       |sc AS (
+       |  SELECT $idCol, CAST(COUNT(*) AS INT) AS n_matched,
+       |         $scoreChain AS score
+       |  FROM co GROUP BY $idCol)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, $idCol ASC) AS INT) AS rank,
+       |       $idCol, n_matched
+       |FROM sc ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
   }
 }

@@ -175,7 +175,13 @@ object TextDedup {
         Seq("band", "bkey"))
       .select(col("__id").as("snap_id"), col("batch_id"))
       .distinct()
-    cand
+    // broadcast the candidate side BY CONSTRUCTION (it is bounded by
+    // batch band matches, not by snapshot size): without the hint the
+    // planner broadcasts it at fixture scale from statistics alone, but
+    // at production scale a mis-estimate could flip this to a shuffle
+    // join and drag the snapshot signature arrays through an Exchange —
+    // the exact shape this operator exists to avoid
+    broadcast(cand)
       .join(sSigs.select(col("__id").as("snap_id"), col("sig").as("sig_a")), "snap_id")
       .join(broadcast(bSigs.select(col("__id").as("batch_id"), col("sig").as("sig_b"))),
         "batch_id")

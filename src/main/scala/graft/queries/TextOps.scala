@@ -79,6 +79,17 @@ object TextOps {
       graft.ops.Retrieval.keywordTopK(Tables.documents(s, dir), "doc_id", "text",
         ir1Terms, k = 20)),
 
+    // ir2 — BM25 top-k [extension]: the PRODUCTION retrieval scorer
+    // (Okapi BM25, ln-idf) under the driver oracle via its rank-only
+    // projection — (rank, doc_id, n_matched) are exact integers, so the
+    // hash compare gates the ranking while the ln()-bearing float
+    // scores stay ScalaTest-pinned (libm last-ulp variance; see
+    // Retrieval.bm25TopK's determinism ledger — everything except ln
+    // itself is bit-identical across engines by construction).
+    "ir2_bm25_topk" -> ((s, dir) =>
+      graft.ops.Retrieval.bm25RankedTopK(Tables.documents(s, dir), "doc_id", "text",
+        ir1Terms, k = 20)),
+
     // f13 — generator/UDTF surface: explode the token array into rows
     // (the lateral-view shape) and aggregate — corpus word count, top 20.
     "f13_word_count" -> ((s, dir) =>
@@ -248,6 +259,8 @@ object TextOps {
          |FROM c ORDER BY shard, id""".stripMargin,
 
     "ir1_keyword_topk" -> graft.ops.Retrieval.duckKeywordTopK(ir1Terms, k = 20),
+
+    "ir2_bm25_topk" -> graft.ops.Retrieval.duckBm25TopK(ir1Terms, k = 20),
 
     "f13_word_count" ->
       s"""SELECT word, COUNT(*) AS n

@@ -116,10 +116,16 @@ class RetrievalSpec extends SparkSuite {
     // exact dups (containment 1 by construction) are a LOWER bound on
     // what winnowing must find at 0.5; the fixture also contains true
     // near-dups (docs sharing ≥ half their fingerprints without byte
-    // equality — this corpus has 28 such pairs and zero exact dups), so
-    // equality with the exact closure would be the wrong law. Scores
-    // are exact set-intersection ratios, so (0, 1] bounds them.
-    val docs = Tables.documents(spark, sf)
+    // equality), so equality with the exact closure would be the wrong
+    // law. The raw fixture has ZERO exact dups, which would make the
+    // subset check vacuous — so verbatim copies of three long docs are
+    // PLANTED under fresh ids, and exact.nonEmpty is asserted as a
+    // precondition. Scores are exact set-intersection ratios → (0, 1].
+    val base = Tables.documents(spark, sf)
+    val maxId = base.agg(max("doc_id")).head().getLong(0)
+    val planted = base.filter(col("n_chars") >= 200).limit(3)
+      .select((col("doc_id") + lit(maxId)).as("doc_id"), col("text"))
+    val docs = base.select("doc_id", "text").unionByName(planted)
     val win = TextDedup.containmentPairs(docs, "doc_id", "text").collect()
     val winPairs = win.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(win.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
@@ -127,6 +133,70 @@ class RetrievalSpec extends SparkSuite {
     val exact = TextDedup.exactDedup(docs, "doc_id", "text")
       .filter(col("is_dup")).select("canonical_id", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 3, s"planted dups missing: only $exact")
     assert(exact.subsetOf(winPairs), s"missing exact dups: ${exact -- winPairs}")
+    // the planted copies are byte-identical → identical fingerprint
+    // sets → containment exactly 1.0
+    val byPair = win.map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    exact.foreach(p => assert(byPair(p) === 1.0, s"planted pair $p"))
+  }
+
+  test("ir2 rank stability: top-k score gaps dwarf libm ln() ulp noise") {
+    // ir2_bm25_topk hash-compares (rank, doc_id, n_matched) against
+    // DuckDB. The two engines' scores differ only through their libm
+    // ln() (every other step is bit-identical by construction — see
+    // bm25TopK's Scaladoc), i.e. by O(1 ulp) ≈ 1e-16 relative per
+    // term. The rank hash is therefore stable iff adjacent DISTINCT
+    // scores around the cut are separated by far more than that; docs
+    // with bit-EQUAL scores (identical tf⃗/dl) are safe regardless —
+    // the fixed-order sum makes them collide exactly in both engines
+    // and the doc_id tiebreak orders them identically.
+    val docs = Tables.documents(spark, sf)
+    val scores = Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("dup", "vector", "batch"), k = 25)
+      .collect().map(_.getDouble(2))
+    assert(scores.length > 20, "need rows past the k=20 cut")
+    val gaps = scores.sliding(2).collect {
+      case Array(a, b) if a != b => (a - b) / a
+    }.toSeq
+    assert(gaps.nonEmpty)
+    assert(gaps.forall(_ > 1e-9),
+      s"adjacent relative score gap too small for cross-engine rank " +
+        s"stability: ${gaps.min}")
+  }
+
+  test("dd9 hot-fingerprint guard bounds the boilerplate clique") {
+    // degenerate corpus (the dd2 maxBucketSize / dd4 maxShingleDf
+    // scenario): 30 docs share one long boilerplate run → its
+    // fingerprints have df=30, and every one of the 435 boilerplate
+    // pairs scores ≥ 0.5 unguarded (f² join rows). One genuine pair
+    // (200, 201) shares a long passage and NO boilerplate, so the
+    // guard cannot touch its fingerprints.
+    val rng = new scala.util.Random(7)
+    def noise(n: Int): String = rng.alphanumeric.take(n).mkString
+    val boiler = "this exact boilerplate footer sentence repeats on every " +
+      "generated page of the crawl and dominates short documents entirely"
+    val passage = "a genuinely shared long passage of real content that " +
+      "only the two authentic near duplicate documents have in common"
+    val docs = ((1 to 30).map(i => (i.toLong, boiler + " " + noise(40))) ++
+      Seq((200L, passage + " " + noise(30)), (201L, noise(30) + " " + passage)))
+      .toDF("doc_id", "text")
+    def run(guard: Option[Int]) = TextDedup.containmentPairs(
+      docs, "doc_id", "text", k = 10, w = 4, threshold = 0.5,
+      maxFingerprintDf = guard).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val unguarded = run(None)
+    val guarded = run(Some(10))
+    // unguarded: the boilerplate clique is quadratic (all 435 pairs
+    // present) — exactly the blowup the guard exists to bound
+    assert((1 to 30).combinations(2).forall { case Seq(a, b) =>
+      unguarded.contains((a.toLong, b.toLong)) })
+    assert(unguarded.contains((200L, 201L)))
+    // guarded: clique gone (its fingerprints all have df=30 > 10), the
+    // genuine pair survives WITH ITS SCORE UNCHANGED (none of its
+    // fingerprints are hot), and no new pairs appear
+    assert(guarded.keySet === Set((200L, 201L)))
+    assert(guarded((200L, 201L)) === unguarded((200L, 201L)))
+    assert(guarded.keySet.subsetOf(unguarded.keySet))
   }
 }
