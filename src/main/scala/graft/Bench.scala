@@ -58,17 +58,35 @@ object Bench {
     // A failed query reports -1.0 (never its partial elapsed time), so a
     // crash can't masquerade as a fast success in the emitted JSON.
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                pass: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch {
         case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] $name failed ($pass): ${e.getMessage}")
           false
       }
       val sec = (System.nanoTime() - t0) / 1e9
       if (debug) System.err.println(
-        f"[bench-debug] +${(System.nanoTime() - benchStart) / 1e9}%.1fs $name%-28s ${sec}%.2fs")
-      name -> (if (ok) sec else -1.0)
+        f"[bench-debug] +${(System.nanoTime() - benchStart) / 1e9}%.1fs [$pass] $name%-28s ${sec}%.2fs")
+      if (ok) sec else -1.0
+    }
+    val ordered = selected.toSeq.sortBy(_._1)
+    val results = ordered.map { case (name, fn) => name -> timeOne(name, fn, "first") }.toMap
+    // Second WARM pass, same order: the headline `total` stays the
+    // first-pass sum (comparable round-over-round, can't be gamed by
+    // warming), but BENCH_FULL.json also carries min2 = min(first, warm)
+    // per query so a driver-host contention spike (r7: i1 measured
+    // 15.2 s under contention vs 0.29 s same-code committed) is
+    // adjudicable from the round's own artifact instead of forensic
+    // standalone re-runs. min2 is the plan-cost signal; first is the
+    // comparability signal. Skipped under SPARK_GRAFT_ONE_PASS=1 for
+    // quick local iteration and for already-failed queries.
+    val onePass = sys.env.contains("SPARK_GRAFT_ONE_PASS")
+    val min2 = ordered.map { case (name, fn) =>
+      val first = results(name)
+      val warm = if (onePass || first < 0) -1.0 else timeOne(name, fn, "warm")
+      name -> (if (first < 0) -1.0 else if (warm < 0) first else math.min(first, warm))
     }.toMap
     def fmt(v: Double, d: Int): String =
       s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
@@ -81,10 +99,12 @@ object Bench {
     // line itself must stay ≤ ~1800 chars. Strategy: per-query times are
     // reported slowest-first and greedily packed into a fixed byte budget;
     // the complete map is written to BENCH_FULL.json for the judge.
+    val totalMin2 = if (min2.nonEmpty) min2.values.sum else 0.0
     val fullJson = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v, 2) }
+      .map { case (k, v) =>
+        s"\"" + k + "\":{\"first\":" + fmt(v, 2) + ",\"min2\":" + fmt(min2(k), 2) + "}" }
       .mkString(
-        s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","sf":"$sfTag","nq":${results.size},"queries":{""",
+        s"""{"metric":"total","value":${fmt(total, 2)},"total_min2":${fmt(totalMin2, 2)},"unit":"sec","sf":"$sfTag","nq":${results.size},"queries":{""",
         ",", "}}")
     // resolved against the launch directory (sbt runs from the repo root),
     // not a hardcoded checkout path; only the complete inventory is dumped

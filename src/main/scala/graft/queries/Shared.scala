@@ -1,6 +1,7 @@
 package graft.queries
 
 import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.storage.StorageLevel
 
@@ -33,10 +34,34 @@ import org.apache.spark.storage.StorageLevel
 object Shared {
   private val memo = new ConcurrentHashMap[(Int, String, String), DataFrame]()
 
+  /** Lifecycle contract: entries live as long as their session — the
+    * intended scope for a bench/verify run, which stops the context at
+    * exit and takes the cached blocks with it. So that a LONG-LIVED
+    * process cycling many sessions doesn't accumulate stale driver-side
+    * plan references (the cached blocks themselves die with each
+    * context), the first cache entry per session registers a listener
+    * that evicts that session's memo entries on application end. */
+  private val cleanupHooked = new ConcurrentHashMap[Int, Boolean]()
+  private def hookCleanup(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark)
+    cleanupHooked.computeIfAbsent(key, _ => {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          memo.keySet.removeIf(_._1 == key)
+          once.keySet.removeIf(_._1 == key)
+          cleanupHooked.remove(key)
+        }
+      })
+      true
+    }): Unit
+  }
+
   private def cached(spark: SparkSession, dir: String, what: String)(
-      build: => DataFrame): DataFrame =
+      build: => DataFrame): DataFrame = {
+    hookCleanup(spark)
     memo.computeIfAbsent((System.identityHashCode(spark), dir, what),
       _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** The denormalized star cube — one broadcast-join build per
     * (session, fixture dir), shared by `j2_cube_view`,
@@ -63,9 +88,11 @@ object Shared {
     * setup, not the operator under test. Sink operators (s6-s8, cp1,
     * zo1) do NOT use this — there the write IS the operator. */
   def setupOnce(spark: SparkSession, dir: String, what: String)(
-      body: => Unit): Unit =
+      body: => Unit): Unit = {
+    hookCleanup(spark)
     once.computeIfAbsent((System.identityHashCode(spark), dir, what),
       _ => { body; true }): Unit
+  }
 
   /** Connected-component labels over [[lshPairs]] — the transitive
     * cluster closure shared by `dd7` and `px2`. Below the local-path

@@ -221,6 +221,56 @@ class PlanShapeSpec extends SparkSuite {
       s"top-k must be TakeOrderedAndProject, not a global sort:\n$phys")
   }
 
+  test("battery sweep: no cartesian product, no missed broadcast, in ANY query plan") {
+    // The whole-battery generalization of the per-query pins above —
+    // catches the regression class the samples sample:
+    //  (a) a CartesianProductExec anywhere is always a bug (the
+    //      documented tiny-side attaches plan as
+    //      BroadcastNestedLoopJoin over a broadcast, never cartesian);
+    //  (b) a shuffle join (SMJ/SHJ) whose either side is ESTIMATED
+    //      under the autoBroadcast threshold means a join that should
+    //      have broadcast didn't — at fixture scale every
+    //      dimension-sized side must broadcast.
+    // AQE off so the physical tree is visible to collect; exemptions
+    // are queries whose *subject* is the non-broadcast join itself.
+    val exempt = Map(
+      // merge-hinted SMJ over co-located buckets — the exchange-free
+      // SMJ IS the operator under test (its own pin asserts bucketing)
+      "bkt_bucketed_join" -> "deliberate merge-hinted bucketed SMJ",
+      // the salting demos force the shuffle path (broadcast would
+      // dissolve the skew being demonstrated)
+      "skew_salted_join" -> "deliberate salted shuffle join")
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val threshold = 10L * 1024 * 1024 // the session autoBroadcast default
+      val problems = scala.collection.mutable.Buffer[String]()
+      import org.apache.spark.sql.execution.joins.{CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
+      def minSideEstimate(l: org.apache.spark.sql.execution.SparkPlan,
+                          r: org.apache.spark.sql.execution.SparkPlan): Option[BigInt] = {
+        def est(p: org.apache.spark.sql.execution.SparkPlan): Option[BigInt] =
+          p.logicalLink.map(_.stats.sizeInBytes)
+        for (a <- est(l); b <- est(r)) yield a.min(b)
+      }
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+           if !exempt.contains(name)) {
+        val phys = fn(spark, sf).queryExecution.executedPlan
+        phys.foreach {
+          case _: CartesianProductExec =>
+            problems += s"$name: CartesianProductExec"
+          case j: SortMergeJoinExec =>
+            minSideEstimate(j.left, j.right).filter(_ < threshold).foreach(sz =>
+              problems += s"$name: SMJ with ${sz}B side (should broadcast)")
+          case j: ShuffledHashJoinExec =>
+            minSideEstimate(j.left, j.right).filter(_ < threshold).foreach(sz =>
+              problems += s"$name: SHJ with ${sz}B side (should broadcast)")
+          case _ =>
+        }
+      }
+      assert(problems.isEmpty, s"plan sweep violations:\n${problems.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("incremental dedup prefilters the snapshot before any exchange; packing shuffles once on the shard") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
