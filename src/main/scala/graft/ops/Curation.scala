@@ -327,4 +327,87 @@ object Curation {
       .select(col(idCol), nTok.as("n_tokens"), reason.as("drop_reason"))
       .withColumn("keep", col("drop_reason").isNull)
   }
+
+  // ── leakage-safe split assignment ──────────────────────────────────
+
+  /** Deterministic train/val/test assignment keyed on the CONTENT
+    * fingerprint, not the row id — byte-identical duplicates hash to the
+    * same draw and therefore always land in the same split, so exact
+    * dups can never straddle the train/eval boundary (an id- or RNG-
+    * keyed split scatters copies across splits, and the eval loss then
+    * scores memorization). For fuzzy leak-proofing, pre-canonicalize
+    * with [[TextDedup.pickCanonical]] / the dd7 cluster labels and call
+    * this on the representative's text.
+    *
+    * Scale shape: pure map — fingerprint (md5), one [[DetHash.h]] draw,
+    * two comparisons; zero shuffles at any corpus size, and re-running
+    * on a grown corpus never reassigns an existing document (the draw
+    * depends only on content + salt). Buckets partition [0, 1e6):
+    * train gets the first (100-valPct-testPct)%, then val, then test.
+    * NULL text draws 0 → train (deterministic; flag upstream with px3's
+    * null_text reason). Output: idCol, fingerprint, draw, split — rows
+    * = `docs` rows exactly. */
+  def groupSplit(docs: DataFrame, idCol: String, textCol: String,
+                 valPct: Int = 5, testPct: Int = 5,
+                 salt: String = "split"): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct < 100,
+      s"val/test percentages must be non-negative and sum below 100: $valPct/$testPct")
+    val M = 1000000L
+    val trainCut = (100L - valPct - testPct) * (M / 100)
+    val valCut = trainCut + valPct * (M / 100)
+    val fp = TextDedup.fingerprint(col(textCol))
+    val draw = coalesce(DetHash.h(concat(lit(salt + "_"), fp)) % M, lit(0L))
+    docs.select(col(idCol), fp.as("fingerprint"), draw.as("draw"),
+      when(draw < trainCut, "train").when(draw < valCut, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** DuckDB replay of [[groupSplit]] — generated from the same salt and
+    * cut constants so the engines cannot drift. */
+  def duckGroupSplit(valPct: Int = 5, testPct: Int = 5,
+                     salt: String = "split",
+                     idCol: String = "doc_id", table: String = "documents",
+                     textCol: String = "text"): String = {
+    val M = 1000000L
+    val trainCut = (100L - valPct - testPct) * (M / 100)
+    val valCut = trainCut + valPct * (M / 100)
+    val fpSql = s"md5(regexp_replace(lower(trim($textCol)), '\\s+', ' ', 'g'))"
+    val drawSql =
+      s"COALESCE(${DetHash.hSql(s"'${salt}_' || $fpSql")} % $M, 0)"
+    s"""SELECT $idCol, $fpSql AS fingerprint, $drawSql AS draw,
+       |  CASE WHEN $drawSql < $trainCut THEN 'train'
+       |       WHEN $drawSql < $valCut THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM $table ORDER BY $idCol""".stripMargin
+  }
+
+  // ── fuzzy decontamination ──────────────────────────────────────────
+
+  /** Near-duplicate decontamination: flag corpus documents whose content
+    * is a NEAR-dup of any benchmark/eval document — the fuzzy upgrade of
+    * [[decontaminate]] (n-gram overlap misses paraphrases that keep few
+    * exact shingles; a lightly reworded eval answer still trips the
+    * MinHash estimate). Matching is [[TextDedup.incrementalMinhashLsh]]
+    * with the BENCHMARK as the batch side, so the scale asymmetry is
+    * exactly right: the benchmark's band keys broadcast (eval suites are
+    * MBs), the corpus side probes them map-side and NEVER shuffles, and
+    * only surviving candidate ids cross an exchange.
+    *
+    * Output: idCol, n_matches (benchmark docs estimated ≥ threshold),
+    * max_est_jaccard (0.0 when clean), contaminated — rows = `docs`
+    * rows exactly. */
+  def fuzzyDecontaminate(docs: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String,
+                         threshold: Double = 0.5): DataFrame = {
+    val hits = TextDedup.incrementalMinhashLsh(
+        batch = benchmark, snapshot = docs, idCol, textCol, threshold)
+      .groupBy(col("snap_id").as(idCol))
+      .agg(count(lit(1)).as("n_matches"), max("est_jaccard").as("__max"))
+    docs.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        coalesce(col("__max"), lit(0.0)).as("max_est_jaccard"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated"))
+  }
 }

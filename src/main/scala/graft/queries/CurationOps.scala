@@ -137,7 +137,30 @@ object CurationOps {
         tokensCol = graft.ops.TextAnalysis.nTokensCol(col("text")),
         targets = Map("en" -> 0.2, "de" -> 0.2, "es" -> 0.2,
           "fr" -> 0.2, "zh" -> 0.2))
-        .orderBy("lang")))
+        .orderBy("lang")),
+
+    // cr6 — leakage-safe split assignment [extension]: train/val/test
+    // drawn from the CONTENT fingerprint, so byte-identical duplicates
+    // always share a split and can never leak eval content into
+    // training. Pure map, zero shuffles, stable under corpus growth
+    // (Curation.groupSplit Scaladoc).
+    "cr6_group_split" -> ((s, dir) =>
+      Curation.groupSplit(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ct2 — fuzzy decontamination [extension]: ct1's exact-shingle probe
+    // upgraded to MinHash near-dup matching — a paraphrased eval answer
+    // that keeps few exact 4-grams still trips the signature estimate.
+    // Benchmark bands broadcast; the corpus never shuffles
+    // (TextDedup.incrementalMinhashLsh asymmetry, reused verbatim).
+    "ct2_fuzzy_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.fuzzyDecontaminate(
+        docs = docs.filter(col("doc_id") % 10 =!= 0),
+        benchmark = docs.filter(col("doc_id") % 10 === 0),
+        idCol = "doc_id", textCol = "text")
+        .orderBy("doc_id")
+    }))
 
   val oracles: Map[String, String] = Map(
 
@@ -282,5 +305,27 @@ object CurationOps {
          |  CAST(0.2 AS DOUBLE) AS target_share,
          |  CAST(0.2 AS DOUBLE)
          |    / (CAST(total_tokens AS DOUBLE) / CAST(grand AS DOUBLE)) AS weight
-         |FROM per, g ORDER BY lang""".stripMargin)
+         |FROM per, g ORDER BY lang""".stripMargin,
+
+    "cr6_group_split" -> Curation.duckGroupSplit(),
+
+    "ct2_fuzzy_decontaminate" ->
+      s"""WITH ${DedupOps.duckSigCtes},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS snap_id, b.doc_id AS batch_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0),
+         |inc AS (
+         |  SELECT snap_id, ${DedupOps.duckEstJaccard} AS ej
+         |  FROM cand JOIN sigs sa ON cand.snap_id = sa.doc_id
+         |            JOIN sigs sb ON cand.batch_id = sb.doc_id
+         |  WHERE ${DedupOps.duckEstJaccard} >= 0.5),
+         |ag AS (SELECT snap_id, COUNT(*) AS n_matches, MAX(ej) AS mx
+         |       FROM inc GROUP BY snap_id)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(ag.n_matches, 0) AS BIGINT) AS n_matches,
+         |  COALESCE(ag.mx, 0.0) AS max_est_jaccard,
+         |  COALESCE(ag.n_matches, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN ag ON d.doc_id = ag.snap_id
+         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin)
 }

@@ -40,10 +40,10 @@ object DedupOps {
     s"[$comps]"
   }
 
-  /** The dd2 MinHash-LSH candidate chain as a reusable CTE list ending in
-    * `pairs(doc_a, doc_b)` — shared by dd7's component closure and px2's
-    * cluster-level curation oracle. */
-  private[queries] val duckLshPairCtes: String =
+  /** The MinHash signature + band chain as a CTE list ending in
+    * `sigs(doc_id, sig)` and `bands(doc_id, band, bkey)` — the prefix
+    * every LSH oracle (dd2/dd7/dd10/px2/ct2) builds on. */
+  private[queries] val duckSigCtes: String =
     s"""toks AS (SELECT doc_id, $duckToks AS t FROM documents),
        |sh AS (SELECT doc_id, ${duckShingles(3)} AS s
        |       FROM toks WHERE len(t) >= 3),
@@ -52,7 +52,17 @@ object DedupOps {
        |bands AS (
        |  SELECT doc_id, j AS band,
        |         array_to_string(list_slice(sig, 4*j + 1, 4*j + 4), '_') AS bkey
-       |  FROM sigs, UNNEST([0, 1, 2, 3]) u(j)),
+       |  FROM sigs, UNNEST([0, 1, 2, 3]) u(j))""".stripMargin
+
+  /** DuckDB: MinHash-estimated Jaccard of pre-joined sigs `sa`/`sb`. */
+  private[queries] val duckEstJaccard: String =
+    "CAST(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16.0"
+
+  /** The dd2 MinHash-LSH candidate chain as a reusable CTE list ending in
+    * `pairs(doc_a, doc_b)` — shared by dd7's component closure and px2's
+    * cluster-level curation oracle. */
+  private[queries] val duckLshPairCtes: String =
+    s"""$duckSigCtes,
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
@@ -270,15 +280,7 @@ object DedupOps {
 
     "dd10_incremental_lsh" ->
       s"""WITH sp AS (SELECT (max(doc_id) + 1) // 2 AS split_at FROM documents),
-         |toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-         |sh AS (SELECT doc_id, ${duckShingles(3)} AS s
-         |       FROM toks WHERE len(t) >= 3),
-         |hm AS (SELECT doc_id, $duckHmod AS hm FROM sh),
-         |sigs AS (SELECT doc_id, $duckSig AS sig FROM hm),
-         |bands AS (
-         |  SELECT doc_id, j AS band,
-         |         array_to_string(list_slice(sig, 4*j + 1, 4*j + 4), '_') AS bkey
-         |  FROM sigs, UNNEST([0, 1, 2, 3]) u(j)),
+         |$duckSigCtes,
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS snap_id, b.doc_id AS batch_id
          |  FROM bands a JOIN bands b

@@ -255,4 +255,79 @@ class CurationSpec extends SparkSuite {
     assert(byReason.keySet.subsetOf(known), s"got $byReason")
     assert(byReason.getOrElse("language", 0L) > 0, s"got $byReason")
   }
+
+  // ── leakage-safe split ───────────────────────────────────────────
+
+  test("groupSplit: identical content shares a split; buckets partition the corpus") {
+    val docs = Tables.documents(spark, sf)
+    // plant verbatim copies of three docs under fresh ids — the
+    // invariant under test is that a copy can NEVER cross splits
+    val maxId = docs.agg(max("doc_id")).first().getLong(0)
+    val copies = docs.filter(col("doc_id") < 3)
+      .withColumn("doc_id", col("doc_id") + maxId + 1)
+    val all = docs.unionByName(copies)
+    val out = Curation.groupSplit(all, "doc_id", "text").cache()
+    try {
+      assert(out.count() === all.count(), "one row per input doc")
+      // every fingerprint maps to exactly one split
+      val multi = out.groupBy("fingerprint")
+        .agg(countDistinct("split").as("n")).filter(col("n") > 1).count()
+      assert(multi === 0, "a content group straddled a split boundary")
+      val planted = out.filter(col("doc_id") > maxId)
+        .select("fingerprint", "split").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      val originals = out.filter(col("doc_id") < 3)
+        .select("fingerprint", "split").collect()
+      originals.foreach(r =>
+        assert(planted(r.getString(0)) === r.getString(1)))
+      // draws cover the declared bucket geometry: train below 900k,
+      // val in [900k, 950k), test above — and train dominates
+      val bad = out.filter(
+        (col("split") === "train" && col("draw") >= 900000L) ||
+        (col("split") === "val" && (col("draw") < 900000L || col("draw") >= 950000L)) ||
+        (col("split") === "test" && col("draw") < 950000L)).count()
+      assert(bad === 0)
+      val byCounts = out.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byCounts("train") > byCounts.getOrElse("val", 0L) &&
+        byCounts("train") > byCounts.getOrElse("test", 0L), s"got $byCounts")
+    } finally out.unpersist()
+  }
+
+  test("groupSplit is a pure map: no exchange in the plan") {
+    val out = Curation.groupSplit(Tables.documents(spark, sf), "doc_id", "text")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"split assignment must not shuffle:\n$p")
+  }
+
+  // ── fuzzy decontamination ────────────────────────────────────────
+
+  test("fuzzyDecontaminate trips on a paraphrase ct1-style exact shingles can miss") {
+    // benchmark doc vs a corpus copy with one word swapped per 12-token
+    // stretch: most 3-token shingles survive, so the MinHash estimate
+    // stays high while plenty of exact 4-grams break
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val paraphrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau phi"
+    val bench = Seq((0L, benchText)).toDF("id", "txt")
+    val docs = Seq(
+      (1L, paraphrase),
+      (2L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce")
+    ).toDF("id", "txt")
+    val out = Curation.fuzzyDecontaminate(docs, bench, "id", "txt", threshold = 0.5)
+      .orderBy("id").collect()
+    assert(out(0).getBoolean(3), "near-dup paraphrase must be flagged")
+    assert(out(0).getDouble(2) >= 0.5 && out(0).getLong(1) === 1L)
+    assert(!out(1).getBoolean(3) && out(1).getDouble(2) === 0.0,
+      "disjoint-vocab doc must stay clean")
+  }
+
+  test("fuzzyDecontaminate is row-complete over the candidate corpus") {
+    val docs = Tables.documents(spark, sf)
+    val cand = docs.filter(col("doc_id") % 10 =!= 0)
+    val out = Curation.fuzzyDecontaminate(cand,
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
+    assert(out.count() === cand.count())
+  }
 }
