@@ -219,4 +219,91 @@ object Retrieval {
        |       $idCol, n_matched
        |FROM sc ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
   }
+
+  // ── rank fusion ──────────────────────────────────────────────────
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher RRF) of several
+    * rankings: rrf(d) = Σ_lists 1/(c + rank_list(d)), summed in list
+    * order — the standard hybrid-retrieval combiner (lexical ⊕ semantic,
+    * or here tf-idf ⊕ BM25), robust because it reads only RANKS, never
+    * the incomparable raw scores.
+    *
+    * Inputs carry (idCol, rank). Determinism: each (doc, list)
+    * contributes exactly one 1/(c+rank) term — an IEEE division of
+    * exact integers — and the cross-list sum is an explicit fixed-order
+    * fold (list 0 first), so fused scores are bit-identical across
+    * engines; ties break to the lowest id.
+    *
+    * Scale shape: the inputs are already top-poolK pools (k-sized, not
+    * corpus-sized), so the union/aggregate here moves O(lists · poolK)
+    * rows — the fusion itself is free at any corpus size; the cost lives
+    * in the underlying scorers. Output: idCol, n_lists, rrf_score, rank
+    * — ordered by rank, limited to k. */
+  def rrfFuseTopK(rankings: Seq[DataFrame], idCol: String,
+                  k: Int = 20, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rankings.nonEmpty, "need at least one ranking to fuse")
+    val tagged = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col("rank").cast("int").as("__rk"),
+        lit(i).as("__src"))
+    }.reduce(_ unionByName _)
+    val score = rankings.indices.map { i =>
+      coalesce(sum(when(col("__src") === i,
+        lit(1.0) / (lit(c.toDouble) + col("__rk").cast("double")))), lit(0.0))
+    }.reduce(_ + _)
+    tagged.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_lists"), score.as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(idCol).asc)
+      .limit(k)
+      // fused rank over the already-limited k rows (single tiny partition)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col(idCol).asc)).cast("int"))
+  }
+
+  /** Hybrid keyword retrieval: the fixed-point tf-idf ranking
+    * ([[keywordTopK]]) fused with the BM25 ranking ([[bm25TopK]]) by
+    * [[rrfFuseTopK]] — the two scorers disagree exactly where length
+    * normalization matters, and RRF keeps the consensus docs on top.
+    * Both pools share the same postings shape (corpus tokenized
+    * map-side, postings-only shuffle); the fusion adds no corpus-sized
+    * work. */
+  def hybridTopK(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int = 20, poolK: Int = 50,
+                 c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranked(pool: DataFrame) = pool.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col(idCol).asc)).cast("int"))
+      .select(col(idCol), col("rank"))
+    rrfFuseTopK(Seq(
+      ranked(keywordTopK(docs, idCol, textCol, terms, poolK)),
+      ranked(bm25TopK(docs, idCol, textCol, terms, poolK))), idCol, k, c)
+  }
+
+  /** DuckDB replay of [[hybridTopK]] — same pools, same fixed-order
+    * fused sum, same tiebreaks. */
+  def duckHybridTopK(terms: Seq[String], k: Int = 20, poolK: Int = 50,
+                     c: Int = 60, idCol: String = "doc_id",
+                     table: String = "documents",
+                     textCol: String = "text"): String = {
+    val one = "CAST(1.0 AS DOUBLE)"
+    val cD = s"CAST($c.0 AS DOUBLE)"
+    s"""WITH kwpool AS (${duckKeywordTopK(terms, poolK, idCol, table, textCol)}),
+       |kwr AS (SELECT $idCol, CAST(row_number() OVER (
+       |          ORDER BY score DESC, $idCol ASC) AS INT) AS rk FROM kwpool),
+       |bmr AS (SELECT $idCol, rank AS rk
+       |        FROM (${duckBm25TopK(terms, poolK, idCol = idCol,
+                         table = table, textCol = textCol)})),
+       |u AS (SELECT $idCol, 0 AS src, rk FROM kwr
+       |      UNION ALL SELECT $idCol, 1, rk FROM bmr),
+       |f AS (
+       |  SELECT $idCol, CAST(COUNT(*) AS INT) AS n_lists,
+       |    (COALESCE(SUM(CASE WHEN src = 0
+       |        THEN $one / ($cD + CAST(rk AS DOUBLE)) END), 0.0)
+       |     + COALESCE(SUM(CASE WHEN src = 1
+       |        THEN $one / ($cD + CAST(rk AS DOUBLE)) END), 0.0)) AS rrf_score
+       |  FROM u GROUP BY $idCol)
+       |SELECT $idCol, n_lists, rrf_score,
+       |  CAST(row_number() OVER (ORDER BY rrf_score DESC, $idCol ASC) AS INT) AS rank
+       |FROM f ORDER BY rrf_score DESC, $idCol ASC LIMIT $k""".stripMargin
+  }
 }

@@ -90,6 +90,16 @@ object TextOps {
       graft.ops.Retrieval.bm25RankedTopK(Tables.documents(s, dir), "doc_id", "text",
         ir1Terms, k = 20)),
 
+    // ir3 — hybrid rank fusion [extension]: the tf-idf and BM25 pools
+    // combined by reciprocal-rank fusion (RRF reads only ranks, so the
+    // incomparable raw scores never mix). Fused scores are fixed-order
+    // IEEE sums of exact-integer divisions — hash-exact across engines
+    // even though ir2's underlying floats are not (Retrieval.rrfFuseTopK
+    // determinism note).
+    "ir3_rrf_fusion" -> ((s, dir) =>
+      graft.ops.Retrieval.hybridTopK(Tables.documents(s, dir), "doc_id", "text",
+        ir1Terms, k = 20, poolK = 50)),
+
     // f13 — generator/UDTF surface: explode the token array into rows
     // (the lateral-view shape) and aggregate — corpus word count, top 20.
     "f13_word_count" -> ((s, dir) =>
@@ -261,6 +271,9 @@ object TextOps {
     "ir1_keyword_topk" -> graft.ops.Retrieval.duckKeywordTopK(ir1Terms, k = 20),
 
     "ir2_bm25_topk" -> graft.ops.Retrieval.duckBm25TopK(ir1Terms, k = 20),
+
+    "ir3_rrf_fusion" ->
+      graft.ops.Retrieval.duckHybridTopK(ir1Terms, k = 20, poolK = 50),
 
     "f13_word_count" ->
       s"""SELECT word, COUNT(*) AS n

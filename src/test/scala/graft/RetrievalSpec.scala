@@ -199,4 +199,39 @@ class RetrievalSpec extends SparkSuite {
     assert(guarded((200L, 201L)) === unguarded((200L, 201L)))
     assert(guarded.keySet.subsetOf(unguarded.keySet))
   }
+
+  test("rrfFuseTopK matches the hand-computed fused scores and tiebreaks") {
+    // list A ranks 1,2,3; list B ranks 3,2,4 — doc 2 is the consensus
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((3L, 1), (2L, 2), (4L, 3)).toDF("doc_id", "rank")
+    val got = Retrieval.rrfFuseTopK(Seq(a, b), "doc_id", k = 10, c = 60)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3)))
+    def s(ranks: Double*) = ranks.map(r => 1.0 / (60.0 + r)).sum
+    val expect = Map( // doc -> (n_lists, score)
+      1L -> (1, s(1)), 2L -> (2, s(2, 2)), 3L -> (2, s(3, 1)), 4L -> (1, s(3)))
+    got.foreach { case (id, n, sc, _) =>
+      assert((n, sc) === expect(id), s"doc $id") }
+    // fused order: 2 and 3 tie exactly in floating point only if their
+    // rank multisets match — here 3 (ranks 3,1) beats 2 (ranks 2,2)?
+    // 1/63+1/61 vs 2/62: hand-check the actual ordering
+    val order = got.sortBy(_._4).map(_._1).toSeq
+    val byScore = expect.toSeq.sortBy { case (id, (_, sc)) => (-sc, id) }.map(_._1)
+    assert(order === byScore)
+    assert(got.map(_._4).sorted.toSeq === Seq(1, 2, 3, 4))
+  }
+
+  test("hybridTopK keeps consensus docs of its two pools on top") {
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("dup", "vector", "batch")
+    val fused = Retrieval.hybridTopK(docs, "doc_id", "text", terms,
+      k = 20, poolK = 50).collect()
+    assert(fused.length === 20)
+    // every fused doc came from at least one pool, and rank 1 is a doc
+    // present in BOTH pools (RRF strictly favors consensus at the top
+    // when pools overlap heavily, as these two lexical scorers do)
+    assert(fused.head.getInt(1) === 2, "top fused doc should be in both pools")
+    // fused scores are monotone non-increasing in rank
+    val scores = fused.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
+    assert(scores === scores.sorted.reverse)
+  }
 }
