@@ -280,6 +280,98 @@ object VectorSearch {
       .select("query_id", "vec_id", "qcos", "rank")
   }
 
+  /** Two-stage search: [[scalarQuantTopK]]'s int8 shortlist re-ranked by
+    * the exact float cosine — the production ANN serving shape (a cheap
+    * wide recall stage feeding an expensive precise stage). The
+    * quantized stage scans 4×-compressed codes and keeps `shortlist`
+    * candidates per query; only those ≈`|Q|·shortlist` (id, id) rows are
+    * re-scored exactly, so stage-2 cost is independent of corpus size.
+    *
+    * Plan shape: the shortlist (ids only) broadcasts back against the
+    * corpus scan, so raw vectors re-attach map-side and never shuffle;
+    * the final window moves (id, id, double) rows. Output: query_id,
+    * vec_id, stage1_rank (the quantized rank — recall diagnostics),
+    * cos_sim, rank ≤ k. */
+  def rerankTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int = 10,
+                 shortlist: Int = 50, excludeSelf: Boolean = true): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must cover k ($k)")
+    val short = scalarQuantTopK(spark, corpus, queries, idCol, vecCol,
+        shortlist, excludeSelf)
+      .select(col("query_id"), col("vec_id"), col("rank").as("stage1_rank"))
+    val c = withNorm(spark, corpus, vecCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__cv"),
+        col("__norm2").as("__cn"))
+    val q = withNorm(spark, queries, vecCol)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        col("__norm2").as("__qn"))
+    c.join(broadcast(short), "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos_sim",
+        expr("vec_dot(__qv, __cv)") / (sqrt(col("__qn")) * sqrt(col("__cn"))))
+      // arrays projected away before the window's exchange (see rankTopK)
+      .select("query_id", "vec_id", "stage1_rank", "cos_sim")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("cos_sim").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "stage1_rank", "cos_sim", "rank")
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the embedding space, then prune documents whose WITHIN-CLUSTER
+    * cosine to a lower-id neighbor reaches `threshold` — semantic
+    * near-dups (re-encodings, templated rewrites) that text-level
+    * shingles miss. Clustering to `centroids` (seed vectors here;
+    * [[kmeansCentroids]] output at production scale) bounds the pair
+    * search to cluster members — never all-pairs across the corpus.
+    *
+    * Plan shape: assignment is one map-side pass of codegen'd dots
+    * against the broadcast centroid set, reduced by a min-struct
+    * aggregate (ties to the lowest cid) — only (id, cos, cid) scalars
+    * reach the exchange. Candidate pairs self-join the (id, cid)
+    * assignment — ids only; raw vectors re-attach map-side against the
+    * broadcast pair set for exact verification (the dd5 re-attach
+    * convention — at production scale swap for an id-partitioned
+    * equi-join and size |clusters| ∝ N to bound member counts).
+    * Output: vec_id, cid, n_dup_neighbors (lower-id τ-neighbors in the
+    * cluster), keep — one row per non-NULL input vector. */
+  def semanticDedup(spark: SparkSession, corpus: DataFrame,
+                    centroids: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double = 0.4): DataFrame = {
+    val cent = withNorm(spark, centroids.filter(col(vecCol).isNotNull), vecCol)
+      .select(col(idCol).as("cid"), col(vecCol).as("__centv"),
+        col("__norm2").as("__centn"))
+    val vecs = withNorm(spark, corpus.filter(col(vecCol).isNotNull), vecCol)
+      .select(col(idCol).as("vec_id"), col(vecCol).as("__v"),
+        col("__norm2").as("__n"))
+    val assigned = vecs.crossJoin(broadcast(cent))
+      .withColumn("__ccos",
+        expr("vec_dot(__v, __centv)") / (sqrt(col("__n")) * sqrt(col("__centn"))))
+      .select(col("vec_id"), col("__ccos"), col("cid"))
+      .groupBy("vec_id")
+      .agg(min(struct((col("__ccos") * lit(-1.0)).as("nc"),
+        col("cid").as("cid"))).as("__best"))
+      .select(col("vec_id"), col("__best.cid").as("cid"))
+    val cand = assigned.as("a").join(assigned.as("b"),
+        col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"))
+    val dup = broadcast(cand)
+      .join(vecs.select(col("vec_id").as("va"), col("__v").as("ea"),
+        col("__n").as("na")), "va")
+      .join(broadcast(vecs.select(col("vec_id").as("vb"), col("__v").as("eb"),
+        col("__n").as("nb"))), "vb")
+      .withColumn("cos_sim",
+        expr("vec_dot(ea, eb)") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("vb").as("vec_id"))
+      .agg(count(lit(1)).as("n_dup_neighbors"))
+    assigned.join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_dup_neighbors"), lit(0L)).as("n_dup_neighbors"),
+        (coalesce(col("n_dup_neighbors"), lit(0L)) === 0).as("keep"))
+  }
+
   /** Embedding-space outlier scoring: squared L2 distance of every
     * vector to the CORPUS CENTROID, top-k most distant first — the
     * embedding-quality gate of a training pipeline (mis-embedded, empty,

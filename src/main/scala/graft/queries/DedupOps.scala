@@ -190,7 +190,22 @@ object DedupOps {
     "dd5_embedding_neardup" -> ((s, dir) =>
       graft.ops.VectorSearch.nearDupPairs(s, Tables.embeddings(s, dir),
         "vec_id", "embedding", oracleDim = 64) // oracle plane width is 64
-        .orderBy("vec_a", "vec_b")))
+        .orderBy("vec_a", "vec_b")),
+
+    // dd11 — semantic dedup (SemDeDup) [extension]: cluster the
+    // embedding space to the sim3 seed centroids, prune any vector with
+    // a lower-id WITHIN-CLUSTER neighbor at exact cosine ≥ 0.4 —
+    // re-encodings and templated rewrites that text-level shingles
+    // (dd2/dd4) miss. Assignment is map-side dots against broadcast
+    // centroids; pairs are ids-only within clusters, never all-pairs
+    // (VectorSearch.semanticDedup has the 100 TB shape).
+    "dd11_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.ops.VectorSearch.semanticDedup(s, emb,
+        emb.filter(col("vec_id") >= 20 && col("vec_id") < 36),
+        "vec_id", "embedding", threshold = 0.4)
+        .orderBy("vec_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "dd8_incremental_dedup" ->
@@ -362,5 +377,34 @@ object DedupOps {
          |  FROM cand)
          |SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin
+    },
+
+    "dd11_semantic_dedup" -> {
+      import graft.functions.VectorExprs
+      val dotVC = VectorExprs.duckDot("v.embedding", "c.centv")
+      val dotAB = VectorExprs.duckDot("ea.embedding", "eb.embedding")
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${VectorExprs.duckNorm2} AS norm2
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |cent AS (SELECT vec_id AS cid, embedding AS centv, norm2 AS centn
+         |         FROM e WHERE vec_id >= 20 AND vec_id < 36),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ($dotVC / (sqrt(v.norm2) * sqrt(c.centn))) DESC,
+         |               c.cid ASC) AS rk
+         |    FROM e v, cent c) WHERE rk = 1),
+         |dup AS (
+         |  SELECT b.vec_id, COUNT(*) AS n
+         |  FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  JOIN e ea ON a.vec_id = ea.vec_id
+         |  JOIN e eb ON b.vec_id = eb.vec_id
+         |  WHERE ($dotAB / (sqrt(ea.norm2) * sqrt(eb.norm2))) >= 0.4
+         |  GROUP BY b.vec_id)
+         |SELECT a.vec_id, a.cid,
+         |  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_dup_neighbors,
+         |  COALESCE(d.n, 0) = 0 AS keep
+         |FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin
     })
 }

@@ -33,6 +33,8 @@ object SimilarityOps {
   private val NQUERIES = 10
   /** ANN bucket width: 8 bits → 256 buckets. */
   private val SIGBITS = 8
+  /** sim6 stage-1 shortlist depth. */
+  private val SHORTLIST = 50
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -83,7 +85,20 @@ object SimilarityOps {
     // TakeOrderedAndProject.
     "sim5_centroid_outliers" -> ((s, dir) =>
       graft.ops.VectorSearch.centroidOutliers(
-        Tables.embeddings(s, dir), "vec_id", "embedding", k = 20)))
+        Tables.embeddings(s, dir), "vec_id", "embedding", k = 20)),
+
+    // sim6 — two-stage re-rank [extension]: the int8 quantized scan
+    // keeps a 50-deep shortlist per query (4× less bandwidth), then
+    // only those ids re-score at exact float cosine — the production
+    // serving shape (cheap wide recall → precise re-rank); stage-2 cost
+    // is corpus-size-independent (VectorSearch.rerankTopK Scaladoc).
+    "sim6_two_stage_rerank" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      graft.ops.VectorSearch.rerankTopK(s, corpus,
+          corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
+          k = TOPK, shortlist = SHORTLIST)
+        .orderBy("query_id", "rank")
+    }))
 
   private val duckCos: String =
     s"""CAST(${VectorExprs.duckPairDot} AS DOUBLE)
@@ -180,34 +195,64 @@ object SimilarityOps {
     // arithmetic step exact or IEEE-identical, so the hash compare holds
     // even though the operator is "approximate".
     "sim4_scalar_quant" ->
-      s"""WITH am AS (
-         |  SELECT max(list_max(list_transform(embedding, x ->
-         |    abs(CAST(x AS DOUBLE))))) AS amax FROM embeddings),
-         |e AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x ->
-         |      CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT)) AS qv
-         |  FROM embeddings, am),
-         |en AS (
-         |  SELECT vec_id, qv,
-         |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
-         |  FROM e),
-         |q AS (SELECT vec_id AS query_id, qv AS qa, n2 AS qn
-         |      FROM en WHERE vec_id < $NQUERIES),
-         |scored AS (
-         |  SELECT q.query_id, c.vec_id,
-         |    CAST(CAST(list_sum(list_transform(generate_series(1, 64), j ->
-         |        q.qa[j] * c.qv[j])) AS BIGINT) AS DOUBLE)
-         |      / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS qcos
-         |  FROM en c, q WHERE q.query_id <> c.vec_id),
-         |ranked AS (
-         |  SELECT query_id, vec_id, qcos,
-         |         CAST(row_number() OVER (PARTITION BY query_id
-         |           ORDER BY qcos DESC, vec_id ASC) AS INT) AS rank
-         |  FROM scored)
+      s"""WITH $duckQuantRankedCtes
          |SELECT query_id, vec_id, qcos, rank FROM ranked
          |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin,
 
     "sim5_centroid_outliers" ->
-      graft.ops.VectorSearch.duckCentroidOutliers(k = 20, dim = 64))
+      graft.ops.VectorSearch.duckCentroidOutliers(k = 20, dim = 64),
+
+    // Stage 1 is sim4's chain verbatim (shared CTEs); stage 2 re-scores
+    // the shortlist with the exact float cosine (sim1's arithmetic).
+    "sim6_two_stage_rerank" ->
+      s"""WITH $duckQuantRankedCtes,
+         |short AS (SELECT query_id, vec_id, rank AS stage1_rank
+         |          FROM ranked WHERE rank <= $SHORTLIST),
+         |raw AS (SELECT vec_id, embedding, ${VectorExprs.duckNorm2} AS norm2
+         |        FROM embeddings),
+         |cand AS (
+         |  SELECT s.query_id, s.vec_id, s.stage1_rank,
+         |         qr.embedding AS ea, cr.embedding AS eb,
+         |         qr.norm2 AS qnorm, cr.norm2 AS cnorm
+         |  FROM short s JOIN raw qr ON s.query_id = qr.vec_id
+         |               JOIN raw cr ON s.vec_id = cr.vec_id),
+         |sc2 AS (
+         |  SELECT query_id, vec_id, stage1_rank, $duckCos AS cos_sim
+         |  FROM cand),
+         |r2 AS (
+         |  SELECT query_id, vec_id, stage1_rank, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+         |  FROM sc2)
+         |SELECT query_id, vec_id, stage1_rank, cos_sim, rank FROM r2
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin)
+
+  /** sim4's quantize → integer-dot → rank chain as a CTE list ending in
+    * `ranked(query_id, vec_id, qcos, rank)` — stage 1 of sim6 verbatim. */
+  private lazy val duckQuantRankedCtes: String =
+    s"""am AS (
+       |  SELECT max(list_max(list_transform(embedding, x ->
+       |    abs(CAST(x AS DOUBLE))))) AS amax FROM embeddings),
+       |e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings, am),
+       |en AS (
+       |  SELECT vec_id, qv,
+       |    CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+       |  FROM e),
+       |q AS (SELECT vec_id AS query_id, qv AS qa, n2 AS qn
+       |      FROM en WHERE vec_id < $NQUERIES),
+       |scored AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    CAST(CAST(list_sum(list_transform(generate_series(1, 64), j ->
+       |        q.qa[j] * c.qv[j])) AS BIGINT) AS DOUBLE)
+       |      / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS qcos
+       |  FROM en c, q WHERE q.query_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, qcos,
+       |         CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY qcos DESC, vec_id ASC) AS INT) AS rank
+       |  FROM scored)""".stripMargin
 }

@@ -205,4 +205,79 @@ class OpsApiSpec extends SparkSuite {
     val avg = recalls.sum / recalls.size
     assert(avg >= 0.8, s"int8 quantization lost too much ranking fidelity: $avg")
   }
+
+  test("rerankTopK: results come from the shortlist, scored exactly, near-perfect recall") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val fused = VectorSearch.rerankTopK(spark, corpus, queries,
+      "vec_id", "embedding", k = 10, shortlist = 50).collect()
+    // stage-1 rank is within the shortlist depth, final rank within k
+    assert(fused.forall(r => r.getInt(2) <= 50 && r.getInt(4) <= 10))
+    // the re-rank scores equal the brute-force exact cosine for the
+    // same pairs (stage 2 is sim1's arithmetic, not an approximation)
+    val exact = VectorSearch.cosineTopK(spark, corpus, queries,
+        "vec_id", "embedding", 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val agree = fused.count { r =>
+      exact.get((r.getLong(0), r.getLong(1)))
+        .exists(_ === r.getDouble(3))
+    }
+    // a 50-deep int8 shortlist should recover (essentially) all of the
+    // exact top-10 — allow one borderline miss across the 100 rows
+    assert(agree >= fused.length - 1,
+      s"two-stage recall vs exact top-10: $agree/${fused.length}")
+  }
+
+  test("semanticDedup: keeps cluster-lowest representatives, prunes their t-neighbors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two well-separated directions; near-dups planted along each
+    def v(base: Array[Double], eps: Double, at: Int): Seq[Float] =
+      base.zipWithIndex.map { case (x, i) =>
+        (if (i == at) x + eps else x).toFloat }.toSeq
+    val d1 = Array(1.0, 0.0, 0.0, 0.0)
+    val d2 = Array(0.0, 1.0, 0.0, 0.0)
+    val vecs = Seq(
+      (1L, v(d1, 0, 0)),        // centroid-ish, cluster 1 canonical
+      (2L, v(d1, 0.01, 1)),     // near-dup of 1 → pruned
+      (3L, v(d1, 0.02, 2)),     // near-dup of 1 and 2 → pruned
+      (10L, v(d2, 0, 0)),       // cluster 2 canonical
+      (11L, v(d2, 0.01, 2)),    // near-dup of 10 → pruned
+      (20L, Seq(0.5f, -0.5f, 0.5f, -0.5f)) // off both clusters, alone
+    ).toDF("vec_id", "embedding")
+    val cents = vecs.filter(col("vec_id").isin(1L, 10L))
+    val out = VectorSearch.semanticDedup(spark, vecs, cents,
+      "vec_id", "embedding", threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) === ((1L, 0L, true)))
+    assert(out(2L) === ((1L, 1L, false)))
+    assert(out(3L) === ((1L, 2L, false)), "sees both lower-id neighbors")
+    assert(out(10L) === ((10L, 0L, true)))
+    assert(out(11L) === ((10L, 1L, false)))
+    // the outlier joins SOME cluster but has no t-neighbor there
+    assert(out(20L)._2 === 0L && out(20L)._3)
+    assert(out.size === 6)
+  }
+
+  test("semanticDedup prunes nothing across cluster boundaries") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf)
+    val cents = emb.filter(col("vec_id") >= 20 && col("vec_id") < 36)
+    val out = VectorSearch.semanticDedup(spark, emb, cents,
+      "vec_id", "embedding", threshold = 0.4)
+    assert(out.count() === emb.count())
+    // survivors + pruned partition the corpus; every cluster keeps at
+    // least its lowest member (which can have no lower-id neighbor)
+    val perCluster = out.groupBy("cid")
+      .agg(org.apache.spark.sql.functions.min("vec_id").as("lo"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.when(col("keep"), 0).otherwise(1)).as("pruned"))
+      .collect()
+    val kept = out.filter(col("keep")).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    perCluster.foreach(r => assert(kept.contains(r.getLong(1)),
+      s"cluster ${r.getLong(0)} lost its lowest member"))
+  }
 }
