@@ -330,10 +330,13 @@ object VectorSearch {
     * against the broadcast centroid set, reduced by a min-struct
     * aggregate (ties to the lowest cid) — only (id, cos, cid) scalars
     * reach the exchange. Candidate pairs self-join the (id, cid)
-    * assignment — ids only; raw vectors re-attach map-side against the
-    * broadcast pair set for exact verification (the dd5 re-attach
-    * convention — at production scale swap for an id-partitioned
-    * equi-join and size |clusters| ∝ N to bound member counts).
+    * assignment — ids only. For exact verification the pair set
+    * (ids-only, bounded by Σ cluster-member² ≪ N²) broadcasts against
+    * the corpus scan so the left vectors attach map-side; the right
+    * vectors attach via a plain equi-join on the pair id — at corpus
+    * scale that shuffles only candidate-pair rows keyed by id (the
+    * planner broadcasts it at small scale on stats), never the corpus
+    * by construction. Size |clusters| ∝ N to bound member counts.
     * Output: vec_id, cid, n_dup_neighbors (lower-id τ-neighbors in the
     * cluster), keep — one row per non-NULL input vector. */
   def semanticDedup(spark: SparkSession, corpus: DataFrame,
@@ -359,8 +362,8 @@ object VectorSearch {
     val dup = broadcast(cand)
       .join(vecs.select(col("vec_id").as("va"), col("__v").as("ea"),
         col("__n").as("na")), "va")
-      .join(broadcast(vecs.select(col("vec_id").as("vb"), col("__v").as("eb"),
-        col("__n").as("nb"))), "vb")
+      .join(vecs.select(col("vec_id").as("vb"), col("__v").as("eb"),
+        col("__n").as("nb")), "vb")
       .withColumn("cos_sim",
         expr("vec_dot(ea, eb)") / (sqrt(col("na")) * sqrt(col("nb"))))
       .filter(col("cos_sim") >= threshold)
