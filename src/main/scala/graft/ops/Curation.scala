@@ -383,6 +383,39 @@ object Curation {
 
   // ── fuzzy decontamination ──────────────────────────────────────────
 
+  // ── corpus snapshot diff ───────────────────────────────────────────
+
+  /** Content-level diff of two corpus snapshots — the bookkeeping step
+    * of every incremental pipeline run ("what actually changed since
+    * the last training mix"): full outer join on the document id,
+    * statuses decided by the normalized-content fingerprint. A doc in
+    * `newDocs` only is `added`; in `oldDocs` only, `removed`; in both
+    * with differing fingerprints, `changed`; else `unchanged` (two NULL
+    * texts compare unchanged — the fingerprint comparison is
+    * null-safe). Feeds dd8/dd10 with exactly the added+changed slice so
+    * the incremental dedup never re-scans the stable corpus.
+    *
+    * Scale shape: each side collapses to (id, 16-byte fingerprint)
+    * before the join — raw text never crosses an exchange — and the
+    * join is one id-keyed shuffle per side at any snapshot size
+    * (co-bucketing both snapshots on the id removes even that; layout
+    * decision, not code change). Output: idCol, old_fingerprint,
+    * new_fingerprint, status — one row per id in either snapshot. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val fp = TextDedup.fingerprint(col(textCol))
+    val o = oldDocs.select(col(idCol), fp.as("old_fingerprint"),
+      lit(true).as("__in_old"))
+    val n = newDocs.select(col(idCol), fp.as("new_fingerprint"),
+      lit(true).as("__in_new"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol), col("old_fingerprint"), col("new_fingerprint"),
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(col("old_fingerprint") <=> col("new_fingerprint"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Near-duplicate decontamination: flag corpus documents whose content
     * is a NEAR-dup of any benchmark/eval document — the fuzzy upgrade of
     * [[decontaminate]] (n-gram overlap misses paraphrases that keep few

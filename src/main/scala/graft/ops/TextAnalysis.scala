@@ -184,6 +184,39 @@ object TextAnalysis {
       .groupBy("bucket_lo").agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Corpus-wide frequent token n-grams — the boilerplate census of a
+    * training pipeline: the grams with the highest DOCUMENT frequency
+    * are exactly the shared headers/footers/templates that blow up the
+    * pair joins of dd2/dd4/dd9, so this is how their `maxBucketSize` /
+    * `maxShingleDf` / `maxFingerprintDf` guards get sized in practice.
+    *
+    * Shape: per-doc grams are a codegen'd higher-order-function pass
+    * (no UDF); the first aggregate keys (ngram, doc) with map-side
+    * combine, the second folds to one row per surviving gram — shuffle
+    * volume collapses to vocabulary size, never corpus size. `minDf`
+    * prunes the singleton tail BEFORE the top-k; the final top-k is a
+    * TakeOrderedAndProject with a total order (df desc, occurrences
+    * desc, gram asc). At 100 TB the exact census stays feasible because
+    * both aggregates partial-combine; if even the vocabulary is too
+    * wide, raise `minDf` (lossy-counting cutoff) rather than sampling.
+    * Output: ngram, n_docs, n_occurrences — k rows. */
+  def topNgrams(docs: DataFrame, idCol: String, textCol: String,
+                n: Int = 2, k: Int = 20, minDf: Long = 1): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    require(k >= 1, s"top-k must be >= 1, got $k")
+    val t = toks(col(textCol))
+    val grams = transform(sequence(lit(1), sz(t) - n + 1),
+      i => concat_ws(" ", slice(t, i, lit(n))))
+    docs.filter(col(textCol).isNotNull && sz(t) >= n)
+      .select(col(idCol).as("__doc"), explode(grams).as("ngram"))
+      .groupBy("ngram", "__doc").agg(count(lit(1)).as("__tf"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n_docs"), sum("__tf").as("n_occurrences"))
+      .filter(col("n_docs") >= minDf)
+      .orderBy(col("n_docs").desc, col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
+
   /** Keyword-profile language ID: marker-word scores per language,
     * argmax with the profile's declaration order as tie-break, 'und'
     * when nothing fires. `carry` columns pass through untouched. */

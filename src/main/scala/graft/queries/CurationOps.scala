@@ -160,6 +160,25 @@ object CurationOps {
         benchmark = docs.filter(col("doc_id") % 10 === 0),
         idCol = "doc_id", textCol = "text")
         .orderBy("doc_id")
+    }),
+
+    // cr7 — corpus snapshot diff [extension]: content-fingerprint diff
+    // of two snapshot versions (added/removed/changed/unchanged) — the
+    // bookkeeping pass of an incremental run, feeding dd8/dd10 only the
+    // added+changed slice. Old = ids not divisible by 10; new = ids not
+    // divisible by 13 with every 7th doc's text amended, so all four
+    // statuses occur (and the null-safe fingerprint compare is
+    // exercised by NULL-text rows). Raw text collapses to 16-byte
+    // fingerprints before the only shuffle (Curation.corpusDiff).
+    "cr7_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.corpusDiff(
+        oldDocs = docs.filter(col("doc_id") % 10 =!= 0),
+        newDocs = docs.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+        idCol = "doc_id", textCol = "text")
+        .orderBy("doc_id")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -327,5 +346,26 @@ object CurationOps {
          |  COALESCE(ag.mx, 0.0) AS max_est_jaccard,
          |  COALESCE(ag.n_matches, 0) > 0 AS contaminated
          |FROM documents d LEFT JOIN ag ON d.doc_id = ag.snap_id
-         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin)
+         |WHERE d.doc_id % 10 <> 0 ORDER BY d.doc_id""".stripMargin,
+
+    "cr7_corpus_diff" -> {
+      val fp = "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+      val fpV2 = "md5(regexp_replace(lower(trim(CASE WHEN doc_id % 7 = 0 " +
+        "THEN text || ' v2' ELSE text END)), '\\s+', ' ', 'g'))"
+      s"""WITH old AS (
+         |  SELECT doc_id, $fp AS old_fingerprint
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |new AS (
+         |  SELECT doc_id, $fpV2 AS new_fingerprint
+         |  FROM documents WHERE doc_id % 13 <> 0)
+         |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         |  o.old_fingerprint, n.new_fingerprint,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN o.old_fingerprint IS NOT DISTINCT FROM n.new_fingerprint
+         |         THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+         |ORDER BY doc_id""".stripMargin
+    })
 }

@@ -57,6 +57,16 @@ object TextOps {
         Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // tx7 — frequent n-gram census [extension]: corpus-wide top-k
+    // bigrams by DOCUMENT frequency — the boilerplate census that sizes
+    // dd2/dd4/dd9's hot-bucket guards in practice. Codegen'd HOF gram
+    // pass, two partial-combining aggregates ((ngram, doc) tf → df +
+    // occurrences): shuffle volume is vocabulary-, never corpus-sized
+    // (TextAnalysis.topNgrams Scaladoc).
+    "tx7_top_ngrams" -> ((s, dir) =>
+      graft.ops.TextAnalysis.topNgrams(Tables.documents(s, dir),
+        "doc_id", "text", n = 2, k = 25, minDf = 2)),
+
     // pk1 — sequence packing [extension]: concat-then-chunk layout of
     // the token stream into 2048-token packs, built per source shard so
     // every shard packs in parallel (Packing Scaladoc has the
@@ -254,6 +264,19 @@ object TextOps {
          |  (dup_token_ratio > 0.6 OR top_token_ratio > 0.3 OR
          |   dup_bigram_ratio > 0.5) AS repetitive
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "tx7_top_ngrams" ->
+      s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i+1])) AS ngram
+         |  FROM toks WHERE t IS NOT NULL AND len(t) >= 2),
+         |agg AS (
+         |  SELECT ngram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |         CAST(COUNT(*) AS BIGINT) AS n_occurrences
+         |  FROM g GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT ngram, n_docs, n_occurrences FROM agg
+         |ORDER BY n_docs DESC, n_occurrences DESC, ngram LIMIT 25""".stripMargin,
 
     "pk1_sequence_pack" ->
       s"""WITH t AS (SELECT source AS shard, doc_id AS id,

@@ -330,4 +330,40 @@ class CurationSpec extends SparkSuite {
       docs.filter(col("doc_id") % 10 === 0), "doc_id", "text")
     assert(out.count() === cand.count())
   }
+
+  // ── corpus snapshot diff ─────────────────────────────────────────
+
+  test("corpusDiff labels all four statuses; NULL text compares null-safe") {
+    val old = Seq(
+      (1L, "stable doc"),            // unchanged
+      (2L, "will be edited"),        // changed
+      (3L, "will be dropped"),       // removed
+      (5L, null.asInstanceOf[String]), // null both sides → unchanged
+      (6L, "goes null")              // null on one side → changed
+    ).toDF("doc_id", "text")
+    val nw = Seq(
+      (1L, "Stable   doc"),          // normalization-equal → unchanged
+      (2L, "was edited"),
+      (4L, "brand new"),             // added
+      (5L, null.asInstanceOf[String]),
+      (6L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Curation.corpusDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "unchanged", 6L -> "changed"))
+  }
+
+  test("corpusDiff covers the union of ids exactly once") {
+    val docs = Tables.documents(spark, sf)
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val nw = docs.filter(col("doc_id") % 13 =!= 0)
+    val out = Curation.corpusDiff(old, nw, "doc_id", "text")
+    assert(out.count() ===
+      old.select("doc_id").union(nw.select("doc_id")).distinct().count())
+    assert(out.groupBy("doc_id").count().filter(col("count") > 1).isEmpty)
+    // identical text on both sides → everything present in both is unchanged
+    val both = Curation.corpusDiff(docs, docs, "doc_id", "text")
+    assert(both.filter(col("status") =!= "unchanged").isEmpty)
+  }
 }

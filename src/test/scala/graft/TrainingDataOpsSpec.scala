@@ -106,4 +106,26 @@ class TrainingDataOpsSpec extends SparkSuite {
       ("B", 1L, 25L, 0L, 0L, 3L),
       ("B", 2L, 1L, 25L, 2L, 1L)))
   }
+
+  test("topNgrams: df vs occurrences, minDf prune, deterministic tie order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"),   // 'a b' ×2, 'b a' ×1, 'b c' ×1
+      (2L, "a b x"),       // 'a b' ×1, 'b x' ×1
+      (3L, "b c b c"),     // 'b c' ×2, 'c b' ×1
+      (4L, null.asInstanceOf[String]), // contributes nothing
+      (5L, "single")       // one token → no bigram
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.topNgrams(docs, "doc_id", "text",
+      n = 2, k = 10, minDf = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // df=2 both; 'a b' wins the occurrence tiebreak (3 vs 3)... both have
+    // 3 occurrences, so the gram string breaks the tie: 'a b' < 'b c'
+    assert(out === Seq(("a b", 2L, 3L), ("b c", 2L, 3L)))
+    // without the df cutoff the singleton tail appears, k caps the rows
+    val all = graft.ops.TextAnalysis.topNgrams(docs, "doc_id", "text",
+      n = 2, k = 3, minDf = 1).collect()
+    assert(all.length === 3)
+    assert(all.head.getString(0) === "a b")
+  }
 }
