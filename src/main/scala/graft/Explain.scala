@@ -26,7 +26,9 @@ object Explain {
         "sim2_ann_lsh", "g11_kmv_distinct", "tpch_q1_pricing",
         "tpch_q7_volume", "tpch_q9_profit", "tpch_q11_important_stock",
         "skew_salted_join", "ts2_resample_interpolate",
-        "dd10_incremental_lsh", "ir1_keyword_topk", "sim5_centroid_outliers")
+        "dd10_incremental_lsh", "ir1_keyword_topk", "sim5_centroid_outliers",
+        "dd11_semantic_dedup", "sim6_two_stage_rerank", "ir3_rrf_fusion",
+        "ct2_fuzzy_decontaminate", "tx7_top_ngrams", "cr7_corpus_diff")
     names.foreach { n =>
       println(s"\n========== $n ==========")
       SparkEntry.queries(n)(spark, dir).explain("formatted")

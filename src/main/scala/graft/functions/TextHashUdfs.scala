@@ -56,6 +56,15 @@ object TextHashUdfs {
     out
   }
 
+  /** Word n-grams as plain strings — the one-pass form of the HOF
+    * transform+slice chain, which is CodegenFallback and interprets a
+    * lambda (plus an array copy) per gram position. Tokenization and
+    * gram joining are identical to the shingle pipeline above, so the
+    * DuckDB replay is unchanged. Null/short docs → empty array. */
+  def wordNgrams(n: Int): UserDefinedFunction = udf { (text: String) =>
+    shingleStrings(tokenize(text), n)
+  }
+
   /** 16-component MinHash signature over 3-token shingles; null when the
     * doc has no shingles (matches the `len(t) >= 3` oracle filter). */
   val minhashSig3: UserDefinedFunction = udf { (text: String) =>

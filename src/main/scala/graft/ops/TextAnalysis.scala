@@ -190,8 +190,10 @@ object TextAnalysis {
     * pair joins of dd2/dd4/dd9, so this is how their `maxBucketSize` /
     * `maxShingleDf` / `maxFingerprintDf` guards get sized in practice.
     *
-    * Shape: per-doc grams are a codegen'd higher-order-function pass
-    * (no UDF); the first aggregate keys (ngram, doc) with map-side
+    * Shape: per-doc grams are one [[graft.functions.TextHashUdfs]] pass
+    * (the HOF transform chain is CodegenFallback and interprets a
+    * lambda per position — the same trade the shingle pipeline
+    * documents); the first aggregate keys (ngram, doc) with map-side
     * combine, the second folds to one row per surviving gram — shuffle
     * volume collapses to vocabulary size, never corpus size. `minDf`
     * prunes the singleton tail BEFORE the top-k; the final top-k is a
@@ -204,10 +206,11 @@ object TextAnalysis {
                 n: Int = 2, k: Int = 20, minDf: Long = 1): DataFrame = {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
     require(k >= 1, s"top-k must be >= 1, got $k")
-    val t = toks(col(textCol))
-    val grams = transform(sequence(lit(1), sz(t) - n + 1),
-      i => concat_ws(" ", slice(t, i, lit(n))))
-    docs.filter(col(textCol).isNotNull && sz(t) >= n)
+    // one-pass gram UDF: the HOF transform+slice form is CodegenFallback
+    // and interprets a lambda (plus an array copy) per position —
+    // measured 3-5× slower (the TokenProfileUdf argument, again)
+    val grams = graft.functions.TextHashUdfs.wordNgrams(n)(col(textCol))
+    docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__doc"), explode(grams).as("ngram"))
       .groupBy("ngram", "__doc").agg(count(lit(1)).as("__tf"))
       .groupBy("ngram")

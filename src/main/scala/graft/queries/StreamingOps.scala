@@ -24,6 +24,36 @@ object StreamingOps {
     * same user belong to one session. */
   private val GAP_US = 3600L * 1000000L
 
+  // ── st10: streaming near-dup annotation (dd2/dd10, streaming form) ──
+  // State rows: (doc_id, text, dup_of). Carrying text keeps the fixture
+  // harness self-contained; a production deployment stores the 16-long
+  // MinHash signatures instead (16×8 bytes/doc) — the probe side of
+  // incrementalMinhashLsh needs nothing else from the snapshot.
+
+  /** Within-batch annotation: dup_of = min lower-id LSH match in the
+    * same micro-batch (the symmetric dd2 pass), null when clean. */
+  private[graft] def lshAnnotateBatch(batch: DataFrame): DataFrame = {
+    val m = graft.ops.TextDedup.minhashLsh(batch, "doc_id", "text")
+      .groupBy(col("doc_b").as("doc_id")).agg(min("doc_a").as("__within"))
+    batch.select("doc_id", "text").join(m, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"), col("__within").as("dup_of"))
+  }
+
+  /** Cross-batch merge: the new batch probes the accumulated state with
+    * the dd10 asymmetric LSH (batch bands broadcast; state never
+    * shuffles); dup_of tightens to the minimum over within-batch and
+    * prior-arrival matches (least() skips nulls). Union is append-only —
+    * earlier annotations are immutable, so replays converge. */
+  private[graft] def lshMergeState(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val cross = graft.ops.TextDedup.incrementalMinhashLsh(
+        batch = cur, snapshot = prev, "doc_id", "text")
+      .groupBy(col("batch_id").as("doc_id")).agg(min("snap_id").as("__cross"))
+    val curUpd = cur.join(cross, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        least(col("dup_of"), col("__cross")).as("dup_of"))
+    prev.unionByName(curUpd)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // st1 — tumbling-window aggregation with a watermark. Complete mode:
@@ -178,6 +208,26 @@ object StreamingOps {
         .orderBy("user_id")
     }),
 
+    // st10 — streaming near-dup annotation [extension]: the streaming
+    // form of dd2/dd10 — every arriving document is annotated with its
+    // FIRST near-duplicate among all earlier arrivals (min id among
+    // MinHash-LSH matches arrived in earlier batches or earlier in the
+    // same batch), the ingestion-time dedup gate of a continuously fed
+    // corpus. Within a batch the symmetric LSH runs; across batches the
+    // batch probes the accumulated state with the dd10 asymmetric form
+    // (batch bands broadcast, state never shuffles). With id-ordered
+    // arrival the result is IDENTICAL to the one-shot batch answer —
+    // the multi-batch convergence law is pinned in PipelineStorageSpec; the
+    // fixture replays as one AvailableNow batch, so the DuckDB oracle
+    // is the symmetric dd2 min-pair form.
+    "st10_stream_lsh_dedup" -> ((s, dir) =>
+      Streams.runMergeToParquet(s, Streams.documents(s, dir),
+          s"/root/repo/target/sink/st10_${Tables.dirSlug(dir)}")(
+          lshAnnotateBatch)(lshMergeState)
+        .select(col("doc_id"), col("dup_of"),
+          col("dup_of").isNotNull.as("is_dup"))
+        .orderBy("doc_id")),
+
     // st6 — watermarked stream-stream inner join: each view event joins
     // purchase events by the same user within the following 30 minutes.
     // Both sides carry watermarks and the join condition bounds event
@@ -276,6 +326,17 @@ object StreamingOps {
         |SELECT user_id, n_events, total_value,
         |  last.us AS last_us, last.id AS last_event_id
         |FROM m ORDER BY user_id""".stripMargin,
+
+    // The fixture replays as one AvailableNow batch, so the streaming
+    // annotation reduces to the symmetric dd2 min-pair form (the
+    // multi-batch path is pinned by PipelineStorageSpec's convergence law).
+    "st10_stream_lsh_dedup" ->
+      s"""WITH ${DedupOps.duckLshPairCtes},
+         |m AS (SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of
+         |      FROM pairs GROUP BY doc_b)
+         |SELECT d.doc_id, m.dup_of, m.dup_of IS NOT NULL AS is_dup
+         |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "st6_stream_stream_join" ->
       """SELECT a.user_id, epoch_us(a.ts) AS view_ts_us,

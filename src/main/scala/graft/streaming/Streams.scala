@@ -83,6 +83,21 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** Streaming view of `documents` (Tables.documents, streaming flavor).
+    * `readOptions` can override the glob — the st10 convergence spec
+    * streams a custom multi-file directory through the same path. */
+  def documents(spark: SparkSession, dir: String,
+                readOptions: Map[String, String] = Map.empty): DataFrame = {
+    val schema = schemaMemo.computeIfAbsent(s"$dir/documents.parquet",
+      p => spark.read.parquet(p).schema)
+    val reader = readOptions.foldLeft(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    reader.parquet(dir)
+  }
+
   /** Run a streaming DataFrame to completion into a checkpointed PARQUET
     * file sink — the production sink shape (exactly-once via the sink's
     * commit log; the checkpoint makes re-runs resume, so the sink dir is

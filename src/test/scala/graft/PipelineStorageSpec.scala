@@ -43,6 +43,53 @@ class PipelineStorageSpec extends SparkSuite {
     got.zip(want).foreach { case (g, w) => assert(g === w) }
   }
 
+  test("st10 streaming near-dup annotation converges to the batch answer across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // split documents into 3 ID-ORDERED source files (arrival order =
+    // id order is st10's convergence precondition) and force one file
+    // per trigger so the cross-batch probe path actually runs
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val ids = docs.select("doc_id").orderBy("doc_id").collect().map(_.getLong(0))
+    val (cut1, cut2) = (ids(ids.length / 3), ids(2 * ids.length / 3))
+    val srcDir = new java.io.File(s"/root/repo/target/test_st10_src_${System.nanoTime()}")
+    srcDir.mkdirs()
+    val slices = Seq(
+      docs.filter(col("doc_id") < cut1),
+      docs.filter(col("doc_id") >= cut1 && col("doc_id") < cut2),
+      docs.filter(col("doc_id") >= cut2))
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$srcDir/_tmp$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      assert(part.renameTo(dst))
+      // the file source orders arrivals by modification time
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val streamed = spark.readStream.schema(docs.schema)
+      .option("pathGlobFilter", "b*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val stateDir = s"/root/repo/target/test_st10_state_${System.nanoTime()}"
+    val got = graft.streaming.Streams.runMergeToParquet(spark, streamed, stateDir)(
+        graft.queries.StreamingOps.lshAnnotateBatch)(
+        graft.queries.StreamingOps.lshMergeState)
+      .select("doc_id", "dup_of").orderBy("doc_id").collect()
+    val versions = new java.io.File(stateDir).listFiles()
+      .map(_.getName).filter(_.startsWith("v"))
+    assert(versions.length >= 3, s"expected >=3 state versions, got ${versions.toSeq}")
+    val want = graft.queries.StreamingOps.lshAnnotateBatch(docs)
+      .select("doc_id", "dup_of").orderBy("doc_id").collect()
+    assert(got.length === want.length)
+    // some pairs must actually straddle a batch boundary, or the
+    // cross-batch probe was never load-bearing
+    val dupOf = want.filter(!_.isNullAt(1)).map(r => (r.getLong(0), r.getLong(1)))
+    assert(dupOf.exists { case (b, a) => a < cut1 && b >= cut1 },
+      "no near-dup pair straddles the first batch boundary — fixture too small?")
+    got.zip(want).foreach { case (g, w) => assert(g === w) }
+  }
+
   test("pipeline run is idempotent through parquet state") {
     val wh = s"/root/repo/target/test_warehouse_${System.nanoTime()}"
     val first = Pipeline.run(spark, sf, wh)
