@@ -60,7 +60,11 @@ object TextHashUdfs {
     * transform+slice chain, which is CodegenFallback and interprets a
     * lambda (plus an array copy) per gram position. Tokenization and
     * gram joining are identical to the shingle pipeline above, so the
-    * DuckDB replay is unchanged. Null/short docs → empty array. */
+    * DuckDB replay is unchanged — including the SQL split convention
+    * that an empty/whitespace-only doc tokenizes to one EMPTY token
+    * (str_split_regex parity), which at n=1 surfaces as an empty gram;
+    * consumers that don't want it filter `ngram != ''` on both engines
+    * (topNgrams does). Null/short docs → empty array. */
   def wordNgrams(n: Int): UserDefinedFunction = udf { (text: String) =>
     shingleStrings(tokenize(text), n)
   }

@@ -212,6 +212,10 @@ object TextAnalysis {
     val grams = graft.functions.TextHashUdfs.wordNgrams(n)(col(textCol))
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol).as("__doc"), explode(grams).as("ngram"))
+      // SQL-split parity gives whitespace-only docs one EMPTY token,
+      // which at n=1 would surface as a phantom '' gram; drop it (the
+      // oracle applies the same guard)
+      .filter(col("ngram") =!= "")
       .groupBy("ngram", "__doc").agg(count(lit(1)).as("__tf"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n_docs"), sum("__tf").as("n_occurrences"))

@@ -271,10 +271,11 @@ object TextOps {
          |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
          |    i -> t[i] || ' ' || t[i+1])) AS ngram
          |  FROM toks WHERE t IS NOT NULL AND len(t) >= 2),
+         |gne AS (SELECT doc_id, ngram FROM g WHERE ngram <> ''),
          |agg AS (
          |  SELECT ngram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |         CAST(COUNT(*) AS BIGINT) AS n_occurrences
-         |  FROM g GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2)
+         |  FROM gne GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2)
          |SELECT ngram, n_docs, n_occurrences FROM agg
          |ORDER BY n_docs DESC, n_occurrences DESC, ngram LIMIT 25""".stripMargin,
 

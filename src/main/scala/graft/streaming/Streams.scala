@@ -84,18 +84,14 @@ object Streams {
   }
 
   /** Streaming view of `documents` (Tables.documents, streaming flavor).
-    * `readOptions` can override the glob — the st10 convergence spec
-    * streams a custom multi-file directory through the same path. */
-  def documents(spark: SparkSession, dir: String,
-                readOptions: Map[String, String] = Map.empty): DataFrame = {
+    * Fixture-dir specific; the st10 convergence spec builds its own
+    * throttled multi-file stream directly. */
+  def documents(spark: SparkSession, dir: String): DataFrame = {
     val schema = schemaMemo.computeIfAbsent(s"$dir/documents.parquet",
       p => spark.read.parquet(p).schema)
-    val reader = readOptions.foldLeft(
-      spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")) {
-      case (r, (k, v)) => r.option(k, v)
-    }
-    reader.parquet(dir)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
   }
 
   /** Run a streaming DataFrame to completion into a checkpointed PARQUET
