@@ -148,4 +148,20 @@ object TextHashUdfs {
       out
     }
   }
+
+  /** POSITIONED hashed n-gram sequence: H(gram) per gram start, array
+    * index = 0-based token position (unlike [[shingleHashSet]] this
+    * keeps duplicates and order — span-coverage consumers need the
+    * positions, not the set). Null text → null; fewer than n tokens →
+    * empty array. */
+  def hashedNgramSeq(n: Int): UserDefinedFunction = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val sh = shingleStrings(tokenize(text), n)
+      val out = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) { out(i) = h(sh(i)); i += 1 }
+      out
+    }
+  }
 }

@@ -166,6 +166,34 @@ object TextAnalysis {
         dupBg > maxDupBigramRatio).as("repetitive"))
   }
 
+  /** Positional repetition signals — the second half of the Gopher
+    * repetition-removal gate, complementing [[repetitionScore]]'s
+    * distinctness ratios with POSITION COVERAGE (how much of the
+    * document the repeats actually span; [[graft.functions.DupSpanUdf]]
+    * has the tx6-vs-tx8 distinction and the determinism ledger):
+    * top_gram_frac = union-coverage fraction of the most frequent
+    * topN-gram, dup_span_frac = union-coverage fraction of all
+    * dupN-grams occurring twice or more within the document. Default
+    * thresholds follow Gopher's published gates (top-3-gram 0.18,
+    * duplicate-5-gram 0.15; Rae et al. 2021, table A1) in token units.
+    * Pure map — no shuffle. NULL text → NULL signals. */
+  def dupSpanProfile(docs: DataFrame, idCol: String, textCol: String,
+                     topN: Int = 3, dupN: Int = 5,
+                     maxTopFrac: Double = 0.18,
+                     maxDupFrac: Double = 0.15): DataFrame = {
+    val p = graft.functions.DupSpanUdf(topN, dupN)(col(textCol))
+    val nTok = p.getField("n_tokens")
+    val topFrac = p.getField("top_covered").cast("double") / nTok
+    val dupFrac = p.getField("dup_covered").cast("double") / nTok
+    docs.select(col(idCol),
+      nTok.as("n_tokens"),
+      p.getField("top_covered").as("top_gram_covered"),
+      topFrac.as("top_gram_frac"),
+      p.getField("dup_covered").as("dup_span_covered"),
+      dupFrac.as("dup_span_frac"),
+      (topFrac > maxTopFrac || dupFrac > maxDupFrac).as("repetitive_spans"))
+  }
+
   /** Normalized-content md5 fingerprint + 3-gram shingle count. */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = toks(col(textCol))

@@ -317,4 +317,69 @@ object TextDedup {
       .filter(col("containment") >= threshold)
       .select("doc_a", "doc_b", "containment")
   }
+
+  /** Duplicated-span coverage per document (the C4/RefinedWeb "repeated
+    * span" signal): the fraction of each document's token positions
+    * covered by a token n-gram that also occurs in at least `minDf - 1`
+    * OTHER documents. Complements the pair detectors — dd2/dd4/dd9
+    * answer "which documents duplicate each other", this answers "how
+    * much of THIS document is corpus-boilerplate", the per-doc score a
+    * curation pipeline thresholds to drop template-dominated pages
+    * (intra-document repetition is [[TextAnalysis.dupSpanProfile]]'s
+    * job; grams repeated only within one document do not count here).
+    *
+    * Shape — and why, unlike every pair detector in this file, it needs
+    * NO hot-gram guard: a gram occurring in f documents contributes f
+    * rows to the semi-join output (linear), not f² pair rows, so
+    * boilerplate cannot blow up the shuffle. The pipeline is
+    *  1. positioned gram hashes, one UDF pass, no shuffle
+    *     ([[graft.functions.TextHashUdfs.hashedNgramSeq]]);
+    *  2. gram document-frequency: distinct (doc, H) → count per H —
+    *     both aggregates partial-combine, shuffle rows are 16-byte
+    *     (id, long) postings, volume = corpus token count (the inherent
+    *     cost of span-level dedup; compare tx7's census argument);
+    *  3. left-semi join of postings against the surviving gram set on
+    *     8-byte longs;
+    *  4. interval union per document: matched starts sorted by a
+    *     per-doc window, each start covers min(n, gap-to-previous-start)
+    *     new positions — overlapping spans are never double-counted.
+    *     The window partitions by document, so its state is one
+    *     document's matches, never corpus-sized.
+    * covered/n_tokens is a single IEEE division of exact integers —
+    * hash-identical across engines.
+    *
+    * Output (every non-null-text doc): idCol, n_tokens, covered_tokens,
+    * dup_span_frac, flagged (frac ≥ threshold). */
+  def spanCoverage(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 5, minDf: Int = 2,
+                   threshold: Double = 0.5): DataFrame = {
+    require(n >= 1, s"span width must be >= 1, got $n")
+    require(minDf >= 2, s"minDf < 2 would flag every gram, got $minDf")
+    val withText = docs.filter(col(textCol).isNotNull)
+    val posts = withText
+      .select(col(idCol).as("__id"),
+        posexplode(TextHashUdfs.hashedNgramSeq(n)(col(textCol)))
+          .as(Seq("pos", "h")))
+    val shared = posts.select("__id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select("h")
+    val w = Window.partitionBy("__id").orderBy("pos")
+    val gap = col("pos") - lag("pos", 1).over(w)
+    val covered = posts.join(shared, Seq("h"), "left_semi")
+      .select(col("__id"),
+        when(gap.isNull, lit(n)).otherwise(least(lit(n), gap)).as("__c"))
+      .groupBy("__id").agg(sum("__c").as("covered_tokens"))
+    // the doc spine re-derives n_tokens from codegen'd split arithmetic
+    // (not the gram UDF) so this side of the join never pays the
+    // hashing pass
+    val frac = when(col("n_tokens") > 0,
+      col("covered_tokens").cast("double") / col("n_tokens")).otherwise(lit(0.0))
+    withText
+      .select(col(idCol), TextAnalysis.nTokensCol(col(textCol)).as("n_tokens"))
+      .join(covered.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+      .withColumn("dup_span_frac", frac)
+      .withColumn("flagged", frac >= threshold)
+  }
 }

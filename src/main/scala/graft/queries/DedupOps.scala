@@ -205,7 +205,19 @@ object DedupOps {
         emb.filter(col("vec_id") >= 20 && col("vec_id") < 36),
         "vec_id", "embedding", threshold = 0.4)
         .orderBy("vec_id")
-    }))
+    }),
+
+    // dd12 — duplicated-span coverage [extension]: per-doc fraction of
+    // token positions covered by 5-grams shared with ≥1 OTHER document
+    // (the C4/RefinedWeb repeated-span score — "how much of this doc is
+    // corpus boilerplate", where dd2/dd4/dd9 answer "which docs
+    // duplicate each other"). Postings-sized shuffle on 8-byte hashes,
+    // linear in gram df (never a pair join — TextDedup.spanCoverage's
+    // Scaladoc has the no-guard-needed argument), per-doc lag-window
+    // interval union so overlapping spans count once.
+    "dd12_span_coverage" -> ((s, dir) =>
+      graft.ops.TextDedup.spanCoverage(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")))
 
   val oracles: Map[String, String] = Map(
     "dd8_incremental_dedup" ->
@@ -331,6 +343,36 @@ object DedupOps {
          |JOIN sizes nb ON inter.doc_b = nb.doc_id
          |WHERE CAST(shared AS DOUBLE) / least(na.nf, nb.nf) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    "dd12_span_coverage" -> {
+      val n = 5 // spanCoverage default span width
+      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents
+         |             WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, ${duckShingles(n)} AS s FROM toks),
+         |g AS (SELECT doc_id, i AS pos,
+         |        (('0x' || substr(md5(s[i]), 1, 15))::UBIGINT)::BIGINT AS h
+         |      FROM sh, UNNEST(generate_series(1, len(s))) u(i)),
+         |shared AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+         |           GROUP BY h HAVING count(*) >= 2),
+         |m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM shared)),
+         |c AS (SELECT doc_id,
+         |        CASE WHEN lag(pos) OVER w IS NULL THEN $n
+         |             ELSE least($n, pos - lag(pos) OVER w) END AS contrib
+         |      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |cov AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS covered
+         |        FROM c GROUP BY doc_id),
+         |base AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens FROM toks)
+         |SELECT base.doc_id, n_tokens,
+         |  coalesce(covered, 0) AS covered_tokens,
+         |  CASE WHEN n_tokens > 0
+         |       THEN CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens
+         |       ELSE 0.0 END AS dup_span_frac,
+         |  (CASE WHEN n_tokens > 0
+         |        THEN CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens
+         |        ELSE 0.0 END) >= 0.5 AS flagged
+         |FROM base LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "dd7_cluster_dedup" ->

@@ -67,6 +67,17 @@ object TextOps {
       graft.ops.TextAnalysis.topNgrams(Tables.documents(s, dir),
         "doc_id", "text", n = 2, k = 25, minDf = 2)),
 
+    // tx8 — duplicated-span coverage profile [extension]: the POSITION
+    // COVERAGE half of the Gopher repetition gate (tx6 measures
+    // distinctness ratios; this measures how much of the doc the
+    // repeats span, overlaps counted once) — top-3-gram coverage and
+    // duplicated-5-gram coverage, one DupSpanUdf pass, pure map, no
+    // shuffle. The inter-document complement is dd12.
+    "tx8_dup_span_profile" -> ((s, dir) =>
+      graft.ops.TextAnalysis.dupSpanProfile(
+        Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // pk1 — sequence packing [extension]: concat-then-chunk layout of
     // the token stream into 2048-token packs, built per source shard so
     // every shard packs in parallel (Packing Scaladoc has the
@@ -278,6 +289,49 @@ object TextOps {
          |  FROM gne GROUP BY ngram HAVING COUNT(DISTINCT doc_id) >= 2)
          |SELECT ngram, n_docs, n_occurrences FROM agg
          |ORDER BY n_docs DESC, n_occurrences DESC, ngram LIMIT 25""".stripMargin,
+
+    "tx8_dup_span_profile" -> {
+      def gram(n: Int) = (0 until n).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+      s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         |base AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens FROM toks),
+         |g3 AS (SELECT doc_id, i AS pos, ${gram(3)} AS gram
+         |       FROM toks, UNNEST(generate_series(1, len(t) - 2)) u(i)),
+         |c3 AS (SELECT doc_id, gram, count(*) AS c FROM g3 GROUP BY 1, 2),
+         |t3 AS (SELECT doc_id, gram FROM (
+         |         SELECT doc_id, gram, row_number() OVER (
+         |           PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+         |         FROM c3) WHERE rn = 1),
+         |m3 AS (SELECT g3.doc_id, pos FROM g3 JOIN t3 USING (doc_id, gram)),
+         |s3 AS (SELECT doc_id, CASE WHEN lag(pos) OVER w IS NULL THEN 3
+         |              ELSE least(3, pos - lag(pos) OVER w) END AS contrib
+         |       FROM m3 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |v3 AS (SELECT doc_id, CAST(sum(contrib) AS INT) AS cov FROM s3
+         |       GROUP BY doc_id),
+         |g5 AS (SELECT doc_id, i AS pos, ${gram(5)} AS gram
+         |       FROM toks, UNNEST(generate_series(1, len(t) - 4)) u(i)),
+         |d5 AS (SELECT doc_id, gram FROM (
+         |         SELECT doc_id, gram, count(*) AS c FROM g5 GROUP BY 1, 2)
+         |       WHERE c >= 2),
+         |m5 AS (SELECT g5.doc_id, pos FROM g5 JOIN d5 USING (doc_id, gram)),
+         |s5 AS (SELECT doc_id, CASE WHEN lag(pos) OVER w IS NULL THEN 5
+         |              ELSE least(5, pos - lag(pos) OVER w) END AS contrib
+         |       FROM m5 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |v5 AS (SELECT doc_id, CAST(sum(contrib) AS INT) AS cov FROM s5
+         |       GROUP BY doc_id),
+         |f AS (SELECT base.doc_id, n_tokens,
+         |        CASE WHEN n_tokens IS NULL THEN NULL
+         |             ELSE coalesce(v3.cov, 0) END AS top_gram_covered,
+         |        CASE WHEN n_tokens IS NULL THEN NULL
+         |             ELSE coalesce(v5.cov, 0) END AS dup_span_covered
+         |      FROM base LEFT JOIN v3 USING (doc_id) LEFT JOIN v5 USING (doc_id))
+         |SELECT doc_id, n_tokens, top_gram_covered,
+         |  CAST(top_gram_covered AS DOUBLE) / n_tokens AS top_gram_frac,
+         |  dup_span_covered,
+         |  CAST(dup_span_covered AS DOUBLE) / n_tokens AS dup_span_frac,
+         |  (CAST(top_gram_covered AS DOUBLE) / n_tokens > 0.18 OR
+         |   CAST(dup_span_covered AS DOUBLE) / n_tokens > 0.15) AS repetitive_spans
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
 
     "pk1_sequence_pack" ->
       s"""WITH t AS (SELECT source AS shard, doc_id AS id,

@@ -184,7 +184,8 @@ class PlanShapeSpec extends SparkSuite {
     try {
       for (q <- Seq("dd2_minhash_lsh", "dd5_embedding_neardup", "sim2_ann_lsh",
                     "dd9_winnowing_containment", "dd10_incremental_lsh",
-                    "dd11_semantic_dedup", "sim6_two_stage_rerank")) {
+                    "dd11_semantic_dedup", "sim6_two_stage_rerank",
+                    "dd12_span_coverage")) {
         val phys = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
         val offenders = phys.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>

@@ -85,6 +85,70 @@ class TrainingDataOpsSpec extends SparkSuite {
     assert((1 to 5).forall(r4.isNullAt))
   }
 
+  test("spanCoverage: shared spans union-counted, short docs zero, nulls excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f u v w x"), // shares grams at pos 0 AND 1 with doc 2
+      (2L, "a b c d e f q r s t"), // — overlapping spans must count once
+      (3L, "a b c d e f u v w x"), // exact copy of 1: full coverage
+      (4L, "p q r"),               // < n tokens: no grams, coverage 0
+      (5L, null.asInstanceOf[String])) // excluded entirely
+      .toDF("pk", "body")
+    val out = TextDedup.spanCoverage(docs, "pk", "body", n = 5, threshold = 0.5)
+      .orderBy("pk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toSeq
+    // doc 2 shares "a b c d e" (pos 0) and "b c d e f" (pos 1) with docs
+    // 1/3: the union covers positions 0-5 = 6 tokens, NOT 5 + 5
+    assert(out === Seq(
+      (1L, 10, 10L, 1.0, true),  // every gram shared with its copy, doc 3
+      (2L, 10, 6L, 0.6, true),
+      (3L, 10, 10L, 1.0, true),
+      (4L, 3, 0L, 0.0, false)))
+  }
+
+  test("spanCoverage counts inter-document sharing only — intra-doc repeats don't flag") {
+    import spark.implicits._
+    // "m n o p q" occurs twice WITHIN doc 1 but in no other doc: df by
+    // distinct documents is 1, so nothing is covered (that repetition is
+    // tx8/dupSpanProfile's signal, not dd12's)
+    val docs = Seq(
+      (1L, "m n o p q z z z m n o p q"),
+      (2L, "entirely different tokens here now"))
+      .toDF("pk", "body")
+    val out = TextDedup.spanCoverage(docs, "pk", "body", n = 5)
+      .orderBy("pk").collect()
+    assert(out.map(_.getLong(2)).toSeq === Seq(0L, 0L))
+  }
+
+  test("dupSpanProfile: coverage arithmetic, lexicographic tie-break, null text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y z x y z x y z"), // one phrase looping: both coverages 1.0
+      (2L, "a b c d e f g h"),   // all grams unique: top count 1, tie → 'a b c'
+      (3L, "b b a a b b"),       // tie among count-1 grams → 'a a b' at pos 2
+      (4L, null.asInstanceOf[String]))
+      .toDF("pk", "body")
+    val out = TextAnalysis.dupSpanProfile(docs, "pk", "body")
+      .orderBy("pk").collect()
+    val r1 = out(0)
+    // top 3-gram 'x y z' at 0,3,6 → covers all 9; dup 5-grams at
+    // 0,1,3,4 → 5 + 1 + 2 + 1 = 9
+    assert(r1.getInt(1) === 9)
+    assert(r1.getInt(2) === 9 && r1.getDouble(3) === 1.0)
+    assert(r1.getInt(4) === 9 && r1.getDouble(5) === 1.0)
+    assert(r1.getBoolean(6))
+    val r2 = out(1)
+    assert(r2.getInt(2) === 3 && r2.getDouble(3) === 3.0 / 8)
+    assert(r2.getInt(4) === 0 && r2.getDouble(5) === 0.0)
+    val r3 = out(2)
+    // grams 'b b a','b a a','a a b','a b b' all ×1; smallest is 'a a b'
+    // (one occurrence, 3 tokens covered of 6)
+    assert(r3.getInt(2) === 3 && r3.getDouble(3) === 0.5)
+    val r4 = out(3)
+    assert((1 to 6).forall(r4.isNullAt))
+  }
+
   test("packSequences: per-shard offsets, boundary straddling, shard independence") {
     import spark.implicits._
     def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
