@@ -410,6 +410,86 @@ object VectorSearch {
       .limit(k)
   }
 
+  /** Product-quantization ANN top-k (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search") on int8-quantized vectors
+    * — the memory-scale path past [[scalarQuantTopK]]: where scalar
+    * quantization shrinks the corpus 4× (one byte per dimension), PQ
+    * shrinks it to `nSub` sub-byte codes per VECTOR (64-dim float32 at
+    * nSub=16, K=32 → 16 five-bit codes ≈ 10 packed bytes: 25×; fewer,
+    * wider subspaces compress harder), the compression that lets a
+    * 100 TB embedding corpus fit scan-resident.
+    *
+    * Pipeline (every stage map-side; the only exchange is the final
+    * per-query top-k window moving (id, id, long) rows):
+    *  1. int8-quantize corpus, queries and codebook seeds with
+    *     [[scalarQuantTopK]]'s tie-free floor quantizer (one corpus-max
+    *     scalar, broadcast);
+    *  2. the quantized seeds (tiny, caller-chosen — k-means output at
+    *     production scale, like [[ivfTopK]]'s centroids) collect to the
+    *     driver and split into `nSub` per-subspace codebooks, baked into
+    *     the plan as one literal;
+    *  3. ENCODE: each corpus vector → `nSub` codeword ids, argmin of the
+    *     exact integer squared-L2 per subspace (first-min = lowest
+    *     codeword id, so ties are deterministic);
+    *  4. ADC scoring: each query precomputes its `nSub`×`K` integer
+    *     distance LUT (one small array per query, broadcast); a
+    *     candidate's distance is `nSub` LUT lookups summed — the scan
+    *     touches only the 2-byte codes, never the vectors.
+    *
+    * All distances are exact BIGINTs end-to-end (quantize → encode →
+    * LUT → sum), so ranking and the DuckDB oracle replay are
+    * bit-identical — same trick as sim4/ir1's fixed-point scoring.
+    * Asymmetric-distance ranking is approximate vs exact cosine by
+    * design; recall is pinned in ScalaTest like sim2/sim4. */
+  def pqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             codebookSeeds: DataFrame, idCol: String, vecCol: String,
+             k: Int = 10, nSub: Int = 4, excludeSelf: Boolean = true): DataFrame = {
+    val amax = corpus.select(max(expr(
+      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    )).as("__amax"))
+    def quantize(df: DataFrame, outId: String) =
+      df.crossJoin(broadcast(amax))
+        .withColumn("__qv", expr(
+          s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / __amax) + 0.5D) AS BIGINT))"))
+        .select(col(idCol).as(outId), col("__qv"))
+    // documented small-side collect (cf. ivfTopK centroids): the seed set
+    // is the codebook — K rows at any corpus size
+    val seedRows = quantize(codebookSeeds, "__sid").orderBy("__sid")
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(seedRows.nonEmpty, "codebook seed set is empty")
+    val dim = seedRows.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val sd = dim / nSub
+    val kCw = seedRows.length
+    val cb: Array[Array[Array[Long]]] =
+      Array.tabulate(nSub)(m => seedRows.map(_.slice(m * sd, (m + 1) * sd)))
+    // per-subspace integer squared-L2 of __qv against every codeword:
+    // array[nSub][K] of BIGINT
+    val subDists =
+      s"""transform(sequence(0, ${nSub - 1}), m ->
+         |  transform(element_at(__cb, m + 1), cw ->
+         |    aggregate(zip_with(slice(__qv, m * $sd + 1, $sd), cw,
+         |      (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)))""".stripMargin
+    val c = quantize(corpus, "vec_id")
+      .withColumn("__cb", typedlit(cb))
+      .withColumn("__codes", expr(
+        s"transform($subDists, ds -> array_position(ds, array_min(ds)) - 1)"))
+      .select("vec_id", "__codes")
+    val q = quantize(queries, "query_id")
+      .withColumn("__cb", typedlit(cb))
+      .withColumn("__lut", expr(s"flatten($subDists)"))
+      .select("query_id", "__lut")
+    val self = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
+    c.crossJoin(broadcast(q)).filter(self)
+      .withColumn("pq_dist", expr(
+        s"""aggregate(zip_with(__codes, sequence(0, ${nSub - 1}),
+           |  (c, m) -> element_at(__lut, CAST(m * $kCw + c + 1 AS INT))), 0L, (a, v) -> a + v)""".stripMargin))
+      .select("query_id", "vec_id", "pq_dist")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("pq_dist").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** DuckDB replay of [[centroidOutliers]], generated from the same
     * dim/k constants. */
   def duckCentroidOutliers(k: Int = 20, dim: Int = 64,

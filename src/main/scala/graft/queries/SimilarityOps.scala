@@ -35,6 +35,12 @@ object SimilarityOps {
   private val SIGBITS = 8
   /** sim6 stage-1 shortlist depth. */
   private val SHORTLIST = 50
+  /** sim7 PQ: subspace count and codebook seed id range (32 codewords;
+    * 16 subspaces of 4 dims — on this near-uniform synthetic corpus,
+    * measured recall peaks at many narrow subspaces, see OpsApiSpec). */
+  private val PQ_NSUB = 16
+  private val PQ_SEED_LO = 40
+  private val PQ_SEED_HI = 72
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -97,6 +103,24 @@ object SimilarityOps {
       graft.ops.VectorSearch.rerankTopK(s, corpus,
           corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
           k = TOPK, shortlist = SHORTLIST)
+        .orderBy("query_id", "rank")
+    }),
+
+    // sim7 — product-quantization ANN [extension]: 16 subspaces × 32
+    // codewords over int8-quantized vectors → 16 five-bit codes ≈ 10
+    // packed bytes (25× vs float32 — the compression tier past sim4's
+    // 4× that keeps a 100 TB embedding corpus scan-resident); ADC
+    // scoring = 16 integer LUT lookups per candidate, exact BIGINTs
+    // end-to-end so the ranking hash-matches the oracle
+    // (VectorSearch.pqTopK Scaladoc). Codebook seeds are corpus rows
+    // 40..71 (k-means output at production scale, like sim3's centroid
+    // seeds).
+    "sim7_pq_ann" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      graft.ops.VectorSearch.pqTopK(s, corpus,
+          corpus.filter(col("vec_id") < NQUERIES),
+          corpus.filter(col("vec_id") >= PQ_SEED_LO && col("vec_id") < PQ_SEED_HI),
+          "vec_id", "embedding", TOPK, nSub = PQ_NSUB)
         .orderBy("query_id", "rank")
     }))
 
@@ -225,7 +249,53 @@ object SimilarityOps {
          |           ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
          |  FROM sc2)
          |SELECT query_id, vec_id, stage1_rank, cos_sim, rank FROM r2
-         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin)
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin,
+
+    // Replays pqTopK from the same constants: sim4's quantizer, codebook
+    // = quantized seed rows (codeword index = seed-id rank), encode =
+    // argmin integer sqL2 per subspace (tie → lowest codeword, matching
+    // Spark's first-min array_position), ADC = sum of the query's own
+    // per-codeword distances at the encoded codes. All-BIGINT.
+    "sim7_pq_ann" -> {
+      val sd = 64 / PQ_NSUB
+      s"""WITH am AS (
+         |  SELECT max(list_max(list_transform(embedding, x ->
+         |    abs(CAST(x AS DOUBLE))))) AS amax FROM embeddings),
+         |e AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings, am),
+         |cbr AS (
+         |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS cidx
+         |  FROM e WHERE vec_id >= $PQ_SEED_LO AND vec_id < $PQ_SEED_HI),
+         |dists AS (
+         |  SELECT c.vec_id, mm.m, b.cidx,
+         |    CAST(list_sum(list_transform(generate_series(1, $sd), j ->
+         |      (c.qv[mm.m * $sd + j] - b.qv[mm.m * $sd + j])
+         |      * (c.qv[mm.m * $sd + j] - b.qv[mm.m * $sd + j]))) AS BIGINT) AS d
+         |  FROM e c, UNNEST(generate_series(0, ${PQ_NSUB - 1})) mm(m), cbr b),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, cidx AS code,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY d ASC, cidx ASC) AS rk
+         |    FROM dists) WHERE rk = 1),
+         |lut AS (SELECT vec_id AS query_id, m, cidx, d FROM dists
+         |        WHERE vec_id < $NQUERIES),
+         |sc AS (
+         |  SELECT l.query_id, en.vec_id, CAST(sum(l.d) AS BIGINT) AS pq_dist
+         |  FROM enc en JOIN lut l ON l.m = en.m AND l.cidx = en.code
+         |  WHERE l.query_id <> en.vec_id
+         |  GROUP BY l.query_id, en.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, pq_dist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY pq_dist ASC, vec_id ASC) AS INT) AS rank
+         |  FROM sc)
+         |SELECT query_id, vec_id, pq_dist, rank FROM ranked
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+    })
 
   /** sim4's quantize → integer-dot → rank chain as a CTE list ending in
     * `ranked(query_id, vec_id, qcos, rank)` — stage 1 of sim6 verbatim. */
