@@ -116,6 +116,20 @@ object MultimodalOps {
             .as("head"))
         .orderBy("doc_id")),
 
+    // mm5 — perceptual hash over the BINARY payload [extension]: the
+    // multimodal member of the dedup family (dd2/dd4/dd9 need text,
+    // dd5/dd11 need vectors; this needs only media bytes). 48-bit
+    // block-mean pHash; bit decisions are exact integer cross-products,
+    // so the hash itself is oracle-verified on every fixture row. Pair
+    // detection (MediaDedup.phashPairs, dd3's band join at hamming ≤ 3)
+    // targets the RE-ENCODE transform class — same-length local
+    // perturbations — which this text-byte fixture cannot exhibit, so
+    // the pairing law is pinned in TrainingDataOpsSpec on a constructed
+    // re-encoded corpus with known ground truth instead.
+    "mm5_perceptual_hash" -> ((s, dir) =>
+      graft.ops.MediaDedup.blockMeanHash(binaryTable(s, dir), "doc_id", "payload")
+        .orderBy("doc_id")),
+
     // mm3 — frame sampling: every FRAMESTEP-th byte is a "frame";
     // outputs frame count and a checksum over sampled frames (the shape
     // of video frame-subsampling, minus the codec).
@@ -171,6 +185,33 @@ object MultimodalOps {
          |FROM documents WHERE octet_length(encode(text)) > 0
          |ORDER BY doc_id""".stripMargin
     },
+
+    // Replays MediaDedup.blockMeanHash from the same constants (48
+    // blocks, integer cross-product bit decisions). Byte i of the
+    // payload via the hex(encode(text)) slice idiom (see mm2 note);
+    // block boundaries are pure integer arithmetic.
+    "mm5_perceptual_hash" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS L,
+         |         hex(encode(text)) AS hx
+         |  FROM documents WHERE octet_length(encode(text)) > 0),
+         |bs AS (
+         |  SELECT doc_id, L, bb.b,
+         |    ((bb.b + 1) * L) // 48 - (bb.b * L) // 48 AS n,
+         |    CASE WHEN ((bb.b + 1) * L) // 48 >= (bb.b * L) // 48 + 1 THEN
+         |      CAST(list_sum(list_transform(
+         |        generate_series(CAST((bb.b * L) // 48 AS INT) + 1,
+         |                        CAST(((bb.b + 1) * L) // 48 AS INT)),
+         |        i -> ('0x' || substr(hx, 2*i-1, 2))::INT)) AS BIGINT)
+         |    ELSE 0 END AS s
+         |  FROM d, UNNEST(generate_series(0, 47)) bb(b)),
+         |tot AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS total, max(L) AS L
+         |        FROM bs GROUP BY doc_id)
+         |SELECT bs.doc_id, max(t.L) AS n_bytes,
+         |  CAST(sum(CASE WHEN bs.s * t.L > t.total * bs.n
+         |                THEN (1::BIGINT << bs.b) ELSE 0 END) AS BIGINT) AS phash
+         |FROM bs JOIN tot t USING (doc_id) GROUP BY bs.doc_id
+         |ORDER BY bs.doc_id""".stripMargin,
 
     "mm3_frame_sample" ->
       s"""SELECT doc_id,

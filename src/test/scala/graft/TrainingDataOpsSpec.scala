@@ -149,6 +149,38 @@ class TrainingDataOpsSpec extends SparkSuite {
     assert((1 to 6).forall(r4.isNullAt))
   }
 
+  test("phashPairs finds planted re-encodes at hamming <= 3 and nothing else") {
+    import spark.implicits._
+    // the transform class pHash targets: same-length, small-amplitude,
+    // position-local perturbation (a re-encode) — the fixture corpus
+    // cannot exhibit it (text edits shift every downstream byte), so
+    // ground truth is constructed here
+    def payload(seed: Int, len: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      Array.fill(len)(rnd.nextInt(256).toByte)
+    }
+    def reencode(p: Array[Byte]): Array[Byte] =
+      p.zipWithIndex.map { case (b, j) =>
+        if (j % 13 == 0) (((b & 0xff) + 1) & 0xff).toByte else b
+      }
+    val bases = (0 until 6).map(i => (i.toLong, payload(seed = 100 + i, len = 600 + 37 * i)))
+    val rows = bases ++ bases.map { case (id, p) => (id + 100L, reencode(p)) } :+
+      (999L, Array.empty[Byte]) // empty payloads are excluded, not hashed
+    val df = rows.toDF("media_id", "payload")
+    val hashes = graft.ops.MediaDedup.blockMeanHash(df, "media_id", "payload")
+    assert(hashes.count() === 12) // empty payload dropped
+    val pairs = graft.ops.MediaDedup.phashPairs(df, "media_id", "payload")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = bases.map { case (id, _) => (id, id + 100L) }.toSet
+    assert(pairs === planted,
+      s"expected exactly the planted re-encode pairs, got $pairs")
+    // and an identical payload hashes identically (hamming 0)
+    val dup = Seq((1L, bases.head._2), (2L, bases.head._2)).toDF("media_id", "payload")
+    val ph = graft.ops.MediaDedup.blockMeanHash(dup, "media_id", "payload")
+      .select("phash").collect().map(_.getLong(0))
+    assert(ph(0) === ph(1))
+  }
+
   test("packSequences: per-shard offsets, boundary straddling, shard independence") {
     import spark.implicits._
     def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
