@@ -87,6 +87,18 @@ object TextOps {
         Tables.documents(s, dir), "doc_id", "text", "source", 2048L)
         .orderBy("shard", "id")),
 
+    // pk2 — NO-SPLIT greedy packing [extension]: the other canonical
+    // packing discipline (T5-style "packing without cross-
+    // contamination") — docs never straddle a pack boundary; a doc that
+    // doesn't fit opens a new pack, oversize docs get their own
+    // (Packing.greedyPack Scaladoc has the per-shard sequential-state
+    // argument; oversize + boundary laws pinned in TrainingDataOpsSpec).
+    // Oracle = per-shard recursive CTE replaying the same state machine.
+    "pk2_greedy_pack" -> ((s, dir) =>
+      graft.ops.Packing.greedyPack(
+        Tables.documents(s, dir), "doc_id", "text", "source", 256L)
+        .orderBy("shard", "id")),
+
     // ir1 — keyword retrieval [extension]: inverted-index top-k over the
     // corpus (targeted slicing / decontamination probes / eval-set
     // mining). Postings for the query terms only — one TokenProfileUdf
@@ -345,6 +357,47 @@ object TextOps {
          |  start_off // 2048 AS first_pack,
          |  ((start_off + n_tokens - 1) // 2048) - (start_off // 2048) + 1 AS n_packs
          |FROM c ORDER BY shard, id""".stripMargin,
+
+    // Replays greedyPack's state machine row-by-row per shard: state
+    // (p, f) = (current pack, its fill) BEFORE each doc; oversize docs
+    // (t > budget) close any open pack and take their own. Branch
+    // expressions are repeated (a recursive CTE can't name them).
+    "pk2_greedy_pack" -> {
+      val C = 256
+      s"""WITH RECURSIVE t AS (
+         |  SELECT source AS shard, doc_id AS id,
+         |         CAST(len($sqlTokens) AS BIGINT) AS n_tokens,
+         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents WHERE text IS NOT NULL),
+         |r AS (
+         |  SELECT shard, id, n_tokens, rn,
+         |    CAST(0 AS BIGINT) AS pack_id,
+         |    CAST(0 AS BIGINT) AS pack_off,
+         |    n_tokens > $C AS oversize,
+         |    CASE WHEN n_tokens > $C THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS p_next,
+         |    CASE WHEN n_tokens > $C THEN CAST(0 AS BIGINT) ELSE n_tokens END AS f_next
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.shard, t.id, t.n_tokens, t.rn,
+         |    CASE WHEN t.n_tokens > $C THEN
+         |           (CASE WHEN r.f_next > 0 THEN r.p_next + 1 ELSE r.p_next END)
+         |         WHEN r.f_next + t.n_tokens > $C THEN r.p_next + 1
+         |         ELSE r.p_next END AS pack_id,
+         |    CASE WHEN t.n_tokens > $C THEN CAST(0 AS BIGINT)
+         |         WHEN r.f_next + t.n_tokens > $C THEN CAST(0 AS BIGINT)
+         |         ELSE r.f_next END AS pack_off,
+         |    t.n_tokens > $C AS oversize,
+         |    CASE WHEN t.n_tokens > $C THEN
+         |           (CASE WHEN r.f_next > 0 THEN r.p_next + 1 ELSE r.p_next END) + 1
+         |         WHEN r.f_next + t.n_tokens > $C THEN r.p_next + 1
+         |         ELSE r.p_next END AS p_next,
+         |    CASE WHEN t.n_tokens > $C THEN CAST(0 AS BIGINT)
+         |         WHEN r.f_next + t.n_tokens > $C THEN t.n_tokens
+         |         ELSE r.f_next + t.n_tokens END AS f_next
+         |  FROM t JOIN r ON t.shard = r.shard AND t.rn = r.rn + 1)
+         |SELECT shard, id, n_tokens, pack_id, pack_off, oversize
+         |FROM r ORDER BY shard, id""".stripMargin
+    },
 
     "ir1_keyword_topk" -> graft.ops.Retrieval.duckKeywordTopK(ir1Terms, k = 20),
 

@@ -181,6 +181,52 @@ class TrainingDataOpsSpec extends SparkSuite {
     assert(ph(0) === ph(1))
   }
 
+  test("greedyPack: no-split boundaries, oversize isolation, pack-fill law") {
+    import spark.implicits._
+    // budget 10; shard A exercises fit/no-fit/exact-fit, B the oversize
+    // paths (leading, between packs, trailing), C a null-text exclusion
+    val docs = Seq(
+      ("A", 1L, "t t t t"),            // 4 → pack 0 @ 0
+      ("A", 2L, "t t t t t"),          // 5 → pack 0 @ 4 (fills to 9)
+      ("A", 3L, "t t"),                // 2 > remaining 1 → pack 1 @ 0
+      ("A", 4L, "t t t t t t t t"),    // 8 → pack 1 @ 2 (2+8 fills exactly)
+      ("A", 5L, "t t"),                // 2 → pack 2 @ 0
+      ("A", 6L, "t"),                  // 1 → pack 2 @ 2
+      ("B", 1L, "o o o o o o o o o o o o"), // 12 oversize → pack 0, own
+      ("B", 2L, "t t t"),              // 3 → pack 1 @ 0
+      ("B", 3L, "o o o o o o o o o o o"),   // 11 oversize → closes pack 1 → pack 2
+      ("B", 4L, "t"),                  // 1 → pack 3 @ 0
+      ("C", 1L, null.asInstanceOf[String]),
+      ("C", 2L, "t t t t t t t t t t")) // 10 = budget exactly: NOT oversize
+      .toDF("src", "pk", "body")
+    val out = graft.ops.Packing.greedyPack(docs, "pk", "body", "src", 10L)
+      .orderBy("shard", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(out === Array(
+      ("A", 1L, 0L, 0L, false), ("A", 2L, 0L, 4L, false), ("A", 3L, 1L, 0L, false),
+      ("A", 4L, 1L, 2L, false), ("A", 5L, 2L, 0L, false), ("A", 6L, 2L, 2L, false),
+      ("B", 1L, 0L, 0L, true), ("B", 2L, 1L, 0L, false),
+      ("B", 3L, 2L, 0L, true), ("B", 4L, 3L, 0L, false),
+      ("C", 2L, 0L, 0L, false)))
+    // invariant on the fixture corpus: within every (shard, pack),
+    // docs are contiguous in id order, offsets telescope exactly, no
+    // non-oversize pack exceeds the budget
+    val fx = graft.ops.Packing.greedyPack(
+      Tables.documents(spark, sf), "doc_id", "text", "source", 256L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    fx.groupBy(t => (t._1, t._4)).foreach { case ((_, _), members) =>
+      val m = members.sortBy(_._2)
+      assert(m.head._5 === 0L, "first doc of a pack starts at offset 0")
+      m.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._3 === b._5, "offsets telescope")
+        case _ =>
+      }
+      val total = m.last._5 + m.last._3
+      assert(m.exists(_._6) || total <= 256L, "no non-oversize pack overflows")
+    }
+  }
+
   test("packSequences: per-shard offsets, boundary straddling, shard independence") {
     import spark.implicits._
     def words(n: Int, tag: String) = (1 to n).map(i => s"$tag$i").mkString(" ")
