@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CurationOps, Det, DedupOps, Etl, MultimodalOps, Relational, SimilarityOps, StreamingOps, TextOps}
+import graft.queries.{CurationOps, Det, DedupOps, Etl, EventOps, MultimodalOps, Relational, SimilarityOps, StreamingOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,7 +43,8 @@ object SparkEntry {
       (DedupOps.queries, DedupOps.oracles),
       (SimilarityOps.queries, SimilarityOps.oracles),
       (MultimodalOps.queries, MultimodalOps.oracles),
-      (StreamingOps.queries, StreamingOps.oracles))
+      (StreamingOps.queries, StreamingOps.oracles),
+      (EventOps.queries, EventOps.oracles))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral-sequence analytics over an event stream — the funnel /
+  * path-flow operators every product-analytics warehouse ships
+  * (ClickHouse `windowFunnel`/`sequenceMatch`, Snowflake
+  * MATCH_RECOGNIZE) and Spark SQL has no native form of.
+  *
+  * Both operators share one scale argument: the event table shuffles
+  * ONCE on the user key and every per-user computation is linear in
+  * that user's events. Nothing is ever joined event-to-event — a
+  * funnel-as-self-join (stage-k ⋈ stage-k+1 on user + time range)
+  * explodes combinatorially on power users, while the fold below is a
+  * single pass. State per user = its sorted event list; a user whose
+  * history outgrows executor memory is a data-quality problem (bot) a
+  * pipeline caps upstream — cf. SCALE.md.
+  */
+object Funnel {
+
+  /** Per-user furthest funnel stage: stage k is reached iff the user's
+    * events, in (ts, id) order, contain `steps(0) … steps(k-1)` as a
+    * subsequence. Greedy earliest-match is optimal for the unbounded
+    * funnel (standard exchange argument), so "first event matching the
+    * next step advances the fold" computes the true max stage — and is
+    * exactly replayable as a min-rank chain in SQL (the oracle's form).
+    *
+    * One shuffle (the user groupBy); the fold is a codegen'd HOF over
+    * the sorted per-user array. Output: (userCol, stage) — stage 0
+    * means "has events, none matching steps(0)". */
+  def funnelStages(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, typeCol: String,
+                   steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepsLit = steps.map(s => s"'${s.replace("'", "''")}'")
+      .mkString("array(", ", ", ")")
+    events
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(
+        struct(col(tsCol).as("t"), col(idCol).as("i"), col(typeCol).as("y"))))
+        .as("__ev"))
+      .select(col(userCol), expr(
+        s"""aggregate(__ev, 0, (st, e) ->
+           |  if(st < ${steps.length} AND e.y = element_at($stepsLit, st + 1),
+           |     st + 1, st))""".stripMargin).as("stage"))
+  }
+
+  /** Funnel conversion table: one row per step k — (stage, step,
+    * users = how many users reached step k or beyond). The per-user
+    * stages collapse to a ≤|steps|-row aggregate, then the cumulative
+    * count is a window over those few rows (never over users). */
+  def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
+                   idCol: String, typeCol: String,
+                   steps: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perStage = funnelStages(events, userCol, tsCol, idCol, typeCol, steps)
+      .groupBy("stage").agg(count(lit(1)).as("n"))
+    val labels = steps.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }.toDF("stage", "step")
+    val cum = Window.orderBy(col("stage").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    labels.join(perStage, Seq("stage"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("users", sum("n").over(cum))
+      .select(col("stage"), col("step"), col("users"))
+  }
+
+  /** Event-to-event transition counts (the Markov flow matrix product
+    * analytics draws as a Sankey): for each user's (ts, id)-ordered
+    * stream, count consecutive (from_type → to_type) pairs across the
+    * whole corpus. One shuffle on the user key (the lead window);
+    * the final aggregate is |types|² rows. */
+  def transitions(events: DataFrame, userCol: String, tsCol: String,
+                  idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+  }
+}

@@ -461,29 +461,55 @@ object VectorSearch {
     require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
     val sd = dim / nSub
     val kCw = seedRows.length
-    val cb: Array[Array[Array[Long]]] =
-      Array.tabulate(nSub)(m => seedRows.map(_.slice(m * sd, (m + 1) * sd)))
-    // per-subspace integer squared-L2 of __qv against every codeword:
-    // array[nSub][K] of BIGINT
-    val subDists =
-      s"""transform(sequence(0, ${nSub - 1}), m ->
-         |  transform(element_at(__cb, m + 1), cw ->
-         |    aggregate(zip_with(slice(__qv, m * $sd + 1, $sd), cw,
-         |      (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)))""".stripMargin
+    // flat codebook: cb(m*kCw + cw)(j) — one primitive-array kernel per
+    // row beats the equivalent nested HOF lambdas ~10× (higher-order
+    // array expressions evaluate interpreted with per-element boxing;
+    // this is the same compute-bound-kernel justification as
+    // TokenProfileUdf/WinnowUdf)
+    val cb: Array[Array[Long]] =
+      Array.tabulate(nSub * kCw) { i => seedRows(i % kCw).slice((i / kCw) * sd, (i / kCw + 1) * sd) }
+    def subDists(qv: scala.collection.Seq[Long], m: Int): Array[Long] = {
+      val out = new Array[Long](kCw)
+      var cw = 0
+      while (cw < kCw) {
+        val w = cb(m * kCw + cw)
+        var s = 0L; var j = 0
+        while (j < sd) { val d = qv(m * sd + j) - w(j); s += d * d; j += 1 }
+        out(cw) = s; cw += 1
+      }
+      out
+    }
+    // argmin with first-min tie-break = lowest codeword id
+    val encodeUdf = udf { qv: scala.collection.Seq[Long] =>
+      Array.tabulate(nSub) { m =>
+        val ds = subDists(qv, m)
+        var best = 0; var cw = 1
+        while (cw < kCw) { if (ds(cw) < ds(best)) best = cw; cw += 1 }
+        best
+      }
+    }
+    val lutUdf = udf { qv: scala.collection.Seq[Long] =>
+      val out = new Array[Long](nSub * kCw)
+      var m = 0
+      while (m < nSub) {
+        System.arraycopy(subDists(qv, m), 0, out, m * kCw, kCw); m += 1
+      }
+      out
+    }
     val c = quantize(corpus, "vec_id")
-      .withColumn("__cb", typedlit(cb))
-      .withColumn("__codes", expr(
-        s"transform($subDists, ds -> array_position(ds, array_min(ds)) - 1)"))
+      .withColumn("__codes", encodeUdf(col("__qv")))
       .select("vec_id", "__codes")
     val q = quantize(queries, "query_id")
-      .withColumn("__cb", typedlit(cb))
-      .withColumn("__lut", expr(s"flatten($subDists)"))
+      .withColumn("__lut", lutUdf(col("__qv")))
       .select("query_id", "__lut")
     val self = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
+    val adcUdf = udf { (codes: scala.collection.Seq[Int], lut: scala.collection.Seq[Long]) =>
+      var s = 0L; var m = 0
+      while (m < nSub) { s += lut(m * kCw + codes(m)); m += 1 }
+      s
+    }
     c.crossJoin(broadcast(q)).filter(self)
-      .withColumn("pq_dist", expr(
-        s"""aggregate(zip_with(__codes, sequence(0, ${nSub - 1}),
-           |  (c, m) -> element_at(__lut, CAST(m * $kCw + c + 1 AS INT))), 0L, (a, v) -> a + v)""".stripMargin))
+      .withColumn("pq_dist", adcUdf(col("__codes"), col("__lut")))
       .select("query_id", "vec_id", "pq_dist")
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("pq_dist").asc, col("vec_id").asc)))

@@ -206,6 +206,35 @@ class OpsApiSpec extends SparkSuite {
     assert(avg >= 0.8, s"int8 quantization lost too much ranking fidelity: $avg")
   }
 
+  test("funnel: subsequence-in-order semantics, tie order, cumulative counts") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // u1 completes in order; u2 has the steps OUT of order (purchase
+    // before click) → stage 1 only... except a later click+purchase
+    // would re-qualify — none here; u3 stops at click; u4 never views
+    // (stage 0, not in any count); u5 has click/purchase at the SAME
+    // timestamp as its view — event_id breaks the tie, in order
+    val ev = Seq(
+      (1L, t(10), 100L, "view"), (1L, t(20), 101L, "click"), (1L, t(30), 102L, "purchase"),
+      (2L, t(10), 200L, "view"), (2L, t(20), 201L, "purchase"), (2L, t(30), 202L, "click"),
+      (3L, t(10), 300L, "view"), (3L, t(20), 301L, "click"),
+      (4L, t(10), 400L, "click"), (4L, t(20), 401L, "purchase"),
+      (5L, t(10), 500L, "view"), (5L, t(10), 501L, "click"), (5L, t(10), 502L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val steps = Seq("view", "click", "purchase")
+    val stages = graft.ops.Funnel.funnelStages(ev, "user_id", "ts", "event_id", "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // u2: purchase precedes click, so the purchase can't count — but the
+    // later click still advances it to stage 2
+    assert(stages === Map(1L -> 3, 2L -> 2, 3L -> 2, 4L -> 0, 5L -> 3))
+    val counts = graft.ops.Funnel.funnelCounts(ev, "user_id", "ts", "event_id", "event_type", steps)
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(counts === Array((1, "view", 4L), (2, "click", 4L), (3, "purchase", 2L)))
+    // counts are monotone non-increasing by construction of the cumsum
+    assert(counts.map(_._3).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
   test("pqTopK: exact-integer ADC ranking with useful recall@10 vs exact L2") {
     import org.apache.spark.sql.functions.col
     val corpus = Tables.embeddings(spark, sf)
