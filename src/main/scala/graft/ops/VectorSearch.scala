@@ -47,6 +47,46 @@ object VectorSearch {
     rankTopK(if (excludeSelf) pairs.filter(col("query_id") =!= col("vec_id")) else pairs, k)
   }
 
+  /** Exact brute-force squared-L2 top-k — [[cosineTopK]]'s sibling for
+    * the Euclidean metric (the baseline [[pqTopK]]'s ADC approximates;
+    * cf. the PQ paper's evaluation protocol). Same shape: broadcast
+    * queries, map-side scan, only (id, id, double) rows reach the
+    * window. The distance is a fixed-order element fold, so it is
+    * IEEE-deterministic and oracle-comparable. */
+  def l2TopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int = 10,
+             excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val pairs = c.crossJoin(broadcast(q))
+    val self = if (excludeSelf) pairs.filter(col("query_id") =!= col("vec_id")) else pairs
+    self
+      .withColumn("dist2", expr(
+        """aggregate(zip_with(__qv, __cv,
+          |  (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+          |CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin))
+      .select("query_id", "vec_id", "dist2")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist2").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall of an approximate top-k against its exact baseline: one row
+    * (method, hits, possible, recall) where hits = |approx ∩ exact| over
+    * all queries and recall = hits/possible — the evaluation loop every
+    * ANN deployment runs to size probes/codebooks. Inputs are any two
+    * (query_id, vec_id, …) top-k frames; both are k·|Q| rows, so the
+    * semi-join and counts are corpus-size-independent. */
+  def recallVsExact(exact: DataFrame, approx: DataFrame, method: String): DataFrame = {
+    val hits = approx.select("query_id", "vec_id")
+      .join(exact.select("query_id", "vec_id"), Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val poss = exact.agg(count(lit(1)).as("possible"))
+    hits.crossJoin(poss).select(
+      lit(method).as("method"), col("hits"), col("possible"),
+      (col("hits").cast("double") / col("possible")).as("recall"))
+  }
+
   /** XOR masks enumerating every bucket within `probeHamming` of a
     * signature (shared with the DuckDB oracle text). */
   def probeMasks(sigBits: Int, probeHamming: Int): Seq[Long] = {

@@ -122,6 +122,30 @@ object SimilarityOps {
           corpus.filter(col("vec_id") >= PQ_SEED_LO && col("vec_id") < PQ_SEED_HI),
           "vec_id", "embedding", TOPK, nSub = PQ_NSUB)
         .orderBy("query_id", "rank")
+    }),
+
+    // sim8 — ANN recall evaluation [extension]: the tuning loop every
+    // ANN deployment runs — recall@k of each compressed ranking against
+    // the EXACT baseline of its own metric (sim4's quantized-cosine vs
+    // exact cosine; sim7's L2-ADC vs exact L2 — the PQ paper's
+    // protocol). All four rankings are deterministic, so even this
+    // measurement query is hash-gated end-to-end. Eval cost is
+    // k·|Q|-row joins — corpus-size-independent once the rankings are
+    // priced (VectorSearch.recallVsExact).
+    "sim8_recall_eval" -> ((s, dir) => {
+      val V = graft.ops.VectorSearch
+      val corpus = Tables.embeddings(s, dir)
+      val qs = corpus.filter(col("vec_id") < NQUERIES)
+      val seeds = corpus.filter(col("vec_id") >= PQ_SEED_LO && col("vec_id") < PQ_SEED_HI)
+      V.recallVsExact(
+          V.cosineTopK(s, corpus, qs, "vec_id", "embedding", TOPK),
+          V.scalarQuantTopK(s, corpus, qs, "vec_id", "embedding", TOPK),
+          "scalar_quant_vs_cosine")
+        .unionAll(V.recallVsExact(
+          V.l2TopK(s, corpus, qs, "vec_id", "embedding", TOPK),
+          V.pqTopK(s, corpus, qs, seeds, "vec_id", "embedding", TOPK, nSub = PQ_NSUB),
+          "pq_vs_l2"))
+        .orderBy("method")
     }))
 
   private val duckCos: String =
@@ -295,6 +319,90 @@ object SimilarityOps {
          |  FROM sc)
          |SELECT query_id, vec_id, pq_dist, rank FROM ranked
          |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+    },
+
+    // Four prefixed ranking chains (exact cosine, quantized cosine,
+    // exact L2, PQ-ADC — each the same text as its standalone oracle,
+    // CTE names disambiguated), then recall = |approx ∩ exact| / k·|Q|.
+    "sim8_recall_eval" -> {
+      val sd = 64 / PQ_NSUB
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding, ${VectorExprs.duckNorm2} AS norm2
+         |  FROM embeddings),
+         |xcq AS (SELECT vec_id AS query_id, embedding AS ea, norm2 AS qnorm
+         |        FROM e WHERE vec_id < $NQUERIES),
+         |xcp AS (SELECT q.query_id, c.vec_id, q.ea, c.embedding AS eb,
+         |               q.qnorm, c.norm2 AS cnorm
+         |        FROM e c, xcq q WHERE q.query_id <> c.vec_id),
+         |xcs AS (SELECT query_id, vec_id, $duckCos AS cos_sim FROM xcp),
+         |xcr AS (SELECT query_id, vec_id FROM (
+         |          SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos_sim DESC, vec_id ASC) AS rk FROM xcs)
+         |        WHERE rk <= $TOPK),
+         |am AS (
+         |  SELECT max(list_max(list_transform(embedding, x ->
+         |    abs(CAST(x AS DOUBLE))))) AS amax FROM embeddings),
+         |qe AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings, am),
+         |sqe AS (SELECT vec_id, qv,
+         |          CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+         |        FROM qe),
+         |sqq AS (SELECT vec_id AS query_id, qv AS qa, n2 AS qn
+         |        FROM sqe WHERE vec_id < $NQUERIES),
+         |sqs AS (SELECT q.query_id, c.vec_id,
+         |          CAST(CAST(list_sum(list_transform(generate_series(1, 64), j ->
+         |              q.qa[j] * c.qv[j])) AS BIGINT) AS DOUBLE)
+         |            / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS qcos
+         |        FROM sqe c, sqq q WHERE q.query_id <> c.vec_id),
+         |sqr AS (SELECT query_id, vec_id FROM (
+         |          SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY qcos DESC, vec_id ASC) AS rk FROM sqs)
+         |        WHERE rk <= $TOPK),
+         |xlp AS (SELECT q.vec_id AS query_id, c.vec_id,
+         |          list_sum(list_transform(generate_series(1, 64), j ->
+         |            (CAST(q.embedding[j] AS DOUBLE) - CAST(c.embedding[j] AS DOUBLE))
+         |            * (CAST(q.embedding[j] AS DOUBLE) - CAST(c.embedding[j] AS DOUBLE)))) AS dist2
+         |        FROM embeddings c, embeddings q
+         |        WHERE q.vec_id < $NQUERIES AND q.vec_id <> c.vec_id),
+         |xlr AS (SELECT query_id, vec_id FROM (
+         |          SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY dist2 ASC, vec_id ASC) AS rk FROM xlp)
+         |        WHERE rk <= $TOPK),
+         |cbr AS (
+         |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS cidx
+         |  FROM qe WHERE vec_id >= $PQ_SEED_LO AND vec_id < $PQ_SEED_HI),
+         |pqd AS (
+         |  SELECT c.vec_id, mm.m, b.cidx,
+         |    CAST(list_sum(list_transform(generate_series(1, $sd), j ->
+         |      (c.qv[mm.m * $sd + j] - b.qv[mm.m * $sd + j])
+         |      * (c.qv[mm.m * $sd + j] - b.qv[mm.m * $sd + j]))) AS BIGINT) AS d
+         |  FROM qe c, UNNEST(generate_series(0, ${PQ_NSUB - 1})) mm(m), cbr b),
+         |pqe AS (SELECT vec_id, m, code FROM (
+         |          SELECT vec_id, m, cidx AS code,
+         |            row_number() OVER (PARTITION BY vec_id, m
+         |              ORDER BY d ASC, cidx ASC) AS rk FROM pqd) WHERE rk = 1),
+         |pql AS (SELECT vec_id AS query_id, m, cidx, d FROM pqd
+         |        WHERE vec_id < $NQUERIES),
+         |pqs AS (SELECT l.query_id, en.vec_id, CAST(sum(l.d) AS BIGINT) AS pq_dist
+         |        FROM pqe en JOIN pql l ON l.m = en.m AND l.cidx = en.code
+         |        WHERE l.query_id <> en.vec_id GROUP BY 1, 2),
+         |pqr AS (SELECT query_id, vec_id FROM (
+         |          SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY pq_dist ASC, vec_id ASC) AS rk FROM pqs)
+         |        WHERE rk <= $TOPK)
+         |SELECT method, hits, possible,
+         |  CAST(hits AS DOUBLE) / possible AS recall FROM (
+         |  SELECT 'pq_vs_l2' AS method,
+         |    (SELECT count(*) FROM pqr a JOIN xlr b USING (query_id, vec_id)) AS hits,
+         |    (SELECT count(*) FROM xlr) AS possible
+         |  UNION ALL
+         |  SELECT 'scalar_quant_vs_cosine' AS method,
+         |    (SELECT count(*) FROM sqr a JOIN xcr b USING (query_id, vec_id)) AS hits,
+         |    (SELECT count(*) FROM xcr) AS possible) t
+         |ORDER BY method""".stripMargin
     })
 
   /** sim4's quantize → integer-dot → rank chain as a CTE list ending in
