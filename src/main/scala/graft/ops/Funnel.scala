@@ -53,11 +53,16 @@ object Funnel {
     * count is a window over those few rows (never over users). */
   def funnelCounts(events: DataFrame, userCol: String, tsCol: String,
                    idCol: String, typeCol: String,
-                   steps: Seq[String]): DataFrame = {
-    val spark = events.sparkSession
+                   steps: Seq[String]): DataFrame =
+    stageCounts(funnelStages(events, userCol, tsCol, idCol, typeCol, steps), steps)
+
+  /** [[funnelCounts]]' aggregation tail over any per-user `stage` frame
+    * (shared with the streaming funnel st11, whose per-user stages come
+    * out of GroupState instead of the batch fold). */
+  def stageCounts(perUserStages: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = perUserStages.sparkSession
     import spark.implicits._
-    val perStage = funnelStages(events, userCol, tsCol, idCol, typeCol, steps)
-      .groupBy("stage").agg(count(lit(1)).as("n"))
+    val perStage = perUserStages.groupBy("stage").agg(count(lit(1)).as("n"))
     val labels = steps.zipWithIndex
       .map { case (s, i) => (i + 1, s) }.toDF("stage", "step")
     val cum = Window.orderBy(col("stage").desc)

@@ -10,8 +10,9 @@ import graft.Tables
   */
 object EventOps {
 
-  /** The canonical commerce funnel present in the fixture's event mix. */
-  private val FUNNEL_STEPS = Seq("view", "click", "purchase")
+  /** The canonical commerce funnel present in the fixture's event mix
+    * (shared with the streaming form, st11). */
+  private[queries] val FUNNEL_STEPS = Seq("view", "click", "purchase")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -18,6 +18,10 @@ import graft.Tables
 final case class Session(
     user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
 
+/** Output row of st11's streaming funnel: emitted when `user_id`'s
+  * furthest stage advances to `stage` within a micro-batch. */
+final case class StageAdvance(user_id: Long, stage: Int)
+
 object StreamingOps {
 
   /** Session gap: events within this many µs of the previous event of the
@@ -116,6 +120,26 @@ object StreamingOps {
         .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total_value"))
       Streams.runToTable(s, joined, s"st5_out_${Tables.dirSlug(dir)}", "complete")
         .orderBy("category")
+    }),
+
+    // st11 — streaming funnel [extension]: fn1's conversion tracking
+    // LIVE. Per-user furthest stage rides GroupState across
+    // micro-batches; each batch sorts only ITS slice by (ts, event_id)
+    // and continues the greedy fold (convergence precondition: arrival
+    // order respects event time ACROSS batches — st10's contract; order
+    // within a batch is free). A row is emitted only when a user's
+    // stage advances, so sink volume ∝ conversions, not events. The
+    // read-back collapses advances to final stages and reuses
+    // Funnel.stageCounts — the oracle is fn1's, verbatim. Multi-batch
+    // equivalence to the batch fold is pinned in PipelineStorageSpec.
+    "st11_stream_funnel" -> ((s, dir) => {
+      val steps = EventOps.FUNNEL_STEPS
+      val adv = funnelAdvances(s, Streams.events(s, dir), steps)
+      val tbl = Streams.runToTable(s, adv.toDF(),
+        s"st11_out_${Tables.dirSlug(dir)}", "append")
+      graft.ops.Funnel.stageCounts(
+          tbl.groupBy("user_id").agg(max("stage").as("stage")), steps)
+        .orderBy("stage")
     }),
 
     // st3 — custom sessionization state: flatMapGroupsWithState per user,
@@ -256,7 +280,36 @@ object StreamingOps {
         .orderBy("user_id", "view_ts_us", "buy_ts_us", "view_id", "buy_id")
     }))
 
+  /** st11's stateful core, shared with the PipelineStorageSpec
+    * convergence test: per-user greedy funnel fold continued from
+    * GroupState, emitting a [[StageAdvance]] per batch in which the
+    * user's stage moved. */
+  def funnelAdvances(s: SparkSession, events: DataFrame,
+                     steps: Seq[String]): org.apache.spark.sql.Dataset[StageAdvance] = {
+    import s.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("tus"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[Int]) => {
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var st = state.getOption.getOrElse(0)
+          val before = st
+          sorted.foreach { r =>
+            if (st < steps.length && r._4 == steps(st)) st += 1
+          }
+          state.update(st)
+          if (st > before) Iterator(StageAdvance(uid, st)) else Iterator.empty
+        })
+  }
+
   val oracles: Map[String, String] = Map(
+    // fn1's oracle verbatim: the streamed fold must converge to the
+    // batch funnel's conversion table.
+    "st11_stream_funnel" -> EventOps.oracles("fn1_funnel"),
     "st1_stream_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
         |       event_type, COUNT(*) AS n,

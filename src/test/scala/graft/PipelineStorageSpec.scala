@@ -90,6 +90,54 @@ class PipelineStorageSpec extends SparkSuite {
     got.zip(want).foreach { case (g, w) => assert(g === w) }
   }
 
+  test("st11 streaming funnel converges to the batch funnel across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // split events into 3 TIME-ORDERED files (arrival order respecting
+    // event time is st11's convergence precondition) and force one file
+    // per trigger so GroupState actually carries stages across batches
+    val ev = Tables.events(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+    val cuts = ev.stat.approxQuantile("event_id", Array(0.33, 0.66), 0.0)
+    val (c1, c2) = (cuts(0).toLong, cuts(1).toLong)
+    val srcDir = new java.io.File(s"/root/repo/target/test_st11_src_${System.nanoTime()}")
+    srcDir.mkdirs()
+    // event_id order is ts order in this generator (ids assigned in
+    // arrival order) — verify rather than assume
+    val mono = ev.orderBy("event_id").select("ts").collect().map(_.getTimestamp(0))
+    assert(mono.sliding(2).forall { case Array(a, b) => !b.before(a); case _ => true },
+      "fixture event_ids are not time-ordered; pick a different split key")
+    val slices = Seq(
+      ev.filter(col("event_id") <= c1),
+      ev.filter(col("event_id") > c1 && col("event_id") <= c2),
+      ev.filter(col("event_id") > c2))
+    slices.zipWithIndex.foreach { case (df, i) =>
+      val tmp = s"$srcDir/_tmp$i"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(srcDir, s"b$i.parquet")
+      assert(part.renameTo(dst))
+      assert(dst.setLastModified(1700000000000L + i * 60000L))
+    }
+    val streamed = spark.readStream.schema(ev.schema)
+      .option("pathGlobFilter", "b*.parquet")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getAbsolutePath)
+    val steps = Seq("view", "click", "purchase")
+    val adv = graft.queries.StreamingOps.funnelAdvances(spark, streamed, steps)
+    val tbl = graft.streaming.Streams.runToTable(spark, adv.toDF(),
+      s"test_st11_${System.nanoTime()}", "append")
+    val advRows = tbl.collect().map(r => (r.getLong(0), r.getInt(1)))
+    // cross-batch continuation must be load-bearing: some user advanced
+    // in two different batches (≥2 advance rows for one user)
+    assert(advRows.groupBy(_._1).exists(_._2.length >= 2),
+      "no user advanced across a batch boundary — state carry never exercised")
+    val got = advRows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    val want = graft.ops.Funnel.funnelStages(ev, "user_id", "ts", "event_id", "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).filter(_._2 > 0).toMap
+    assert(got === want, "streamed final stages differ from the batch fold")
+  }
+
   test("pipeline run is idempotent through parquet state") {
     val wh = s"/root/repo/target/test_warehouse_${System.nanoTime()}"
     val first = Pipeline.run(spark, sf, wh)
