@@ -362,6 +362,68 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** α-temperature source mixture (the exponent-smoothed multinomial of
+    * GPT-3 / multilingual-BERT, α = 1/2): sample `budget` documents with
+    * per-stratum target counts ∝ n_s^α — flattening the source
+    * distribution so head domains stop drowning the tail without
+    * letting tiny domains dominate. Complements [[mixtureWeights]]
+    * (explicit target shares) by DERIVING the shares from corpus counts.
+    *
+    * Determinism, end to end: weights are sqrt(n) — correctly rounded
+    * under IEEE-754 in every engine, unlike pow(n, α) for general α —
+    * quantized to integers (floor(·1e6+0.5)); targets are exact BIGINT
+    * products `budget·w_s div ΣW` (headroom: budget·w must fit a long —
+    * at 100 TB scale move the product to DECIMAL(38,0), same plan);
+    * the draw is the hash-gate of [[stratifiedSample]], so selection is
+    * reproducible and repartition-stable. Σ targets ≤ budget (floor
+    * rounding forfeits < |strata| docs).
+    *
+    * One shuffle (the per-stratum rank window); targets broadcast back.
+    * Output: stratumCol, idCol, srank (1-based hash rank within the
+    * stratum) — ≈ budget rows. */
+  def temperatureMixture(docs: DataFrame, idCol: String, stratumCol: String,
+                         budget: Long, salt: String = "tmix"): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val per = docs.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", expr(
+        "CAST(floor(sqrt(CAST(__n AS DOUBLE)) * 1000000D + 0.5D) AS BIGINT)"))
+    // the weight total is one scalar over a ≤|strata|-row frame —
+    // collected driver-side and baked into the plan (the same
+    // documented small-side collect as pqTopK's codebook; a crossJoin
+    // of per with an aggregate of itself trips self-join ambiguity)
+    val bigW = per.agg(sum("__w")).head.getLong(0)
+    val tgt = per.select(col(stratumCol),
+      expr(s"($budget * __w) div ${bigW}L").as("__target"))
+    val draw = DetHash.h(concat(lit(salt + "_"), col(idCol).cast("string")))
+    docs
+      .withColumn("__draw", draw)
+      .withColumn("srank", row_number().over(
+        Window.partitionBy(stratumCol).orderBy(col("__draw"), col(idCol))))
+      .join(broadcast(tgt), Seq(stratumCol))
+      .filter(col("srank") <= col("__target"))
+      .select(stratumCol, idCol, "srank")
+  }
+
+  /** DuckDB replay of [[temperatureMixture]] from the same constants. */
+  def duckTemperatureMixture(budget: Long, salt: String = "tmix",
+                             idCol: String = "doc_id", table: String = "documents",
+                             stratumCol: String = "source"): String =
+    s"""WITH per AS (
+       |  SELECT $stratumCol, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS w
+       |  FROM $table GROUP BY 1),
+       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM per),
+       |tgt AS (SELECT $stratumCol, ($budget * w) // tw AS target FROM per, tot),
+       |ranked AS (
+       |  SELECT $stratumCol, $idCol,
+       |    CAST(row_number() OVER (PARTITION BY $stratumCol
+       |      ORDER BY ${DetHash.hSql(s"'${salt}_' || CAST($idCol AS VARCHAR)")} ASC,
+       |               $idCol ASC) AS INT) AS srank
+       |  FROM $table)
+       |SELECT r.$stratumCol, r.$idCol, r.srank
+       |FROM ranked r JOIN tgt USING ($stratumCol)
+       |WHERE r.srank <= target
+       |ORDER BY r.$stratumCol, r.$idCol""".stripMargin
+
   /** DuckDB replay of [[groupSplit]] — generated from the same salt and
     * cut constants so the engines cannot drift. */
   def duckGroupSplit(valPct: Int = 5, testPct: Int = 5,

@@ -179,9 +179,23 @@ object CurationOps {
             concat(col("text"), lit(" v2"))).otherwise(col("text"))),
         idCol = "doc_id", textCol = "text")
         .orderBy("doc_id")
-    }))
+    }),
+
+    // cr8 — α-temperature source mixture [extension]: GPT-3-style
+    // exponent-smoothed sampling (α = 1/2) — per-source targets ∝
+    // sqrt(n_s), DERIVED from corpus counts where cr3 takes explicit
+    // shares; integer-quantized weights + exact BIGINT targets + the
+    // hash-gated draw make the whole selection hash-verified
+    // (Curation.temperatureMixture Scaladoc).
+    "cr8_temperature_mixture" -> ((s, dir) =>
+      Curation.temperatureMixture(Tables.documents(s, dir),
+        "doc_id", "source", budget = 300L)
+        .orderBy("source", "doc_id")))
 
   val oracles: Map[String, String] = Map(
+
+    "cr8_temperature_mixture" ->
+      Curation.duckTemperatureMixture(budget = 300L),
 
     "cr4_token_budget" ->
       s"""WITH t AS (

@@ -366,4 +366,25 @@ class CurationSpec extends SparkSuite {
     val both = Curation.corpusDiff(docs, docs, "doc_id", "text")
     assert(both.filter(col("status") =!= "unchanged").isEmpty)
   }
+
+  test("temperatureMixture flattens a skewed corpus by sqrt, deterministically") {
+    import spark.implicits._
+    // head domain 400 docs, mid 100, tail 25: α=1/2 targets ∝ 20:10:5,
+    // so the head gets 16× the docs but only 4× the sample of the tail —
+    // the flattening that proportional sampling (∝ 400:100:25) wouldn't do
+    val docs = ((1 to 400).map(i => (i.toLong, "head")) ++
+      (401 to 500).map(i => (i.toLong, "mid")) ++
+      (501 to 525).map(i => (i.toLong, "tail")))
+      .toDF("doc_id", "source")
+    val out = Curation.temperatureMixture(docs, "doc_id", "source", budget = 70L)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weights 20:10:5 of W=35 → targets floor(70·w/W) = 40, 20, 10
+    assert(bySrc === Map("head" -> 40L, "mid" -> 20L, "tail" -> 10L))
+    // hash-gated draw: rerun selects the identical documents, and the
+    // selection is stable under repartition
+    val again = Curation.temperatureMixture(docs.repartition(7), "doc_id", "source", 70L)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted ===
+      again.select("doc_id").collect().map(_.getLong(0)).sorted)
+  }
 }
