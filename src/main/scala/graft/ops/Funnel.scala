@@ -73,6 +73,35 @@ object Funnel {
       .select(col("stage"), col("step"), col("users"))
   }
 
+  /** Cohort-retention triangle — the third classic of the
+    * product-analytics trio (funnel, flow, retention): users are
+    * cohorted by the week of their FIRST event; cell (cohort_week,
+    * week_offset) counts distinct cohort members active in that later
+    * week. Weeks are Monday-truncated in both engines (Spark and
+    * DuckDB `date_trunc('week', …)` agree), offsets are exact integer
+    * microsecond division, and cells are distinct counts — so the whole
+    * triangle is hash-exact.
+    *
+    * Shape: one aggregate to (user, t0) — users-sized; one shuffle join
+    * of events against it on the user key (the unavoidable cohort
+    * attach; broadcastable while the user dimension fits, a plain
+    * shuffle join beyond); then a distinct + count whose cardinality is
+    * (cohorts × offsets × users-active) — bounded by events, collapsing
+    * map-side. Output: cohort_week_us, week_offset, users. */
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val firstEv = events.groupBy(col(userCol))
+      .agg(unix_micros(date_trunc("week", min(col(tsCol)))).as("__cohort_us"))
+    val WEEK_US = 7L * 86400L * 1000000L
+    events
+      .select(col(userCol), unix_micros(date_trunc("week", col(tsCol))).as("__week_us"))
+      .join(firstEv, Seq(userCol))
+      .select(col(userCol), col("__cohort_us"),
+        expr(s"(__week_us - __cohort_us) div ${WEEK_US}L").as("week_offset"))
+      .distinct()
+      .groupBy(col("__cohort_us").as("cohort_week_us"), col("week_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+
   /** Event-to-event transition counts (the Markov flow matrix product
     * analytics draws as a Sankey): for each user's (ts, id)-ordered
     * stream, count consecutive (from_type → to_type) pairs across the

@@ -32,7 +32,16 @@ object EventOps {
     "fn2_event_transitions" -> ((s, dir) =>
       graft.ops.Funnel.transitions(Tables.events(s, dir),
         "user_id", "ts", "event_id", "event_type")
-        .orderBy("from_type", "to_type")))
+        .orderBy("from_type", "to_type")),
+
+    // fn3 — cohort retention triangle [extension]: users cohorted by
+    // first-event week, cell = distinct cohort members active at each
+    // later week offset; Monday-truncated weeks + integer microsecond
+    // offsets + distinct counts make the triangle hash-exact
+    // (graft.ops.Funnel.cohortRetention).
+    "fn3_cohort_retention" -> ((s, dir) =>
+      graft.ops.Funnel.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+        .orderBy("cohort_week_us", "week_offset")))
 
   /** The fold's greedy earliest-match is replayed as a min-rank chain:
     * rank events per user by (ts, id); r1 = first 'view', r2 = first
@@ -68,5 +77,17 @@ object EventOps {
         |  FROM events)
         |SELECT from_type, to_type, count(*) AS n FROM s
         |WHERE to_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    "fn3_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(date_trunc('week', min(ts))) AS cohort_us
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_us,
+        |    (epoch_us(date_trunc('week', e.ts)) - f.cohort_us) // 604800000000 AS week_offset
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT cohort_us AS cohort_week_us, week_offset,
+        |  count(*) AS users
+        |FROM a GROUP BY 1, 2 ORDER BY cohort_week_us, week_offset""".stripMargin)
 }

@@ -235,6 +235,32 @@ class OpsApiSpec extends SparkSuite {
     assert(counts.map(_._3).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("cohortRetention: Monday-truncated cohorts, offset cells, distinct users") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 2024-01-01 is a Monday. u1,u2 cohort week 0; u3 cohorts week 1.
+    // u1 active weeks 0,1,3 (two events in week 1 count once);
+    // u2 active week 0 only; u3 active weeks 1,2 (its offsets 0,1).
+    def t(day: Int, hour: Int = 12) =
+      Timestamp.valueOf(f"2024-01-${day + 1}%02d $hour%02d:00:00")
+    val ev = Seq(
+      (1L, t(0)), (1L, t(7)), (1L, t(8)), (1L, t(22)),
+      (2L, t(2)),
+      (3L, t(9)), (3L, t(15)))
+      .toDF("user_id", "ts")
+    val out = graft.ops.Funnel.cohortRetention(ev, "user_id", "ts")
+      .orderBy("cohort_week_us", "week_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000L
+    val w1 = Timestamp.valueOf("2024-01-08 00:00:00").getTime * 1000L
+    assert(out === Array(
+      (w0, 0L, 2L), // u1 + u2 in their cohort week
+      (w0, 1L, 1L), // u1 (the two week-1 events deduped)
+      (w0, 3L, 1L), // u1
+      (w1, 0L, 1L), // u3 cohort week
+      (w1, 1L, 1L))) // u3
+  }
+
   test("pqTopK: exact-integer ADC ranking with useful recall@10 vs exact L2") {
     import org.apache.spark.sql.functions.col
     val corpus = Tables.embeddings(spark, sf)
