@@ -67,6 +67,18 @@ object AtomicPublish {
     Snapshot(root, currentVersion(spark, root).getOrElse(
       throw new IllegalStateException(s"no published version under $root")))
 
+  /** TIME TRAVEL: resolve a specific retained version — "read the
+    * warehouse as of batch N", the as-of read Iceberg/Delta expose via
+    * snapshot ids. Works because version directories are immutable once
+    * committed and [[vacuum]] is the only deleter; throws if the asked
+    * version was vacuumed or never committed. */
+  def snapshotAt(spark: SparkSession, root: String, version: Long): Snapshot = {
+    val p = new Path(root, s"v$version")
+    require(fc(spark).util.exists(p),
+      s"version $version not present under $root (vacuumed or never committed)")
+    Snapshot(root, version)
+  }
+
   /** Convenience single-table read through the current snapshot. Jobs
     * touching several tables should hold one [[snapshot]] instead, so
     * all their reads resolve to the same version. */

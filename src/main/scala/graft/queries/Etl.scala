@@ -164,6 +164,39 @@ object Etl {
           snap.table(s, "orders_by_year").agg(sum("n").as("total_check"))))
         .select(col("o_orderpriority"), col("n"), col("total_check"))
         .orderBy("o_orderpriority")
+    }),
+
+    // O8 — time-travel read + version diff [extension over O7]: two
+    // successive publishes of the same logical table (the second a
+    // "correction batch" dropping urgent orders), then BOTH versions
+    // read back via AtomicPublish.snapshotAt and diffed — the as-of
+    // read + change audit Iceberg/Delta users run after a bad batch.
+    // Versions are immutable once committed (vacuum is the only
+    // deleter), so the historical read is exact by construction.
+    "o8_version_travel" -> ((s, dir) => {
+      import graft.etl.AtomicPublish
+      val root = s"/root/repo/target/sink/o8_tt_${Tables.dirSlug(dir)}"
+      val orders = Tables.orders(s, dir)
+      def byYear(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(year(col("o_orderdate")).as("order_year"))
+          .agg(count(lit(1)).as("n"))
+      val v1 = AtomicPublish.publish(s, root,
+        Seq("orders_by_year" -> byYear(orders)))
+      val v2 = AtomicPublish.publish(s, root,
+        Seq("orders_by_year" -> byYear(
+          orders.filter(col("o_orderpriority") =!= "1-URGENT"))))
+      AtomicPublish.vacuum(s, root, keep = 2)
+      val a = AtomicPublish.snapshotAt(s, root, v1).table(s, "orders_by_year")
+        .withColumnRenamed("n", "n_v1")
+      val b = AtomicPublish.snapshotAt(s, root, v2).table(s, "orders_by_year")
+        .withColumnRenamed("n", "n_v2")
+      a.join(b, Seq("order_year"), "full_outer")
+        .select(col("order_year"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+          (coalesce(col("n_v2"), lit(0L)) - coalesce(col("n_v1"), lit(0L)))
+            .as("delta"))
+        .orderBy("order_year")
     }))
 
   val oracles: Map[String, String] = Map(
@@ -171,6 +204,21 @@ object Etl {
       """SELECT o_orderpriority, COUNT(*) AS n,
         |  CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS total_check
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Both published versions replayed from the base table — the
+    // round-trip through the versioned store must be lossless.
+    "o8_version_travel" ->
+      """WITH v1 AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS order_year, COUNT(*) AS n
+        |  FROM orders GROUP BY 1),
+        |v2 AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS order_year, COUNT(*) AS n
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT order_year,
+        |  COALESCE(v1.n, 0) AS n_v1, COALESCE(v2.n, 0) AS n_v2,
+        |  COALESCE(v2.n, 0) - COALESCE(v1.n, 0) AS delta
+        |FROM v1 FULL OUTER JOIN v2 USING (order_year)
+        |ORDER BY order_year""".stripMargin,
 
     "etl_dim_client" ->
       s"""SELECT c_custkey AS id, c_name AS client_name,

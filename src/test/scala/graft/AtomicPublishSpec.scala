@@ -96,4 +96,28 @@ class AtomicPublishSpec extends SparkSuite {
     // vacuum on an unpublished root is a no-op
     assert(AtomicPublish.vacuum(spark, freshRoot("empty")) === Nil)
   }
+
+  test("snapshotAt time-travels to retained versions and refuses vacuumed ones") {
+    val root = freshRoot("travel")
+    (0 until 4).foreach { i =>
+      AtomicPublish.publish(spark, root, Seq(
+        "a" -> Seq((i, s"v$i")).toDF("k", "v")))
+    }
+    // a historical read sees the version's ORIGINAL contents even after
+    // later commits moved the pointer (immutability of version dirs)
+    assert(AtomicPublish.snapshotAt(spark, root, 1L).table(spark, "a")
+      .first().getString(1) === "v1")
+    AtomicPublish.vacuum(spark, root, keep = 2)
+    // vacuumed → loud failure, not a silent empty read
+    intercept[IllegalArgumentException] {
+      AtomicPublish.snapshotAt(spark, root, 1L)
+    }
+    // never-committed → same refusal
+    intercept[IllegalArgumentException] {
+      AtomicPublish.snapshotAt(spark, root, 99L)
+    }
+    // the retained window still travels
+    assert(AtomicPublish.snapshotAt(spark, root, 2L).table(spark, "a")
+      .first().getString(1) === "v2")
+  }
 }
