@@ -40,6 +40,30 @@ object DedupOps {
     s"[$comps]"
   }
 
+  /** dd12's span-coverage chain as a CTE list ending in
+    * `cov(doc_id, covered)` and `base(doc_id, n_tokens)` — shared with
+    * the px4 manifest pipeline (5-gram width, minDf 2, matching
+    * `TextDedup.spanCoverage` defaults). */
+  private val duckSpanCovCtes: String = {
+    val n = 5 // spanCoverage default span width
+    s"""toks AS (SELECT doc_id, $duckToks AS t FROM documents
+       |             WHERE text IS NOT NULL),
+       |sh AS (SELECT doc_id, ${duckShingles(n)} AS s FROM toks),
+       |g AS (SELECT doc_id, i AS pos,
+       |        (('0x' || substr(md5(s[i]), 1, 15))::UBIGINT)::BIGINT AS h
+       |      FROM sh, UNNEST(generate_series(1, len(s))) u(i)),
+       |shared AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
+       |           GROUP BY h HAVING count(*) >= 2),
+       |m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM shared)),
+       |c AS (SELECT doc_id,
+       |        CASE WHEN lag(pos) OVER w IS NULL THEN $n
+       |             ELSE least($n, pos - lag(pos) OVER w) END AS contrib
+       |      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |cov AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS covered
+       |        FROM c GROUP BY doc_id),
+       |base AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens FROM toks)""".stripMargin
+  }
+
   /** The MinHash signature + band chain as a CTE list ending in
     * `sigs(doc_id, sig)` and `bands(doc_id, band, bkey)` — the prefix
     * every LSH oracle (dd2/dd7/dd10/px2/ct2) builds on. */
@@ -217,7 +241,30 @@ object DedupOps {
     // interval union so overlapping spans count once.
     "dd12_span_coverage" -> ((s, dir) =>
       graft.ops.TextDedup.spanCoverage(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // px4 — the PACK MANIFEST pipeline [extension]: the end-to-end
+    // artifact a training run actually ships — span-coverage gate
+    // (dd12: drop corpus-boilerplate docs) → α-temperature source
+    // sampling (cr8: sqrt-flattened mixture over the SURVIVORS' counts)
+    // → no-split greedy packing (pk2) — emitting the doc-level manifest
+    // (source, doc, tokens, pack, offset) a loader consumes. Three ops
+    // composed unchanged; every stage's scale shape is its own
+    // (SCALE.md rows dd12/cr8/pk2), and the whole composition stays
+    // hash-gated because each stage is integer-exact.
+    "px4_pack_manifest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cov = graft.ops.TextDedup.spanCoverage(docs, "doc_id", "text")
+      val clean = docs.join(
+        cov.filter(!col("flagged")).select("doc_id"), Seq("doc_id"), "left_semi")
+      val sample = graft.ops.Curation.temperatureMixture(
+        clean, "doc_id", "source", budget = 200L)
+      val sampled = clean.join(sample.select("doc_id"), Seq("doc_id"), "left_semi")
+      graft.ops.Packing.greedyPack(sampled, "doc_id", "text", "source", 256L)
+        .select(col("shard").as("source"), col("id").as("doc_id"),
+          col("n_tokens"), col("pack_id"), col("pack_off"))
+        .orderBy("source", "doc_id")
+    }))
 
   val oracles: Map[String, String] = Map(
     "dd8_incremental_dedup" ->
@@ -345,24 +392,59 @@ object DedupOps {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
 
-    "dd12_span_coverage" -> {
-      val n = 5 // spanCoverage default span width
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents
-         |             WHERE text IS NOT NULL),
-         |sh AS (SELECT doc_id, ${duckShingles(n)} AS s FROM toks),
-         |g AS (SELECT doc_id, i AS pos,
-         |        (('0x' || substr(md5(s[i]), 1, 15))::UBIGINT)::BIGINT AS h
-         |      FROM sh, UNNEST(generate_series(1, len(s))) u(i)),
-         |shared AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM g)
-         |           GROUP BY h HAVING count(*) >= 2),
-         |m AS (SELECT doc_id, pos FROM g WHERE h IN (SELECT h FROM shared)),
-         |c AS (SELECT doc_id,
-         |        CASE WHEN lag(pos) OVER w IS NULL THEN $n
-         |             ELSE least($n, pos - lag(pos) OVER w) END AS contrib
-         |      FROM m WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-         |cov AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS covered
-         |        FROM c GROUP BY doc_id),
-         |base AS (SELECT doc_id, CAST(len(t) AS INT) AS n_tokens FROM toks)
+    // The three stage oracles chained: dd12's span chain → NOT-flagged
+    // survivors → cr8's generator over the SURVIVOR counts (nested WITH
+    // as a subquery) → pk2's recursive state machine over the sample.
+    "px4_pack_manifest" -> {
+      val C = 256
+      s"""WITH RECURSIVE $duckSpanCovCtes,
+         |flags AS (
+         |  SELECT base.doc_id,
+         |    (CASE WHEN n_tokens > 0
+         |          THEN CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens
+         |          ELSE 0.0 END) >= 0.5 AS flagged
+         |  FROM base LEFT JOIN cov USING (doc_id)),
+         |clean AS (
+         |  SELECT d.* FROM documents d JOIN flags f USING (doc_id)
+         |  WHERE NOT f.flagged),
+         |sample AS (
+         |  SELECT doc_id FROM (
+         |    ${graft.ops.Curation.duckTemperatureMixture(budget = 200L, table = "clean")})),
+         |st AS (
+         |  SELECT c.source AS shard, c.doc_id AS id,
+         |    CAST(len(str_split_regex(trim(c.text), '\\s+')) AS BIGINT) AS n_tokens,
+         |    row_number() OVER (PARTITION BY c.source ORDER BY c.doc_id) AS rn
+         |  FROM clean c JOIN sample USING (doc_id)),
+         |r AS (
+         |  SELECT shard, id, n_tokens, rn,
+         |    CAST(0 AS BIGINT) AS pack_id,
+         |    CAST(0 AS BIGINT) AS pack_off,
+         |    CASE WHEN n_tokens > $C THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS p_next,
+         |    CASE WHEN n_tokens > $C THEN CAST(0 AS BIGINT) ELSE n_tokens END AS f_next
+         |  FROM st WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.shard, t.id, t.n_tokens, t.rn,
+         |    CASE WHEN t.n_tokens > $C THEN
+         |           (CASE WHEN r.f_next > 0 THEN r.p_next + 1 ELSE r.p_next END)
+         |         WHEN r.f_next + t.n_tokens > $C THEN r.p_next + 1
+         |         ELSE r.p_next END AS pack_id,
+         |    CASE WHEN t.n_tokens > $C THEN CAST(0 AS BIGINT)
+         |         WHEN r.f_next + t.n_tokens > $C THEN CAST(0 AS BIGINT)
+         |         ELSE r.f_next END AS pack_off,
+         |    CASE WHEN t.n_tokens > $C THEN
+         |           (CASE WHEN r.f_next > 0 THEN r.p_next + 1 ELSE r.p_next END) + 1
+         |         WHEN r.f_next + t.n_tokens > $C THEN r.p_next + 1
+         |         ELSE r.p_next END AS p_next,
+         |    CASE WHEN t.n_tokens > $C THEN CAST(0 AS BIGINT)
+         |         WHEN r.f_next + t.n_tokens > $C THEN t.n_tokens
+         |         ELSE r.f_next + t.n_tokens END AS f_next
+         |  FROM st t JOIN r ON t.shard = r.shard AND t.rn = r.rn + 1)
+         |SELECT shard AS source, id AS doc_id, n_tokens, pack_id, pack_off
+         |FROM r ORDER BY source, doc_id""".stripMargin
+    },
+
+    "dd12_span_coverage" ->
+      s"""WITH $duckSpanCovCtes
          |SELECT base.doc_id, n_tokens,
          |  coalesce(covered, 0) AS covered_tokens,
          |  CASE WHEN n_tokens > 0
@@ -372,8 +454,7 @@ object DedupOps {
          |        THEN CAST(coalesce(covered, 0) AS DOUBLE) / n_tokens
          |        ELSE 0.0 END) >= 0.5 AS flagged
          |FROM base LEFT JOIN cov USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+         |ORDER BY doc_id""".stripMargin,
 
     "dd7_cluster_dedup" ->
       s"""WITH RECURSIVE $duckLshPairCtes,
