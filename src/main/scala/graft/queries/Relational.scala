@@ -426,6 +426,54 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // g14 — KMV sketch ALGEBRA [extension over g11]: estimate the
+    // union and intersection cardinality of two key sets from their
+    // mergeable k-min-value sketches alone — the 100 TB pattern for
+    // "how much do these two corpora overlap?" without ever joining
+    // them (each side collapses to K longs; the merge is k-smallest of
+    // the concatenation, the classic KMV union; intersection via the
+    // ρ/K rule, Beyer et al. 2007). Deterministic md5 hashes make even
+    // the ESTIMATES hash-checked, and the exact values ride along so
+    // the query self-reports its error — the sim8 pattern for sketches.
+    "g14_sketch_algebra" -> ((s, dir) => {
+      val K = 64
+      val mink = udaf(new graft.functions.MinKAggregator(K),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val scale = lit((K - 1).toDouble * 1.152921504606846976e18)
+      val orders = Tables.orders(s, dir)
+      def sketch(m: Int, tag: String) = orders
+        .filter(col("o_orderkey") % m === 0)
+        .select(col("o_custkey"),
+          graft.functions.DetHash.h(col("o_custkey").cast("string")).as("h"))
+        .agg(mink(col("h")).as(s"sk_$tag"),
+          countDistinct(col("o_custkey")).as(s"exact_$tag"))
+      val exacts = orders
+        .groupBy("o_custkey")
+        .agg(max(when(col("o_orderkey") % 2 === 0, 1).otherwise(0)).as("ina"),
+          max(when(col("o_orderkey") % 3 === 0, 1).otherwise(0)).as("inb"))
+        .agg(sum(when(col("ina") === 1 || col("inb") === 1, 1L).otherwise(0L))
+            .as("exact_union"),
+          sum(when(col("ina") === 1 && col("inb") === 1, 1L).otherwise(0L))
+            .as("exact_inter"))
+      sketch(2, "a").crossJoin(sketch(3, "b")).crossJoin(exacts)
+        .withColumn("u", expr(s"slice(array_sort(array_union(sk_a, sk_b)), 1, $K)"))
+        .withColumn("est_a",
+          when(size(col("sk_a")) < K, col("exact_a").cast("double"))
+            .otherwise(scale / element_at(col("sk_a"), K).cast("double")))
+        .withColumn("est_b",
+          when(size(col("sk_b")) < K, col("exact_b").cast("double"))
+            .otherwise(scale / element_at(col("sk_b"), K).cast("double")))
+        .withColumn("est_union",
+          when(size(col("u")) < K, col("exact_union").cast("double"))
+            .otherwise(scale / element_at(col("u"), K).cast("double")))
+        .withColumn("rho",
+          size(expr("array_intersect(array_intersect(u, sk_a), sk_b)")).cast("long"))
+        .withColumn("est_inter",
+          (col("rho").cast("double") / lit(K.toDouble)) * col("est_union"))
+        .select("est_a", "exact_a", "est_b", "exact_b",
+          "est_union", "exact_union", "rho", "est_inter", "exact_inter")
+    }),
+
     // f7 — bitwise functions.
     "f7_bitwise" -> ((s, dir) =>
       Tables.lineitem(s, dir).select(
@@ -1675,6 +1723,61 @@ object Relational {
         |  ex.exact_distinct
         |FROM ex JOIN nh USING (l_returnflag) LEFT JOIN kk USING (l_returnflag)
         |ORDER BY l_returnflag""".stripMargin,
+
+    // Replays the KMV algebra relationally: sketches = first 64 hash
+    // ranks per set, union sketch = first 64 of the merged distinct
+    // hashes, rho = union-sketch members present in BOTH sketches.
+    "g14_sketch_algebra" ->
+      """WITH da AS (SELECT DISTINCT o_custkey,
+        |    (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT AS h
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |db AS (SELECT DISTINCT o_custkey,
+        |    (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::UBIGINT)::BIGINT AS h
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rk
+        |       FROM (SELECT DISTINCT h FROM da)),
+        |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rk
+        |       FROM (SELECT DISTINCT h FROM db)),
+        |ka AS (SELECT h FROM ra WHERE rk <= 64),
+        |kb AS (SELECT h FROM rb WHERE rk <= 64),
+        |uu AS (SELECT h, row_number() OVER (ORDER BY h) AS rk FROM (
+        |         SELECT DISTINCT h FROM (SELECT h FROM ka UNION ALL SELECT h FROM kb))),
+        |ku AS (SELECT h FROM uu WHERE rk <= 64),
+        |ui AS (SELECT o_custkey,
+        |         max(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS ina,
+        |         max(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS inb
+        |       FROM orders GROUP BY 1),
+        |ex AS (SELECT
+        |    CAST(sum(CASE WHEN ina = 1 OR inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_union,
+        |    CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+        |  FROM ui),
+        |sc AS (SELECT
+        |    (SELECT count(*) FROM da) AS exact_a,
+        |    (SELECT count(*) FROM db) AS exact_b,
+        |    (SELECT count(*) FROM ra) AS nha,
+        |    (SELECT count(*) FROM rb) AS nhb,
+        |    (SELECT count(*) FROM uu) AS nhu,
+        |    (SELECT h FROM ra WHERE rk = 64) AS hka,
+        |    (SELECT h FROM rb WHERE rk = 64) AS hkb,
+        |    (SELECT h FROM uu WHERE rk = 64) AS hku,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ku
+        |       JOIN ka USING (h) JOIN kb USING (h)) AS rho),
+        |fin AS (SELECT
+        |    CASE WHEN nha < 64 THEN CAST(exact_a AS DOUBLE)
+        |         ELSE (63.0 * 1152921504606846976.0) / CAST(hka AS DOUBLE) END AS est_a,
+        |    exact_a,
+        |    CASE WHEN nhb < 64 THEN CAST(exact_b AS DOUBLE)
+        |         ELSE (63.0 * 1152921504606846976.0) / CAST(hkb AS DOUBLE) END AS est_b,
+        |    exact_b,
+        |    CASE WHEN nhu < 64 THEN (SELECT CAST(exact_union AS DOUBLE) FROM ex)
+        |         ELSE (63.0 * 1152921504606846976.0) / CAST(hku AS DOUBLE) END AS est_union,
+        |    rho
+        |  FROM sc)
+        |SELECT est_a, exact_a, est_b, exact_b, est_union,
+        |  (SELECT exact_union FROM ex) AS exact_union, rho,
+        |  (CAST(rho AS DOUBLE) / 64.0) * est_union AS est_inter,
+        |  (SELECT exact_inter FROM ex) AS exact_inter
+        |FROM fin""".stripMargin,
 
     "f7_bitwise" ->
       """SELECT l_orderkey, l_linenumber,

@@ -219,6 +219,30 @@ class ExtensionOpsSpec extends SparkSuite {
     }
   }
 
+  test("g14 KMV algebra estimates track the exact set sizes at every scale") {
+    // the oracle gate proves cross-engine identity; this pins that the
+    // ESTIMATES actually estimate — each within KMV's error regime
+    // (rse ≈ 1/sqrt(K-2) ≈ 13% at K=64; allow 4x for a single draw)
+    // and the containment laws a broken merge would violate
+    import graft.queries.Relational
+    for (dir <- Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val r = Relational.queries("g14_sketch_algebra")(spark, dir).head()
+      val (estA, exA) = (r.getDouble(0), r.getLong(1))
+      val (estB, exB) = (r.getDouble(2), r.getLong(3))
+      val (estU, exU) = (r.getDouble(4), r.getLong(5))
+      val (estI, exI) = (r.getDouble(7), r.getLong(8))
+      def within(est: Double, exact: Long, tag: String): Unit =
+        assert(math.abs(est - exact) / exact <= 0.52,
+          s"$tag estimate $est vs exact $exact at $dir")
+      within(estA, exA, "A"); within(estB, exB, "B")
+      within(estU, exU, "union"); within(estI, exI, "intersection")
+      // exact algebra sanity on the fixture sets themselves
+      assert(exU >= math.max(exA, exB) && exU <= exA + exB)
+      assert(exI <= math.min(exA, exB))
+      assert(exA + exB - exI === exU, "inclusion-exclusion must hold exactly")
+    }
+  }
+
   test("planeSig with a pinned oracle dim rejects mismatched vectors") {
     import spark.implicits._
     val sig = graft.functions.VectorUdfs.planeSig(8, oracleDim = 4)
