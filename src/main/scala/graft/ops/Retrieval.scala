@@ -279,6 +279,56 @@ object Retrieval {
       ranked(bm25TopK(docs, idCol, textCol, terms, poolK))), idCol, k, c)
   }
 
+  /** Exact PHRASE search — "find every document containing this exact
+    * n-token phrase, with positions": the targeted-slicing complement
+    * of [[keywordTopK]]'s bag-of-terms scoring (a decontamination probe
+    * for a verbatim eval sentence, a quote tracer). Positioned gram
+    * hashes ([[graft.functions.TextHashUdfs.hashedNgramSeq]], the dd12
+    * machinery) are compared against the phrase's own 60-bit hash — a
+    * pure map + filter over the corpus scan; only matching docs survive
+    * to the (tiny) output. Equality is up to hash collisions, identical
+    * in both engines by construction (dd4's argument). At production
+    * scale the same positioned postings are pre-materialized once and
+    * probed per phrase (ir1's inverted shape).
+    *
+    * Output: idCol, n_occurrences, first_pos (1-based token position),
+    * matching docs only. */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "empty phrase")
+    val n = phrase.length
+    val target = graft.functions.TextHashUdfs.h(phrase.mkString(" "))
+    docs
+      .filter(col(textCol).isNotNull)
+      .withColumn("__g", graft.functions.TextHashUdfs.hashedNgramSeq(n)(col(textCol)))
+      .withColumn("__pos", expr(
+        s"""filter(transform(__g, (h, i) -> IF(h = ${target}L, i + 1, CAST(NULL AS INT))),
+           |p -> p IS NOT NULL)""".stripMargin))
+      .filter(size(col("__pos")) > 0)
+      .select(col(idCol), size(col("__pos")).as("n_occurrences"),
+        element_at(col("__pos"), 1).as("first_pos"))
+  }
+
+  /** DuckDB replay of [[phraseSearch]] from the same phrase constant
+    * (same tokenizer, same gram join, same H). */
+  def duckPhraseSearch(phrase: Seq[String], idCol: String = "doc_id",
+                       table: String = "documents",
+                       textCol: String = "text"): String = {
+    val n = phrase.length
+    val parts = (0 until n).map(k => s"t[i + $k]").mkString(" || ' ' || ")
+    val phraseLit = "'" + phrase.mkString(" ").replace("'", "''") + "'"
+    s"""WITH t AS (SELECT $idCol, str_split_regex(trim($textCol), '\\s+') AS t
+       |           FROM $table WHERE $textCol IS NOT NULL),
+       |g AS (SELECT $idCol, i AS pos,
+       |        (('0x' || substr(md5($parts), 1, 15))::UBIGINT)::BIGINT AS h
+       |      FROM t, UNNEST(generate_series(1, len(t) - ${n - 1})) u(i)),
+       |m AS (SELECT $idCol, pos FROM g
+       |      WHERE h = (('0x' || substr(md5($phraseLit), 1, 15))::UBIGINT)::BIGINT)
+       |SELECT $idCol, CAST(count(*) AS INT) AS n_occurrences,
+       |  CAST(min(pos) AS INT) AS first_pos
+       |FROM m GROUP BY $idCol ORDER BY $idCol""".stripMargin
+  }
+
   /** DuckDB replay of [[hybridTopK]] — same pools, same fixed-order
     * fused sum, same tiebreaks. */
   def duckHybridTopK(terms: Seq[String], k: Int = 20, poolK: Int = 50,

@@ -22,6 +22,9 @@ object TextOps {
 
   /** ir1's query terms — one rare (df≈5% of docs), two common. */
   private val ir1Terms = Seq("dup", "vector", "batch")
+  /** ir4's probe phrase — present in the fixture with multi-occurrence
+    * docs (8 occurrences across 5 docs at sf0.01). */
+  private val ir4Phrase = Seq("slow", "hash", "batch")
   private def sqlWordCount(w: String) =
     s"len(list_filter($sqlTokens, x -> x = '$w'))"
 
@@ -132,6 +135,16 @@ object TextOps {
     "ir3_rrf_fusion" -> ((s, dir) =>
       graft.ops.Retrieval.hybridTopK(Tables.documents(s, dir), "doc_id", "text",
         ir1Terms, k = 20, poolK = 50)),
+
+    // ir4 — exact phrase search [extension]: every doc containing the
+    // exact 3-token phrase, with occurrence count and first position —
+    // the verbatim-sentence decontamination probe / quote tracer; pure
+    // map + filter over positioned gram hashes (dd12's machinery), only
+    // matching docs survive to the output (Retrieval.phraseSearch).
+    "ir4_phrase_search" -> ((s, dir) =>
+      graft.ops.Retrieval.phraseSearch(Tables.documents(s, dir),
+        "doc_id", "text", ir4Phrase)
+        .orderBy("doc_id")),
 
     // f13 — generator/UDTF surface: explode the token array into rows
     // (the lateral-view shape) and aggregate — corpus word count, top 20.
@@ -405,6 +418,8 @@ object TextOps {
 
     "ir3_rrf_fusion" ->
       graft.ops.Retrieval.duckHybridTopK(ir1Terms, k = 20, poolK = 50),
+
+    "ir4_phrase_search" -> graft.ops.Retrieval.duckPhraseSearch(ir4Phrase),
 
     "f13_word_count" ->
       s"""SELECT word, COUNT(*) AS n

@@ -234,4 +234,19 @@ class RetrievalSpec extends SparkSuite {
     val scores = fused.sortBy(_.getInt(3)).map(_.getDouble(2)).toSeq
     assert(scores === scores.sorted.reverse)
   }
+
+  test("phraseSearch: exact adjacency, multi-occurrence, overlap, null text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),          // phrase at 1
+      (2L, "x a b c a b c"),    // twice: 2 and 5
+      (3L, "a c b"),            // words present, phrase absent
+      (4L, "a b"),              // shorter than the phrase
+      (5L, "a a b c"),          // phrase at 2 (prefix overlap before it)
+      (6L, null.asInstanceOf[String]))
+      .toDF("pk", "body")
+    val out = graft.ops.Retrieval.phraseSearch(docs, "pk", "body", Seq("a", "b", "c"))
+      .orderBy("pk").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out === Array((1L, 1, 1), (2L, 2, 2), (5L, 1, 2)))
+  }
 }
