@@ -240,8 +240,7 @@ object DedupOps {
     // Scaladoc has the no-guard-needed argument), per-doc lag-window
     // interval union so overlapping spans count once.
     "dd12_span_coverage" -> ((s, dir) =>
-      graft.ops.TextDedup.spanCoverage(Tables.documents(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
+      Shared.spanCoverage(s, dir).orderBy("doc_id")),
 
     // px4 — the PACK MANIFEST pipeline [extension]: the end-to-end
     // artifact a training run actually ships — span-coverage gate
@@ -254,7 +253,7 @@ object DedupOps {
     // hash-gated because each stage is integer-exact.
     "px4_pack_manifest" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val cov = graft.ops.TextDedup.spanCoverage(docs, "doc_id", "text")
+      val cov = Shared.spanCoverage(s, dir)
       val clean = docs.join(
         cov.filter(!col("flagged")).select("doc_id"), Seq("doc_id"), "left_semi")
       val sample = graft.ops.Curation.temperatureMixture(

@@ -79,6 +79,15 @@ object Shared {
       graft.ops.TextDedup.minhashLsh(graft.Tables.documents(spark, dir),
         "doc_id", "text"))
 
+  /** Span-coverage profile over `documents` (dd12's chain — the
+    * postings shuffle + per-doc interval union), shared by
+    * `dd12_span_coverage` and `px4_pack_manifest` (whose gate reads
+    * exactly this frame). */
+  def spanCoverage(spark: SparkSession, dir: String): DataFrame =
+    cached(spark, dir, "span_cov")(
+      graft.ops.TextDedup.spanCoverage(graft.Tables.documents(spark, dir),
+        "doc_id", "text"))
+
   private val once = new ConcurrentHashMap[(Int, String, String), Boolean]()
 
   /** Run a side-effecting layout setup exactly once per (session, dir) —

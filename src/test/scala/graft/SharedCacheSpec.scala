@@ -27,4 +27,13 @@ class SharedCacheSpec extends SparkSuite {
     assert(sharedCc == freshCc,
       "cached cluster labels diverged from a fresh LSH+CC run")
   }
+
+  test("session-shared span coverage is row-identical to a fresh build") {
+    val shared = norm(graft.queries.Shared.spanCoverage(spark, sf))
+    spark.catalog.clearCache()
+    val fresh = norm(graft.ops.TextDedup.spanCoverage(
+      Tables.documents(spark, sf), "doc_id", "text"))
+    assert(shared == fresh,
+      "cached span coverage diverged from a fresh spanCoverage run")
+  }
 }
