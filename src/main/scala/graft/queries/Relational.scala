@@ -768,6 +768,36 @@ object Relational {
         .orderBy("qstart")
     }),
 
+    // j8 — interval×interval OVERLAP join [extension past j7]: both
+    // sides span date ranges (j7's probe side is points), the shape of
+    // "which promotion windows overlapped which outage windows". Both
+    // interval sets explode to the month bins they touch, candidates
+    // come from the bin equi-join (∝ temporal locality, never |A|×|B|),
+    // pairs dedup on ids BEFORE the exact refine + overlap arithmetic.
+    // Oracle = DuckDB's native inequality join (the naive formulation),
+    // so the binned plan is proven against an independent algorithm.
+    "j8_interval_overlap" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      def iv(priority: String, mod: Int, days: Int, tag: String) = orders
+        .filter(col("o_orderpriority") === priority && col("o_orderkey") % mod === 0)
+        .select(col("o_orderkey").as(s"${tag}_key"),
+          to_date(col("o_orderdate")).as(s"${tag}_start"),
+          date_add(to_date(col("o_orderdate")), days).as(s"${tag}_end"))
+      def binned(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.withColumn("bin", explode(expr(
+          s"""sequence(date_trunc('month', ${tag}_start),
+             |date_trunc('month', date_sub(${tag}_end, 1)), interval 1 month)""".stripMargin)))
+      binned(iv("1-URGENT", 97, 20, "a"), "a")
+        .join(broadcast(binned(iv("2-HIGH", 89, 15, "b"), "b")), Seq("bin"))
+        .select("a_key", "a_start", "a_end", "b_key", "b_start", "b_end")
+        .distinct()
+        .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+        .select(col("a_key"), col("b_key"),
+          datediff(least(col("a_end"), col("b_end")),
+            greatest(col("a_start"), col("b_start"))).as("overlap_days"))
+        .orderBy("a_key", "b_key")
+    }),
+
     // skew — two-phase salted aggregation: partial aggregate on
     // (key, salt) spreads a hot key over the cluster, final aggregate
     // re-combines. Decimal partials keep the result bit-equal to the
@@ -2603,6 +2633,23 @@ object Relational {
         |  CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
         |FROM li JOIN iv ON li.d >= iv.qstart AND li.d < iv.qend
         |GROUP BY iv.qstart ORDER BY iv.qstart""".stripMargin,
+
+    // The naive inequality-join formulation — an algorithm independent
+    // of the Spark side's month-binned candidate generation.
+    "j8_interval_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_key, CAST(o_orderdate AS DATE) AS a_start,
+        |         CAST(o_orderdate AS DATE) + 20 AS a_end
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 97 = 0),
+        |b AS (
+        |  SELECT o_orderkey AS b_key, CAST(o_orderdate AS DATE) AS b_start,
+        |         CAST(o_orderdate AS DATE) + 15 AS b_end
+        |  FROM orders WHERE o_orderpriority = '2-HIGH' AND o_orderkey % 89 = 0)
+        |SELECT a_key, b_key,
+        |  CAST(date_diff('day', greatest(a_start, b_start),
+        |                 least(a_end, b_end)) AS INT) AS overlap_days
+        |FROM a JOIN b ON a_start < b_end AND b_start < a_end
+        |ORDER BY a_key, b_key""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
