@@ -185,7 +185,13 @@ class PlanShapeSpec extends SparkSuite {
       for (q <- Seq("dd2_minhash_lsh", "dd5_embedding_neardup", "sim2_ann_lsh",
                     "dd9_winnowing_containment", "dd10_incremental_lsh",
                     "dd11_semantic_dedup", "sim6_two_stage_rerank",
-                    "dd12_span_coverage")) {
+                    "dd12_span_coverage",
+                    // sim7: codes/LUT are arrays but must stay map-side
+                    // (only (id, id, long) rows reach the top-k window);
+                    // mm5: payloads and their hashes never shuffle;
+                    // ir4: positioned gram arrays stay in the scan
+                    "sim7_pq_ann", "mm5_perceptual_hash",
+                    "ir4_phrase_search")) {
         val phys = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
         val offenders = phys.collect {
           case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
