@@ -197,6 +197,32 @@ object Etl {
           (coalesce(col("n_v2"), lit(0L)) - coalesce(col("n_v1"), lit(0L)))
             .as("delta"))
         .orderBy("order_year")
+    }),
+
+    // dq1 — data-quality expectations [extension]: the dbt-test /
+    // Deequ-style validation report a lake runs before publishing
+    // (MySQL constraints enforced this for the reference; parquet has
+    // none, so the checks become queries). All row-level orders rules
+    // share ONE scan; uniqueness is count-vs-distinct; RI is one
+    // anti-join. The lineitem composite-key rule genuinely FAILS on
+    // this generator (TESTDATA's documented non-uniqueness) — the
+    // report proves the harness catches real defects, not just clean
+    // data (graft.ops.DataQuality).
+    "dq1_expectations" -> ((s, dir) => {
+      import graft.ops.DataQuality._
+      val orders = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      report(
+        rowExpectations(orders, Seq(
+          "orders.custkey_not_null" -> col("o_custkey").isNull,
+          "orders.priority_in_set" -> !col("o_orderpriority").isin(
+            "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+          "orders.totalprice_positive" -> (col("o_totalprice") <= 0))),
+        uniqueKey(orders, "orders.orderkey_unique", Seq("o_orderkey")),
+        uniqueKey(li, "lineitem.composite_key_unique",
+          Seq("l_orderkey", "l_linenumber")),
+        referential(li, "l_orderkey", orders, "o_orderkey",
+          "lineitem.orderkey_in_orders"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -219,6 +245,34 @@ object Etl {
         |  COALESCE(v2.n, 0) - COALESCE(v1.n, 0) AS delta
         |FROM v1 FULL OUTER JOIN v2 USING (order_year)
         |ORDER BY order_year""".stripMargin,
+
+    "dq1_expectations" ->
+      """WITH o AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS checked,
+        |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_null,
+        |    CAST(sum(CASE WHEN o_orderpriority NOT IN
+        |      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_prio,
+        |    CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_price,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uk
+        |  FROM orders),
+        |l AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS checked,
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS v_ck
+        |  FROM lineitem),
+        |ri AS (SELECT
+        |    CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |      (SELECT o_orderkey FROM orders WHERE o_orderkey IS NOT NULL)
+        |      OR l_orderkey IS NULL) AS BIGINT) AS v_ri,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS checked)
+        |SELECT rule, violations, checked, violations = 0 AS pass FROM (
+        |  SELECT 'orders.custkey_not_null' AS rule, v_null AS violations, checked FROM o
+        |  UNION ALL SELECT 'orders.priority_in_set', v_prio, checked FROM o
+        |  UNION ALL SELECT 'orders.totalprice_positive', v_price, checked FROM o
+        |  UNION ALL SELECT 'orders.orderkey_unique', v_uk, checked FROM o
+        |  UNION ALL SELECT 'lineitem.composite_key_unique', v_ck, checked FROM l
+        |  UNION ALL SELECT 'lineitem.orderkey_in_orders', v_ri, checked FROM ri)
+        |ORDER BY rule""".stripMargin,
 
     "etl_dim_client" ->
       s"""SELECT c_custkey AS id, c_name AS client_name,

@@ -235,6 +235,37 @@ class OpsApiSpec extends SparkSuite {
     assert(counts.map(_._3).sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("DataQuality: each rule type counts its planted violations exactly") {
+    import spark.implicits._
+    import graft.ops.DataQuality._
+    val t = Seq(
+      (Some(1L), "ok", 10.0), (Some(2L), "ok", -5.0), // one range violation
+      (None, "ok", 1.0),                              // one null violation
+      (Some(4L), "BAD", 2.0),                         // one set violation
+      (Some(4L), "ok", 3.0))                          // dup key with previous
+      .toDF("k", "status", "v")
+    val rows = rowExpectations(t, Seq(
+      "k_not_null" -> col("k").isNull,
+      "status_in_set" -> !col("status").isin("ok"),
+      "v_positive" -> (col("v") <= 0)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(rows === Map(
+      "k_not_null" -> ((1L, 5L, false)),
+      "status_in_set" -> ((1L, 5L, false)),
+      "v_positive" -> ((1L, 5L, false))))
+    val uk = uniqueKey(t.filter(col("k").isNotNull), "k_unique", Seq("k")).head()
+    assert(uk.getLong(1) === 1L && !uk.getBoolean(3)) // one extra row on key 4
+    // RI: child 99 has no parent; NULL child key is an orphan too
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(99L), None).toDF("fk")
+    val ri = referential(child, "fk", parent, "pk", "fk_in_parent").head()
+    assert(ri.getLong(1) === 2L && ri.getLong(2) === 3L && !ri.getBoolean(3))
+    // an all-clean table reports pass across the board
+    val clean = report(rowExpectations(parent, Seq("pk_not_null" -> col("pk").isNull)),
+      uniqueKey(parent, "pk_unique", Seq("pk")))
+    assert(clean.collect().forall(_.getBoolean(3)))
+  }
+
   test("cohortRetention: Monday-truncated cohorts, offset cells, distinct users") {
     import spark.implicits._
     import java.sql.Timestamp
