@@ -102,6 +102,46 @@ object Funnel {
       .agg(count(lit(1)).as("users"))
   }
 
+  /** RFM segmentation — the fourth classic of the product-analytics
+    * suite (funnel, flow, retention, segmentation): per-user Recency
+    * (days since last event, against the corpus max so the answer is
+    * reproducible), Frequency (event count) and Monetary (decimal-exact
+    * value sum), each scored into quintiles. Scores are 5 = best
+    * (most recent / most frequent / highest spend); every ntile
+    * ordering carries the user id as a total-order tiebreak, so the
+    * quintile assignment — normally the nondeterministic part of RFM —
+    * is exact and engine-portable.
+    *
+    * Shape: one users-sized aggregate (map-side combining), the corpus
+    * max attached as a broadcast scalar; the three ntile windows run
+    * over the users-sized frame, not events. A 10⁹-user frame makes
+    * un-partitioned ntile a single task — at that scale swap exact
+    * quintiles for approx-percentile cutoffs broadcast back (cr5's
+    * shape); the per-user aggregate is unchanged.
+    *
+    * Output: userCol, recency_days, frequency, monetary, r, f, m,
+    * segment ("RFM" digit string). */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(max(col(tsCol)).as("__last"),
+        count(lit(1)).as("frequency"),
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as("monetary"))
+    val corpusMax = events.agg(max(col(tsCol)).as("__cmax"))
+    def score(orderBy: Seq[Column]) =
+      lit(6) - ntile(5).over(Window.orderBy(orderBy: _*))
+    perUser.crossJoin(broadcast(corpusMax))
+      .withColumn("recency_days",
+        datediff(to_date(col("__cmax")), to_date(col("__last"))))
+      .withColumn("r", score(Seq(col("__last").desc, col(userCol).asc)))
+      .withColumn("f", score(Seq(col("frequency").desc, col(userCol).asc)))
+      .withColumn("m", score(Seq(col("monetary").desc, col(userCol).asc)))
+      .withColumn("segment", concat(col("r"), col("f"), col("m")))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r"), col("f"), col("m"), col("segment"))
+  }
+
   /** Event-to-event transition counts (the Markov flow matrix product
     * analytics draws as a Sankey): for each user's (ts, id)-ordered
     * stream, count consecutive (from_type → to_type) pairs across the

@@ -41,7 +41,16 @@ object EventOps {
     // (graft.ops.Funnel.cohortRetention).
     "fn3_cohort_retention" -> ((s, dir) =>
       graft.ops.Funnel.cohortRetention(Tables.events(s, dir), "user_id", "ts")
-        .orderBy("cohort_week_us", "week_offset")))
+        .orderBy("cohort_week_us", "week_offset")),
+
+    // fn4 — RFM segmentation [extension]: per-user recency/frequency/
+    // monetary quintile scores (5 = best) with id-tiebroken ntiles, so
+    // the normally nondeterministic quintile edges are exact and
+    // engine-portable; decimal-exact monetary sums
+    // (graft.ops.Funnel.rfmSegments).
+    "fn4_rfm_segmentation" -> ((s, dir) =>
+      graft.ops.Funnel.rfmSegments(Tables.events(s, dir), "user_id", "ts", "value")
+        .orderBy("user_id")))
 
   /** The fold's greedy earliest-match is replayed as a min-rank chain:
     * rank events per user by (ts, id); r1 = first 'view', r2 = first
@@ -78,6 +87,26 @@ object EventOps {
         |SELECT from_type, to_type, count(*) AS n FROM s
         |WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    "fn4_rfm_segmentation" ->
+      """WITH p AS (
+        |  SELECT user_id, max(ts) AS last_ts,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY 1),
+        |cm AS (SELECT max(ts) AS cmax FROM events),
+        |sc AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', CAST(last_ts AS DATE), CAST(cmax AS DATE)) AS INT)
+        |      AS recency_days,
+        |    frequency, monetary,
+        |    6 - ntile(5) OVER (ORDER BY last_ts DESC, user_id ASC) AS r,
+        |    6 - ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS f,
+        |    6 - ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS m
+        |  FROM p, cm)
+        |SELECT user_id, recency_days, frequency, monetary, r, f, m,
+        |  CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
 
     "fn3_cohort_retention" ->
       """WITH f AS (

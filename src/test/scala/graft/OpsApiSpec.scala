@@ -266,6 +266,32 @@ class OpsApiSpec extends SparkSuite {
     assert(clean.collect().forall(_.getBoolean(3)))
   }
 
+  test("rfmSegments: balanced quintiles, 5 = best, deterministic under repartition") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // 10 users: user u is last active on day u, has u events of value u
+    // each — so every metric's ranking is the identity and quintiles
+    // split 2/2/2/2/2 with u10,u9 scoring 5 on every axis
+    val ev = (1 to 10).flatMap(u => (1 to u).map(_ =>
+      (u.toLong, Timestamp.valueOf(f"2024-01-$u%02d 12:00:00"), u.toDouble)))
+      .toDF("user_id", "ts", "value")
+    val out = graft.ops.Funnel.rfmSegments(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6)))
+      .toMap
+    (1 to 10).foreach { u =>
+      val (rec, freq, mon, r, f, m) = out(u.toLong)
+      assert(rec === 10 - u && freq === u.toLong && mon === (u * u).toDouble)
+      val expect = (u + 1) / 2 // u=10,9 → 5; u=2,1 → 1
+      assert(r === expect && f === expect && m === expect,
+        s"user $u scored ($r,$f,$m), expected $expect on all axes")
+    }
+    // repartitioning must not move any quintile edge (total-order ntile)
+    val again = graft.ops.Funnel.rfmSegments(ev.repartition(7), "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) -> r.getString(7)).toMap
+    assert(again === out.map { case (k, v) => k -> s"${v._4}${v._5}${v._6}" })
+  }
+
   test("cohortRetention: Monday-truncated cohorts, offset cells, distinct users") {
     import spark.implicits._
     import java.sql.Timestamp
