@@ -199,6 +199,32 @@ object Etl {
         .orderBy("order_year")
     }),
 
+    // o9 — schema evolution [extension]: a partitioned table whose later
+    // batches added a column (the constant lake migration — no rewrite
+    // of old data). Old files lack `channel`; a mergeSchema read unions
+    // the schemas and back-fills NULL, and the aggregate proves old and
+    // new batches query together. The oracle replays the same batch
+    // split with an explicit NULL for the legacy half — the read must be
+    // exactly that union.
+    "o9_schema_evolution" -> ((s, dir) => {
+      val root = s"/root/repo/target/sink/o9_evo_${Tables.dirSlug(dir)}"
+      val orders = Tables.orders(s, dir)
+      val legacy = orders.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val evolved = orders.filter(col("o_orderkey") % 2 =!= 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          // the new column the later batch started recording
+          when(col("o_orderkey") % 3 === 0, lit("web")).otherwise(lit("store"))
+            .as("channel"))
+      legacy.write.mode("overwrite").parquet(s"$root/batch=1")
+      evolved.write.mode("overwrite").parquet(s"$root/batch=2")
+      s.read.option("mergeSchema", "true").parquet(root)
+        .groupBy(coalesce(col("channel"), lit("unknown")).as("channel"))
+        .agg(count(lit(1)).as("n"),
+          Det.dsum(col("o_totalprice")).as("total_price"))
+        .orderBy("channel")
+    }),
+
     // dq1 — data-quality expectations [extension]: the dbt-test /
     // Deequ-style validation report a lake runs before publishing
     // (MySQL constraints enforced this for the reference; parquet has
@@ -245,6 +271,18 @@ object Etl {
         |  COALESCE(v2.n, 0) - COALESCE(v1.n, 0) AS delta
         |FROM v1 FULL OUTER JOIN v2 USING (order_year)
         |ORDER BY order_year""".stripMargin,
+
+    "o9_schema_evolution" ->
+      """WITH evo AS (
+        |  SELECT o_totalprice,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN NULL
+        |         WHEN o_orderkey % 3 = 0 THEN 'web'
+        |         ELSE 'store' END AS channel
+        |  FROM orders)
+        |SELECT coalesce(channel, 'unknown') AS channel,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        |FROM evo GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dq1_expectations" ->
       """WITH o AS (SELECT
