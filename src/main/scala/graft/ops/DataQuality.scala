@@ -64,4 +64,50 @@ object DataQuality {
   /** Union of checks into one report, sorted by rule name. */
   def report(parts: DataFrame*): DataFrame =
     parts.reduce(_.unionByName(_)).orderBy("rule")
+
+  /** Column profile (the Deequ/Glue-crawler shape — the audit that
+    * precedes any migration): per column, row/null/distinct counts plus
+    * typed extremes — numeric min/max/mean (mean decimal-exact) or
+    * lexicographic min/max for strings and dates. ONE aggregate pass
+    * over the table computes every column's statistics (a new column
+    * adds aggregate expressions, not a scan); the long-format report is
+    * a |columns|-row projection of that single row.
+    *
+    * Output: column, n_rows, n_nulls, n_distinct, min_num, max_num,
+    * mean (numeric columns; NULL otherwise), min_str, max_str
+    * (string/date columns; NULL otherwise). */
+  def profile(df: DataFrame, numericCols: Seq[String],
+              stringCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns given")
+    val all = numericCols ++ stringCols
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val aggs = Seq(count(lit(1)).as("__n")) ++ all.flatMap { c =>
+      Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"))
+    } ++ numericCols.flatMap { c =>
+      Seq(min(col(c)).cast("double").as(s"__mn_$c"),
+        max(col(c)).cast("double").as(s"__mx_$c"),
+        (sum(col(c).cast(dec)).cast("double") / count(col(c))).as(s"__mean_$c"))
+    } ++ stringCols.flatMap { c =>
+      Seq(min(col(c).cast("string")).as(s"__smn_$c"),
+        max(col(c).cast("string")).as(s"__smx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = numericCols.map { c =>
+      one.select(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_num"), col(s"__mx_$c").as("max_num"),
+        col(s"__mean_$c").as("mean"),
+        lit(null).cast("string").as("min_str"),
+        lit(null).cast("string").as("max_str"))
+    } ++ stringCols.map { c =>
+      one.select(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nulls"), col(s"__nd_$c").as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        lit(null).cast("double").as("mean"),
+        col(s"__smn_$c").as("min_str"), col(s"__smx_$c").as("max_str"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("column")
+  }
 }

@@ -225,6 +225,15 @@ object Etl {
         .orderBy("channel")
     }),
 
+    // dq2 — column profile [extension]: Deequ/Glue-crawler-shape table
+    // audit — per column row/null/distinct counts + typed extremes and
+    // decimal-exact means, ALL columns in one aggregate pass
+    // (graft.ops.DataQuality.profile).
+    "dq2_profile" -> ((s, dir) =>
+      graft.ops.DataQuality.profile(Tables.orders(s, dir),
+        numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        stringCols = Seq("o_orderstatus", "o_orderpriority"))),
+
     // dq1 — data-quality expectations [extension]: the dbt-test /
     // Deequ-style validation report a lake runs before publishing
     // (MySQL constraints enforced this for the reference; parquet has
@@ -283,6 +292,27 @@ object Etl {
         |  COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
         |FROM evo GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dq2_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |  CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / count($c) AS mean,
+           |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM orders""".stripMargin
+      def str(c: String) =
+        s"""SELECT '$c', CAST(count(*) AS BIGINT),
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           |  CAST(count(DISTINCT $c) AS BIGINT),
+           |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |  min($c), max($c)
+           |FROM orders""".stripMargin
+      Seq(num("o_orderkey"), num("o_custkey"), num("o_totalprice"),
+        str("o_orderstatus"), str("o_orderpriority"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+    },
 
     "dq1_expectations" ->
       """WITH o AS (SELECT

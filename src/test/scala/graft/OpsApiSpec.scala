@@ -264,6 +264,16 @@ class OpsApiSpec extends SparkSuite {
     val clean = report(rowExpectations(parent, Seq("pk_not_null" -> col("pk").isNull)),
       uniqueKey(parent, "pk_unique", Seq("pk")))
     assert(clean.collect().forall(_.getBoolean(3)))
+    // profile: nulls counted, distinct excludes them, mean over non-nulls
+    val prof = profile(Seq((Some(2.0), "b"), (None, "a"), (Some(4.0), "a"))
+        .toDF("x", "s"), numericCols = Seq("x"), stringCols = Seq("s"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val px = prof("x")
+    assert(px.getLong(1) === 3L && px.getLong(2) === 1L && px.getLong(3) === 2L)
+    assert(px.getDouble(4) === 2.0 && px.getDouble(5) === 4.0 && px.getDouble(6) === 3.0)
+    val ps = prof("s")
+    assert(ps.getLong(2) === 0L && ps.getLong(3) === 2L &&
+      ps.getString(7) === "a" && ps.getString(8) === "b")
   }
 
   test("rfmSegments: balanced quintiles, 5 = best, deterministic under repartition") {
