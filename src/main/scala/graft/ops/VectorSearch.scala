@@ -556,6 +556,136 @@ object VectorSearch {
       .filter(col("rank") <= k)
   }
 
+  /** MMR diversified top-k (Carbonell & Goldstein 1998, "maximal
+    * marginal relevance"): from each query's exact top-`poolK` pool,
+    * greedily pick `k` items maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s)` — relevance traded
+    * against redundancy, the selection shape that keeps retrieved
+    * context (or sampled training examples) DIVERSE instead of five
+    * near-copies of the best hit.
+    *
+    * The greedy is unrolled into `k` relational steps (pick 1 = top
+    * relevance; step t anti-joins the picked set, attaches
+    * max-sim-to-picked by an id join over the pool's pairwise cosines,
+    * and keeps the arg-max with the id tiebreak) — no driver loop over
+    * rows, and every quantity (cos from the codegen'd kernels, fixed
+    * λ-arithmetic) is bit-exact, so the whole greedy trajectory is
+    * oracle-replayable. Pool and pair frames are k·|Q|-sized —
+    * corpus-independent once the pool is priced; a production serving
+    * path materializes the pool once and runs the same unrolled plan. */
+  def mmrDiversify(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   poolK: Int = 20, k: Int = 5,
+                   lambdaRel: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1, got poolK=$poolK k=$k")
+    val pool = cosineTopK(spark, corpus, queries, idCol, vecCol, poolK)
+      .select(col("query_id"), col("vec_id"), col("cos_sim").as("rel"))
+    val e = withNorm(spark, corpus, vecCol)
+      .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("__norm2").as("__n2"))
+    val sims = pool.as("pa").join(pool.as("pb"),
+        col("pa.query_id") === col("pb.query_id") &&
+        col("pa.vec_id") =!= col("pb.vec_id"))
+      .select(col("pa.query_id").as("query_id"),
+        col("pa.vec_id").as("a"), col("pb.vec_id").as("b"))
+      .join(broadcast(e).withColumnRenamed("__id", "a"), Seq("a"))
+      .withColumnsRenamed(Map("__v" -> "__va", "__n2" -> "__na"))
+      .join(broadcast(e).withColumnRenamed("__id", "b"), Seq("b"))
+      .withColumn("sim",
+        expr("vec_dot(__va, __v)") / (sqrt(col("__na")) * sqrt(col("__n2"))))
+      .select("query_id", "a", "b", "sim")
+    val first = pool
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rel").desc, col("vec_id").asc)))
+      .filter(col("__rk") === 1)
+      .select(col("query_id"), col("vec_id"), lit(1).as("pick_order"),
+        col("rel").as("score"))
+    var selected = first
+    for (t <- 2 to k) {
+      val maxSim = sims
+        .join(selected.select(col("query_id"), col("vec_id").as("b")),
+          Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("vec_id"))
+        .agg(max(col("sim")).as("__ms"))
+      val step = pool
+        .join(selected.select("query_id", "vec_id"), Seq("query_id", "vec_id"),
+          "left_anti")
+        .join(maxSim, Seq("query_id", "vec_id"))
+        .withColumn("score",
+          lit(lambdaRel) * col("rel") - lit(1.0 - lambdaRel) * col("__ms"))
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("__rk") === 1)
+        .select(col("query_id"), col("vec_id"), lit(t).as("pick_order"), col("score"))
+      selected = selected.unionByName(step)
+    }
+    selected
+  }
+
+  /** DuckDB replay of [[mmrDiversify]] — the greedy unrolled into `k`
+    * chained CTEs generated from the same constants. λ and 1−λ are
+    * printed at full precision so both engines score with bit-identical
+    * doubles (1.0 − 0.7 is NOT the literal 0.3). */
+  def duckMmrDiversify(nQueries: Int, poolK: Int = 20, k: Int = 5,
+                       lambdaRel: Double = 0.7): String = {
+    def d(v: Double) = String.format(java.util.Locale.ROOT, "%.17g", Double.box(v))
+    val lam = d(lambdaRel)
+    val oneMinus = d(1.0 - lambdaRel)
+    val dotAB =
+      """list_sum(list_transform(generate_series(1, 64), j ->
+        |      CAST(a.v[j] AS DOUBLE) * CAST(b.v[j] AS DOUBLE)))""".stripMargin
+    val selCtes = (2 to k).map { t =>
+      val prev = (1 until t).map(i =>
+        s"SELECT vec_id FROM sel$i s$i WHERE s$i.query_id = p.query_id")
+        .mkString(" UNION ALL ")
+      s"""sel$t AS (SELECT query_id, vec_id, score FROM (
+         |  SELECT s.query_id, s.vec_id, s.score,
+         |    row_number() OVER (PARTITION BY s.query_id
+         |      ORDER BY s.score DESC, s.vec_id ASC) AS rk
+         |  FROM (
+         |    SELECT p.query_id, p.vec_id,
+         |      $lam * p.rel - $oneMinus * (
+         |        SELECT max(ps.sim) FROM psim ps
+         |        WHERE ps.query_id = p.query_id AND ps.a = p.vec_id
+         |          AND ps.b IN ($prev)) AS score
+         |    FROM pool p
+         |    WHERE p.vec_id NOT IN ($prev)) s) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to k).map(t =>
+      s"SELECT query_id, vec_id, $t AS pick_order, score FROM sel$t")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${graft.functions.VectorExprs.duckNorm2} AS norm2
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, embedding AS ea, norm2 AS qnorm
+       |      FROM e WHERE vec_id < $nQueries),
+       |prs AS (
+       |  SELECT q.query_id, c.vec_id, q.ea, c.embedding AS eb,
+       |         q.qnorm, c.norm2 AS cnorm
+       |  FROM e c, q WHERE q.query_id <> c.vec_id),
+       |scored AS (
+       |  SELECT query_id, vec_id,
+       |    CAST(${graft.functions.VectorExprs.duckPairDot} AS DOUBLE)
+       |      / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE))) AS rel
+       |  FROM prs),
+       |pool AS (SELECT query_id, vec_id, rel FROM (
+       |  SELECT query_id, vec_id, rel, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, vec_id ASC) AS rk FROM scored) WHERE rk <= $poolK),
+       |pv AS (SELECT p.query_id, p.vec_id, e.embedding AS v, e.norm2 AS n2
+       |       FROM pool p JOIN e ON p.vec_id = e.vec_id),
+       |psim AS (
+       |  SELECT a.query_id, a.vec_id AS a, b.vec_id AS b,
+       |    CAST($dotAB AS DOUBLE)
+       |      / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE))) AS sim
+       |  FROM pv a JOIN pv b
+       |    ON a.query_id = b.query_id AND a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT query_id, vec_id, rel AS score FROM (
+       |  SELECT query_id, vec_id, rel, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rel DESC, vec_id ASC) AS rk FROM pool) WHERE rk = 1),
+       |$selCtes
+       |$finalSel
+       |ORDER BY query_id, pick_order""".stripMargin
+  }
+
   /** DuckDB replay of [[centroidOutliers]], generated from the same
     * dim/k constants. */
   def duckCentroidOutliers(k: Int = 20, dim: Int = 64,

@@ -146,6 +146,23 @@ object SimilarityOps {
           V.pqTopK(s, corpus, qs, seeds, "vec_id", "embedding", TOPK, nSub = PQ_NSUB),
           "pq_vs_l2"))
         .orderBy("method")
+    }),
+
+    // sim9 — MMR diversified selection [extension]: maximal marginal
+    // relevance (Carbonell & Goldstein 1998) over each query's exact
+    // top-20 pool — greedy picks trade relevance against redundancy so
+    // retrieved context (or sampled training examples) stays DIVERSE
+    // instead of five near-copies of the best hit. The greedy unrolls
+    // into 5 relational steps (no driver loop over rows); cosines and
+    // the fixed λ-arithmetic are bit-exact, so the entire greedy
+    // TRAJECTORY is hash-gated against a 5-chained-CTE oracle generated
+    // from the same constants (VectorSearch.mmrDiversify).
+    "sim9_mmr_diversify" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      graft.ops.VectorSearch.mmrDiversify(s, corpus,
+          corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
+          poolK = 20, k = 5, lambdaRel = 0.7)
+        .orderBy("query_id", "pick_order")
     }))
 
   private val duckCos: String =
@@ -403,7 +420,11 @@ object SimilarityOps {
          |    (SELECT count(*) FROM sqr a JOIN xcr b USING (query_id, vec_id)) AS hits,
          |    (SELECT count(*) FROM xcr) AS possible) t
          |ORDER BY method""".stripMargin
-    })
+    },
+
+    "sim9_mmr_diversify" ->
+      graft.ops.VectorSearch.duckMmrDiversify(NQUERIES, poolK = 20, k = 5,
+        lambdaRel = 0.7))
 
   /** sim4's quantize → integer-dot → rank chain as a CTE list ending in
     * `ranked(query_id, vec_id, qcos, rank)` — stage 1 of sim6 verbatim. */

@@ -365,6 +365,43 @@ class OpsApiSpec extends SparkSuite {
     assert(avg >= 0.3, s"PQ ADC ranking degraded: recall@10 vs exact L2 = $avg")
   }
 
+  test("mmrDiversify: picks from pool, no repeats, strictly more diverse than plain top-k") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Tables.embeddings(spark, sf)
+    val queries = corpus.filter(col("vec_id") < 10)
+    val picks = VectorSearch.mmrDiversify(spark, corpus, queries,
+      "vec_id", "embedding", poolK = 20, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byQ = picks.groupBy(_._1)
+    assert(byQ.forall(_._2.length == 5) && byQ.size == 10)
+    byQ.values.foreach { ps =>
+      assert(ps.map(_._2).distinct.length == 5, "a pick repeated")
+      assert(ps.map(_._3).sorted.toSeq == (1 to 5), "pick orders not dense")
+    }
+    // diversity law: the MMR set's mean pairwise cosine must not exceed
+    // the plain top-5's (greedy redundancy penalty must bite somewhere)
+    val all = corpus.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def meanPair(ids: Seq[Long]): Double = {
+      val ps = for (i <- ids.indices; j <- ids.indices if j > i)
+        yield cos(all(ids(i)), all(ids(j)))
+      ps.sum / ps.size
+    }
+    val top5 = VectorSearch.cosineTopK(spark, corpus, queries,
+      "vec_id", "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, v) => q -> v.map(_._2).toSeq }
+    val mmrMean = byQ.map { case (q, v) => meanPair(v.map(_._2).toSeq) }.sum / 10
+    val topMean = top5.map { case (_, v) => meanPair(v) }.sum / 10
+    assert(mmrMean <= topMean + 1e-12,
+      s"MMR did not diversify: mean pairwise cos $mmrMean vs top-k $topMean")
+  }
+
   test("rerankTopK: results come from the shortlist, scored exactly, near-perfect recall") {
     import org.apache.spark.sql.functions.col
     val corpus = Tables.embeddings(spark, sf)
