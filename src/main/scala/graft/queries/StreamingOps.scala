@@ -142,6 +142,36 @@ object StreamingOps {
         .orderBy("stage")
     }),
 
+    // st12 — streaming data-quality gate [extension]: dq1's validation
+    // moved to INGESTION time — rule counters accumulate in a global
+    // streaming aggregate (complete mode), so a bad feed is visible
+    // while it streams, not at the next batch audit. Violation counters
+    // are associative integer sums, so ANY micro-batch split converges
+    // exactly to the batch report (the st9 decimal-merge argument,
+    // integer case). The value range rule genuinely FAILS on the
+    // fixture (3,665 events above 50 at sf0.01) — same
+    // catches-real-defects posture as dq1.
+    "st12_stream_dq" -> ((s, dir) => {
+      val ev = Streams.events(s, dir)
+      val agg = ev.agg(
+        count(lit(1)).as("checked"),
+        sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("v_user"),
+        sum(when(!col("event_type").isin(
+          "click", "view", "purchase", "signup", "error"), 1L).otherwise(0L))
+          .as("v_type"),
+        sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("v_range"))
+      Streams.runToTable(s, agg, s"st12_out_${Tables.dirSlug(dir)}", "complete")
+        .select(expr(
+          """stack(3,
+            |  'events.user_id_not_null', v_user,
+            |  'events.type_in_set', v_type,
+            |  'events.value_le_50', v_range) AS (rule, violations)""".stripMargin),
+          col("checked"))
+        .select(col("rule"), col("violations"), col("checked"),
+          (col("violations") === 0L).as("pass"))
+        .orderBy("rule")
+    }),
+
     // st3 — custom sessionization state: flatMapGroupsWithState per user,
     // splitting the user's event times on gaps > GAP_US. One AvailableNow
     // batch delivers each user's full history, so the emitted sessions
@@ -310,6 +340,20 @@ object StreamingOps {
     // fn1's oracle verbatim: the streamed fold must converge to the
     // batch funnel's conversion table.
     "st11_stream_funnel" -> EventOps.oracles("fn1_funnel"),
+
+    "st12_stream_dq" ->
+      """WITH a AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS checked,
+        |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_user,
+        |    CAST(sum(CASE WHEN event_type NOT IN
+        |      ('click','view','purchase','signup','error') THEN 1 ELSE 0 END) AS BIGINT) AS v_type,
+        |    CAST(sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS v_range
+        |  FROM events)
+        |SELECT rule, violations, checked, violations = 0 AS pass FROM (
+        |  SELECT 'events.user_id_not_null' AS rule, v_user AS violations, checked FROM a
+        |  UNION ALL SELECT 'events.type_in_set', v_type, checked FROM a
+        |  UNION ALL SELECT 'events.value_le_50', v_range, checked FROM a)
+        |ORDER BY rule""".stripMargin,
     "st1_stream_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
         |       event_type, COUNT(*) AS n,
