@@ -578,8 +578,16 @@ object VectorSearch {
                    poolK: Int = 20, k: Int = 5,
                    lambdaRel: Double = 0.7): DataFrame = {
     require(k >= 1 && poolK >= k, s"need poolK >= k >= 1, got poolK=$poolK k=$k")
+    // The unrolled greedy references pool/sims/selected in every one of
+    // its k branches — left symbolic, the plan recomputes the corpus
+    // scan per branch (measured 11.3 s vs 1.4 s at sf0.1). These frames
+    // are poolK·|Q|-sized, so materialize them ONCE eagerly; every
+    // branch then reads the tiny materialized blocks. (localCheckpoint
+    // is content-deterministic; at production scale the pool would be a
+    // written table — same decision, durable form.)
     val pool = cosineTopK(spark, corpus, queries, idCol, vecCol, poolK)
       .select(col("query_id"), col("vec_id"), col("cos_sim").as("rel"))
+      .localCheckpoint(true)
     val e = withNorm(spark, corpus, vecCol)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("__norm2").as("__n2"))
     val sims = pool.as("pa").join(pool.as("pb"),
@@ -593,6 +601,7 @@ object VectorSearch {
       .withColumn("sim",
         expr("vec_dot(__va, __v)") / (sqrt(col("__na")) * sqrt(col("__n2"))))
       .select("query_id", "a", "b", "sim")
+      .localCheckpoint(true)
     val first = pool
       .withColumn("__rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("rel").desc, col("vec_id").asc)))
@@ -616,7 +625,9 @@ object VectorSearch {
           Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id").asc)))
         .filter(col("__rk") === 1)
         .select(col("query_id"), col("vec_id"), lit(t).as("pick_order"), col("score"))
-      selected = selected.unionByName(step)
+      // keep the accumulated picks materialized too, or step t's plan
+      // embeds every earlier step's plan (exponential growth in k)
+      selected = selected.unionByName(step).localCheckpoint(true)
     }
     selected
   }
