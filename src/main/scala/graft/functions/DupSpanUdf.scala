@@ -55,24 +55,7 @@ object DupSpanUdf {
     else {
       val toks = TokenProfileUdf.tokenize(text)
 
-      def grams(n: Int): Array[String] = {
-        if (toks.length < n) return Array.empty
-        val out = new Array[String](toks.length - n + 1)
-        val sb = new java.lang.StringBuilder(64)
-        var i = 0
-        while (i < out.length) {
-          sb.setLength(0)
-          var k = 0
-          while (k < n) {
-            if (k > 0) sb.append(' ')
-            sb.append(toks(i + k))
-            k += 1
-          }
-          out(i) = sb.toString
-          i += 1
-        }
-        out
-      }
+      def grams(n: Int): Array[String] = TextHashUdfs.shingleStrings(toks, n)
 
       // most frequent topN-gram (ties → smallest gram), then the union
       // coverage of its occurrence positions (ascending by scan order)

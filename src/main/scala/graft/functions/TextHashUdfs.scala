@@ -37,7 +37,11 @@ object TextHashUdfs {
   private def tokenize(text: String): Array[String] =
     if (text == null) Array.empty else text.trim.split("\\s+")
 
-  private def shingleStrings(toks: Array[String], n: Int): Array[String] = {
+  /** Space-joined token n-grams — the determinism-critical gram text
+    * shared with every DuckDB oracle (the separator is part of the
+    * cross-engine hash contract); package-visible so [[DupSpanUdf]]
+    * folds over the same construction instead of a copy. */
+  private[functions] def shingleStrings(toks: Array[String], n: Int): Array[String] = {
     if (toks.length < n) return Array.empty
     val out = new Array[String](toks.length - n + 1)
     val sb = new java.lang.StringBuilder(64)

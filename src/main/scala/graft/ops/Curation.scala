@@ -390,8 +390,13 @@ object Curation {
     // the weight total is one scalar over a ≤|strata|-row frame —
     // collected driver-side and baked into the plan (the same
     // documented small-side collect as pqTopK's codebook; a crossJoin
-    // of per with an aggregate of itself trips self-join ambiguity)
-    val bigW = per.agg(sum("__w")).head.getLong(0)
+    // of per with an aggregate of itself trips self-join ambiguity).
+    // An EMPTY corpus sums to SQL NULL — the selection is then empty,
+    // not a crash (and never a division by zero)
+    val bigW = Option(per.agg(sum("__w")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (bigW == 0L)
+      return docs.select(col(stratumCol), col(idCol), lit(1).as("srank")).limit(0)
     val tgt = per.select(col(stratumCol),
       expr(s"($budget * __w) div ${bigW}L").as("__target"))
     val draw = DetHash.h(concat(lit(salt + "_"), col(idCol).cast("string")))

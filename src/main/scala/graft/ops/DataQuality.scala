@@ -27,11 +27,15 @@ object DataQuality {
     * rule name → VIOLATION predicate (true = row violates). */
   def rowExpectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "no rules given")
+    // internal aliases are INDEX-based so rule names never become
+    // identifiers (a backtick or newline in a name can't break the
+    // stack() text); names appear only as escaped string literals
     val aggs = count(lit(1)).as("__checked") +:
-      rules.map { case (n, c) => sum(when(c, 1L).otherwise(0L)).as(s"__v_$n") }
+      rules.zipWithIndex.map { case ((_, c), i) =>
+        sum(when(c, 1L).otherwise(0L)).as(s"__v_$i") }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = rules.map { case (n, _) =>
-      s"'${n.replace("'", "''")}', `__v_$n`" }.mkString(", ")
+    val stackArgs = rules.zipWithIndex.map { case ((n, _), i) =>
+      s"'${n.replace("\\", "\\\\").replace("'", "\\'")}', __v_$i" }.mkString(", ")
     one
       .select(expr(s"stack(${rules.length}, $stackArgs) AS (rule, violations)"),
         col("__checked"))

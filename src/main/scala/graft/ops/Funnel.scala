@@ -34,17 +34,20 @@ object Funnel {
                    idCol: String, typeCol: String,
                    steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    val stepsLit = steps.map(s => s"'${s.replace("'", "''")}'")
-      .mkString("array(", ", ", ")")
+    // typed-literal steps array + Column-based fold: step names never
+    // pass through SQL text, so quotes/backslashes in them can't break
+    // (or silently alter) the expression
+    val stepsCol = typedlit(steps)
     events
       .groupBy(col(userCol))
       .agg(sort_array(collect_list(
         struct(col(tsCol).as("t"), col(idCol).as("i"), col(typeCol).as("y"))))
         .as("__ev"))
-      .select(col(userCol), expr(
-        s"""aggregate(__ev, 0, (st, e) ->
-           |  if(st < ${steps.length} AND e.y = element_at($stepsLit, st + 1),
-           |     st + 1, st))""".stripMargin).as("stage"))
+      .select(col(userCol),
+        aggregate(col("__ev"), lit(0), (st, e) =>
+          when(st < steps.length &&
+            e.getField("y") === element_at(stepsCol, st + lit(1)), st + lit(1))
+            .otherwise(st)).as("stage"))
   }
 
   /** Funnel conversion table: one row per step k — (stage, step,
@@ -90,15 +93,19 @@ object Funnel {
     * map-side. Output: cohort_week_us, week_offset, users. */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val firstEv = events.groupBy(col(userCol))
-      .agg(unix_micros(date_trunc("week", min(col(tsCol)))).as("__cohort_us"))
-    val WEEK_US = 7L * 86400L * 1000000L
+      .agg(date_trunc("week", min(col(tsCol))).as("__cohort"))
     events
-      .select(col(userCol), unix_micros(date_trunc("week", col(tsCol))).as("__week_us"))
+      .select(col(userCol), date_trunc("week", col(tsCol)).as("__week"))
       .join(firstEv, Seq(userCol))
-      .select(col(userCol), col("__cohort_us"),
-        expr(s"(__week_us - __cohort_us) div ${WEEK_US}L").as("week_offset"))
+      // offsets via DATE difference, not a fixed-microsecond week: in a
+      // DST session timezone calendar weeks are not 604,800 s long, and
+      // a µs division would fold week-1 activity into the cohort cell;
+      // week starts are always a multiple of 7 DAYS apart
+      .select(col(userCol), col("__cohort"),
+        expr("datediff(to_date(__week), to_date(__cohort)) div 7")
+          .cast("long").as("week_offset"))
       .distinct()
-      .groupBy(col("__cohort_us").as("cohort_week_us"), col("week_offset"))
+      .groupBy(unix_micros(col("__cohort")).as("cohort_week_us"), col("week_offset"))
       .agg(count(lit(1)).as("users"))
   }
 

@@ -110,13 +110,14 @@ object EventOps {
 
     "fn3_cohort_retention" ->
       """WITH f AS (
-        |  SELECT user_id, epoch_us(date_trunc('week', min(ts))) AS cohort_us
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort
         |  FROM events GROUP BY 1),
         |a AS (
-        |  SELECT DISTINCT e.user_id, f.cohort_us,
-        |    (epoch_us(date_trunc('week', e.ts)) - f.cohort_us) // 604800000000 AS week_offset
+        |  SELECT DISTINCT e.user_id, f.cohort,
+        |    CAST(date_diff('day', CAST(f.cohort AS DATE),
+        |      CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset
         |  FROM events e JOIN f USING (user_id))
-        |SELECT cohort_us AS cohort_week_us, week_offset,
+        |SELECT epoch_us(cohort) AS cohort_week_us, week_offset,
         |  count(*) AS users
         |FROM a GROUP BY 1, 2 ORDER BY cohort_week_us, week_offset""".stripMargin)
 }

@@ -468,8 +468,13 @@ object Relational {
             .otherwise(scale / element_at(col("u"), K).cast("double")))
         .withColumn("rho",
           size(expr("array_intersect(array_intersect(u, sk_a), sk_b)")).cast("long"))
+        // divisor = |union sketch|, not the constant K: Beyer et al.'s
+        // rho/k assumes a SATURATED sketch; on a small union the sketch
+        // holds every hash and rho/|u| is the exact containment ratio
+        // (identical to /K when saturated, unbiased when not)
         .withColumn("est_inter",
-          (col("rho").cast("double") / lit(K.toDouble)) * col("est_union"))
+          (col("rho").cast("double") / size(col("u")).cast("double"))
+            * col("est_union"))
         .select("est_a", "exact_a", "est_b", "exact_b",
           "est_union", "exact_union", "rho", "est_inter", "exact_inter")
     }),
@@ -1805,7 +1810,8 @@ object Relational {
         |  FROM sc)
         |SELECT est_a, exact_a, est_b, exact_b, est_union,
         |  (SELECT exact_union FROM ex) AS exact_union, rho,
-        |  (CAST(rho AS DOUBLE) / 64.0) * est_union AS est_inter,
+        |  (CAST(rho AS DOUBLE) / CAST((SELECT count(*) FROM ku) AS DOUBLE))
+        |    * est_union AS est_inter,
         |  (SELECT exact_inter FROM ex) AS exact_inter
         |FROM fin""".stripMargin,
 

@@ -386,5 +386,10 @@ class CurationSpec extends SparkSuite {
     val again = Curation.temperatureMixture(docs.repartition(7), "doc_id", "source", 70L)
     assert(out.select("doc_id").collect().map(_.getLong(0)).sorted ===
       again.select("doc_id").collect().map(_.getLong(0)).sorted)
+    // an empty corpus (e.g. a gate upstream dropped everything) selects
+    // nothing — it must not NPE on the null weight total
+    val empty = Curation.temperatureMixture(
+      docs.filter(col("doc_id") < 0), "doc_id", "source", 70L)
+    assert(empty.count() === 0L)
   }
 }
