@@ -67,4 +67,33 @@ object VectorUdfs {
       sig
     }
   }
+
+  /** RAW plane projections (the un-thresholded form of [[planeSig]]):
+    * the vector's dot against each of the first `dims` hyperplanes —
+    * a deterministic Johnson-Lindenstrauss random projection to `dims`
+    * dimensions. Same left-fold double arithmetic and the same
+    * `oracleDim` width pin as planeSig, so projections are bit-identical
+    * to the SQL oracle's plane literal. */
+  def planeProject(dims: Int, oracleDim: Int = -1): UserDefinedFunction = {
+    require(dims >= 1 && dims <= DetHash.K,
+      s"planeProject supports 1..${DetHash.K} output dims, got $dims")
+    udf { (v: Seq[Float]) =>
+      if (oracleDim >= 0 && v.length != oracleDim)
+        throw new IllegalArgumentException(
+          s"planeProject: vector dim ${v.length} != oracle plane dim $oracleDim")
+      val planes = DetHash.planesFor(v.length)
+      val out = new Array[Double](dims)
+      var i = 0
+      while (i < dims) {
+        val row = planes(i)
+        var acc = 0.0
+        var j = 0
+        val n = math.min(row.length, v.length)
+        while (j < n) { acc += row(j) * v(j).toDouble; j += 1 }
+        out(i) = acc
+        i += 1
+      }
+      out
+    }
+  }
 }

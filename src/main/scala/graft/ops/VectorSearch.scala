@@ -556,6 +556,45 @@ object VectorSearch {
       .filter(col("rank") <= k)
   }
 
+  /** Random-projection ANN top-k — the THIRD compression tier
+    * (sim4 quantizes values, sim7 quantizes codewords; this reduces
+    * DIMENSIONS): vectors project onto `dims` deterministic hyperplanes
+    * (Johnson-Lindenstrauss; [[graft.functions.DetHash]]'s md5-derived
+    * planes, the un-thresholded form of sim2's signatures) and cosine
+    * ranking runs entirely in the projected space — a 64→16 projection
+    * reads 4× less per vector with distances preserved to ~1/√dims
+    * distortion. Size `dims` by data geometry: clustered real
+    * embeddings keep their ranking at strong compressions, while
+    * near-uniform data (whose cosine spread is tiny) needs more dims —
+    * the fixture measures recall 0.19 vs chance 0.02 at 16/64
+    * (OpsApiSpec). All arithmetic is fixed-order double folds, so even
+    * this approximate ranking is oracle-replayable from the same plane
+    * literal. Same scan shape as [[cosineTopK]]: broadcast queries,
+    * map-side projection, only (id, id, double) rows reach the window. */
+  def rpTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int = 10,
+             dims: Int = 16, oracleDim: Int = -1,
+             excludeSelf: Boolean = true): DataFrame = {
+    val proj = VectorUdfs.planeProject(dims, oracleDim)
+    def p(df: DataFrame, outId: String, vOut: String, nOut: String) =
+      df.withColumn(vOut, proj(col(vecCol)))
+        .withColumn(nOut, expr(
+          s"aggregate($vOut, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x)"))
+        .select(col(idCol).as(outId), col(vOut), col(nOut))
+    val c = p(corpus, "vec_id", "__cp", "__cn")
+    val q = p(queries, "query_id", "__qp", "__qn")
+    val pairs = c.crossJoin(broadcast(q))
+    val self = if (excludeSelf) pairs.filter(col("query_id") =!= col("vec_id")) else pairs
+    self
+      .withColumn("rp_cos", expr(
+        "aggregate(zip_with(__qp, __cp, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)")
+        / (sqrt(col("__qn")) * sqrt(col("__cn"))))
+      .select("query_id", "vec_id", "rp_cos")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("rp_cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   /** MMR diversified top-k (Carbonell & Goldstein 1998, "maximal
     * marginal relevance"): from each query's exact top-`poolK` pool,
     * greedily pick `k` items maximizing

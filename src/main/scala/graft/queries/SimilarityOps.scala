@@ -157,6 +157,22 @@ object SimilarityOps {
     // the fixed λ-arithmetic are bit-exact, so the entire greedy
     // TRAJECTORY is hash-gated against a 5-chained-CTE oracle generated
     // from the same constants (VectorSearch.mmrDiversify).
+    // sim10 — random-projection ANN [extension]: the THIRD compression
+    // tier (sim4 quantizes values, sim7 quantizes codewords, this
+    // reduces DIMENSIONS): 64→16 deterministic JL projection onto the
+    // md5-derived hyperplanes (the un-thresholded form of sim2's
+    // signatures), cosine ranked entirely in the projected space — 4×
+    // less read per vector; fixed-order double folds make even this
+    // approximate ranking oracle-replayable from the same plane
+    // literal. Recall vs exact pinned in OpsApiSpec.
+    "sim10_random_projection" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      graft.ops.VectorSearch.rpTopK(s, corpus,
+          corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
+          TOPK, dims = 16, oracleDim = 64)
+        .orderBy("query_id", "rank")
+    }),
+
     "sim9_mmr_diversify" -> ((s, dir) => {
       val corpus = Tables.embeddings(s, dir)
       graft.ops.VectorSearch.mmrDiversify(s, corpus,
@@ -424,7 +440,34 @@ object SimilarityOps {
 
     "sim9_mmr_diversify" ->
       graft.ops.VectorSearch.duckMmrDiversify(NQUERIES, poolK = 20, k = 5,
-        lambdaRel = 0.7))
+        lambdaRel = 0.7),
+
+    // Projection replayed from the same 16×64 plane literal (duckSig's
+    // dot text, un-thresholded), then sim1's cosine chain in 16-d.
+    "sim10_random_projection" ->
+      s"""WITH plm AS (SELECT ${VectorExprs.duckPlaneLit(64)} AS pl),
+         |e AS (
+         |  SELECT vec_id,
+         |    list_transform(generate_series(1, 16), i ->
+         |      list_sum(list_transform(generate_series(1, 64), j ->
+         |        pl[i][j] * CAST(embedding[j] AS DOUBLE)))) AS p
+         |  FROM embeddings, plm),
+         |en AS (SELECT vec_id, p,
+         |         list_sum(list_transform(p, x -> x * x)) AS n2 FROM e),
+         |q AS (SELECT vec_id AS query_id, p AS qp, n2 AS qn
+         |      FROM en WHERE vec_id < $NQUERIES),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |    list_sum(list_transform(generate_series(1, 16), i ->
+         |      q.qp[i] * c.p[i])) / (sqrt(q.qn) * sqrt(c.n2)) AS rp_cos
+         |  FROM en c, q WHERE q.query_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, rp_cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY rp_cos DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, rp_cos, rank FROM ranked
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin)
 
   /** sim4's quantize → integer-dot → rank chain as a CTE list ending in
     * `ranked(query_id, vec_id, qcos, rank)` — stage 1 of sim6 verbatim. */

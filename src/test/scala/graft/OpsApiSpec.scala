@@ -365,6 +365,31 @@ class OpsApiSpec extends SparkSuite {
     assert(avg >= 0.3, s"PQ ADC ranking degraded: recall@10 vs exact L2 = $avg")
   }
 
+  test("rpTopK: projected-space ranking tracks exact cosine well above chance") {
+    import org.apache.spark.sql.functions.col
+    // sf0.001's ~50 vectors make chance overlap ~0.2 — measure on the
+    // 500-vector corpus where chance is 0.02 and the floor has teeth
+    val corpus = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val queries = corpus.filter(col("vec_id") < 10)
+    def topSets(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = topSets(VectorSearch.cosineTopK(spark, corpus, queries,
+      "vec_id", "embedding", 10).select("query_id", "vec_id"))
+    val rp = topSets(VectorSearch.rpTopK(spark, corpus, queries,
+      "vec_id", "embedding", 10, dims = 16, oracleDim = 64)
+      .select("query_id", "vec_id"))
+    assert(exact.keySet == rp.keySet)
+    // 16/64 dims on this NEAR-UNIFORM synthetic corpus measures 0.19 —
+    // JL distortion (~1/sqrt(16)) swamps the tiny cosine spread random
+    // data has, which is exactly why the Scaladoc sizes dims by data
+    // geometry; chance overlap on 500 vectors is 0.02, so 0.12 pins
+    // "the projection preserves ranking signal, 6x above chance"
+    val recalls = exact.map { case (q, s) => (rp(q) & s).size.toDouble / s.size }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.12, s"random projection lost the ranking: recall@10 = $avg")
+  }
+
   test("mmrDiversify: picks from pool, no repeats, strictly more diverse than plain top-k") {
     import org.apache.spark.sql.functions.col
     val corpus = Tables.embeddings(spark, sf)
