@@ -393,10 +393,18 @@ object Curation {
     // of per with an aggregate of itself trips self-join ambiguity).
     // An EMPTY corpus sums to SQL NULL — the selection is then empty,
     // not a crash (and never a division by zero)
-    val bigW = Option(per.agg(sum("__w")).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val wRow = per.agg(sum("__w"), max("__w")).head
+    val bigW = Option(wRow.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val maxW = Option(wRow.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
     if (bigW == 0L)
       return docs.select(col(stratumCol), col(idCol), lit(1).as("srank")).limit(0)
+    // enforce the scaladoc's headroom limit at runtime: budget·w is a
+    // BIGINT product and Spark's non-ANSI mode wraps silently, which
+    // would turn an oversized budget into negative targets and an empty
+    // selection. The max per-stratum weight bounds every product.
+    require(budget <= Long.MaxValue / maxW,
+      s"temperatureMixture: budget $budget overflows BIGINT targets " +
+        s"(max stratum weight $maxW); cap budget at ${Long.MaxValue / maxW}")
     val tgt = per.select(col(stratumCol),
       expr(s"($budget * __w) div ${bigW}L").as("__target"))
     val draw = DetHash.h(concat(lit(salt + "_"), col(idCol).cast("string")))

@@ -84,6 +84,12 @@ object DataQuality {
               stringCols: Seq[String]): DataFrame = {
     require(numericCols.nonEmpty || stringCols.nonEmpty, "no columns given")
     val all = numericCols ++ stringCols
+    // a column listed twice (or in both lists) would mint duplicate
+    // __nn_/__nd_ aggregate aliases and fail downstream with an
+    // ambiguous-column error — reject it with the real cause instead
+    require(all.distinct.size == all.size,
+      s"profile: numericCols and stringCols must be disjoint and " +
+        s"duplicate-free, got duplicates: ${all.diff(all.distinct).distinct.mkString(", ")}")
     val dec = org.apache.spark.sql.types.DecimalType(38, 6)
     val aggs = Seq(count(lit(1)).as("__n")) ++ all.flatMap { c =>
       Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),

@@ -487,6 +487,15 @@ object VectorSearch {
     val amax = corpus.select(max(expr(
       s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
     )).as("__amax"))
+    // degenerate-corpus guard (mirrors the empty-corpus guards the other
+    // ops grew): an empty corpus yields a NULL amax and an all-zero one
+    // yields 0 — either way the quantize transform would emit NULL
+    // arrays and the seed collect / encode UDF would NPE. Fail fast
+    // with the actual condition instead. One scalar head() — the same
+    // documented small-side collect as the codebook seeds below.
+    val amaxVal = Option(amax.head.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    require(amaxVal > 0.0,
+      s"pqTopK: corpus is empty or all-zero (max|x| = $amaxVal); cannot quantize")
     def quantize(df: DataFrame, outId: String) =
       df.crossJoin(broadcast(amax))
         .withColumn("__qv", expr(

@@ -1006,17 +1006,25 @@ object Relational {
     // q2 shape — min-cost supplier per part: the correlated-scalar-min
     // subquery, decorrelated into one window min over the per-(part,
     // supplier) aggregate (fixtures carry no partsupp, so avg unit price
-    // from lineitem plays ps_supplycost). Both the aggregate and the
-    // window shuffle on l_partkey — one exchange feeds both.
+    // from lineitem plays ps_supplycost). The p_size filter is pushed
+    // BELOW the aggregate as a broadcast left-semi: the per-part window
+    // min never compares across parts, so dropping whole parts before
+    // the (l_partkey, l_suppkey) aggregate is semantics-preserving and
+    // shrinks the shuffle by the filter's selectivity. Both the
+    // aggregate and the window shuffle on l_partkey — one exchange
+    // feeds both.
     "tpch_q2_min_cost" -> ((s, dir) => {
+      val smallPart = Tables.part(s, dir).filter(col("p_size") < 10)
       val unit = Tables.lineitem(s, dir)
+        .join(broadcast(smallPart.select(col("p_partkey").as("pk_keep"))),
+          col("l_partkey") === col("pk_keep"), "left_semi")
         .groupBy(col("l_partkey"), col("l_suppkey"))
         .agg(Det.davg(Det.q6(col("l_extendedprice") / col("l_quantity"))).as("avg_unit"))
       val best = unit
         .withColumn("min_unit",
           min(col("avg_unit")).over(Window.partitionBy("l_partkey")))
         .filter(col("avg_unit") === col("min_unit"))
-      best.join(broadcast(Tables.part(s, dir).filter(col("p_size") < 10)),
+      best.join(broadcast(smallPart),
           col("l_partkey") === col("p_partkey"))
         .join(broadcast(Tables.supplier(s, dir)),
           col("l_suppkey") === col("s_suppkey"))

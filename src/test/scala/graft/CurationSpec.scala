@@ -391,5 +391,12 @@ class CurationSpec extends SparkSuite {
     val empty = Curation.temperatureMixture(
       docs.filter(col("doc_id") < 0), "doc_id", "source", 70L)
     assert(empty.count() === 0L)
+    // budget so large that budget·w wraps BIGINT: reject with the cap
+    // instead of silently selecting nothing (weights here are ~2·10^7,
+    // so Long.MaxValue/maxW ≈ 4.6·10^11 — one over must throw)
+    val ex = intercept[IllegalArgumentException] {
+      Curation.temperatureMixture(docs, "doc_id", "source", Long.MaxValue / 2)
+    }
+    assert(ex.getMessage.contains("overflows"))
   }
 }

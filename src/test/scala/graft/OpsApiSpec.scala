@@ -365,6 +365,37 @@ class OpsApiSpec extends SparkSuite {
     assert(avg >= 0.3, s"PQ ADC ranking degraded: recall@10 vs exact L2 = $avg")
   }
 
+  test("pqTopK fails fast on an empty or all-zero corpus instead of NPEing") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val queries = Tables.embeddings(spark, sf).filter(col("vec_id") < 2)
+    val empty = Tables.embeddings(spark, sf).filter(col("vec_id") < 0)
+    val exEmpty = intercept[IllegalArgumentException] {
+      VectorSearch.pqTopK(spark, empty, queries, queries, "vec_id", "embedding")
+    }
+    assert(exEmpty.getMessage.contains("empty or all-zero"))
+    // all-zero vectors: amax = 0, the quantize divisor would be 0
+    val zeros = Seq((1L, Array.fill(64)(0.0f)), (2L, Array.fill(64)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val exZero = intercept[IllegalArgumentException] {
+      VectorSearch.pqTopK(spark, zeros, zeros, zeros, "vec_id", "embedding")
+    }
+    assert(exZero.getMessage.contains("empty or all-zero"))
+  }
+
+  test("DataQuality.profile rejects overlapping or duplicated column lists") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b")).toDF("n", "s")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.DataQuality.profile(df, Seq("n"), Seq("n", "s"))
+    }
+    assert(ex.getMessage.contains("disjoint"))
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.ops.DataQuality.profile(df, Seq("n", "n"), Seq("s"))
+    }
+    assert(ex2.getMessage.contains("disjoint"))
+  }
+
   test("rpTopK: projected-space ranking tracks exact cosine well above chance") {
     import org.apache.spark.sql.functions.col
     // sf0.001's ~50 vectors make chance overlap ~0.2 — measure on the
