@@ -279,6 +279,52 @@ class PlanShapeSpec extends SparkSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  test("snapshot guard: no query's join/exchange structure degraded vs committed PLANS/") {
+    // The committed artifact (PLANS/<name>.txt, written by
+    // `runMain graft.plans.PlanDump`) is the reviewable plan history;
+    // this guard regenerates every battery plan live under the same
+    // session config and fails if any query GAINED a shuffle join /
+    // cartesian product / exchange relative to its snapshot — the
+    // "join silently flipped broadcast→SMJ between rounds" regression
+    // class. Improvements (fewer shuffle joins/exchanges) pass but are
+    // reported so the snapshot gets refreshed deliberately.
+    import graft.plans.PlanSnapshot
+    val dir = new java.io.File("/root/repo/PLANS")
+    assert(dir.isDirectory,
+      "PLANS/ missing - run `sbt \"runMain graft.plans.PlanDump\"` and commit it")
+    val committed = dir.listFiles().filter(_.getName.endsWith(".txt"))
+      .map(f => f.getName.stripSuffix(".txt") ->
+        new String(java.nio.file.Files.readAllBytes(f.toPath))).toMap
+    val live = PlanSnapshot.renderAll(spark, sf).toMap
+    val missing = live.keySet -- committed.keySet
+    assert(missing.isEmpty,
+      s"queries without a committed plan snapshot (re-run PlanDump): " +
+        missing.toSeq.sorted.mkString(", "))
+    val stale = committed.keySet -- live.keySet
+    assert(stale.isEmpty,
+      s"stale snapshots for removed queries: ${stale.toSeq.sorted.mkString(", ")}")
+    val shuffleJoins = Seq("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct")
+    val problems = scala.collection.mutable.Buffer[String]()
+    val improved = scala.collection.mutable.Buffer[String]()
+    for (name <- live.keySet.toSeq.sorted) {
+      val want = PlanSnapshot.structure(committed(name))
+      val got = PlanSnapshot.structure(live(name))
+      val wantSJ = shuffleJoins.map(want).sum
+      val gotSJ = shuffleJoins.map(got).sum
+      if (gotSJ > wantSJ)
+        problems += s"$name: shuffle joins $wantSJ -> $gotSJ (broadcast flip?)"
+      if (got("Exchange") > want("Exchange"))
+        problems += s"$name: exchanges ${want("Exchange")} -> ${got("Exchange")}"
+      if (gotSJ < wantSJ || got("Exchange") < want("Exchange"))
+        improved += name
+    }
+    assert(problems.isEmpty,
+      s"plan structure degraded vs PLANS/ snapshots:\n${problems.mkString("\n")}\n" +
+        "(if intentional, re-run `sbt \"runMain graft.plans.PlanDump\"` and commit)")
+    if (improved.nonEmpty)
+      info(s"plans improved vs snapshot (refresh PLANS/): ${improved.mkString(", ")}")
+  }
+
   test("incremental dedup prefilters the snapshot before any exchange; packing shuffles once on the shard") {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
