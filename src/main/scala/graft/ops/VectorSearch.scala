@@ -240,6 +240,166 @@ object VectorSearch {
     result.orderBy("cid")
   }
 
+  /** Integer-space Lloyd with SUM-centroids: the learned-centroid
+    * counterpart of [[kmeansCentroids]] whose output is exactly
+    * reproducible across engines and partitionings, so the learned IVF
+    * path can sit under the hash-compare oracle gate.
+    *
+    * The float mean that makes ordinary k-means irreproducible (double
+    * summation order varies with partitioning) is eliminated by two
+    * observations: (1) after int8 scalar quantization (the [[scalarQuantTopK]]
+    * quantizer — itself oracle-proven exact) every vector is integral, so
+    * per-dimension cluster sums are exact BIGINTs under ANY aggregation
+    * order; (2) cosine is scale-invariant, so cos(v, mean) = cos(v, sum)
+    * and the mean's division never needs to happen — the centroid IS the
+    * sum vector. Assignment ranks by
+    * `dot(v, s) / sqrt(|s|²)` (the |v| factor is constant per vector):
+    * both operands are exact BIGINTs, and BIGINT→DOUBLE cast, divide and
+    * sqrt are correctly-rounded IEEE ops, so the score — and therefore
+    * the argmax, ties to the lowest cid — is bit-identical in Spark and
+    * DuckDB. Empty clusters keep their previous centroid (mirrored in
+    * the oracle's `coalesce`).
+    *
+    * Init: the `k` lowest-id quantized vectors (no RNG). Each iteration
+    * is one map-side assignment pass (centroids ride in the closure —
+    * k×dim longs, no join) plus a (cid, dim)-grid sum with map-side
+    * combine (the shuffle is ≤ k×dim rows per mapper, never the member
+    * vectors); only k centroids return to the driver per iteration —
+    * the same driver-light contract as [[kmeansCentroids]].
+    *
+    * Exactness bound: |s_i| ≤ 127·n and |s|² ≤ dim·(127·n)² must fit a
+    * BIGINT → n ≲ 3×10⁶ members per cluster at dim 64. At 100 TB scale
+    * keep k ∝ N (the SemDeDup sizing contract, SCALE.md) or right-shift
+    * the sums by a power of two — cosine is unchanged by the rescale.
+    *
+    * Returns (cid, sumvec: array<bigint>, b: bigint = |s|²), cid 1-based
+    * in seed-id order. */
+  def lloydSumCentroids(spark: SparkSession, quantized: DataFrame,
+                        idCol: String, qvecCol: String,
+                        k: Int, iters: Int): Array[(Array[Long], Long)] = {
+    import spark.implicits._
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val vecs = quantized.select(col(idCol).cast("long").as("__id"),
+      col(qvecCol).as("__v"))
+    var cents: Array[Array[Long]] = vecs.orderBy("__id").limit(k)
+      .select("__v").as[Seq[Long]].collect().map(_.toArray)
+    require(cents.length == k,
+      s"corpus has only ${cents.length} vectors; need k = $k seeds")
+    val dim = cents(0).length
+    var it = 0
+    while (it < iters) {
+      val assign = assignUdf(cents)
+      // exact per-dimension BIGINT sums: posexplode to a (cid, dim) grid,
+      // partial-aggregated map-side; sort_array makes re-assembly
+      // order-deterministic
+      val sums = vecs
+        .select(assign(col("__v")).as("cid"),
+          posexplode(col("__v")).as(Seq("__j", "__x")))
+        .groupBy("cid", "__j").agg(sum("__x").as("__sj"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(__j, __sj))), p -> p.__sj)").as("__s"))
+        .as[(Long, Seq[Long])].collect()
+      val next = cents.map(_.clone()) // empty cluster keeps previous centroid
+      sums.foreach { case (cid, s) =>
+        require(s.length == dim, s"jagged sum vector for cid $cid")
+        next((cid - 1).toInt) = s.toArray
+      }
+      cents = next
+      it += 1
+    }
+    cents.map(s => (s, s.map(x => x * x).sum))
+  }
+
+  /** Map-side nearest-sum-centroid assignment (1-based cid; ties to the
+    * lowest cid; all-zero centroid scores -1e300 so it is never chosen
+    * over a live one). The score arithmetic — exact BIGINT dot and norm,
+    * then one IEEE divide/sqrt — matches the DuckDB oracle bit-for-bit. */
+  private def assignUdf(cents: Array[Array[Long]]) = {
+    val bs = cents.map(s => s.map(x => x * x).sum)
+    udf { (v: scala.collection.Seq[Long]) =>
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.length) {
+        val s = cents(c)
+        var d = 0L; var i = 0
+        val m = math.min(v.length, s.length)
+        while (i < m) { d += v(i) * s(i); i += 1 }
+        val score = if (bs(c) <= 0L) -1.0e300
+                    else d.toDouble / math.sqrt(bs(c).toDouble)
+        if (score > bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      best + 1L
+    }
+  }
+
+  /** IVF ANN top-k over LEARNED centroids: [[lloydSumCentroids]] output
+    * replaces [[ivfTopK]]'s caller-supplied seed rows — closing the
+    * "k-means output at production scale" loop under the oracle gate.
+    *
+    * Plan shape is strictly better than seed-row ivfTopK: assignment is
+    * a closure UDF (centroids are already on the driver), so the corpus
+    * side is ONE map-only pass — scan → quantize → assign → attach float
+    * vector+norm — with no per-vector window and no exchange until the
+    * final (id, id, double) top-k window. Queries (tiny) probe their
+    * `nprobe` best lists and broadcast against the assigned corpus.
+    * Candidates are exact-verified with the float cosine, so compression
+    * error affects only recall, never the reported similarity.
+    *
+    * Training scans the corpus iters+2 times (amax, init, per-iteration
+    * assignment); at 100 TB, train on a sample — the operator accepts
+    * any `trainOn` subset — and assignment/search still make one pass. */
+  def learnedIvfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int = 10,
+                     kLists: Int = 8, iters: Int = 2, nprobe: Int = 3,
+                     excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1 && nprobe <= kLists,
+      s"nprobe ($nprobe) must be in [1, kLists=$kLists]")
+    val amax = corpus.select(max(expr(
+      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    )).as("__amax"))
+    val amaxVal = Option(amax.head.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    require(amaxVal > 0.0,
+      s"learnedIvfTopK: corpus is empty or all-zero (max|x| = $amaxVal); cannot quantize")
+    val quantExpr = expr(
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / __amax) + 0.5D) AS BIGINT))")
+    val cq = corpus.crossJoin(broadcast(amax)).withColumn("__qv", quantExpr)
+      .select(col(idCol).cast("long").as("vec_id"), col("__qv"))
+    val cents = lloydSumCentroids(spark, cq, "vec_id", "__qv", kLists, iters)
+    val assign = assignUdf(cents.map(_._1))
+    val topProbes = {
+      val cs = cents.map(_._1); val bs = cents.map(_._2); val np = nprobe
+      udf { (v: scala.collection.Seq[Long]) =>
+        val scored = Array.tabulate(cs.length) { c =>
+          val s = cs(c)
+          var d = 0L; var i = 0
+          val m = math.min(v.length, s.length)
+          while (i < m) { d += v(i) * s(i); i += 1 }
+          val score = if (bs(c) <= 0L) -1.0e300
+                      else d.toDouble / math.sqrt(bs(c).toDouble)
+          (score, c + 1L)
+        }
+        scored.sortBy { case (score, cid) => (-score, cid) }.take(np).map(_._2)
+      }
+    }
+    // one map-only corpus pass: quantize → assign → carry float vec+norm
+    val c = withNorm(spark, corpus, vecCol).crossJoin(broadcast(amax))
+      .withColumn("__qv", quantExpr)
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("__cv"),
+        col("__norm2").as("__cn"), assign(col("__qv")).as("cid"))
+    val q = withNorm(spark, queries, vecCol).crossJoin(broadcast(amax))
+      .withColumn("__qv", quantExpr)
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv2"),
+        col("__norm2").as("__qn"),
+        explode(topProbes(col("__qv"))).as("cid"))
+      .withColumnRenamed("__qv2", "__qv")
+    val cand = c.join(broadcast(q), Seq("cid"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
+      .select("query_id", "vec_id", "__qv", "__cv", "__qn", "__cn")
+    rankTopK(cand, k)
+  }
+
   /** Embedding near-dup pairs: banded signature candidates + exact
     * cosine ≥ threshold. Output: vec_a, vec_b, cos_sim. */
   def nearDupPairs(spark: SparkSession, corpus: DataFrame,

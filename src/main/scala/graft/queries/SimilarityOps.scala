@@ -41,6 +41,10 @@ object SimilarityOps {
   private val PQ_NSUB = 16
   private val PQ_SEED_LO = 40
   private val PQ_SEED_HI = 72
+  /** sim11: 8 learned lists, 2 Lloyd iterations, 3 probes. */
+  private val KM_K = 8
+  private val KM_ITERS = 2
+  private val KM_NPROBE = 3
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -179,6 +183,23 @@ object SimilarityOps {
           corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
           poolK = 20, k = 5, lambdaRel = 0.7)
         .orderBy("query_id", "pick_order")
+    }),
+
+    // sim11 — LEARNED-centroid IVF [extension]: closes sim3's "at
+    // production scale, k-means output" loop under the oracle gate.
+    // Lloyd runs in integer space over int8-quantized vectors with
+    // SUM-centroids (cosine is scale-invariant, so the mean's division
+    // — the one step ordinary float k-means cannot reproduce across
+    // partitionings — never happens; cluster sums are exact BIGINTs
+    // under any aggregation order). The oracle replays both Lloyd
+    // iterations as unrolled CTEs; candidates exact-verify at float
+    // cosine, so the output schema matches sim3's.
+    "sim11_ivf_learned" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      graft.ops.VectorSearch.learnedIvfTopK(s, corpus,
+          corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
+          TOPK, kLists = KM_K, iters = KM_ITERS, nprobe = KM_NPROBE)
+        .orderBy("query_id", "rank")
     }))
 
   private val duckCos: String =
@@ -467,7 +488,83 @@ object SimilarityOps {
          |      ORDER BY rp_cos DESC, vec_id ASC) AS INT) AS rank
          |  FROM scored)
          |SELECT query_id, vec_id, rp_cos, rank FROM ranked
-         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin)
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin,
+
+    // Replays learnedIvfTopK from the same constants: sim4's quantizer,
+    // init = the KM_K lowest-id quantized vectors, then KM_ITERS Lloyd
+    // iterations UNROLLED as CTE triples (assign / per-dim BIGINT sums /
+    // coalesce-empty centroid). Cosine to a cluster MEAN equals cosine
+    // to its SUM, so centroids stay exact integer sum vectors and the
+    // assignment score — BIGINT dot over one IEEE divide/sqrt — is
+    // bit-identical to the Spark closure. Final candidates re-score at
+    // exact float cosine (sim3's scored/ranked tail).
+    "sim11_ivf_learned" -> {
+      def idot(a: String, b: String) =
+        s"""CAST(list_sum(list_transform(generate_series(1, 64), j ->
+           |          $a[j] * $b[j])) AS BIGINT)""".stripMargin
+      def score(v: String) =
+        s"""(CASE WHEN c.b > 0 THEN CAST(${idot(v, "c.s")} AS DOUBLE)
+           |          / sqrt(CAST(c.b AS DOUBLE)) ELSE -1e300 END)""".stripMargin
+      // one Lloyd iteration: assign to `prev`, per-dimension sums,
+      // empty clusters keep their previous centroid
+      def iter(n: Int, prev: String) =
+        s"""a$n AS (SELECT vec_id, qv, cid FROM (
+           |  SELECT v.vec_id, v.qv, c.cid,
+           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+           |      ${score("v.qv")} DESC, c.cid ASC) AS rk
+           |  FROM qe v, $prev c) WHERE rk = 1),
+           |s$n AS (SELECT cid, j, CAST(sum(qv[j]) AS BIGINT) AS sj
+           |  FROM a$n, UNNEST(generate_series(1, 64)) t(j) GROUP BY cid, j),
+           |n$n AS (SELECT cid, list(sj ORDER BY j) AS s FROM s$n GROUP BY cid),
+           |c$n AS (SELECT p.cid, coalesce(n$n.s, p.s) AS s,
+           |    CAST(list_sum(list_transform(coalesce(n$n.s, p.s), x -> x * x))
+           |      AS BIGINT) AS b
+           |  FROM $prev p LEFT JOIN n$n ON p.cid = n$n.cid)""".stripMargin
+      val iters = (1 to KM_ITERS).map(n => iter(n, s"c${n - 1}")).mkString(",\n")
+      s"""WITH am AS (
+         |  SELECT max(list_max(list_transform(embedding, x ->
+         |    abs(CAST(x AS DOUBLE))))) AS amax FROM embeddings),
+         |qe AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT)) AS qv
+         |  FROM embeddings, am),
+         |c0 AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS BIGINT) AS cid,
+         |         qv AS s,
+         |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS b
+         |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id ASC LIMIT $KM_K)),
+         |$iters,
+         |assign AS (SELECT vec_id, cid FROM (
+         |  SELECT v.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${score("v.qv")} DESC, c.cid ASC) AS rk
+         |  FROM qe v, c$KM_ITERS c) WHERE rk = 1),
+         |qprobe AS (SELECT query_id, cid FROM (
+         |  SELECT v.vec_id AS query_id, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${score("v.qv")} DESC, c.cid ASC) AS rk
+         |  FROM qe v, c$KM_ITERS c WHERE v.vec_id < $NQUERIES) WHERE rk <= $KM_NPROBE),
+         |e AS (SELECT vec_id, embedding, ${VectorExprs.duckNorm2} AS norm2
+         |      FROM embeddings),
+         |cand AS (
+         |  SELECT q.query_id, a.vec_id, qr.embedding AS ea, cr.embedding AS eb,
+         |         qr.norm2 AS qnorm, cr.norm2 AS cnorm
+         |  FROM assign a JOIN qprobe q USING (cid)
+         |  JOIN e qr ON q.query_id = qr.vec_id
+         |  JOIN e cr ON a.vec_id = cr.vec_id
+         |  WHERE q.query_id <> a.vec_id),
+         |scored AS (
+         |  SELECT query_id, vec_id, $duckCos AS cos_sim
+         |  FROM cand),
+         |ranked AS (
+         |  SELECT query_id, vec_id, cos_sim,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
+         |  FROM scored)
+         |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
+    })
 
   /** sim4's quantize → integer-dot → rank chain as a CTE list ending in
     * `ranked(query_id, vec_id, qcos, rank)` — stage 1 of sim6 verbatim. */

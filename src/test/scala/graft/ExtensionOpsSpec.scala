@@ -119,6 +119,38 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(recall >= 0.15, s"IVF-with-kmeans recall vs brute force fell to $recall")
   }
 
+  test("learned-IVF (sim11): partition-invariant, recall floor, degenerate guard") {
+    import graft.ops.VectorSearch
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 10)
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      VectorSearch.learnedIvfTopK(spark, corpus, qs, "vec_id", "embedding",
+          k = 10, kLists = 8, iters = 2, nprobe = 3)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    // the whole point of integer SUM-centroids: Lloyd's output — and so
+    // the search result — is bit-identical under any partitioning (the
+    // float-mean version cannot promise this; double sums reassociate)
+    val a = run(emb.repartition(7))
+    val b = run(emb.repartition(3, col("vec_id")))
+    assert(a === b, "learned-IVF result changed with corpus partitioning")
+    // recall floor vs exact brute force (nprobe=3 of 8 lists)
+    val brute = VectorSearch.cosineTopK(spark, emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = VectorSearch.learnedIvfTopK(spark, emb, qs, "vec_id", "embedding",
+        k = 10, kLists = 8, iters = 2, nprobe = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.15, s"learned-IVF recall vs brute force fell to $recall")
+    // degenerate corpus fails fast, mirroring pqTopK's guard
+    val ex = intercept[IllegalArgumentException] {
+      VectorSearch.learnedIvfTopK(spark, emb.filter(col("vec_id") < 0), qs,
+        "vec_id", "embedding", 10)
+    }
+    assert(ex.getMessage.contains("empty or all-zero"))
+  }
+
   test("exact dedup canonical ids are minimal within their fingerprint group") {
     val df = DedupOps.queries("dd1_exact_dedup")(spark, sf)
     val bad = df.groupBy("fingerprint").agg(min("doc_id").as("mn"),
