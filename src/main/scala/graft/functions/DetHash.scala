@@ -33,18 +33,34 @@ object DetHash {
   val A: IndexedSeq[Long] = (0 until K).map(i => hScala(s"minhash_a_$i") % (P - 1) + 1)
   val B: IndexedSeq[Long] = (0 until K).map(i => hScala(s"minhash_b_$i") % P)
 
-  /** Random-hyperplane matrix for embedding LSH: K planes × dim components
-    * in [-1, 1], derived from md5 of the (plane, dim) index pair. */
-  def planes(dim: Int): IndexedSeq[IndexedSeq[Double]] =
-    (0 until K).map(i => (0 until dim).map(j =>
+  /** Random-hyperplane matrix: `n` planes × dim components in [-1, 1],
+    * derived from md5 of the (plane, dim) index pair — row i is the same
+    * for every n, so wider matrices extend narrower ones (the
+    * high-dimensional JL tier asks for more planes than LSH's K-bit
+    * signatures; see HighDimEmbeddingSpec). */
+  def planesN(n: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] =
+    (0 until n).map(i => (0 until dim).map(j =>
       (hScala(s"plane_${i}_$j") % 2001L - 1000L) / 1000.0))
 
-  /** Memoized [[planes]] for per-row use on executors (16×dim md5 calls
-    * amortize to one materialization per distinct vector width). */
+  /** The K-plane matrix for embedding LSH (legacy shape). */
+  def planes(dim: Int): IndexedSeq[IndexedSeq[Double]] = planesN(K, dim)
+
+  /** Memoized [[planesN]] for per-row use on executors (n×dim md5 calls
+    * amortize to one materialization per distinct (n, width)). */
   private val planeCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, IndexedSeq[IndexedSeq[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), IndexedSeq[IndexedSeq[Double]]]()
+  def planesNFor(n: Int, dim: Int): IndexedSeq[IndexedSeq[Double]] =
+    planeCache.computeIfAbsent((n, dim), { case (nn, d) => planesN(nn, d) })
   def planesFor(dim: Int): IndexedSeq[IndexedSeq[Double]] =
-    planeCache.computeIfAbsent(dim, d => planes(d))
+    planesNFor(K, dim)
+
+  /** [[planesNFor]] as primitive arrays for the per-row UDF kernels
+    * (unboxed O(1) row/component access; same memoization contract). */
+  private val planeArrCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+  def planesArrFor(n: Int, dim: Int): Array[Array[Double]] =
+    planeArrCache.computeIfAbsent((n, dim),
+      { case (nn, d) => planesN(nn, d).map(_.toArray).toArray })
 
   /** Column form of H: 60-bit hash of a string column. */
   def h(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")

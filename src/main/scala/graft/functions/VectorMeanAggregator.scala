@@ -26,8 +26,9 @@ class VectorMeanAggregator(dim: Int)
     require(v.length == dim,
       s"VectorMeanAggregator(dim=$dim) saw a vector of length ${v.length}")
     val (sums, n) = b
+    val a = VectorUdfs.arrF(v) // List-backed Seq indexing is O(i) — see VectorUdfs
     var i = 0
-    while (i < dim) { sums(i) += v(i); i += 1 }
+    while (i < dim) { sums(i) += a(i); i += 1 }
     (sums, n + 1)
   }
 

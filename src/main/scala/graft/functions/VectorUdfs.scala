@@ -13,8 +13,34 @@ import org.apache.spark.sql.functions.udf
   */
 object VectorUdfs {
 
+  /** Spark's Scala-2.13 row deserializer hands `array<T>` UDF inputs to
+    * us as `immutable.Seq` — concretely a List, whose `apply(i)` is
+    * O(i). Every kernel below indexes in a loop, which silently turns
+    * O(dim) folds into O(dim²) — invisible at the 64-dim fixture,
+    * catastrophic at real embedding widths (caught by the 768-dim
+    * rehearsal, HighDimEmbeddingSpec: 3 threads pinned in List.drop).
+    * One O(dim) copy to a primitive-indexed array first. */
+  @inline private[graft] def arrF(v: Seq[Float]): Array[Float] = v match {
+    case null => null
+    case w: scala.collection.immutable.ArraySeq.ofFloat => w.unsafeArray
+    case _ => v.toArray
+  }
+
+  @inline private[graft] def arrL(v: scala.collection.Seq[Long]): Array[Long] = v match {
+    case null => null
+    case w: scala.collection.immutable.ArraySeq.ofLong => w.unsafeArray
+    case _ => v.toArray
+  }
+
+  @inline private[graft] def arrI(v: scala.collection.Seq[Int]): Array[Int] = v match {
+    case null => null
+    case w: scala.collection.immutable.ArraySeq.ofInt => w.unsafeArray
+    case _ => v.toArray
+  }
+
   /** Squared norm: left fold of x². */
-  val norm2: UserDefinedFunction = udf { (v: Seq[Float]) =>
+  val norm2: UserDefinedFunction = udf { (v0: Seq[Float]) =>
+    val v = arrF(v0)
     var acc = 0.0
     var i = 0
     while (i < v.length) { val x = v(i).toDouble; acc += x * x; i += 1 }
@@ -22,7 +48,8 @@ object VectorUdfs {
   }
 
   /** Dot product: left fold of elementwise products. */
-  val pairDot: UserDefinedFunction = udf { (a: Seq[Float], b: Seq[Float]) =>
+  val pairDot: UserDefinedFunction = udf { (a0: Seq[Float], b0: Seq[Float]) =>
+    val a = arrF(a0); val b = arrF(b0)
     var acc = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -47,12 +74,13 @@ object VectorUdfs {
     require(bits >= 1 && bits <= DetHash.K,
       s"planeSig supports 1..${DetHash.K} signature bits (DetHash defines " +
         s"${DetHash.K} hyperplanes); got $bits")
-    udf { (v: Seq[Float]) =>
-      if (oracleDim >= 0 && v.length != oracleDim)
+    udf { (v0: Seq[Float]) =>
+      if (oracleDim >= 0 && v0.length != oracleDim)
         throw new IllegalArgumentException(
-          s"planeSig: vector dim ${v.length} != oracle plane dim $oracleDim " +
+          s"planeSig: vector dim ${v0.length} != oracle plane dim $oracleDim " +
             "— Spark and the SQL oracle would sign with different plane matrices")
-      val planes = DetHash.planesFor(v.length)
+      val v = arrF(v0)
+      val planes = DetHash.planesArrFor(DetHash.K, v.length)
       var sig = 0L
       var i = 0
       while (i < bits) {
@@ -75,13 +103,16 @@ object VectorUdfs {
     * `oracleDim` width pin as planeSig, so projections are bit-identical
     * to the SQL oracle's plane literal. */
   def planeProject(dims: Int, oracleDim: Int = -1): UserDefinedFunction = {
-    require(dims >= 1 && dims <= DetHash.K,
-      s"planeProject supports 1..${DetHash.K} output dims, got $dims")
-    udf { (v: Seq[Float]) =>
-      if (oracleDim >= 0 && v.length != oracleDim)
+    // dims beyond DetHash.K draw additional md5-derived planes (row i is
+    // identical for every matrix width, so results for dims <= K are
+    // unchanged); the JL tier at 768-d projects to 192, not 16
+    require(dims >= 1, s"planeProject needs >= 1 output dim, got $dims")
+    udf { (v0: Seq[Float]) =>
+      if (oracleDim >= 0 && v0.length != oracleDim)
         throw new IllegalArgumentException(
-          s"planeProject: vector dim ${v.length} != oracle plane dim $oracleDim")
-      val planes = DetHash.planesFor(v.length)
+          s"planeProject: vector dim ${v0.length} != oracle plane dim $oracleDim")
+      val v = arrF(v0)
+      val planes = DetHash.planesArrFor(dims, v.length)
       val out = new Array[Double](dims)
       var i = 0
       while (i < dims) {

@@ -206,7 +206,8 @@ object VectorSearch {
       // in the UDF closure — no join, no shuffle; ties break to the
       // lowest cid so runs are reproducible
       val snap = cents
-      val assign = udf { (v: Seq[Float]) =>
+      val assign = udf { (v0: Seq[Float]) =>
+        val v = graft.functions.VectorUdfs.arrF(v0)
         var best = 0; var bestCos = Double.MinValue
         var c = 0
         while (c < snap.length) {
@@ -317,7 +318,8 @@ object VectorSearch {
     * then one IEEE divide/sqrt — matches the DuckDB oracle bit-for-bit. */
   private def assignUdf(cents: Array[Array[Long]]) = {
     val bs = cents.map(s => s.map(x => x * x).sum)
-    udf { (v: scala.collection.Seq[Long]) =>
+    udf { (v0: scala.collection.Seq[Long]) =>
+      val v = graft.functions.VectorUdfs.arrL(v0)
       var best = 0; var bestScore = Double.NegativeInfinity
       var c = 0
       while (c < cents.length) {
@@ -370,7 +372,8 @@ object VectorSearch {
     val assign = assignUdf(cents.map(_._1))
     val topProbes = {
       val cs = cents.map(_._1); val bs = cents.map(_._2); val np = nprobe
-      udf { (v: scala.collection.Seq[Long]) =>
+      udf { (v0: scala.collection.Seq[Long]) =>
+        val v = graft.functions.VectorUdfs.arrL(v0)
         val scored = Array.tabulate(cs.length) { c =>
           val s = cs(c)
           var d = 0L; var i = 0
@@ -677,7 +680,7 @@ object VectorSearch {
     // TokenProfileUdf/WinnowUdf)
     val cb: Array[Array[Long]] =
       Array.tabulate(nSub * kCw) { i => seedRows(i % kCw).slice((i / kCw) * sd, (i / kCw + 1) * sd) }
-    def subDists(qv: scala.collection.Seq[Long], m: Int): Array[Long] = {
+    def subDists(qv: Array[Long], m: Int): Array[Long] = {
       val out = new Array[Long](kCw)
       var cw = 0
       while (cw < kCw) {
@@ -689,7 +692,8 @@ object VectorSearch {
       out
     }
     // argmin with first-min tie-break = lowest codeword id
-    val encodeUdf = udf { qv: scala.collection.Seq[Long] =>
+    val encodeUdf = udf { qv0: scala.collection.Seq[Long] =>
+      val qv = graft.functions.VectorUdfs.arrL(qv0)
       Array.tabulate(nSub) { m =>
         val ds = subDists(qv, m)
         var best = 0; var cw = 1
@@ -697,7 +701,8 @@ object VectorSearch {
         best
       }
     }
-    val lutUdf = udf { qv: scala.collection.Seq[Long] =>
+    val lutUdf = udf { qv0: scala.collection.Seq[Long] =>
+      val qv = graft.functions.VectorUdfs.arrL(qv0)
       val out = new Array[Long](nSub * kCw)
       var m = 0
       while (m < nSub) {
@@ -712,7 +717,9 @@ object VectorSearch {
       .withColumn("__lut", lutUdf(col("__qv")))
       .select("query_id", "__lut")
     val self = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
-    val adcUdf = udf { (codes: scala.collection.Seq[Int], lut: scala.collection.Seq[Long]) =>
+    val adcUdf = udf { (codes0: scala.collection.Seq[Int], lut0: scala.collection.Seq[Long]) =>
+      val codes = graft.functions.VectorUdfs.arrI(codes0)
+      val lut = graft.functions.VectorUdfs.arrL(lut0)
       var s = 0L; var m = 0
       while (m < nSub) { s += lut(m * kCw + codes(m)); m += 1 }
       s
