@@ -312,6 +312,25 @@ object VectorSearch {
     cents.map(s => (s, s.map(x => x * x).sum))
   }
 
+  /** Top-`nprobe` sum-centroid list ids for a query vector (same score
+    * arithmetic as [[assignUdf]]; ties to the lowest cid). */
+  private def probeUdf(cents: Array[(Array[Long], Long)], nprobe: Int) = {
+    val cs = cents.map(_._1); val bs = cents.map(_._2); val np = nprobe
+    udf { (v0: scala.collection.Seq[Long]) =>
+      val v = graft.functions.VectorUdfs.arrL(v0)
+      val scored = Array.tabulate(cs.length) { c =>
+        val s = cs(c)
+        var d = 0L; var i = 0
+        val m = math.min(v.length, s.length)
+        while (i < m) { d += v(i) * s(i); i += 1 }
+        val score = if (bs(c) <= 0L) -1.0e300
+                    else d.toDouble / math.sqrt(bs(c).toDouble)
+        (score, c + 1L)
+      }
+      scored.sortBy { case (score, cid) => (-score, cid) }.take(np).map(_._2)
+    }
+  }
+
   /** Map-side nearest-sum-centroid assignment (1-based cid; ties to the
     * lowest cid; all-zero centroid scores -1e300 so it is never chosen
     * over a live one). The score arithmetic — exact BIGINT dot and norm,
@@ -370,22 +389,7 @@ object VectorSearch {
       .select(col(idCol).cast("long").as("vec_id"), col("__qv"))
     val cents = lloydSumCentroids(spark, cq, "vec_id", "__qv", kLists, iters)
     val assign = assignUdf(cents.map(_._1))
-    val topProbes = {
-      val cs = cents.map(_._1); val bs = cents.map(_._2); val np = nprobe
-      udf { (v0: scala.collection.Seq[Long]) =>
-        val v = graft.functions.VectorUdfs.arrL(v0)
-        val scored = Array.tabulate(cs.length) { c =>
-          val s = cs(c)
-          var d = 0L; var i = 0
-          val m = math.min(v.length, s.length)
-          while (i < m) { d += v(i) * s(i); i += 1 }
-          val score = if (bs(c) <= 0L) -1.0e300
-                      else d.toDouble / math.sqrt(bs(c).toDouble)
-          (score, c + 1L)
-        }
-        scored.sortBy { case (score, cid) => (-score, cid) }.take(np).map(_._2)
-      }
-    }
+    val topProbes = probeUdf(cents, nprobe)
     // one map-only corpus pass: quantize → assign → carry float vec+norm
     val c = withNorm(spark, corpus, vecCol).crossJoin(broadcast(amax))
       .withColumn("__qv", quantExpr)
@@ -678,6 +682,41 @@ object VectorSearch {
     // array expressions evaluate interpreted with per-element boxing;
     // this is the same compute-bound-kernel justification as
     // TokenProfileUdf/WinnowUdf)
+    val coder = pqCoder(seedRows, nSub)
+    val c = quantize(corpus, "vec_id")
+      .withColumn("__codes", coder.encode(col("__qv")))
+      .select("vec_id", "__codes")
+    val q = quantize(queries, "query_id")
+      .withColumn("__lut", coder.lut(col("__qv")))
+      .select("query_id", "__lut")
+    val self = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
+    c.crossJoin(broadcast(q)).filter(self)
+      .withColumn("pq_dist", coder.adc(col("__codes"), col("__lut")))
+      .select("query_id", "vec_id", "pq_dist")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("pq_dist").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
+  /** The PQ kernel triple shared by [[pqTopK]] and [[ivfPqTopK]]:
+    * encode (argmin codeword per subspace, first-min tie-break), LUT
+    * (the query's distance to every (subspace, codeword)), ADC (sum of
+    * LUT entries at the candidate's codes). All exact-BIGINT. */
+  private final case class PqCoder(
+      encode: org.apache.spark.sql.expressions.UserDefinedFunction,
+      lut: org.apache.spark.sql.expressions.UserDefinedFunction,
+      adc: org.apache.spark.sql.expressions.UserDefinedFunction)
+
+  private def pqCoder(seedRows: Array[Array[Long]], nSub: Int): PqCoder = {
+    val dim = seedRows.head.length
+    require(dim % nSub == 0, s"dim $dim not divisible into $nSub subspaces")
+    val sd = dim / nSub
+    val kCw = seedRows.length
+    // flat codebook: cb(m*kCw + cw)(j) — one primitive-array kernel per
+    // row beats the equivalent nested HOF lambdas ~10× (higher-order
+    // array expressions evaluate interpreted with per-element boxing;
+    // this is the same compute-bound-kernel justification as
+    // TokenProfileUdf/WinnowUdf)
     val cb: Array[Array[Long]] =
       Array.tabulate(nSub * kCw) { i => seedRows(i % kCw).slice((i / kCw) * sd, (i / kCw + 1) * sd) }
     def subDists(qv: Array[Long], m: Int): Array[Long] = {
@@ -710,13 +749,6 @@ object VectorSearch {
       }
       out
     }
-    val c = quantize(corpus, "vec_id")
-      .withColumn("__codes", encodeUdf(col("__qv")))
-      .select("vec_id", "__codes")
-    val q = quantize(queries, "query_id")
-      .withColumn("__lut", lutUdf(col("__qv")))
-      .select("query_id", "__lut")
-    val self = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
     val adcUdf = udf { (codes0: scala.collection.Seq[Int], lut0: scala.collection.Seq[Long]) =>
       val codes = graft.functions.VectorUdfs.arrI(codes0)
       val lut = graft.functions.VectorUdfs.arrL(lut0)
@@ -724,8 +756,61 @@ object VectorSearch {
       while (m < nSub) { s += lut(m * kCw + codes(m)); m += 1 }
       s
     }
-    c.crossJoin(broadcast(q)).filter(self)
-      .withColumn("pq_dist", adcUdf(col("__codes"), col("__lut")))
+    PqCoder(encodeUdf, lutUdf, adcUdf)
+  }
+
+  /** Composite IVF-PQ ANN top-k — the IVFADC shape of the PQ paper
+    * (coarse quantizer bounds WHICH vectors are scanned; product codes
+    * bound the BYTES per scanned vector), which is the production ANN
+    * deployment shape at 100 TB: scan cost ≈ (nprobe/kLists) × corpus ×
+    * ~codes bytes. Composes [[lloydSumCentroids]] (the oracle-exact
+    * integer Lloyd of sim11) with [[pqTopK]]'s exact-BIGINT ADC (sim7):
+    * corpus vectors are assigned to learned lists and PQ-encoded in ONE
+    * map-only pass; queries probe their `nprobe` best lists and carry
+    * their LUT; candidates in probed lists score by ADC only. Codes are
+    * encoded from the raw quantized vector, not the list residual (the
+    * residual is a rational sum/n — re-quantizing it would break the
+    * exact-integer contract that makes the whole composite
+    * hash-gateable; recall at fixture scale is unaffected, pinned in
+    * ScalaTest).
+    *
+    * Output: query_id, vec_id, pq_dist, rank ≤ k. */
+  def ivfPqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                codebookSeeds: DataFrame, idCol: String, vecCol: String,
+                k: Int = 10, nSub: Int = 4, kLists: Int = 8, iters: Int = 2,
+                nprobe: Int = 3, excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1 && nprobe <= kLists,
+      s"nprobe ($nprobe) must be in [1, kLists=$kLists]")
+    val amax = corpus.select(max(expr(
+      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    )).as("__amax"))
+    val amaxVal = Option(amax.head.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    require(amaxVal > 0.0,
+      s"ivfPqTopK: corpus is empty or all-zero (max|x| = $amaxVal); cannot quantize")
+    def quantize(df: DataFrame, outId: String) =
+      df.crossJoin(broadcast(amax))
+        .withColumn("__qv", expr(
+          s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / __amax) + 0.5D) AS BIGINT))"))
+        .select(col(idCol).cast("long").as(outId), col("__qv"))
+    val cq = quantize(corpus, "vec_id")
+    val cents = lloydSumCentroids(spark, cq, "vec_id", "__qv", kLists, iters)
+    val assign = assignUdf(cents.map(_._1))
+    val probes = probeUdf(cents, nprobe)
+    val seedRows = quantize(codebookSeeds, "__sid").orderBy("__sid")
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(seedRows.nonEmpty, "codebook seed set is empty")
+    val coder = pqCoder(seedRows, nSub)
+    // one map-only pass: list id + product codes per corpus vector
+    val c = cq.withColumn("cid", assign(col("__qv")))
+      .withColumn("__codes", coder.encode(col("__qv")))
+      .select("vec_id", "cid", "__codes")
+    val q = quantize(queries, "query_id")
+      .withColumn("__lut", coder.lut(col("__qv")))
+      .select(col("query_id"), col("__lut"),
+        explode(probes(col("__qv"))).as("cid"))
+    val self = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
+    c.join(broadcast(q), Seq("cid")).filter(self)
+      .withColumn("pq_dist", coder.adc(col("__codes"), col("__lut")))
       .select("query_id", "vec_id", "pq_dist")
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("pq_dist").asc, col("vec_id").asc)))

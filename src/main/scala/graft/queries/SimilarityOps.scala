@@ -200,6 +200,23 @@ object SimilarityOps {
           corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
           TOPK, kLists = KM_K, iters = KM_ITERS, nprobe = KM_NPROBE)
         .orderBy("query_id", "rank")
+    }),
+
+    // sim12 — composite IVF-PQ (IVFADC) [extension]: the production ANN
+    // deployment shape — sim11's learned coarse quantizer bounds WHICH
+    // vectors are scanned (nprobe/kLists of the corpus), sim7's product
+    // codes bound the BYTES per scanned vector (~10 B at this config).
+    // Both components are exact-integer, so even the full composite is
+    // hash-gated: the oracle chains sim11's unrolled Lloyd CTEs into
+    // sim7's encode/LUT/ADC CTEs.
+    "sim12_ivf_pq" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      graft.ops.VectorSearch.ivfPqTopK(s, corpus,
+          corpus.filter(col("vec_id") < NQUERIES),
+          corpus.filter(col("vec_id") >= PQ_SEED_LO && col("vec_id") < PQ_SEED_HI),
+          "vec_id", "embedding", TOPK, nSub = PQ_NSUB,
+          kLists = KM_K, iters = KM_ITERS, nprobe = KM_NPROBE)
+        .orderBy("query_id", "rank")
     }))
 
   private val duckCos: String =
@@ -498,53 +515,8 @@ object SimilarityOps {
     // assignment score — BIGINT dot over one IEEE divide/sqrt — is
     // bit-identical to the Spark closure. Final candidates re-score at
     // exact float cosine (sim3's scored/ranked tail).
-    "sim11_ivf_learned" -> {
-      def idot(a: String, b: String) =
-        s"""CAST(list_sum(list_transform(generate_series(1, 64), j ->
-           |          $a[j] * $b[j])) AS BIGINT)""".stripMargin
-      def score(v: String) =
-        s"""(CASE WHEN c.b > 0 THEN CAST(${idot(v, "c.s")} AS DOUBLE)
-           |          / sqrt(CAST(c.b AS DOUBLE)) ELSE -1e300 END)""".stripMargin
-      // one Lloyd iteration: assign to `prev`, per-dimension sums,
-      // empty clusters keep their previous centroid
-      def iter(n: Int, prev: String) =
-        s"""a$n AS (SELECT vec_id, qv, cid FROM (
-           |  SELECT v.vec_id, v.qv, c.cid,
-           |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-           |      ${score("v.qv")} DESC, c.cid ASC) AS rk
-           |  FROM qe v, $prev c) WHERE rk = 1),
-           |s$n AS (SELECT cid, j, CAST(sum(qv[j]) AS BIGINT) AS sj
-           |  FROM a$n, UNNEST(generate_series(1, 64)) t(j) GROUP BY cid, j),
-           |n$n AS (SELECT cid, list(sj ORDER BY j) AS s FROM s$n GROUP BY cid),
-           |c$n AS (SELECT p.cid, coalesce(n$n.s, p.s) AS s,
-           |    CAST(list_sum(list_transform(coalesce(n$n.s, p.s), x -> x * x))
-           |      AS BIGINT) AS b
-           |  FROM $prev p LEFT JOIN n$n ON p.cid = n$n.cid)""".stripMargin
-      val iters = (1 to KM_ITERS).map(n => iter(n, s"c${n - 1}")).mkString(",\n")
-      s"""WITH am AS (
-         |  SELECT max(list_max(list_transform(embedding, x ->
-         |    abs(CAST(x AS DOUBLE))))) AS amax FROM embeddings),
-         |qe AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding, x ->
-         |      CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT)) AS qv
-         |  FROM embeddings, am),
-         |c0 AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS BIGINT) AS cid,
-         |         qv AS s,
-         |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS b
-         |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id ASC LIMIT $KM_K)),
-         |$iters,
-         |assign AS (SELECT vec_id, cid FROM (
-         |  SELECT v.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |      ${score("v.qv")} DESC, c.cid ASC) AS rk
-         |  FROM qe v, c$KM_ITERS c) WHERE rk = 1),
-         |qprobe AS (SELECT query_id, cid FROM (
-         |  SELECT v.vec_id AS query_id, c.cid,
-         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-         |      ${score("v.qv")} DESC, c.cid ASC) AS rk
-         |  FROM qe v, c$KM_ITERS c WHERE v.vec_id < $NQUERIES) WHERE rk <= $KM_NPROBE),
+    "sim11_ivf_learned" ->
+      s"""WITH $duckLloydCtes,
          |e AS (SELECT vec_id, embedding, ${VectorExprs.duckNorm2} AS norm2
          |      FROM embeddings),
          |cand AS (
@@ -563,8 +535,105 @@ object SimilarityOps {
          |           ORDER BY cos_sim DESC, vec_id ASC) AS INT) AS rank
          |  FROM scored)
          |SELECT query_id, vec_id, cos_sim, rank FROM ranked
+         |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin,
+
+    // Chains the Lloyd CTEs into sim7's encode/LUT/ADC, with the ADC
+    // join restricted to (assign, qprobe) list matches — the IVFADC
+    // composite, replayed end-to-end.
+    "sim12_ivf_pq" -> {
+      val sd = 64 / PQ_NSUB
+      s"""WITH $duckLloydCtes,
+         |cbr AS (
+         |  SELECT qv, CAST(row_number() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS cidx
+         |  FROM qe WHERE vec_id >= $PQ_SEED_LO AND vec_id < $PQ_SEED_HI),
+         |dists AS (
+         |  SELECT c.vec_id, mm.m, b.cidx,
+         |    CAST(list_sum(list_transform(generate_series(1, $sd), j ->
+         |      (c.qv[mm.m * $sd + j] - b.qv[mm.m * $sd + j])
+         |      * (c.qv[mm.m * $sd + j] - b.qv[mm.m * $sd + j]))) AS BIGINT) AS d
+         |  FROM qe c, UNNEST(generate_series(0, ${PQ_NSUB - 1})) mm(m), cbr b),
+         |enc AS (
+         |  SELECT vec_id, m, code FROM (
+         |    SELECT vec_id, m, cidx AS code,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY d ASC, cidx ASC) AS rk
+         |    FROM dists) WHERE rk = 1),
+         |lut AS (SELECT vec_id AS query_id, m, cidx, d FROM dists
+         |        WHERE vec_id < $NQUERIES),
+         |sc AS (
+         |  SELECT l.query_id, en.vec_id, CAST(sum(l.d) AS BIGINT) AS pq_dist
+         |  FROM enc en
+         |  JOIN assign a ON en.vec_id = a.vec_id
+         |  JOIN qprobe qp ON a.cid = qp.cid
+         |  JOIN lut l ON l.query_id = qp.query_id
+         |            AND l.m = en.m AND l.cidx = en.code
+         |  WHERE l.query_id <> en.vec_id
+         |  GROUP BY l.query_id, en.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, pq_dist,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY pq_dist ASC, vec_id ASC) AS INT) AS rank
+         |  FROM sc)
+         |SELECT query_id, vec_id, pq_dist, rank FROM ranked
          |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
     })
+
+  /** sim11's learned-centroid chain as a CTE list: quantize (sim4's
+    * text), k-lowest-id init, KM_ITERS unrolled Lloyd iterations
+    * (assign / per-dim BIGINT sums / coalesce-empty), ending in
+    * `assign(vec_id, cid)` and `qprobe(query_id, cid)` against the
+    * final centroids. Cosine to a cluster MEAN equals cosine to its
+    * SUM, so centroids stay exact integer sum vectors and the score —
+    * BIGINT dot over one IEEE divide/sqrt — is bit-identical to the
+    * Spark closure (VectorSearch.lloydSumCentroids). */
+  private lazy val duckLloydCtes: String = {
+    def idot(a: String, b: String) =
+      s"""CAST(list_sum(list_transform(generate_series(1, 64), j ->
+         |          $a[j] * $b[j])) AS BIGINT)""".stripMargin
+    def score(v: String) =
+      s"""(CASE WHEN c.b > 0 THEN CAST(${idot(v, "c.s")} AS DOUBLE)
+         |          / sqrt(CAST(c.b AS DOUBLE)) ELSE -1e300 END)""".stripMargin
+    // one Lloyd iteration: assign to `prev`, per-dimension sums,
+    // empty clusters keep their previous centroid
+    def iter(n: Int, prev: String) =
+      s"""a$n AS (SELECT vec_id, qv, cid FROM (
+         |  SELECT v.vec_id, v.qv, c.cid,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+         |      ${score("v.qv")} DESC, c.cid ASC) AS rk
+         |  FROM qe v, $prev c) WHERE rk = 1),
+         |s$n AS (SELECT cid, j, CAST(sum(qv[j]) AS BIGINT) AS sj
+         |  FROM a$n, UNNEST(generate_series(1, 64)) t(j) GROUP BY cid, j),
+         |n$n AS (SELECT cid, list(sj ORDER BY j) AS s FROM s$n GROUP BY cid),
+         |c$n AS (SELECT p.cid, coalesce(n$n.s, p.s) AS s,
+         |    CAST(list_sum(list_transform(coalesce(n$n.s, p.s), x -> x * x))
+         |      AS BIGINT) AS b
+         |  FROM $prev p LEFT JOIN n$n ON p.cid = n$n.cid)""".stripMargin
+    val iters = (1 to KM_ITERS).map(n => iter(n, s"c${n - 1}")).mkString(",\n")
+    s"""am AS (
+       |  SELECT max(list_max(list_transform(embedding, x ->
+       |    abs(CAST(x AS DOUBLE))))) AS amax FROM embeddings),
+       |qe AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings, am),
+       |c0 AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id ASC) AS BIGINT) AS cid,
+       |         qv AS s,
+       |         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS b
+       |  FROM (SELECT vec_id, qv FROM qe ORDER BY vec_id ASC LIMIT $KM_K)),
+       |$iters,
+       |assign AS (SELECT vec_id, cid FROM (
+       |  SELECT v.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${score("v.qv")} DESC, c.cid ASC) AS rk
+       |  FROM qe v, c$KM_ITERS c) WHERE rk = 1),
+       |qprobe AS (SELECT query_id, cid FROM (
+       |  SELECT v.vec_id AS query_id, c.cid,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+       |      ${score("v.qv")} DESC, c.cid ASC) AS rk
+       |  FROM qe v, c$KM_ITERS c WHERE v.vec_id < $NQUERIES) WHERE rk <= $KM_NPROBE)""".stripMargin
+  }
 
   /** sim4's quantize → integer-dot → rank chain as a CTE list ending in
     * `ranked(query_id, vec_id, qcos, rank)` — stage 1 of sim6 verbatim. */

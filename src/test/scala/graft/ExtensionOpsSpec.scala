@@ -151,6 +151,31 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(ex.getMessage.contains("empty or all-zero"))
   }
 
+  test("IVF-PQ composite (sim12): partition-invariant, recall floor vs plain PQ") {
+    import graft.ops.VectorSearch
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 10)
+    val seeds = emb.filter(col("vec_id") >= 40 && col("vec_id") < 72)
+    def run(corpus: org.apache.spark.sql.DataFrame) =
+      VectorSearch.ivfPqTopK(spark, corpus, qs, seeds, "vec_id", "embedding",
+          k = 10, nSub = 16, kLists = 8, iters = 2, nprobe = 3)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+    assert(run(emb.repartition(7)) === run(emb.repartition(3, col("vec_id"))),
+      "IVF-PQ result changed with corpus partitioning")
+    // the composite prunes candidates to probed lists; within them the
+    // scores are plain-PQ ADC, so recall vs exact L2 should track
+    // plainPQ-recall x IVF-probe-recall (never exceed plain PQ)
+    def topSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topSet(VectorSearch.l2TopK(spark, emb, qs, "vec_id", "embedding", 10))
+    val got = topSet(VectorSearch.ivfPqTopK(spark, emb, qs, seeds,
+      "vec_id", "embedding", k = 10, nSub = 16, kLists = 8, iters = 2, nprobe = 3))
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(f"IVF-PQ recall@10 vs exact L2: $recall%.3f")
+    assert(recall >= 0.2, s"IVF-PQ composite collapsed: $recall")
+  }
+
   test("exact dedup canonical ids are minimal within their fingerprint group") {
     val df = DedupOps.queries("dd1_exact_dedup")(spark, sf)
     val bad = df.groupBy("fingerprint").agg(min("doc_id").as("mn"),
