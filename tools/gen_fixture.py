@@ -22,9 +22,26 @@ Matched shape properties (measured from /root/testdata/sf0.1):
   lineitem/orders: TPC-H-ish columns, 4 lines/order, non-unique
     (orderkey, linenumber) -- matching the TESTDATA caveat.
 
-Usage: python3 tools/gen_fixture.py MULT OUTDIR
+Usage: python3 tools/gen_fixture.py MULT OUTDIR [--skew]
   MULT: size as a multiple of sf0.1 (1 -> gsf0.1-equivalent, 10 -> sf1)
   e.g. python3 tools/gen_fixture.py 10 target/fixtures/gsf1
+
+--skew (round-9 skew-realism rehearsal, VERDICT r8 ask #4): emits ONLY
+documents.parquet + planted_pairs.parquet, with the statistical shape
+of a real crawl instead of the driver fixture's uniform 31-word toy:
+  - 20,000-type Zipf(s=1.07) vocabulary (hot shingles arise naturally),
+  - lognormal doc lengths (median ~150 tokens, tail to 3,000),
+  - per-language function words at ~30% token rate (en/de/es/fr; zh
+    docs carry no markers and must resolve to 'und'),
+  - a 20% boilerplate TEMPLATE CLIQUE (100 fixed tokens + 8 unique) --
+    the error-page/listing-template shape that makes unguarded LSH,
+    shingle joins and winnowing postings quadratic,
+  - a dominant domain (src0 at 60%) and ~2% blank-payload assets
+    (empty text -- identical payloads for the pHash path),
+  - ~5% planted ~95%-overlap near-dup pairs OUTSIDE the clique,
+    recorded in planted_pairs.parquet(doc_a, doc_b) so guard-on runs
+    can report recall against ground truth.
+Consumed by graft.RehearseSkew (SCALE.md skew-rehearsal table).
 """
 import sys
 import numpy as np
@@ -68,6 +85,88 @@ def gen_documents(rng, n):
         "source": pa.array(sources),
         "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
     })
+
+
+SKEW_VOCAB = 20000
+SKEW_ZIPF_S = 1.07
+FUNC_WORDS = {"en": ["the", "a", "is"], "de": ["der", "die", "und"],
+              "es": ["el", "la", "y"], "fr": ["le", "les", "et"]}
+SKEW_LANGS = ["en", "de", "es", "fr", "zh"]
+SKEW_LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
+
+
+def gen_documents_skew(rng, n):
+    """Realistic-crawl document corpus (see module docstring)."""
+    # Zipf(s) over a truncated 20k-type vocabulary via inverse-CDF on
+    # the normalized rank weights (rng.zipf is unbounded; choice(p=...)
+    # over 20k categories is slow for ~10M draws).
+    ranks = np.arange(1, SKEW_VOCAB + 1, dtype=np.float64)
+    cdf = np.cumsum(ranks ** -SKEW_ZIPF_S)
+    cdf /= cdf[-1]
+
+    def zipf_words(k):
+        return [f"w{r}" for r in np.searchsorted(cdf, rng.random(k))]
+
+    template = zipf_words(100)  # the boilerplate clique body
+    lens = np.clip(rng.lognormal(np.log(150.0), 0.8, size=n), 10, 3000)
+    lens = lens.astype(np.int64)
+    lang_idx = rng.choice(5, size=n, p=SKEW_LANG_P)
+    is_template = rng.random(n) < 0.20
+    is_blank = (~is_template) & (rng.random(n) < 0.025)
+    is_neardup = (~is_template) & (~is_blank) & (rng.random(n) < 0.055)
+    # src0 dominates (60%); the rest spread over src1..src9.
+    src_draw = rng.random(n)
+    sources = [("src0" if d < 0.60 else f"src{1 + int((d - 0.60) / 0.40 * 9)}")
+               for d in src_draw]
+
+    texts, langs = [], []
+    organic = []          # indices eligible as near-dup bases
+    planted_a, planted_b = [], []
+    for i in range(n):
+        lang = SKEW_LANGS[lang_idx[i]]
+        if is_blank[i]:
+            texts.append("")
+            langs.append(lang)
+            continue
+        if is_template[i]:
+            # 100 shared tokens + 8 unique: one hot LSH bucket / hot
+            # shingles / hot winnow fingerprints, by construction.
+            texts.append(" ".join(template + [f"u{i}_{j}" for j in range(8)]))
+            langs.append(lang)
+            continue
+        if is_neardup[i] and organic:
+            base_i = organic[rng.integers(0, len(organic))]
+            toks = texts[base_i].split()
+            m = max(1, len(toks) // 20)  # ~95% token overlap
+            for _ in range(m):
+                toks[rng.integers(0, len(toks))] = f"w{1 + rng.integers(0, SKEW_VOCAB)}"
+            texts.append(" ".join(toks))
+            langs.append(langs[base_i])
+            planted_a.append(base_i)
+            planted_b.append(i)
+            continue
+        toks = zipf_words(int(lens[i]))
+        fw = FUNC_WORDS.get(lang)
+        if fw is not None:  # ~30% function-word rate, like real prose
+            marks = np.flatnonzero(rng.random(len(toks)) < 0.30)
+            for p in marks:
+                toks[p] = fw[rng.integers(0, len(fw))]
+        texts.append(" ".join(toks))
+        langs.append(lang)
+        organic.append(i)
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(langs),
+        "source": pa.array(sources),
+        "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+    })
+    pairs = pa.table({
+        "doc_a": pa.array(np.array(planted_a, dtype=np.int64)),
+        "doc_b": pa.array(np.array(planted_b, dtype=np.int64)),
+    })
+    return docs, pairs
 
 
 def gen_embeddings(rng, n, dim=64, labels=10):
@@ -143,6 +242,7 @@ def gen_lineitem(rng, n, n_orders, n_part, n_supp):
 
 def main():
     mult, outdir = float(sys.argv[1]), sys.argv[2]
+    skew = "--skew" in sys.argv[3:]
     import os
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(42)
@@ -150,6 +250,12 @@ def main():
     def emit(name, table):
         pq.write_table(table, f"{outdir}/{name}.parquet")
         print(f"{name}: {table.num_rows} rows")
+
+    if skew:
+        docs, pairs = gen_documents_skew(rng, int(5000 * mult))
+        emit("documents", docs)
+        emit("planted_pairs", pairs)
+        return
 
     emit("documents", gen_documents(rng, int(5000 * mult)))
     emit("embeddings", gen_embeddings(rng, int(2000 * mult)))
