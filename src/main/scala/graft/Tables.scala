@@ -152,9 +152,21 @@ object Tables {
     * all zero, so the conversion is lossless vs the DuckDB oracle. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = read(spark, dir, "events")
+    // fixture generations differ: TIMESTAMP(NANOS) files surface as LONG
+    // under the legacy conf (convert: nanos → micros); TIMESTAMP(MICROS)
+    // files surface as a (session-TZ-less) timestamp directly — cast to
+    // the session-zoned TimestampType every downstream window/cohort op
+    // expects (identical wall times under the UTC session both the
+    // driver and Verify/Bench pin).
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

@@ -100,6 +100,8 @@ object NativeVectorExpressions {
       "vec_dot", exprs => FloatVectorDot(exprs(0), exprs(1)), "internal")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_norm2", exprs => FloatVectorNorm2(exprs.head), "internal")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "block_mean_hash48", exprs => BlockMeanHash48(exprs.head), "internal")
     if (!spark.experimental.extraOptimizations.contains(SelfDotToNorm)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ SelfDotToNorm

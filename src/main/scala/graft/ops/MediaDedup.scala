@@ -35,39 +35,30 @@ import org.apache.spark.sql.functions._
   */
 object MediaDedup {
 
-  private val BITS = 48
+  private val BITS = graft.functions.BlockMeanHashKernel.Bits
   private val CHUNKS = 4
   private val CHUNK_BITS = BITS / CHUNKS
 
-  /** byte i (1-based) of `payload` as a BIGINT. */
-  private def byteAt(i: String) =
-    s"CAST(conv(hex(substring(__payload, $i, 1)), 16, 10) AS BIGINT)"
-
   /** (idCol, n_bytes, phash): 48-bit block-mean perceptual hash per row.
     * Rows with empty payloads are excluded (a hash of nothing is
-    * meaningless, and every empty payload would pair with every other). */
+    * meaningless, and every empty payload would pair with every other).
+    *
+    * The hash is the codegen'd [[graft.functions.BlockMeanHash48]]
+    * kernel: the payload is evaluated once per row and scanned twice
+    * (O(L)). An earlier SQL higher-order-function form of the same
+    * integer spec was O(L²) per row whenever the payload column was an
+    * expression — `CollapseProject` inlined it into the per-byte
+    * `substring` lambda, re-encoding the document once per byte (see the
+    * scaladoc on BlockMeanHash48 for the forensic detail; found when the
+    * round-9 skew rehearsal's lognormal-tail documents pushed one task to
+    * 20 CPU-minutes). */
   def blockMeanHash(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
-    val blocks =
-      s"""transform(sequence(0, ${BITS - 1}), b ->
-         |  if((CAST(b + 1 AS BIGINT) * __len) div $BITS >= (CAST(b AS BIGINT) * __len) div $BITS + 1,
-         |    named_struct(
-         |      's', aggregate(
-         |             sequence(CAST((CAST(b AS BIGINT) * __len) div $BITS AS INT) + 1,
-         |                      CAST((CAST(b + 1 AS BIGINT) * __len) div $BITS AS INT)),
-         |             0L, (a, i) -> a + ${byteAt("i")}),
-         |      'n', (CAST(b + 1 AS BIGINT) * __len) div $BITS
-         |           - (CAST(b AS BIGINT) * __len) div $BITS),
-         |    named_struct('s', 0L, 'n', 0L)))""".stripMargin
+    graft.functions.NativeVectorExpressions.register(df.sparkSession)
     df.select(col(idCol), col(payloadCol).as("__payload"))
       .filter(octet_length(col("__payload")) > 0)
-      .withColumn("__len", octet_length(col("__payload")).cast("long"))
-      .withColumn("__bs", expr(blocks))
-      .withColumn("__total", expr("aggregate(__bs, 0L, (a, x) -> a + x.s)"))
-      .withColumn("phash", expr(
-        s"""aggregate(zip_with(__bs, sequence(0, ${BITS - 1}),
-           |  (x, b) -> if(x.s * __len > __total * x.n, shiftleft(1L, b), 0L)),
-           |0L, (a, v) -> a + v)""".stripMargin))
-      .select(col(idCol), col("__len").as("n_bytes"), col("phash"))
+      .select(col(idCol),
+        octet_length(col("__payload")).cast("long").as("n_bytes"),
+        expr("block_mean_hash48(__payload)").as("phash"))
   }
 
   /** Near-dup payload pairs within `maxHamming` of each other:

@@ -281,8 +281,15 @@ object VectorSearch {
     import spark.implicits._
     require(k >= 1, s"k must be >= 1, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // persisted across the seed collect + every Lloyd iteration: without
+    // it each iteration re-runs the upstream scan + quantize transform
+    // (iters+1 redundant passes). At 100 TB `quantized` is a SAMPLE (see
+    // learnedIvfTopK scaladoc), so the training set is cache-sized by
+    // construction.
     val vecs = quantized.select(col(idCol).cast("long").as("__id"),
       col(qvecCol).as("__v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     var cents: Array[Array[Long]] = vecs.orderBy("__id").limit(k)
       .select("__v").as[Seq[Long]].collect().map(_.toArray)
     require(cents.length == k,
@@ -310,6 +317,7 @@ object VectorSearch {
       it += 1
     }
     cents.map(s => (s, s.map(x => x * x).sum))
+    } finally vecs.unpersist(blocking = false)
   }
 
   /** Top-`nprobe` sum-centroid list ids for a query vector (same score

@@ -79,8 +79,17 @@ object Streams {
         .option("pathGlobFilter", "events.parquet")) {
       case (r, (k, v)) => r.option(k, v)
     }
-    reader.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = reader.parquet(dir)
+    // same either-generation ts normalization as Tables.events: NANOS
+    // fixtures arrive as LONG under the legacy conf, MICROS fixtures as
+    // a TZ-less timestamp
+    stream.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        stream.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 
   /** Streaming view of `documents` (Tables.documents, streaming flavor).

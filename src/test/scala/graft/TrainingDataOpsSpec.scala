@@ -181,6 +181,47 @@ class TrainingDataOpsSpec extends SparkSuite {
     assert(ph(0) === ph(1))
   }
 
+  test("block_mean_hash48: kernel matches an independent spec replay; expression child evaluated once") {
+    import spark.implicits._
+    // independent replay of the oracle's integer spec (MultimodalOps
+    // "mm5_perceptual_hash": 48 ranges, bit b = 1 iff s_b·L > total·n_b)
+    def ref(bytes: Array[Byte]): Long = {
+      val L = bytes.length.toLong
+      val total = bytes.map(b => (b & 0xff).toLong).sum
+      (0 until 48).map { b =>
+        val lo = b * L / 48; val hi = (b + 1) * L / 48
+        val s = (lo until hi).map(j => (bytes(j.toInt) & 0xff).toLong).sum
+        if (hi > lo && s * L > total * (hi - lo)) 1L << b else 0L
+      }.sum
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq(
+      Array.empty[Byte],                       // L = 0 (excluded upstream, kernel still total-0)
+      Array[Byte](42),                         // L = 1 < 48: one block, bit 0 (s·L = total·n)
+      Array.fill[Byte](47)(9),                 // all blocks ≤ 1 byte, all-equal → all bits 0
+      Array.fill[Byte](480)(rnd.nextInt(256).toByte),
+      Array.fill[Byte](481)(rnd.nextInt(256).toByte),  // non-divisible L
+      Array.fill[Byte](9331)(rnd.nextInt(256).toByte)) // lognormal-tail size
+    cases.foreach { p =>
+      assert(graft.functions.BlockMeanHashKernel.hash(p) === ref(p))
+    }
+    // the DataFrame path over an EXPRESSION payload (encode of text) —
+    // the shape that used to inline into per-byte substring lambdas and
+    // go O(L²); values must match the kernel on the raw bytes
+    val docs = Seq((1L, "a" * 47), (2L, rnd.nextString(5000)), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val viaDf = graft.ops.MediaDedup
+      .blockMeanHash(docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("p")),
+        "doc_id", "p")
+      .orderBy("doc_id").collect()
+    val texts = docs.orderBy("doc_id").select("text").as[String].collect()
+    viaDf.zip(texts).foreach { case (row, text) =>
+      val bytes = text.getBytes("UTF-8")
+      assert(row.getLong(1) === bytes.length.toLong)
+      assert(row.getLong(2) === ref(bytes))
+    }
+  }
+
   test("greedyPack: no-split boundaries, oversize isolation, pack-fill law") {
     import spark.implicits._
     // budget 10; shard A exercises fit/no-fit/exact-fit, B the oversize

@@ -67,11 +67,18 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = args.names or sorted(os.listdir(out_dir))
+    names = args.names or sorted(set(os.listdir(out_dir)) | set(oracles))
     n_pass = n_fail = n_noracle = 0
     for name in names:
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
+            if name == "oracle_sql.json":
+                continue
+            # an oracle entry whose Spark dump never materialized is a
+            # FAILURE (a query that crashed in Verify), not a skip —
+            # silently skipping hid 17 crashed event queries once
+            print(f"FAIL {name}: no Verify output (query crashed or was not run)")
+            n_fail += 1
             continue
         files = glob.glob(f"{qdir}/*.parquet")
         if not files:
