@@ -38,6 +38,25 @@ object Bench {
           .select("event_id"),
         "bench_warm_dedup", "append", rocksdb = true).count()
     }
+    // Contention calibration (round-10 verdict ask #2): a FIXED,
+    // data-independent CPU+shuffle kernel (64M-row range → mod-key
+    // aggregate over 32 partitions) timed immediately before and after
+    // the battery, shipped in both JSON artifacts. On an idle host the
+    // two readings sit in a tight band (the kernel touches no files, so
+    // only scheduler/CPU pressure moves it); a contended run shows
+    // inflated and/or divergent readings — making host contention
+    // adjudicable from the round's own artifact instead of forensic
+    // re-runs (r7 i1, r8 s7, r9 s8 all burned builder time on this).
+    // One untimed pass first so the reading measures load, not JIT.
+    def calibOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 64L * 1000 * 1000, 1, 32)
+        .selectExpr("id % 9973 AS k", "id")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("id")).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibOnce()
+    val calibBefore = math.min(calibOnce(), calibOnce())
     // Optional comma-separated query-name filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=px2_cluster_curation,dd7_cluster_dedup);
     // unset = the full inventory, which is what the driver runs.
@@ -88,10 +107,12 @@ object Bench {
       val warm = if (onePass || first < 0) -1.0 else timeOne(name, fn, "warm")
       name -> (if (first < 0) -1.0 else if (warm < 0) first else math.min(first, warm))
     }.toMap
+    val calibAfter = math.min(calibOnce(), calibOnce())
     def fmt(v: Double, d: Int): String =
       s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val calibJson = s""""calib_before_s":${fmt(calibBefore, 2)},"calib_after_s":${fmt(calibAfter, 2)}"""
     // The driver captures only the last 2000 chars of stdout (confirmed by
     // BENCH_r01..r04: tail length is exactly 2000 and every full-inventory
     // line overflowed it → "parsed": null). sbt appends its own
@@ -104,7 +125,7 @@ object Bench {
       .map { case (k, v) =>
         s"\"" + k + "\":{\"first\":" + fmt(v, 2) + ",\"min2\":" + fmt(min2(k), 2) + "}" }
       .mkString(
-        s"""{"metric":"total","value":${fmt(total, 2)},"total_min2":${fmt(totalMin2, 2)},"unit":"sec","sf":"$sfTag","nq":${results.size},"queries":{""",
+        s"""{"metric":"total","value":${fmt(total, 2)},"total_min2":${fmt(totalMin2, 2)},$calibJson,"unit":"sec","sf":"$sfTag","nq":${results.size},"queries":{""",
         ",", "}}")
     // resolved against the launch directory (sbt runs from the repo root),
     // not a hardcoded checkout path; only the complete inventory is dumped
@@ -115,7 +136,7 @@ object Bench {
         fullJson.getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] full dump failed: ${e.getMessage}") }
     val byTimeDesc = results.toSeq.sortBy { case (_, v) => -v }
-    val qBudget = 1550 // bytes for the queries map body; ~90 entries at 1 decimal
+    val qBudget = 1500 // bytes for the queries map body; ~88 entries at 1 decimal
     val sb = new StringBuilder
     var kept = 0
     byTimeDesc.foreach { case (k, v) =>
@@ -125,7 +146,7 @@ object Bench {
         sb.append(piece); kept += 1
       }
     }
-    println(s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":{$sb},"sf":"$sfTag","nq":${results.size},"reported":$kept}""")
+    println(s"""{"metric":"total","value":${fmt(total, 2)},$calibJson,"unit":"sec","queries":{$sb},"sf":"$sfTag","nq":${results.size},"reported":$kept}""")
     spark.stop()
   }
 }

@@ -161,6 +161,14 @@ object Tables {
     // driver and Verify/Bench pin).
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // LongType here means EITHER TIMESTAMP(NANOS) surfaced as a long
+        // under the legacy conf, OR a plain unannotated INT64 — which the
+        // nanos→micros division would silently mis-scale by 1000×. Check
+        // the parquet footer's logical-type annotation and fail loudly on
+        // unannotated input instead of guessing its unit.
+        require(tsLogicalUnitIsNanos(spark, s"$dir/events.parquet"),
+          s"events.ts in $dir is INT64 without a TIMESTAMP(NANOS) logical " +
+            "annotation; refusing to guess its time unit")
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ =>
@@ -168,6 +176,39 @@ object Tables {
           .cast(org.apache.spark.sql.types.TimestampType))
     }
   }
+  /** Footer check backing [[events]]'s INT64 guard: true iff the `ts`
+    * column carries a TIMESTAMP(NANOS) logical annotation. Reads one
+    * parquet footer (no data scan), memoized per path — [[events]] is
+    * called once per consuming query. Handles both a single-file
+    * fixture and a directory of part files (first .parquet wins: Spark
+    * would refuse a mixed-annotation directory at schema merge anyway). */
+  private val tsUnitMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private[graft] def tsLogicalUnitIsNanos(spark: SparkSession, path: String): Boolean =
+    tsUnitMemo.computeIfAbsent(path, _ => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
+            .sortBy(_.getName).headOption.getOrElse(
+              throw new IllegalArgumentException(s"no parquet files under $path"))
+        else p
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val ts = schema.getType(schema.getFieldIndex("ts"))
+        ts.asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+          case _ => false
+        }
+      } finally reader.close()
+    })
+
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
 

@@ -47,6 +47,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Manifest of the SELECTED query names: the gate's "did every query
+    // produce output" check needs the attempted set, not just the keys
+    // that happen to have oracles — without it, a crashed rows-only
+    // query (no oracle entry, no output dir) disappears silently.
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 
@@ -67,7 +67,11 @@ object BlockMeanHashKernel {
   * [[NativeVectorExpressions.register]].
   */
 case class BlockMeanHash48(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  // ImplicitCastInputTypes (not bare ExpectsInputTypes): the earlier SQL
+  // HOF form accepted STRING payloads via Catalyst's standard
+  // string→binary coercion; external MediaDedup.blockMeanHash callers
+  // keep that contract instead of a silent analysis-time narrowing.
 
   override def dataType: DataType = LongType
   override def prettyName: String = "block_mean_hash48"

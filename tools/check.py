@@ -67,16 +67,28 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf}/{t}.parquet')")
 
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    names = args.names or sorted(set(os.listdir(out_dir)) | set(oracles))
+    # The attempted-query set comes from Verify's manifest (every SELECTED
+    # query, including rows-only ones with no oracle entry) so a crashed
+    # no-oracle query still surfaces as FAIL below. Fallback for a
+    # pre-manifest dump: output dirs ∪ oracle keys — weaker (a crashed
+    # rows-only query is invisible to it), so warn. Stray non-directory
+    # files (editor temps, .crc) never enter `names` either way.
+    mf = os.path.join(out_dir, "manifest.json")
+    if os.path.exists(mf):
+        attempted = set(json.load(open(mf)))
+    else:
+        print("WARN: no manifest.json (old Verify dump?) — crashed "
+              "rows-only queries cannot be detected")
+        attempted = {n for n in os.listdir(out_dir)
+                     if os.path.isdir(os.path.join(out_dir, n))}
+    names = args.names or sorted(attempted | set(oracles))
     n_pass = n_fail = n_noracle = 0
     for name in names:
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
-            if name == "oracle_sql.json":
-                continue
-            # an oracle entry whose Spark dump never materialized is a
-            # FAILURE (a query that crashed in Verify), not a skip —
-            # silently skipping hid 17 crashed event queries once
+            # a selected query whose Spark dump never materialized is a
+            # FAILURE (it crashed in Verify), not a skip — silently
+            # skipping hid 17 crashed event queries once
             print(f"FAIL {name}: no Verify output (query crashed or was not run)")
             n_fail += 1
             continue
