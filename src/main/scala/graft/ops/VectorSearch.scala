@@ -363,56 +363,111 @@ object VectorSearch {
     }
   }
 
+  /** Trained IVF coarse-quantizer state — the driver-side model split
+    * out of [[learnedIvfTopK]] so train and serve can be priced
+    * separately (round-9 verdict ask #6): `amaxVal` is the corpus int8
+    * quantization denominator, `cents` the learned (sum-vector, |s|²)
+    * centroids. A session shares ONE model per corpus
+    * ([[graft.queries.Shared.obj]]) and serves every query batch from
+    * it — the production contract, where the index is trained offline
+    * and queries pay only the search. */
+  final case class IvfModel(amaxVal: Double, cents: Array[(Array[Long], Long)])
+
+  /** Corpus |x|-max for int8 quantization; fails fast on an empty or
+    * all-zero corpus (message text is API: tests pin it). */
+  private def corpusAmax(corpus: DataFrame, vecCol: String, who: String): Double = {
+    val amaxVal = Option(corpus.select(max(expr(
+      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
+    )).as("__amax")).head.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
+    require(amaxVal > 0.0,
+      s"$who: corpus is empty or all-zero (max|x| = $amaxVal); cannot quantize")
+    amaxVal
+  }
+
+  /** int8 quantization against a driver-side scale: `__amax` rides as a
+    * LITERAL column (the exact double the trainer measured), so the
+    * arithmetic is bit-identical to the crossJoin-attached form the
+    * oracle replays, without re-scanning the corpus per serve. */
+  private def quantExpr(vecCol: String): org.apache.spark.sql.Column = expr(
+    s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / __amax) + 0.5D) AS BIGINT))")
+
+  private def quantized(df: DataFrame, vecCol: String, amaxVal: Double,
+                        idCol: String, outId: String): DataFrame =
+    df.withColumn("__amax", lit(amaxVal)).withColumn("__qv", quantExpr(vecCol))
+      .select(col(idCol).cast("long").as(outId), col("__qv"))
+
+  /** Train the IVF coarse quantizer: one amax scan + integer Lloyd
+    * ([[lloydSumCentroids]]). Scans `corpus` iters+2 times — at 100 TB
+    * pass a SAMPLE as the training corpus; assignment and search still
+    * make one pass over the full corpus. */
+  def ivfTrain(spark: SparkSession, corpus: DataFrame, idCol: String,
+               vecCol: String, kLists: Int = 8, iters: Int = 2,
+               who: String = "learnedIvfTopK"): IvfModel = {
+    val amaxVal = corpusAmax(corpus, vecCol, who)
+    val cq = quantized(corpus, vecCol, amaxVal, idCol, "vec_id")
+    IvfModel(amaxVal, lloydSumCentroids(spark, cq, "vec_id", "__qv", kLists, iters))
+  }
+
+  /** The IVF serving index: ONE map-only corpus pass — quantize →
+    * assign to the model's nearest centroid → carry the float vector +
+    * norm for exact verification. Persist/share this frame to serve
+    * many query batches from one build (the battery does, via
+    * [[graft.queries.Shared]]). */
+  def learnedIvfAssign(spark: SparkSession, model: IvfModel, corpus: DataFrame,
+                       idCol: String, vecCol: String): DataFrame = {
+    val assign = assignUdf(model.cents.map(_._1))
+    withNorm(spark, corpus, vecCol).withColumn("__amax", lit(model.amaxVal))
+      .withColumn("__qv", quantExpr(vecCol))
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("__cv"),
+        col("__norm2").as("__cn"), assign(col("__qv")).as("cid"))
+  }
+
+  /** Serve a query batch against a pre-built [[learnedIvfAssign]] index:
+    * queries (tiny) probe their `nprobe` best lists and broadcast
+    * against the assigned corpus; candidates are exact-verified with
+    * the float cosine, so compression error affects only recall, never
+    * the reported similarity. */
+  def learnedIvfServe(spark: SparkSession, model: IvfModel, indexed: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int = 10, nprobe: Int = 3,
+                      excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.cents.length,
+      s"nprobe ($nprobe) must be in [1, kLists=${model.cents.length}]")
+    val topProbes = probeUdf(model.cents, nprobe)
+    val q = withNorm(spark, queries, vecCol).withColumn("__amax", lit(model.amaxVal))
+      .withColumn("__qv", quantExpr(vecCol))
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv2"),
+        col("__norm2").as("__qn"),
+        explode(topProbes(col("__qv"))).as("cid"))
+      .withColumnRenamed("__qv2", "__qv")
+    val cand = indexed.join(broadcast(q), Seq("cid"))
+      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
+      .select("query_id", "vec_id", "__qv", "__cv", "__qn", "__cn")
+    rankTopK(cand, k)
+  }
+
   /** IVF ANN top-k over LEARNED centroids: [[lloydSumCentroids]] output
     * replaces [[ivfTopK]]'s caller-supplied seed rows — closing the
     * "k-means output at production scale" loop under the oracle gate.
+    * One-shot composition of [[ivfTrain]] → [[learnedIvfAssign]] →
+    * [[learnedIvfServe]]; callers serving many batches should hold the
+    * model/index and call the phases directly.
     *
     * Plan shape is strictly better than seed-row ivfTopK: assignment is
     * a closure UDF (centroids are already on the driver), so the corpus
     * side is ONE map-only pass — scan → quantize → assign → attach float
     * vector+norm — with no per-vector window and no exchange until the
-    * final (id, id, double) top-k window. Queries (tiny) probe their
-    * `nprobe` best lists and broadcast against the assigned corpus.
-    * Candidates are exact-verified with the float cosine, so compression
-    * error affects only recall, never the reported similarity.
-    *
-    * Training scans the corpus iters+2 times (amax, init, per-iteration
-    * assignment); at 100 TB, train on a sample — the operator accepts
-    * any `trainOn` subset — and assignment/search still make one pass. */
+    * final (id, id, double) top-k window. */
   def learnedIvfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int = 10,
                      kLists: Int = 8, iters: Int = 2, nprobe: Int = 3,
                      excludeSelf: Boolean = true): DataFrame = {
     require(nprobe >= 1 && nprobe <= kLists,
       s"nprobe ($nprobe) must be in [1, kLists=$kLists]")
-    val amax = corpus.select(max(expr(
-      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
-    )).as("__amax"))
-    val amaxVal = Option(amax.head.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
-    require(amaxVal > 0.0,
-      s"learnedIvfTopK: corpus is empty or all-zero (max|x| = $amaxVal); cannot quantize")
-    val quantExpr = expr(
-      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / __amax) + 0.5D) AS BIGINT))")
-    val cq = corpus.crossJoin(broadcast(amax)).withColumn("__qv", quantExpr)
-      .select(col(idCol).cast("long").as("vec_id"), col("__qv"))
-    val cents = lloydSumCentroids(spark, cq, "vec_id", "__qv", kLists, iters)
-    val assign = assignUdf(cents.map(_._1))
-    val topProbes = probeUdf(cents, nprobe)
-    // one map-only corpus pass: quantize → assign → carry float vec+norm
-    val c = withNorm(spark, corpus, vecCol).crossJoin(broadcast(amax))
-      .withColumn("__qv", quantExpr)
-      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("__cv"),
-        col("__norm2").as("__cn"), assign(col("__qv")).as("cid"))
-    val q = withNorm(spark, queries, vecCol).crossJoin(broadcast(amax))
-      .withColumn("__qv", quantExpr)
-      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("__qv2"),
-        col("__norm2").as("__qn"),
-        explode(topProbes(col("__qv"))).as("cid"))
-      .withColumnRenamed("__qv2", "__qv")
-    val cand = c.join(broadcast(q), Seq("cid"))
-      .filter(if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true))
-      .select("query_id", "vec_id", "__qv", "__cv", "__qn", "__cn")
-    rankTopK(cand, k)
+    val model = ivfTrain(spark, corpus, idCol, vecCol, kLists, iters)
+    learnedIvfServe(spark, model,
+      learnedIvfAssign(spark, model, corpus, idCol, vecCol),
+      queries, idCol, vecCol, k, nprobe, excludeSelf)
   }
 
   /** Embedding near-dup pairs: banded signature candidates + exact
@@ -783,46 +838,70 @@ object VectorSearch {
     * ScalaTest).
     *
     * Output: query_id, vec_id, pq_dist, rank ≤ k. */
+  /** Trained IVF-PQ state: the coarse quantizer plus the (quantized)
+    * codebook seed rows the PQ kernels derive from. The seed rows — not
+    * the UDF triple — are the model so the state is a plain serializable
+    * value; [[pqCoder]] rebuilds the kernels driver-side for free. */
+  final case class IvfPqModel(ivf: IvfModel, seedRows: Array[Array[Long]],
+                              nSub: Int)
+
+  /** Train the PQ codebook against an already-trained coarse quantizer
+    * (the two share one corpus scale, so composing with a session-shared
+    * [[ivfTrain]] model halves the training passes). */
+  def ivfPqTrain(spark: SparkSession, ivf: IvfModel, codebookSeeds: DataFrame,
+                 idCol: String, vecCol: String, nSub: Int = 4): IvfPqModel = {
+    val seedRows = quantized(codebookSeeds, vecCol, ivf.amaxVal, idCol, "__sid")
+      .orderBy("__sid").collect().map(_.getSeq[Long](1).toArray)
+    require(seedRows.nonEmpty, "codebook seed set is empty")
+    IvfPqModel(ivf, seedRows, nSub)
+  }
+
+  /** The IVF-PQ serving index: ONE map-only corpus pass — quantize →
+    * coarse list id + product codes (~nSub bytes of payload per vector).
+    * Persist/share this frame to serve many query batches. */
+  def ivfPqEncode(model: IvfPqModel, corpus: DataFrame,
+                  idCol: String, vecCol: String): DataFrame = {
+    val assign = assignUdf(model.ivf.cents.map(_._1))
+    val coder = pqCoder(model.seedRows, model.nSub)
+    quantized(corpus, vecCol, model.ivf.amaxVal, idCol, "vec_id")
+      .withColumn("cid", assign(col("__qv")))
+      .withColumn("__codes", coder.encode(col("__qv")))
+      .select("vec_id", "cid", "__codes")
+  }
+
+  /** Serve a query batch against a pre-built [[ivfPqEncode]] index:
+    * queries carry their LUT, probe `nprobe` lists, and candidates
+    * score by exact-BIGINT ADC only. */
+  def ivfPqServe(model: IvfPqModel, encoded: DataFrame, queries: DataFrame,
+                 idCol: String, vecCol: String, k: Int = 10, nprobe: Int = 3,
+                 excludeSelf: Boolean = true): DataFrame = {
+    require(nprobe >= 1 && nprobe <= model.ivf.cents.length,
+      s"nprobe ($nprobe) must be in [1, kLists=${model.ivf.cents.length}]")
+    val probes = probeUdf(model.ivf.cents, nprobe)
+    val coder = pqCoder(model.seedRows, model.nSub)
+    val q = quantized(queries, vecCol, model.ivf.amaxVal, idCol, "query_id")
+      .withColumn("__lut", coder.lut(col("__qv")))
+      .select(col("query_id"), col("__lut"),
+        explode(probes(col("__qv"))).as("cid"))
+    val self = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
+    encoded.join(broadcast(q), Seq("cid")).filter(self)
+      .withColumn("pq_dist", coder.adc(col("__codes"), col("__lut")))
+      .select("query_id", "vec_id", "pq_dist")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("pq_dist").asc, col("vec_id").asc)))
+      .filter(col("rank") <= k)
+  }
+
   def ivfPqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                 codebookSeeds: DataFrame, idCol: String, vecCol: String,
                 k: Int = 10, nSub: Int = 4, kLists: Int = 8, iters: Int = 2,
                 nprobe: Int = 3, excludeSelf: Boolean = true): DataFrame = {
     require(nprobe >= 1 && nprobe <= kLists,
       s"nprobe ($nprobe) must be in [1, kLists=$kLists]")
-    val amax = corpus.select(max(expr(
-      s"aggregate($vecCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"
-    )).as("__amax"))
-    val amaxVal = Option(amax.head.get(0)).map(_.asInstanceOf[Double]).getOrElse(0.0)
-    require(amaxVal > 0.0,
-      s"ivfPqTopK: corpus is empty or all-zero (max|x| = $amaxVal); cannot quantize")
-    def quantize(df: DataFrame, outId: String) =
-      df.crossJoin(broadcast(amax))
-        .withColumn("__qv", expr(
-          s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0D / __amax) + 0.5D) AS BIGINT))"))
-        .select(col(idCol).cast("long").as(outId), col("__qv"))
-    val cq = quantize(corpus, "vec_id")
-    val cents = lloydSumCentroids(spark, cq, "vec_id", "__qv", kLists, iters)
-    val assign = assignUdf(cents.map(_._1))
-    val probes = probeUdf(cents, nprobe)
-    val seedRows = quantize(codebookSeeds, "__sid").orderBy("__sid")
-      .collect().map(_.getSeq[Long](1).toArray)
-    require(seedRows.nonEmpty, "codebook seed set is empty")
-    val coder = pqCoder(seedRows, nSub)
-    // one map-only pass: list id + product codes per corpus vector
-    val c = cq.withColumn("cid", assign(col("__qv")))
-      .withColumn("__codes", coder.encode(col("__qv")))
-      .select("vec_id", "cid", "__codes")
-    val q = quantize(queries, "query_id")
-      .withColumn("__lut", coder.lut(col("__qv")))
-      .select(col("query_id"), col("__lut"),
-        explode(probes(col("__qv"))).as("cid"))
-    val self = if (excludeSelf) col("query_id") =!= col("vec_id") else lit(true)
-    c.join(broadcast(q), Seq("cid")).filter(self)
-      .withColumn("pq_dist", coder.adc(col("__codes"), col("__lut")))
-      .select("query_id", "vec_id", "pq_dist")
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("pq_dist").asc, col("vec_id").asc)))
-      .filter(col("rank") <= k)
+    val ivf = ivfTrain(spark, corpus, idCol, vecCol, kLists, iters, who = "ivfPqTopK")
+    val model = ivfPqTrain(spark, ivf, codebookSeeds, idCol, vecCol, nSub)
+    ivfPqServe(model, ivfPqEncode(model, corpus, idCol, vecCol),
+      queries, idCol, vecCol, k, nprobe, excludeSelf)
   }
 
   /** Random-projection ANN top-k — the THIRD compression tier

@@ -49,6 +49,7 @@ object Shared {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
           memo.keySet.removeIf(_._1 == key)
           once.keySet.removeIf(_._1 == key)
+          objMemo.keySet.removeIf(_._1 == key)
           cleanupHooked.remove(key)
         }
       })
@@ -87,6 +88,28 @@ object Shared {
     cached(spark, dir, "span_cov")(
       graft.ops.TextDedup.spanCoverage(graft.Tables.documents(spark, dir),
         "doc_id", "text"))
+
+  /** Session-scoped memo for DRIVER-SIDE model objects (sim11/sim12's
+    * trained IVF centroids and PQ codebook): the analogue of [[cached]]
+    * for values that live on the driver rather than in the block
+    * manager. Same lifecycle (evicted on application end). Dependency
+    * rule as for [[lshClusters]]: resolve any `obj`/`frame` dependency
+    * BEFORE the memo call — nesting computeIfAbsent on one map can
+    * throw "Recursive update" hash-bin-dependently. */
+  private val objMemo = new ConcurrentHashMap[(Int, String, String), AnyRef]()
+  def obj[A <: AnyRef](spark: SparkSession, dir: String, what: String)(
+      build: => A): A = {
+    hookCleanup(spark)
+    objMemo.computeIfAbsent((System.identityHashCode(spark), dir, what),
+      _ => build).asInstanceOf[A]
+  }
+
+  /** Public form of [[cached]] for serving-index frames whose builder
+    * lives with the operator (sim11's assigned corpus, sim12's PQ-coded
+    * corpus): one build + persist per (session, dir, key), every later
+    * consumer reads the columnar cache. */
+  def frame(spark: SparkSession, dir: String, what: String)(
+      build: => DataFrame): DataFrame = cached(spark, dir, what)(build)
 
   private val once = new ConcurrentHashMap[(Int, String, String), Boolean]()
 

@@ -194,11 +194,20 @@ object SimilarityOps {
     // under any aggregation order). The oracle replays both Lloyd
     // iterations as unrolled CTEs; candidates exact-verify at float
     // cosine, so the output schema matches sim3's.
+    // Train/serve split (r9 verdict ask #6): the coarse quantizer is
+    // trained ONCE per session (Shared.obj) and the assigned-corpus
+    // serving index persisted once (Shared.frame) — the gated query
+    // prices SERVING, the production contract; whichever of sim11/sim12
+    // runs first pays the training. Results are bit-identical to the
+    // one-shot learnedIvfTopK (SharedCacheSpec pins this).
     "sim11_ivf_learned" -> ((s, dir) => {
       val corpus = Tables.embeddings(s, dir)
-      graft.ops.VectorSearch.learnedIvfTopK(s, corpus,
+      val model = sharedIvfModel(s, dir)
+      val index = Shared.frame(s, dir, "ivf_index")(
+        graft.ops.VectorSearch.learnedIvfAssign(s, model, corpus, "vec_id", "embedding"))
+      graft.ops.VectorSearch.learnedIvfServe(s, model, index,
           corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
-          TOPK, kLists = KM_K, iters = KM_ITERS, nprobe = KM_NPROBE)
+          TOPK, nprobe = KM_NPROBE)
         .orderBy("query_id", "rank")
     }),
 
@@ -211,13 +220,27 @@ object SimilarityOps {
     // sim7's encode/LUT/ADC CTEs.
     "sim12_ivf_pq" -> ((s, dir) => {
       val corpus = Tables.embeddings(s, dir)
-      graft.ops.VectorSearch.ivfPqTopK(s, corpus,
-          corpus.filter(col("vec_id") < NQUERIES),
+      // dependencies resolved BEFORE each memo call (Shared's nesting rule)
+      val ivf = sharedIvfModel(s, dir)
+      val model = Shared.obj(s, dir, "ivfpq_model")(
+        graft.ops.VectorSearch.ivfPqTrain(s, ivf,
           corpus.filter(col("vec_id") >= PQ_SEED_LO && col("vec_id") < PQ_SEED_HI),
-          "vec_id", "embedding", TOPK, nSub = PQ_NSUB,
-          kLists = KM_K, iters = KM_ITERS, nprobe = KM_NPROBE)
+          "vec_id", "embedding", nSub = PQ_NSUB))
+      val index = Shared.frame(s, dir, "ivfpq_index")(
+        graft.ops.VectorSearch.ivfPqEncode(model, corpus, "vec_id", "embedding"))
+      graft.ops.VectorSearch.ivfPqServe(model, index,
+          corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
+          TOPK, nprobe = KM_NPROBE)
         .orderBy("query_id", "rank")
     }))
+
+  /** The session-shared trained coarse quantizer behind sim11 AND sim12
+    * (one integer-Lloyd training per (session, fixture) — the two
+    * queries share corpus, kLists and iters by construction). */
+  private def sharedIvfModel(s: SparkSession, dir: String): graft.ops.VectorSearch.IvfModel =
+    Shared.obj(s, dir, "ivf_model")(
+      graft.ops.VectorSearch.ivfTrain(s, Tables.embeddings(s, dir),
+        "vec_id", "embedding", KM_K, KM_ITERS))
 
   private val duckCos: String =
     s"""CAST(${VectorExprs.duckPairDot} AS DOUBLE)

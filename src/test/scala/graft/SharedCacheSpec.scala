@@ -28,6 +28,35 @@ class SharedCacheSpec extends SparkSuite {
       "cached cluster labels diverged from a fresh LSH+CC run")
   }
 
+  test("pre-trained IVF/IVF-PQ index reproduces the one-shot gated ranking") {
+    // The r9-ask-#6 pin: sim11/sim12 now serve from a session-shared
+    // trained model + persisted index; their gated output must stay
+    // bit-identical to the one-shot train-in-query composition the
+    // DuckDB oracle replays. Collect the battery (shared) path first,
+    // then a fresh direct call with training inline.
+    import graft.ops.VectorSearch
+    import org.apache.spark.sql.functions.col
+    val sharedIvf = norm(SparkEntry.queries("sim11_ivf_learned")(spark, sf))
+    val sharedPq  = norm(SparkEntry.queries("sim12_ivf_pq")(spark, sf))
+    spark.catalog.clearCache()
+    val emb = Tables.embeddings(spark, sf)
+    val qs = emb.filter(col("vec_id") < 10)
+    val freshIvf = norm(
+      VectorSearch.learnedIvfTopK(spark, emb, qs, "vec_id", "embedding",
+          k = 10, kLists = 8, iters = 2, nprobe = 3)
+        .orderBy("query_id", "rank"))
+    val freshPq = norm(
+      VectorSearch.ivfPqTopK(spark, emb, qs,
+          emb.filter(col("vec_id") >= 40 && col("vec_id") < 72),
+          "vec_id", "embedding", k = 10, nSub = 16, kLists = 8, iters = 2,
+          nprobe = 3)
+        .orderBy("query_id", "rank"))
+    assert(sharedIvf == freshIvf,
+      "session-shared IVF index diverged from one-shot learnedIvfTopK")
+    assert(sharedPq == freshPq,
+      "session-shared IVF-PQ index diverged from one-shot ivfPqTopK")
+  }
+
   test("session-shared span coverage is row-identical to a fresh build") {
     val shared = norm(graft.queries.Shared.spanCoverage(spark, sf))
     spark.catalog.clearCache()
