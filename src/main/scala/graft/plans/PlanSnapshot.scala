@@ -35,6 +35,11 @@ object PlanSnapshot {
       .replaceAll("\\$\\$\\$?Lambda\\$?\\d*/0x[0-9a-f]+@[0-9a-f]+", "\\$\\$Lambda")
       // aggregator/closure instances print as ClassName@identityhash
       .replaceAll("@[0-9a-f]{6,10}\\b", "@ID")
+      // checkpointed inputs print a session-scoped RDD id and the
+      // callsite's source line — both vary run-to-run / edit-to-edit
+      // without changing plan shape
+      .replaceAll("RDD\\[\\d+\\]", "RDD[N]")
+      .replaceAll("\\.scala:\\d+", ".scala:N")
       // Location: InMemoryFileIndex(1 paths)[file:/root/testdata/...]
       .replaceAll("\\(\\d+ paths?\\)", "(P paths)")
       .replaceAll("file:/[^\\s,\\]\\)]*", "PATH")

@@ -25,7 +25,8 @@ ADD_OPENS = [f"--add-opens={p}=ALL-UNNAMED" for p in [
 
 
 def run_verify(sf_dir, out_dir):
-    jar = glob.glob(f"{REPO}/target/scala-2.13/*.jar")
+    jar = [j for j in glob.glob(f"{REPO}/target/scala-2.13/*.jar")
+           if not j.endswith(("-tests.jar", "-sources.jar", "-javadoc.jar"))]
     assert jar, "run `sbt package` first"
     cp = f"/opt/spark/jars/*:{jar[0]}"
     cmd = ["java", *ADD_OPENS, "-Xmx48g", "-Dspark.ui.enabled=false",
