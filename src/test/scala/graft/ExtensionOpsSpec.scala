@@ -119,6 +119,52 @@ class ExtensionOpsSpec extends SparkSuite {
     assert(recall >= 0.15, s"IVF-with-kmeans recall vs brute force fell to $recall")
   }
 
+  test("IVF train/serve: sample-trained model serves the full corpus; one index serves many batches") {
+    // The two 100 TB contracts of the round-10 train/serve split, pinned:
+    // (a) ivfTrain accepts a SAMPLE as the training corpus (the scaladoc
+    //     mandate at scale) and the model still ranks the FULL corpus
+    //     with a sane recall floor — training-set size bounds training
+    //     cost, not serving correctness;
+    // (b) one trained model + one assigned/encoded index serves multiple
+    //     query batches without rebuild, and batch results agree with
+    //     the same batch served through the one-shot operator.
+    import graft.ops.VectorSearch
+    val emb = Tables.embeddings(spark, sf)
+    // (a) train on a ~half-corpus deterministic sample (amax still from
+    //     the sample — the model must be self-contained)
+    val sample = emb.filter(col("vec_id") % 2 === 0)
+    val model = VectorSearch.ivfTrain(spark, sample, "vec_id", "embedding",
+      kLists = 8, iters = 2)
+    val index = VectorSearch.learnedIvfAssign(spark, model, emb, "vec_id", "embedding")
+    val qs = emb.filter(col("vec_id") < 10)
+    val got = VectorSearch.learnedIvfServe(spark, model, index, qs,
+        "vec_id", "embedding", k = 10, nprobe = 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = VectorSearch.cosineTopK(spark, emb, qs, "vec_id", "embedding", 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.15, s"sample-trained IVF recall vs brute force fell to $recall")
+    // (b) two disjoint batches against the SAME index; each must equal
+    //     the one-shot operator retrained on the full corpus with the
+    //     same hyperparameters (full-corpus model, so retrain == share)
+    val fullModel = VectorSearch.ivfTrain(spark, emb, "vec_id", "embedding",
+      kLists = 8, iters = 2)
+    val fullIndex = VectorSearch.learnedIvfAssign(spark, fullModel, emb, "vec_id", "embedding")
+    for (batch <- Seq(emb.filter(col("vec_id") < 5),
+                      emb.filter(col("vec_id") >= 5 && col("vec_id") < 10))) {
+      val served = VectorSearch.learnedIvfServe(spark, fullModel, fullIndex,
+          batch, "vec_id", "embedding", k = 10, nprobe = 3)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      val oneShot = VectorSearch.learnedIvfTopK(spark, emb, batch,
+          "vec_id", "embedding", k = 10, kLists = 8, iters = 2, nprobe = 3)
+        .orderBy("query_id", "rank").collect().map(_.toString).toSeq
+      assert(served === oneShot,
+        "multi-batch serving from one index diverged from the one-shot operator")
+    }
+  }
+
   test("learned-IVF (sim11): partition-invariant, recall floor, degenerate guard") {
     import graft.ops.VectorSearch
     val emb = Tables.embeddings(spark, sf)
