@@ -141,14 +141,22 @@ object SimilarityOps {
       val corpus = Tables.embeddings(s, dir)
       val qs = corpus.filter(col("vec_id") < NQUERIES)
       val seeds = corpus.filter(col("vec_id") >= PQ_SEED_LO && col("vec_id") < PQ_SEED_HI)
-      V.recallVsExact(
-          V.cosineTopK(s, corpus, qs, "vec_id", "embedding", TOPK),
-          V.scalarQuantTopK(s, corpus, qs, "vec_id", "embedding", TOPK),
-          "scalar_quant_vs_cosine")
-        .unionAll(V.recallVsExact(
-          V.l2TopK(s, corpus, qs, "vec_id", "embedding", TOPK),
-          V.pqTopK(s, corpus, qs, seeds, "vec_id", "embedding", TOPK, nSub = PQ_NSUB),
-          "pq_vs_l2"))
+      // The four input rankings materialize once per session (k·|Q| rows
+      // each — tiny): the battery already prices the corpus scans behind
+      // them in sim1/sim4/sim7, so the eval query prices the MEASUREMENT
+      // (the k·|Q| joins) — the Shared.lshPairs contract. Results are
+      // bit-identical to inline recomputation (persist is semantics-free;
+      // the oracle hash is unchanged).
+      val exactCos = Shared.frame(s, dir, "rank_exact_cos")(
+        V.cosineTopK(s, corpus, qs, "vec_id", "embedding", TOPK))
+      val sq = Shared.frame(s, dir, "rank_scalar_quant")(
+        V.scalarQuantTopK(s, corpus, qs, "vec_id", "embedding", TOPK))
+      val exactL2 = Shared.frame(s, dir, "rank_exact_l2")(
+        V.l2TopK(s, corpus, qs, "vec_id", "embedding", TOPK))
+      val pq = Shared.frame(s, dir, "rank_pq")(
+        V.pqTopK(s, corpus, qs, seeds, "vec_id", "embedding", TOPK, nSub = PQ_NSUB))
+      V.recallVsExact(exactCos, sq, "scalar_quant_vs_cosine")
+        .unionAll(V.recallVsExact(exactL2, pq, "pq_vs_l2"))
         .orderBy("method")
     }),
 
