@@ -960,24 +960,24 @@ object VectorSearch {
     * oracle-replayable. Pool and pair frames are k·|Q|-sized —
     * corpus-independent once the pool is priced; a production serving
     * path materializes the pool once and runs the same unrolled plan. */
-  def mmrDiversify(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-                   idCol: String, vecCol: String,
-                   poolK: Int = 20, k: Int = 5,
-                   lambdaRel: Double = 0.7): DataFrame = {
-    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1, got poolK=$poolK k=$k")
-    // The unrolled greedy references pool/sims/selected in every one of
-    // its k branches — left symbolic, the plan recomputes the corpus
-    // scan per branch (measured 11.3 s vs 1.4 s at sf0.1). These frames
-    // are poolK·|Q|-sized, so materialize them ONCE eagerly; every
-    // branch then reads the tiny materialized blocks. (localCheckpoint
-    // is content-deterministic; at production scale the pool would be a
-    // written table — same decision, durable form.)
-    val pool = cosineTopK(spark, corpus, queries, idCol, vecCol, poolK)
+  /** The exact top-`poolK` relevance pool MMR re-ranks: (query_id,
+    * vec_id, rel). Split out (round 10) so a session can materialize it
+    * once and serve repeated diversifications — the same train/serve
+    * separation as the ANN index split. Returned SYMBOLIC; the caller
+    * decides the materialization (localCheckpoint / Shared.frame). */
+  def mmrPool(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, poolK: Int = 20): DataFrame =
+    cosineTopK(spark, corpus, queries, idCol, vecCol, poolK)
       .select(col("query_id"), col("vec_id"), col("cos_sim").as("rel"))
-      .localCheckpoint(true)
+
+  /** Pairwise within-pool cosines (query_id, a, b, sim) — poolK²·|Q|
+    * rows; the corpus attaches by broadcast, so only pool-sized rows
+    * shuffle. Symbolic, like [[mmrPool]]. */
+  def mmrSims(spark: SparkSession, corpus: DataFrame, pool: DataFrame,
+              idCol: String, vecCol: String): DataFrame = {
     val e = withNorm(spark, corpus, vecCol)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"), col("__norm2").as("__n2"))
-    val sims = pool.as("pa").join(pool.as("pb"),
+    pool.as("pa").join(pool.as("pb"),
         col("pa.query_id") === col("pb.query_id") &&
         col("pa.vec_id") =!= col("pb.vec_id"))
       .select(col("pa.query_id").as("query_id"),
@@ -988,7 +988,28 @@ object VectorSearch {
       .withColumn("sim",
         expr("vec_dot(__va, __v)") / (sqrt(col("__na")) * sqrt(col("__n2"))))
       .select("query_id", "a", "b", "sim")
-      .localCheckpoint(true)
+  }
+
+  def mmrDiversify(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String,
+                   poolK: Int = 20, k: Int = 5,
+                   lambdaRel: Double = 0.7,
+                   prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1, got poolK=$poolK k=$k")
+    // The unrolled greedy references pool/sims/selected in every one of
+    // its k branches — left symbolic, the plan recomputes the corpus
+    // scan per branch (measured 11.3 s vs 1.4 s at sf0.1). These frames
+    // are poolK·|Q|-sized, so materialize them ONCE eagerly; every
+    // branch then reads the tiny materialized blocks. (localCheckpoint
+    // is content-deterministic; at production scale the pool would be a
+    // written table — same decision, durable form.) A session serving
+    // repeated diversifications passes `prebuilt` (already-materialized
+    // [[mmrPool]]/[[mmrSims]] frames) and pays them once.
+    val (pool, sims) = prebuilt.getOrElse {
+      val p = mmrPool(spark, corpus, queries, idCol, vecCol, poolK)
+        .localCheckpoint(true)
+      (p, mmrSims(spark, corpus, p, idCol, vecCol).localCheckpoint(true))
+    }
     val first = pool
       .withColumn("__rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("rel").desc, col("vec_id").asc)))

