@@ -161,14 +161,7 @@ object Tables {
     // driver and Verify/Bench pin).
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // LongType here means EITHER TIMESTAMP(NANOS) surfaced as a long
-        // under the legacy conf, OR a plain unannotated INT64 — which the
-        // nanos→micros division would silently mis-scale by 1000×. Check
-        // the parquet footer's logical-type annotation and fail loudly on
-        // unannotated input instead of guessing its unit.
-        require(tsLogicalUnitIsNanos(spark, s"$dir/events.parquet"),
-          s"events.ts in $dir is INT64 without a TIMESTAMP(NANOS) logical " +
-            "annotation; refusing to guess its time unit")
+        requireNanosTs(spark, dir)
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ =>
@@ -176,28 +169,49 @@ object Tables {
           .cast(org.apache.spark.sql.types.TimestampType))
     }
   }
-  /** Footer check backing [[events]]'s INT64 guard: true iff the `ts`
-    * column carries a TIMESTAMP(NANOS) logical annotation. Reads one
-    * parquet footer (no data scan), memoized per path — [[events]] is
-    * called once per consuming query. Handles both a single-file
-    * fixture and a directory of part files (first .parquet wins: Spark
-    * would refuse a mixed-annotation directory at schema merge anyway). */
+
+  /** The INT64-`ts` guard shared by [[events]] and
+    * [[graft.streaming.Streams.events]]: LongType there means EITHER
+    * TIMESTAMP(NANOS) surfaced as a long under the legacy conf, OR a
+    * plain unannotated INT64 — which the nanos→micros division would
+    * silently mis-scale by 1000×. For filesystem fixtures, check the
+    * parquet footer's logical-type annotation and fail loudly on
+    * unannotated input. A `jdbc:`-routed dir has no parquet footer to
+    * consult — there a BIGINT ts column IS the nanos contract (the
+    * relational schema carries no sub-type annotation), matching the
+    * pre-guard behavior. */
+  private[graft] def requireNanosTs(spark: SparkSession, dir: String): Unit =
+    if (!dir.startsWith("jdbc:"))
+      require(tsLogicalUnitIsNanos(spark, s"$dir/events.parquet"),
+        s"events.ts in $dir is INT64 without a TIMESTAMP(NANOS) logical " +
+          "annotation; refusing to guess its time unit")
+
+  /** Footer check backing [[requireNanosTs]]: true iff the `ts` column
+    * carries a TIMESTAMP(NANOS) logical annotation. Reads one parquet
+    * footer (no data scan). Handles a single-file fixture, a flat part
+    * directory, and a hive-partitioned tree (first .parquet by
+    * recursive descent wins: Spark would refuse a mixed-annotation
+    * dataset at schema merge anyway). Memoized by (resolved file,
+    * mtime, length) so a regenerated fixture at the same path is
+    * re-checked instead of served a stale verdict. */
   private val tsUnitMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
-  private[graft] def tsLogicalUnitIsNanos(spark: SparkSession, path: String): Boolean =
-    tsUnitMemo.computeIfAbsent(path, _ => {
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.schema.LogicalTypeAnnotation
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).map(_.getPath).filter(_.getName.endsWith(".parquet"))
-            .sortBy(_.getName).headOption.getOrElse(
-              throw new IllegalArgumentException(s"no parquet files under $path"))
-        else p
+  private[graft] def tsLogicalUnitIsNanos(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    def firstParquet(st: FileStatus): Option[FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).sortBy(_.getPath.getName)
+          .iterator.flatMap(firstParquet).nextOption()
+      else Some(st).filter(_.getPath.getName.endsWith(".parquet"))
+    val st = firstParquet(fs.getFileStatus(p)).getOrElse(
+      throw new IllegalArgumentException(s"no parquet files under $path"))
+    val key = s"${st.getPath}#${st.getModificationTime}#${st.getLen}"
+    tsUnitMemo.computeIfAbsent(key, _ => {
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
         val ts = schema.getType(schema.getFieldIndex("ts"))
@@ -208,6 +222,7 @@ object Tables {
         }
       } finally reader.close()
     })
+  }
 
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")

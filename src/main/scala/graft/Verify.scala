@@ -25,13 +25,6 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None        => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -44,15 +37,24 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Manifest of the SELECTED query names, written BEFORE the battery:
+    // the gate's "did every query produce output" check needs the
+    // attempted set, not just the keys that happen to have oracles —
+    // without it, a crashed rows-only query (no oracle entry, no output
+    // dir) disappears silently. Written up front so even a hard-killed
+    // run (OOM, driver timeout) leaves the attempted-set record behind.
+    Files.writeString(Paths.get(s"$outDir/manifest.json"),
+      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
+    selected.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      }
+    }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Manifest of the SELECTED query names: the gate's "did every query
-    // produce output" check needs the attempted set, not just the keys
-    // that happen to have oracles — without it, a crashed rows-only
-    // query (no oracle entry, no output dir) disappears silently.
-    Files.writeString(Paths.get(s"$outDir/manifest.json"),
-      selected.keys.toSeq.sorted.map(q).mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -993,8 +993,7 @@ object VectorSearch {
   def mmrDiversify(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
                    idCol: String, vecCol: String,
                    poolK: Int = 20, k: Int = 5,
-                   lambdaRel: Double = 0.7,
-                   prebuilt: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+                   lambdaRel: Double = 0.7): DataFrame = {
     require(k >= 1 && poolK >= k, s"need poolK >= k >= 1, got poolK=$poolK k=$k")
     // The unrolled greedy references pool/sims/selected in every one of
     // its k branches — left symbolic, the plan recomputes the corpus
@@ -1002,14 +1001,22 @@ object VectorSearch {
     // are poolK·|Q|-sized, so materialize them ONCE eagerly; every
     // branch then reads the tiny materialized blocks. (localCheckpoint
     // is content-deterministic; at production scale the pool would be a
-    // written table — same decision, durable form.) A session serving
-    // repeated diversifications passes `prebuilt` (already-materialized
-    // [[mmrPool]]/[[mmrSims]] frames) and pays them once.
-    val (pool, sims) = prebuilt.getOrElse {
-      val p = mmrPool(spark, corpus, queries, idCol, vecCol, poolK)
-        .localCheckpoint(true)
-      (p, mmrSims(spark, corpus, p, idCol, vecCol).localCheckpoint(true))
-    }
+    // written table — same decision, durable form.)
+    val pool = mmrPool(spark, corpus, queries, idCol, vecCol, poolK)
+      .localCheckpoint(true)
+    val sims = mmrSims(spark, corpus, pool, idCol, vecCol).localCheckpoint(true)
+    mmrDiversifyPrebuilt(pool, sims, k, lambdaRel)
+  }
+
+  /** The greedy alone, over already-materialized [[mmrPool]]/[[mmrSims]]
+    * frames — the serve half for a session that diversifies repeatedly
+    * from one pool build (sim9 memoizes both frames per session). A
+    * separate method, not an optional param on [[mmrDiversify]], so a
+    * caller can never pass a corpus/poolK that silently disagrees with
+    * the prebuilt frames. `k` must not exceed the prebuilt pool depth. */
+  def mmrDiversifyPrebuilt(pool: DataFrame, sims: DataFrame,
+                           k: Int = 5, lambdaRel: Double = 0.7): DataFrame = {
+    require(k >= 1, s"need k >= 1, got k=$k")
     val first = pool
       .withColumn("__rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("rel").desc, col("vec_id").asc)))

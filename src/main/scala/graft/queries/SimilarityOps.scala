@@ -203,8 +203,7 @@ object SimilarityOps {
           .localCheckpoint(true))
       val sims = Shared.obj(s, dir, "mmr_sims")(
         V.mmrSims(s, corpus, pool, "vec_id", "embedding").localCheckpoint(true))
-      V.mmrDiversify(s, corpus, qs, "vec_id", "embedding",
-          poolK = 20, k = 5, lambdaRel = 0.7, prebuilt = Some((pool, sims)))
+      V.mmrDiversifyPrebuilt(pool, sims, k = 5, lambdaRel = 0.7)
         .orderBy("query_id", "pick_order")
     }),
 

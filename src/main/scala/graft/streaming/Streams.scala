@@ -87,9 +87,7 @@ object Streams {
       case org.apache.spark.sql.types.LongType =>
         // same footer guard as Tables.events: refuse an unannotated
         // INT64 instead of silently dividing a micros column by 1000
-        require(graft.Tables.tsLogicalUnitIsNanos(spark, s"$dir/events.parquet"),
-          s"events.ts in $dir is INT64 without a TIMESTAMP(NANOS) logical " +
-            "annotation; refusing to guess its time unit")
+        graft.Tables.requireNanosTs(spark, dir)
         stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ =>
         stream.withColumn("ts",
