@@ -194,7 +194,11 @@ object Tables {
     * dataset at schema merge anyway). Memoized by (resolved file,
     * mtime, length) so a regenerated fixture at the same path is
     * re-checked instead of served a stale verdict. */
-  private val tsUnitMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  // Keyed by resolved file path; the value carries the (mtime,length)
+  // stamp it was computed at, so a regenerated fixture REPLACES its old
+  // entry instead of accreting one stale key per generation (the map
+  // stays bounded by the number of distinct fixture paths).
+  private val tsUnitMemo = new java.util.concurrent.ConcurrentHashMap[String, (String, Boolean)]()
   private[graft] def tsLogicalUnitIsNanos(spark: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.{FileStatus, Path}
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -208,20 +212,24 @@ object Tables {
       else Some(st).filter(_.getPath.getName.endsWith(".parquet"))
     val st = firstParquet(fs.getFileStatus(p)).getOrElse(
       throw new IllegalArgumentException(s"no parquet files under $path"))
-    val key = s"${st.getPath}#${st.getModificationTime}#${st.getLen}"
-    tsUnitMemo.computeIfAbsent(key, _ => {
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-      try {
-        val schema = reader.getFooter.getFileMetaData.getSchema
-        val ts = schema.getType(schema.getFieldIndex("ts"))
-        ts.asPrimitiveType().getLogicalTypeAnnotation match {
-          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
-          case _ => false
-        }
-      } finally reader.close()
-    })
+    val stamp = s"${st.getModificationTime}#${st.getLen}"
+    tsUnitMemo.compute(st.getPath.toString, (_, prev) => {
+      if (prev != null && prev._1 == stamp) prev
+      else {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+        val isNanos = try {
+          val schema = reader.getFooter.getFileMetaData.getSchema
+          val ts = schema.getType(schema.getFieldIndex("ts"))
+          ts.asPrimitiveType().getLogicalTypeAnnotation match {
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+            case _ => false
+          }
+        } finally reader.close()
+        (stamp, isNanos)
+      }
+    })._2
   }
 
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")

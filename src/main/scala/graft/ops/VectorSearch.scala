@@ -1001,7 +1001,10 @@ object VectorSearch {
     // are poolK·|Q|-sized, so materialize them ONCE eagerly; every
     // branch then reads the tiny materialized blocks. (localCheckpoint
     // is content-deterministic; at production scale the pool would be a
-    // written table — same decision, durable form.)
+    // written table — same decision, durable form. localCheckpoint
+    // blocks are executor-local and non-fault-tolerant: acceptable in
+    // local[*]/local-cluster harnesses, NOT on clusters that can lose
+    // executors mid-session — write the pool/sims to a table there.)
     val pool = mmrPool(spark, corpus, queries, idCol, vecCol, poolK)
       .localCheckpoint(true)
     val sims = mmrSims(spark, corpus, pool, idCol, vecCol).localCheckpoint(true)
@@ -1017,6 +1020,17 @@ object VectorSearch {
   def mmrDiversifyPrebuilt(pool: DataFrame, sims: DataFrame,
                            k: Int = 5, lambdaRel: Double = 0.7): DataFrame = {
     require(k >= 1, s"need k >= 1, got k=$k")
+    // Enforce the documented contract (k ≤ prebuilt pool depth) instead
+    // of silently truncating pick lists: the pool is a materialized
+    // poolK·|Q| frame, so the min-depth probe is one job over tiny
+    // cached blocks (single-row collect, k-bounded by construction).
+    val depthRow = pool.groupBy("query_id").agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n"))).collect()(0)
+    require(!depthRow.isNullAt(0), "prebuilt pool is empty (no queries)")
+    val minDepth = depthRow.getLong(0)
+    require(k <= minDepth,
+      s"k=$k exceeds the prebuilt pool's min per-query depth $minDepth " +
+        "(build the pool with poolK >= k)")
     val first = pool
       .withColumn("__rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("rel").desc, col("vec_id").asc)))

@@ -97,11 +97,23 @@ object Shared {
     * BEFORE the memo call — nesting computeIfAbsent on one map can
     * throw "Recursive update" hash-bin-dependently. */
   private val objMemo = new ConcurrentHashMap[(Int, String, String), AnyRef]()
-  def obj[A <: AnyRef](spark: SparkSession, dir: String, what: String)(
-      build: => A): A = {
+  def obj[A <: AnyRef : scala.reflect.ClassTag](
+      spark: SparkSession, dir: String, what: String)(build: => A): A = {
     hookCleanup(spark)
-    objMemo.computeIfAbsent((System.identityHashCode(spark), dir, what),
-      _ => build).asInstanceOf[A]
+    val v = objMemo.computeIfAbsent(
+      (System.identityHashCode(spark), dir, what), _ => build)
+    // The cast below is unchecked by the JVM (erasure): two call sites
+    // reusing one `what` key with different result types would otherwise
+    // CCE at first USE of the value, far from the offending call. Check
+    // the runtime class here so a key collision fails AT the memo with a
+    // message naming the key. (Erasure still blinds this to type
+    // parameters — Seq[X] vs Seq[Y] — but every current payload is a
+    // distinct top-level class, which is exactly what collisions mix.)
+    val expect = implicitly[scala.reflect.ClassTag[A]].runtimeClass
+    require(expect.isInstance(v),
+      s"Shared.obj key collision on (session,$dir,$what): memo holds " +
+        s"${v.getClass.getName}, caller expects ${expect.getName}")
+    v.asInstanceOf[A]
   }
 
   /** Public form of [[cached]] for serving-index frames whose builder

@@ -197,7 +197,12 @@ object SimilarityOps {
       // frame is already materialized and layering persist() over a
       // self-joined checkpoint RDD trips CacheManager's attribute
       // rewrite ("key not found" at plan substitution). Oracle hash
-      // unchanged.
+      // unchanged. CLUSTER CAVEAT: localCheckpoint blocks are
+      // executor-local and NOT fault-tolerant — losing an executor
+      // makes every later sim9 in the session fail unrecoverably. Fine
+      // for this local[...]/local-cluster harness (no dynamic executor
+      // loss); on a real cluster the pool/sims would be written tables
+      // (the ivfPqEncode persist-and-serve shape in VectorSearch).
       val pool = Shared.obj(s, dir, "mmr_pool")(
         V.mmrPool(s, corpus, qs, "vec_id", "embedding", poolK = 20)
           .localCheckpoint(true))
