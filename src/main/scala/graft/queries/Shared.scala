@@ -57,6 +57,19 @@ object Shared {
     }): Unit
   }
 
+  /** Test hook (SharedSoakSpec): per-session entry counts across the
+    * three memo maps, so a concurrency soak can assert that sessions
+    * coexist without evicting or duplicating each other's entries. */
+  private[graft] def memoCounts(spark: SparkSession): (Int, Int, Int) = {
+    val key = System.identityHashCode(spark)
+    def c(m: ConcurrentHashMap[(Int, String, String), _]): Int = {
+      var n = 0
+      m.forEach((k, _) => if (k._1 == key) n += 1)
+      n
+    }
+    (c(memo), c(objMemo), c(once))
+  }
+
   private def cached(spark: SparkSession, dir: String, what: String)(
       build: => DataFrame): DataFrame = {
     hookCleanup(spark)

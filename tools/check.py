@@ -54,9 +54,13 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--no-run", action="store_true")
+    # separate dump dirs let two gates run concurrently (e.g. a
+    # local-cluster battery and an sf-scale probe) without clobbering
+    # each other's parquet mid-compare
+    ap.add_argument("--out", default=f"{REPO}/target/verify_out")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
-    out_dir = f"{REPO}/target/verify_out"
+    out_dir = args.out
 
     if not args.no_run:
         run_verify.only = args.names

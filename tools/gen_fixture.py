@@ -186,18 +186,78 @@ def gen_embeddings(rng, n, dim=64, labels=10):
 
 
 def gen_events(rng, n, n_users):
-    base = np.datetime64("2024-01-01T00:00:00", "ns")
+    # timestamp[us], matching the round-10+ driver fixtures (the
+    # TIMESTAMP(NANOS) generation flipped to MICROS; Tables.events
+    # handles both, but the DuckDB hash gate needs the same unit the
+    # driver fixture carries or sub-microsecond truncation diverges)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
     gaps = rng.exponential(10.0, size=n)
-    ts = base + (np.cumsum(gaps) * 1e9).astype("timedelta64[ns]")
+    ts = base + (np.cumsum(gaps) * 1e6).astype("timedelta64[us]")
     return pa.table({
         "event_id": pa.array(np.arange(n, dtype=np.int64)),
-        "ts": pa.array(ts, type=pa.timestamp("ns")),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
         "user_id": pa.array(rng.integers(0, n_users, size=n)),
         "event_type": pa.array([EVENT_TYPES[i] for i in
                                 rng.integers(0, len(EVENT_TYPES), size=n)]),
         "value": pa.array(np.round(rng.uniform(0, 200, size=n), 2)),
         "props": pa.array([f'{{"k": {k}}}' for k in
                            rng.integers(0, 100, size=n)]),
+    })
+
+
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+MKT_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+P_ADJS = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+P_NOUNS = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
+P_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+
+
+def gen_region():
+    return pa.table({
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+        "r_name": pa.array(REGIONS),
+    })
+
+
+def gen_nation():
+    return pa.table({
+        "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+        "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+        "n_regionkey": pa.array((np.arange(25) % 5).astype(np.int32)),
+    })
+
+
+def gen_customer(rng, n):
+    return pa.table({
+        "c_custkey": pa.array(np.arange(n, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, size=n).astype(np.int32)),
+        "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, size=n), 2)),
+        "c_mktsegment": pa.array([MKT_SEGS[i] for i in
+                                  rng.integers(0, 5, size=n)]),
+    })
+
+
+def gen_supplier(rng, n):
+    return pa.table({
+        "s_suppkey": pa.array(np.arange(n, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, size=n).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, size=n), 2)),
+    })
+
+
+def gen_part(rng, n):
+    names = [f"{P_ADJS[a]} {P_NOUNS[b]}" for a, b in
+             zip(rng.integers(0, 8, size=n), rng.integers(0, 8, size=n))]
+    return pa.table({
+        "p_partkey": pa.array(np.arange(n, dtype=np.int64)),
+        "p_name": pa.array(names),
+        "p_brand": pa.array([f"Brand#{i}" for i in
+                             rng.integers(1, 26, size=n)]),
+        "p_type": pa.array([P_TYPES[i] for i in rng.integers(0, 6, size=n)]),
+        "p_size": pa.array(rng.integers(1, 51, size=n).astype(np.int32)),
+        "p_retailprice": pa.array(np.round(rng.uniform(900, 1000, size=n), 2)),
     })
 
 
@@ -260,10 +320,17 @@ def main():
     emit("documents", gen_documents(rng, int(5000 * mult)))
     emit("embeddings", gen_embeddings(rng, int(2000 * mult)))
     emit("events", gen_events(rng, int(100000 * mult), int(2000 * mult)))
+    emit("region", gen_region())
+    emit("nation", gen_nation())
+    n_cust, n_part, n_supp = (int(15000 * mult), int(20000 * mult),
+                              int(1000 * mult))
+    emit("customer", gen_customer(rng, n_cust))
+    emit("supplier", gen_supplier(rng, n_supp))
+    emit("part", gen_part(rng, n_part))
     n_orders = int(150000 * mult)
-    emit("orders", gen_orders(rng, n_orders, int(15000 * mult)))
+    emit("orders", gen_orders(rng, n_orders, n_cust))
     emit("lineitem", gen_lineitem(rng, int(600000 * mult), n_orders,
-                                  int(20000 * mult), int(1000 * mult)))
+                                  n_part, n_supp))
 
 
 if __name__ == "__main__":
