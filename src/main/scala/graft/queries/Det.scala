@@ -14,9 +14,19 @@ import org.apache.spark.sql.types.DecimalType
   * stays in IEEE double: it is order-independent and evaluates identically
   * in both engines.
   *
-  * Oracle-side equivalents:
-  *   dsum(x)  ≙ CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE)
-  *   davg(x)  ≙ CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) / COUNT(x)
+  * Oracle-side equivalents (note the VARCHAR hop):
+  *   dsum(x)  ≙ CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+  *   davg(x)  ≙ CAST(CAST(SUM(CAST(x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(x)
+  *
+  * Why the hop: once the scaled sum exceeds 2^53 (≈9.0e15, i.e. sums
+  * past ~9e9 at scale 6 — reached at sf1), DuckDB's direct
+  * decimal→double cast double-rounds (int128→double, then /10^scale)
+  * while Spark's Decimal.toDouble single-rounds via BigDecimal, and
+  * the two can differ in the last ulp. decimal→VARCHAR is exact and
+  * VARCHAR→double is correctly rounded in DuckDB, matching Spark's
+  * correctly-rounded cast bit-for-bit at every magnitude. (Proven
+  * empirically round 11: sf1 o_totalprice sum 375,669,335,495.79 —
+  * direct cast ...6003, varchar hop ...5997 = Spark = python.)
   */
 object Det {
   private val D = DecimalType(38, 6)

@@ -290,7 +290,7 @@ object Etl {
         |  FROM orders)
         |SELECT coalesce(channel, 'unknown') AS channel,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_price
         |FROM evo GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dq2_profile" -> {
@@ -299,7 +299,7 @@ object Etl {
            |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
            |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
-           |  CAST(sum(CAST($c AS DECIMAL(38,6))) AS DOUBLE) / count($c) AS mean,
+           |  CAST(CAST(sum(CAST($c AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / count($c) AS mean,
            |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
            |FROM orders""".stripMargin
       def str(c: String) =

@@ -92,7 +92,7 @@ object EventOps {
       """WITH p AS (
         |  SELECT user_id, max(ts) AS last_ts,
         |    CAST(count(*) AS BIGINT) AS frequency,
-        |    CAST(sum(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+        |    CAST(CAST(sum(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS monetary
         |  FROM events GROUP BY 1),
         |cm AS (SELECT max(ts) AS cmax FROM events),
         |sc AS (

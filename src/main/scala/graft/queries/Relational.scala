@@ -21,7 +21,10 @@ object Relational {
     "s1_full_scan" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .withColumn("l_shipdate", to_date(col("l_shipdate")))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (orderkey, linenumber) non-unique (TESTDATA): full determinism
+        // needs value-column tiebreaks, first colliding at sf1 volume
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+          "l_quantity", "l_extendedprice")),
 
     // S2 routed scan (warehouse.py:31-34): table name decides the source.
     "s2_routed_scan" -> ((s, dir) =>
@@ -196,7 +199,10 @@ object Relational {
     "p3_eq_predicate" -> ((s, dir) =>
       Tables.lineitem(s, dir).filter(col("l_returnflag") === "R")
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (orderkey, linenumber) is NOT unique in this generator
+        // (TESTDATA caveat); ties only materialize at sf1 volume, so
+        // every projected column joins the sort
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
     // P4 conjunctive predicate (warehouse.py:158).
     "p4_conj_predicate" -> ((s, dir) =>
@@ -489,7 +495,9 @@ object Relational {
         expr("shiftleft(l_orderkey, 2)").as("shl"),
         expr("shiftright(l_orderkey, 3)").as("shr"),
         expr("bit_count(l_orderkey)").as("popcnt"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // xored carries l_partkey — the only output not functionally
+        // dependent on the (non-unique at sf1) key pair
+        .orderBy("l_orderkey", "l_linenumber", "xored")),
 
     // f8 — pivot: long → wide with fixed pivot values (oracle replays as
     // conditional aggregation).
@@ -508,7 +516,9 @@ object Relational {
           (col("d") <=> 0.1).as("is_point_1"),
           (col("d") <=> lit(null)).as("is_null"),
           col("d").isNull.as("isnull_fn"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // d is nullable, so the tiebreak pins null placement explicitly
+        // (Spark asc defaults NULLS FIRST, DuckDB NULLS LAST)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("d").asc_nulls_first)),
 
     // ts1 — time-series gap filling: the full hourly spine (sequence +
     // explode) left-joined to observed counts, gaps zero-filled.
@@ -1660,7 +1670,9 @@ object Relational {
         round(col("l_discount") * 100, 0).as("disc_pct"),
         sqrt(col("l_quantity")).as("rt"),
         pmod(col("l_orderkey"), lit(7L)).as("mod7"))
-        .orderBy("l_orderkey", "l_linenumber")),
+        // non-unique key pair at sf1 volume: deterministic sort needs
+        // the value columns too (dev alone is |q-25| — not injective)
+        .orderBy("l_orderkey", "l_linenumber", "rt", "fl", "ce", "disc_pct")),
 
     // F-json [extension]: events.props is JSON text (FIXTURES.md).
     "f4_json_extract" -> ((s, dir) =>
@@ -1683,7 +1695,9 @@ object Relational {
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
         |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
         |       CAST(l_shipdate AS DATE) AS l_shipdate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |         l_quantity, l_extendedprice""".stripMargin,
 
     "s2_routed_scan" ->
       "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_orderkey",
@@ -1722,14 +1736,14 @@ object Relational {
          |  FROM lineitem
          |  WHERE l_partkey BETWEEN 1 AND 2000 AND l_suppkey BETWEEN 1 AND 200)
          |SELECT (zv >> 16) AS zbucket, count(*) AS n,
-         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_price
          |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // compaction is content-preserving: the compacted copy aggregates
     // exactly like the source table
     "cp1_compaction" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "g9_percentiles" ->
@@ -1742,8 +1756,8 @@ object Relational {
     "g10_filtered_agg" ->
       """SELECT l_returnflag,
         |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
-        |  CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice
-        |                     ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS discounted_price,
+        |  CAST(CAST(SUM(CAST(CASE WHEN l_discount > 0.05 THEN l_extendedprice
+        |                     ELSE 0.0 END AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS discounted_price,
         |  COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
@@ -1831,7 +1845,7 @@ object Relational {
         |  l_orderkey << 2 AS shl,
         |  l_orderkey >> 3 AS shr,
         |  CAST(bit_count(l_orderkey) AS INT) AS popcnt
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, xored""".stripMargin,
 
     "f8_pivot" ->
       """SELECT l_returnflag,
@@ -1845,7 +1859,8 @@ object Relational {
         |  (CASE WHEN l_discount > 0.05 THEN l_discount END) IS NOT DISTINCT FROM 0.1 AS is_point_1,
         |  (CASE WHEN l_discount > 0.05 THEN l_discount END) IS NOT DISTINCT FROM NULL AS is_null,
         |  (CASE WHEN l_discount > 0.05 THEN l_discount END) IS NULL AS isnull_fn
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, d ASC NULLS FIRST""".stripMargin,
 
     "ts1_gapfill" ->
       """WITH bounds AS (
@@ -1862,7 +1877,7 @@ object Relational {
     "ts2_resample_interpolate" ->
       """WITH b AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,
-        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS v
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(value) AS v
         |  FROM events GROUP BY 1, 2),
         |sp AS (
         |  SELECT event_type, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
@@ -1925,7 +1940,7 @@ object Relational {
         |         p_type AS subcategory
         |  FROM (SELECT DISTINCT p_type FROM part))
         |SELECT sc.subcategory AS category, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_price
         |FROM lineitem
         |JOIN part p ON l_partkey = p.p_partkey
         |JOIN subcat sc ON p.p_type = sc.subcategory
@@ -1948,7 +1963,7 @@ object Relational {
     "p3_eq_predicate" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
         |FROM lineitem WHERE l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
 
     "p4_conj_predicate" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
@@ -1970,7 +1985,7 @@ object Relational {
 
     "j1_star_join" ->
       """SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
@@ -2017,13 +2032,13 @@ object Relational {
 
     "g1_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -2032,7 +2047,7 @@ object Relational {
 
     "g2_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_customers,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -2041,14 +2056,14 @@ object Relational {
 
     "g3_cube_grouping" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "g4_having" ->
       """SELECT o_custkey, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS spend
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
         |ORDER BY o_custkey""".stripMargin,
 
@@ -2081,20 +2096,20 @@ object Relational {
 
     "w4_running_sum" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "bkt_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "tpch_q3_shipping" ->
       """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -2106,7 +2121,7 @@ object Relational {
 
     "tpch_q5_local_volume" ->
       """SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -2118,7 +2133,7 @@ object Relational {
 
     "tpch_q10_returns" ->
       """SELECT c_custkey, c_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -2129,7 +2144,7 @@ object Relational {
 
     "tpch_q6_forecast" ->
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice*l_discount AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem
         |WHERE year(l_shipdate) = 1996
@@ -2147,9 +2162,9 @@ object Relational {
     "tpch_q14_promo" ->
       """WITH s AS (
         |  SELECT
-        |    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
-        |      THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS promo_rev,
-        |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_rev
+        |    CAST(CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice*(1-l_discount) ELSE 0.0 END AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS promo_rev,
+        |    CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_rev
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |    AND l_shipdate <  TIMESTAMP '1996-04-01')
@@ -2161,7 +2176,7 @@ object Relational {
         |  o_totalprice, sum_qty
         |FROM orders
         |JOIN (SELECT l_orderkey,
-        |        CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+        |        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |      FROM lineitem GROUP BY 1) b ON o_orderkey = b.l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE sum_qty > 150.0
@@ -2170,8 +2185,8 @@ object Relational {
     "tpch_q2_min_cost" ->
       """WITH unit AS (
         |  SELECT l_partkey, l_suppkey,
-        |    CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5) / 1000000
-        |                  AS DECIMAL(38,6))) AS DOUBLE)
+        |    CAST(CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5) / 1000000
+        |                  AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         |      / COUNT(l_extendedprice / l_quantity) AS avg_unit
         |  FROM lineitem GROUP BY 1, 2),
         |m AS (SELECT *, MIN(avg_unit) OVER (PARTITION BY l_partkey) AS min_unit
@@ -2206,7 +2221,7 @@ object Relational {
     "tpch_q15_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,
-        |    CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |    CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         |      AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -2223,17 +2238,17 @@ object Relational {
         |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')),
         |t AS (
         |  SELECT l_partkey AS t_partkey,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         |      / COUNT(l_quantity) * 0.2 AS qty_thr
         |  FROM b GROUP BY 1)
-        |SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+        |SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / 7.0
         |  AS avg_yearly
         |FROM b JOIN t ON l_partkey = t_partkey
         |WHERE l_quantity < qty_thr""".stripMargin,
 
     "tpch_q19_disjunctive" ->
       """SELECT
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         |    AS revenue,
         |  COUNT(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -2265,11 +2280,11 @@ object Relational {
 
     "tpch_q22_balance" ->
       """WITH ab AS (
-        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+        |  SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         |    / COUNT(c_acctbal) AS avg_bal
         |  FROM customer WHERE c_acctbal > 0.0)
         |SELECT c_nationkey, COUNT(*) AS numcust,
-        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS totacctbal
         |FROM customer, ab
         |WHERE c_acctbal > avg_bal
         |  AND NOT EXISTS (SELECT 1 FROM orders
@@ -2279,15 +2294,15 @@ object Relational {
 
     "tpch_q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*1000000 + 0.5)/1000000
-        |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5)/1000000
-        |    AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-        |  CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*1000000 + 0.5)/1000000
+        |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000 + 0.5)/1000000
+        |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -2296,8 +2311,8 @@ object Relational {
     "tpch_q7_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,
-        |  CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*1000000 + 0.5)/1000000
-        |    AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*1000000 + 0.5)/1000000
+        |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -2326,21 +2341,21 @@ object Relational {
         |      WHERE r_name = 'AMERICA')
         |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31')
         |SELECT o_year,
-        |  CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0.0 END
-        |    AS DECIMAL(38,6))) AS DOUBLE)
-        |  / CAST(SUM(CAST(vol AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+        |  CAST(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE 0.0 END
+        |    AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(SUM(CAST(vol AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS mkt_share
         |FROM base GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tpch_q9_profit" ->
       """WITH ps AS (
         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-        |    CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5) / 1000000
-        |                  AS DECIMAL(38,6))) AS DOUBLE)
+        |    CAST(CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5) / 1000000
+        |                  AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         |      / COUNT(*) AS ps_supplycost
         |  FROM lineitem GROUP BY 1, 2)
         |SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        |  CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity)
-        |    *1000000 + 0.5)/1000000 AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+        |  CAST(CAST(SUM(CAST(FLOOR((l_extendedprice*(1-l_discount) - ps_supplycost*l_quantity)
+        |    *1000000 + 0.5)/1000000 AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_profit
         |FROM lineitem
         |JOIN ps ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -2352,9 +2367,9 @@ object Relational {
     "tpch_q11_important_stock" ->
       """WITH ps AS (
         |  SELECT l_partkey, l_suppkey,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS availqty,
-        |    CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5) / 1000000
-        |                  AS DECIMAL(38,6))) AS DOUBLE)
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS availqty,
+        |    CAST(CAST(SUM(CAST(FLOOR(l_extendedprice / l_quantity * 1000000 + 0.5) / 1000000
+        |                  AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
         |      / COUNT(*) AS unit_cost
         |  FROM lineitem
         |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
@@ -2364,9 +2379,9 @@ object Relational {
         |v AS (SELECT l_partkey,
         |        FLOOR(availqty * unit_cost * 1000000 + 0.5)/1000000 AS value FROM ps),
         |grp AS (SELECT l_partkey,
-        |          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS part_value
+        |          CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS part_value
         |        FROM v GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) * 1e-4 AS threshold
+        |tot AS (SELECT CAST(CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) * 1e-4 AS threshold
         |        FROM grp)
         |SELECT l_partkey, part_value FROM grp, tot
         |WHERE part_value > threshold
@@ -2385,14 +2400,14 @@ object Relational {
     "tpch_q20_promotion" ->
       """WITH s96 AS (
         |  SELECT l_partkey, l_suppkey,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty96
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS qty96
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |    AND l_shipdate <  TIMESTAMP '1997-01-01'
         |  GROUP BY 1, 2),
         |a98 AS (
         |  SELECT l_partkey, l_suppkey,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS avail98
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS avail98
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
         |    AND l_shipdate <  TIMESTAMP '1999-01-01'
@@ -2553,9 +2568,9 @@ object Relational {
     "w6_range_frame" ->
       """SELECT o_orderkey, o_orderpriority,
         |  CAST(year(o_orderdate) AS BIGINT) AS yr,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
         |    PARTITION BY o_orderpriority ORDER BY CAST(year(o_orderdate) AS BIGINT)
-        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS DOUBLE) AS two_year_spend
+        |    RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS two_year_spend
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "w7_value_functions" ->
@@ -2590,10 +2605,10 @@ object Relational {
     "g8_stats_powersums" ->
       """WITH s AS (
         |  SELECT l_returnflag, COUNT(*) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s_q,
-        |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s_qq,
-        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s_p,
-        |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS s_qp
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s_q,
+        |    CAST(CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s_qq,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s_p,
+        |    CAST(CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS s_qp
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, n,
         |  s_q / n AS mean_q,
@@ -2628,7 +2643,7 @@ object Relational {
         |  SELECT year FROM (SELECT DISTINCT year(l_shipdate) AS year FROM lineitem)
         |  WHERE year % 2 = 1)
         |SELECT CAST(f.year AS BIGINT) AS year, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total
         |FROM f JOIN d USING (year)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
@@ -2644,7 +2659,7 @@ object Relational {
         |  FROM li)
         |SELECT iv.qstart,
         |  COUNT(*) AS n_lines,
-        |  CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |  CAST(CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue
         |FROM li JOIN iv ON li.d >= iv.qstart AND li.d < iv.qend
         |GROUP BY iv.qstart ORDER BY iv.qstart""".stripMargin,
 
@@ -2667,12 +2682,12 @@ object Relational {
 
     "skew_salted_agg" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_price
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "skew_salted_join" ->
       """SELECT s_name, COUNT(*) AS n_lines,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY s_name""".stripMargin,
 
@@ -2728,7 +2743,8 @@ object Relational {
         |  round(l_discount * 100, 0) AS disc_pct,
         |  sqrt(l_quantity) AS rt,
         |  l_orderkey % 7 AS mod7
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, rt, fl, ce, disc_pct""".stripMargin,
 
     "f4_json_extract" ->
       """SELECT event_id,
@@ -2752,7 +2768,7 @@ object Relational {
       s"""WITH $subcatCte
          |SELECT sc.subcategory AS category,
          |       CAST(year(o_orderdate) AS BIGINT) AS year,
-         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS total_price,
+         |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_price,
          |       COUNT(*) AS n
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey

@@ -357,7 +357,7 @@ object StreamingOps {
     "st1_stream_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
         |       event_type, COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
 
     "st2_stream_dedup" ->
@@ -375,7 +375,7 @@ object StreamingOps {
         |                   ELSE INTERVAL 0 MINUTE END) - 1800000000]) AS window_start_us
         |  FROM events)
         |SELECT window_start_us, event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM w GROUP BY 1, 2 ORDER BY window_start_us, event_type""".stripMargin,
 
     "st5_stream_static_join" ->
@@ -385,7 +385,7 @@ object StreamingOps {
         |    ('purchase', 'revenue'), ('signup', 'growth'),
         |    ('error', 'ops')) AS t(event_type, category))
         |SELECT category, COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM events JOIN dim USING (event_type)
         |GROUP BY category ORDER BY category""".stripMargin,
 
@@ -410,14 +410,14 @@ object StreamingOps {
         |SELECT user_id, min(tus) AS session_start_us,
         |       max(tus) + 1800000000 AS session_end_us,
         |       COUNT(*) AS n,
-        |       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin,
 
     "st9_stream_upsert" ->
       """WITH m AS (
         |  SELECT user_id, COUNT(*) AS n_events,
-        |    CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS total_value,
         |    max(struct_pack(us := epoch_us(ts), id := event_id)) AS last
         |  FROM events GROUP BY 1)
         |SELECT user_id, n_events, total_value,
