@@ -259,6 +259,39 @@ object SimilarityOps {
           corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
           TOPK, nprobe = KM_NPROBE)
         .orderBy("query_id", "rank")
+    }),
+
+    // sim13 — TABLE-persisted IVF-PQ serving [extension]: sim12's
+    // ranking served from the DEPLOYED shape instead of the session
+    // cache. The trained model (centroids + codebook + amax) and the
+    // coded corpus publish ONCE per (session, fixture) as a single
+    // AtomicPublish version ([[graft.ops.AnnIndexStore]] — a serving
+    // job can never see a new index against an old codebook); the
+    // gated query then LOADS the snapshot back from parquet and serves
+    // the query batch against the read-back. Everything stored is
+    // exact-integer (plus the exact amax double), so the served
+    // ranking — and therefore the oracle — is bit-identical to
+    // sim12's: the hash gate proves the round-trip loses nothing.
+    // Publish-once uses setupOnce (the bkt convention: the layout is
+    // written once and served many times in production, so re-writing
+    // per run would price the setup, not the serve).
+    "sim13_persisted_serve" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      // dependencies resolved BEFORE each memo call (Shared's nesting rule)
+      val ivf = sharedIvfModel(s, dir)
+      val model = Shared.obj(s, dir, "ivfpq_model")(
+        graft.ops.VectorSearch.ivfPqTrain(s, ivf,
+          corpus.filter(col("vec_id") >= PQ_SEED_LO && col("vec_id") < PQ_SEED_HI),
+          "vec_id", "embedding", nSub = PQ_NSUB))
+      val index = Shared.frame(s, dir, "ivfpq_index")(
+        graft.ops.VectorSearch.ivfPqEncode(model, corpus, "vec_id", "embedding"))
+      val root = s"/root/repo/target/sink/sim13_ann_${Tables.dirSlug(dir)}"
+      Shared.setupOnce(s, dir, "ann_store")(
+        graft.ops.AnnIndexStore.publish(s, root, model, index): Unit)
+      graft.ops.AnnIndexStore.serve(s, root,
+          corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
+          k = TOPK, nprobe = KM_NPROBE)
+        .orderBy("query_id", "rank")
     }))
 
   /** The session-shared trained coarse quantizer behind sim11 AND sim12
@@ -273,7 +306,7 @@ object SimilarityOps {
     s"""CAST(${VectorExprs.duckPairDot} AS DOUBLE)
        |      / (sqrt(CAST(qnorm AS DOUBLE)) * sqrt(CAST(cnorm AS DOUBLE)))""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "sim1_cosine_topk" ->
       s"""WITH e AS (
          |  SELECT vec_id, embedding, ${VectorExprs.duckNorm2} AS norm2
@@ -627,6 +660,13 @@ object SimilarityOps {
          |SELECT query_id, vec_id, pq_dist, rank FROM ranked
          |WHERE rank <= $TOPK ORDER BY query_id, rank""".stripMargin
     })
+
+  /** sim13 serves sim12's ranking through the published-table
+    * round-trip; the stored state is exact (integers + the exact amax
+    * double), so its oracle IS sim12's — hash-matching both proves the
+    * persisted path loses nothing vs the in-session model. */
+  val oracles: Map[String, String] =
+    baseOracles + ("sim13_persisted_serve" -> baseOracles("sim12_ivf_pq"))
 
   /** sim11's learned-centroid chain as a CTE list: quantize (sim4's
     * text), k-lowest-id init, KM_ITERS unrolled Lloyd iterations
