@@ -129,6 +129,38 @@ object Shared {
     v.asInstanceOf[A]
   }
 
+  /** Eagerly-materialized once-per-(session, dir, key) frame for SMALL
+    * derived inputs that later stages self-join (sim9's MMR pool and
+    * pairwise sims — poolK·|Q| and poolK²·|Q| rows). Two forms behind
+    * one contract:
+    *
+    *   - default: `localCheckpoint(eager)` — cheapest in a single-JVM
+    *     harness, but the blocks are executor-local and NOT
+    *     fault-tolerant: on a real cluster an executor loss makes every
+    *     later consumer fail unrecoverably.
+    *   - `graft.materialize.dir` set (a durable, cluster-visible path):
+    *     write-parquet-and-read-back — the production form. The
+    *     materialization survives executor loss, has no block-locality
+    *     concerns, and is exactly the persist-and-serve shape the ANN
+    *     index uses ([[graft.ops.AnnIndexStore]]).
+    *
+    * Row identity of the two forms is pinned by MaterializeSpec. Memoized
+    * through [[obj]] (NOT [[cached]]): both forms return an
+    * already-materialized frame, and layering persist() over a
+    * self-joined checkpoint RDD trips CacheManager's attribute rewrite
+    * ("key not found" at plan substitution). */
+  def materialized(spark: SparkSession, dir: String, what: String)(
+      build: => DataFrame): DataFrame =
+    obj(spark, dir, what) {
+      spark.conf.getOption("graft.materialize.dir") match {
+        case Some(root) =>
+          val out = s"$root/${what}_${graft.Tables.dirSlug(dir)}"
+          build.write.mode("overwrite").parquet(out)
+          spark.read.parquet(out)
+        case None => build.localCheckpoint(true)
+      }
+    }
+
   /** Public form of [[cached]] for serving-index frames whose builder
     * lives with the operator (sim11's assigned corpus, sim12's PQ-coded
     * corpus): one build + persist per (session, dir, key), every later

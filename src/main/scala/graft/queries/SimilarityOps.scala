@@ -191,23 +191,17 @@ object SimilarityOps {
       val qs = corpus.filter(col("vec_id") < NQUERIES)
       // pool + pairwise sims materialize once per session (poolK·|Q| and
       // poolK²·|Q| rows — tiny): repeated diversifications price the
-      // greedy, not the corpus scans behind its inputs. localCheckpoint
-      // inside the build keeps the r8 eager-materialization fix;
-      // Shared.obj (NOT Shared.frame) memoizes, because the checkpointed
-      // frame is already materialized and layering persist() over a
-      // self-joined checkpoint RDD trips CacheManager's attribute
-      // rewrite ("key not found" at plan substitution). Oracle hash
-      // unchanged. CLUSTER CAVEAT: localCheckpoint blocks are
-      // executor-local and NOT fault-tolerant — losing an executor
-      // makes every later sim9 in the session fail unrecoverably. Fine
-      // for this local[...]/local-cluster harness (no dynamic executor
-      // loss); on a real cluster the pool/sims would be written tables
-      // (the ivfPqEncode persist-and-serve shape in VectorSearch).
-      val pool = Shared.obj(s, dir, "mmr_pool")(
-        V.mmrPool(s, corpus, qs, "vec_id", "embedding", poolK = 20)
-          .localCheckpoint(true))
-      val sims = Shared.obj(s, dir, "mmr_sims")(
-        V.mmrSims(s, corpus, pool, "vec_id", "embedding").localCheckpoint(true))
+      // greedy, not the corpus scans behind its inputs. Shared.materialized
+      // keeps the r8 eager-materialization fix and picks the form by
+      // deployment: localCheckpoint in this single-JVM harness, durable
+      // write-and-read-back tables when `graft.materialize.dir` points
+      // at cluster-visible storage (executor loss then costs nothing —
+      // MaterializeSpec pins the two forms row-identical). Oracle hash
+      // unchanged.
+      val pool = Shared.materialized(s, dir, "mmr_pool")(
+        V.mmrPool(s, corpus, qs, "vec_id", "embedding", poolK = 20))
+      val sims = Shared.materialized(s, dir, "mmr_sims")(
+        V.mmrSims(s, corpus, pool, "vec_id", "embedding"))
       V.mmrDiversifyPrebuilt(pool, sims, k = 5, lambdaRel = 0.7)
         .orderBy("query_id", "pick_order")
     }),
