@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal join family [SURVEY §2.3 ext — absent in the reference,
+  * which has only equi-joins via foreign keys]. Public API form of the
+  * shapes the battery queries exercise inline (j5), so a library user
+  * gets them as operators rather than recipes.
+  *
+  * Scale posture: the as-of join is the union+window form — both sides
+  * shuffle ONCE on (keys) and sort by time inside each partition; no
+  * range-condition join (which Spark would plan as a broadcast nested
+  * loop or cartesian) ever appears, so the shape survives arbitrarily
+  * large sides as long as a single key-partition's rows fit a task —
+  * the same contract as any window query, with key salting as the
+  * documented escape hatch for pathological single-key skew. */
+object Joins {
+
+  private def nullAs(name: String, schema: StructType): Column =
+    lit(null).cast(schema(name).dataType).as(name)
+
+  /** Backward as-of join: attach to each `left` row the payload of the
+    * single LATEST `right` row with `rightTime` <= `leftTime`, matched
+    * within equal `keys` (null payloads where no right row qualifies —
+    * left rows are always preserved).
+    *
+    * Mechanics: tag both sides, union by name, and run
+    * `last(payload, ignoreNulls)` over a running (unbounded-preceding)
+    * window ordered by (time, is_point) per key — right rows sort
+    * BEFORE left rows at equal time, so an anchor exactly at the left
+    * timestamp is eligible (<=, not <). Every `right` column that is
+    * neither a key nor `rightTime` is carried as payload.
+    *
+    * Determinism: among right rows sharing (keys, time), the LAST row
+    * under `extraOrder` wins; among left rows the payload is
+    * order-independent (their own payload slots are null), but pass the
+    * left's unique id in `extraOrder` when downstream consumers need a
+    * fully deterministic window order (the battery's j5 does). If
+    * `right` can hold duplicate (keys, time) rows, supply an
+    * `extraOrder` that totally orders them — otherwise the surviving
+    * payload is partitioning-dependent.
+    *
+    * `leftTime`/`rightTime` may share a name; keys must not contain
+    * either time column. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               extraOrder: Seq[Column] = Nil): DataFrame = {
+    require(!keys.contains(leftTime) && !keys.contains(rightTime),
+      s"time columns ($leftTime, $rightTime) must not be join keys ($keys)")
+    val leftOnly = left.columns.toSeq.diff(keys)
+    val payloads = right.columns.toSeq.diff(keys :+ rightTime)
+    require(payloads.nonEmpty, "right side carries no payload columns")
+    require(leftOnly.intersect(payloads).isEmpty,
+      s"left/right column name collision: ${leftOnly.intersect(payloads)}")
+    val lTagged = left.select(
+      keys.map(col) ++ leftOnly.map(col) ++ Seq(col(leftTime).as("__t")) ++
+        payloads.map(p => nullAs(p, right.schema)) ++
+        Seq(lit(1).as("__is_point")): _*)
+    val rTagged = right.select(
+      keys.map(col) ++ leftOnly.map(c => nullAs(c, left.schema)) ++
+        Seq(col(rightTime).as("__t")) ++ payloads.map(col) ++
+        Seq(lit(0).as("__is_point")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc +: col("__is_point").asc +: extraOrder: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTagged.unionByName(rTagged)
+      .select(keys.map(col) ++ leftOnly.map(col) ++ Seq(col("__is_point")) ++
+        payloads.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .filter(col("__is_point") === 1)
+      .drop("__is_point")
+  }
+}

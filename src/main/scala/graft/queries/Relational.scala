@@ -702,11 +702,13 @@ object Relational {
         .orderBy("l_returnflag")),
 
     // j5 — as-of join [absent in reference — extension]: each order joins
-    // the most recent quarter-start anchor ≤ its date. Implemented with
-    // the scalable union + last_value(ignoreNulls) window trick
-    // (partitioned by year — anchors recur every quarter so no
-    // cross-partition carry is needed); the oracle replays it with
-    // DuckDB's native ASOF JOIN.
+    // the most recent quarter-start anchor ≤ its date, via the public
+    // `Joins.asofJoin` API (the scalable union + last(ignoreNulls)
+    // window form — partitioned by year, so anchors recur per partition
+    // and no cross-partition carry is needed; a range-condition join
+    // never appears). The oracle replays it with DuckDB's native ASOF
+    // JOIN; random-input semantics proven vs a naive nested-loop
+    // reference in DifferentialSpec.
     "j5_asof_join" -> ((s, dir) => {
       val orders = Tables.orders(s, dir).select(
         col("o_orderkey"), to_date(col("o_orderdate")).as("d"),
@@ -714,18 +716,11 @@ object Relational {
       val anchors = orders
         .select(col("yr"), to_date(date_trunc("quarter", col("d"))).as("d")).distinct()
         .withColumn("rate", (col("yr") * 100 + month(col("d"))).cast("long"))
-      val tagged = orders
-        .select(col("yr"), col("d"), col("o_orderkey"),
-          lit(null).cast("long").as("rate"), lit(1).as("is_point"))
-        .unionByName(anchors.select(col("yr"), col("d"),
-          lit(null).cast("long").as("o_orderkey"), col("rate"), lit(0).as("is_point")))
-      val w = Window.partitionBy("yr")
-        .orderBy(col("d").asc, col("is_point").asc, col("o_orderkey").asc_nulls_first)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      tagged
-        .withColumn("asof_rate", last(col("rate"), ignoreNulls = true).over(w))
-        .filter(col("is_point") === 1)
-        .select(col("o_orderkey"), col("d").as("o_date"), col("asof_rate"))
+      graft.ops.Joins.asofJoin(orders, anchors, keys = Seq("yr"),
+          leftTime = "d", rightTime = "d",
+          extraOrder = Seq(col("o_orderkey").asc_nulls_first))
+        .select(col("o_orderkey"), col("d").as("o_date"),
+          col("rate").as("asof_rate"))
         .orderBy("o_orderkey")
     }),
 

@@ -181,6 +181,47 @@ class DifferentialSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------------ asofJoin
+
+  test("differential: Joins.asofJoin matches a naive nested-loop reference on random timelines") {
+    val row: Gen[(Int, Int)] = Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0, 50))
+    cases(Gen.zip(Gen.listOfN(60, row), Gen.listOfN(12, row)), n = 4).foreach {
+      case (pts, anchors0) =>
+        // unique (key, t) anchors: duplicate anchor times are documented
+        // as needing extraOrder, not exercised here
+        val anchors = anchors0.distinct.zipWithIndex
+          .map { case ((k, t), i) => (k, t, 1000L + i) }
+        val left = pts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("id", "k", "t")
+        val right = anchors.toDF("k", "t", "payload")
+        val got = graft.ops.Joins.asofJoin(left, right, keys = Seq("k"),
+            leftTime = "t", rightTime = "t",
+            extraOrder = Seq(col("id").asc_nulls_first))
+          .select("id", "k", "t", "payload")
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .sortBy(_._1).toSeq
+        val want = pts.zipWithIndex.map { case ((k, t), i) =>
+          val best = anchors.filter(a => a._1 == k && a._2 <= t)
+            .sortBy(a => (a._2, a._3)).lastOption
+          (i.toLong, k, t, best.map(_._3))
+        }
+        assert(got == want, "asofJoin diverged from the nested-loop reference")
+        // partition invariance
+        val got2 = graft.ops.Joins.asofJoin(
+            left.repartition(7, col("id")), right.repartition(3), keys = Seq("k"),
+            leftTime = "t", rightTime = "t",
+            extraOrder = Seq(col("id").asc_nulls_first))
+          .select("id", "k", "t", "payload")
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .sortBy(_._1).toSeq
+        assert(got2 == got, "asofJoin output depends on input partitioning")
+    }
+  }
+
   // ---------------------------------------------------------- minhashLsh
 
   test("differential: minhashLsh always pairs exact duplicates and is order/partition-invariant") {
