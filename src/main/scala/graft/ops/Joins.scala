@@ -72,4 +72,64 @@ object Joins {
       .filter(col("__is_point") === 1)
       .drop("__is_point")
   }
+
+  /** Point-in-interval (range) join via coarse bins: each interval
+    * EXPLODES to the bins it covers (`binsOf(start, end)` — an array
+    * expression the caller shapes to the domain: month bins for dates,
+    * fixed-width buckets for numerics), each point maps to its single
+    * bin (`binOf`), candidates come from the bin EQUI-join, and the
+    * exact half-open predicate `start <= point < end` refines them.
+    *
+    * Why: a naive range join is a cross product + filter (Spark plans
+    * the inequality condition as broadcast-nested-loop or cartesian).
+    * Here candidate count is |points| × (intervals sharing the point's
+    * bin) — proportional to temporal/spatial locality, never
+    * |points|·|intervals|. `broadcastIntervals` (default) is right
+    * whenever the interval set is dimension-sized; set it false to
+    * shuffle both sides on the bin instead.
+    *
+    * Contract: `binsOf` must cover every bin the interval's half-open
+    * range touches, and `binOf(p)` must land in one of them whenever
+    * start <= p < end — bins may overshoot (the refine discards), never
+    * undershoot. Column names must be disjoint across the two inputs
+    * (points keep their name-space; interval columns are carried). */
+  def pointInIntervalJoin(points: DataFrame, intervals: DataFrame,
+                          pointCol: String, startCol: String, endCol: String,
+                          binOf: Column => Column,
+                          binsOf: (Column, Column) => Column,
+                          broadcastIntervals: Boolean = true): DataFrame = {
+    require(points.columns.intersect(intervals.columns).isEmpty,
+      s"column collision: ${points.columns.toSeq.intersect(intervals.columns.toSeq)}")
+    val binned = intervals.withColumn("__bin",
+      explode(binsOf(col(startCol), col(endCol))))
+    val side = if (broadcastIntervals) broadcast(binned) else binned
+    points.withColumn("__bin", binOf(col(pointCol)))
+      .join(side, Seq("__bin"))
+      .filter(col(pointCol) >= col(startCol) && col(pointCol) < col(endCol))
+      .drop("__bin")
+  }
+
+  /** Interval × interval OVERLAP join — [[pointInIntervalJoin]]'s shape
+    * with both sides spanning ranges: each side explodes to its bins,
+    * candidate pairs come from the bin equi-join, pairs dedup
+    * (`distinct` over the carried columns — a pair sharing k bins
+    * appears k times before it) and then the exact strict-overlap
+    * predicate `aStart < bEnd AND bStart < aEnd` (half-open ranges)
+    * refines. Candidates ∝ locality, never |A|·|B|. Both inputs' column
+    * sets must be disjoint and must identify their rows (the dedup is
+    * by value); keep an id column on each side. */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame,
+                          aStart: String, aEnd: String,
+                          bStart: String, bEnd: String,
+                          binsOf: (Column, Column) => Column,
+                          broadcastB: Boolean = true): DataFrame = {
+    require(a.columns.intersect(b.columns).isEmpty,
+      s"column collision: ${a.columns.toSeq.intersect(b.columns.toSeq)}")
+    val ab = a.withColumn("__bin", explode(binsOf(col(aStart), col(aEnd))))
+    val bb = b.withColumn("__bin", explode(binsOf(col(bStart), col(bEnd))))
+    ab.join(if (broadcastB) broadcast(bb) else bb, Seq("__bin"))
+      .drop("__bin")
+      .distinct()
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+  }
 }

@@ -767,11 +767,10 @@ object Relational {
         .select(to_date(date_trunc("quarter", col("d"))).as("qstart")).distinct()
         .withColumn("qend", add_months(col("qstart"), 3))
       // bin = month: a quarter interval spans exactly 3 month bins
-      val binned = intervals.withColumn("bin",
-        explode(array((0 until 3).map(i => add_months(col("qstart"), i)): _*)))
-      li.withColumn("bin", to_date(date_trunc("month", col("d"))))
-        .join(broadcast(binned), Seq("bin"))
-        .filter(col("d") >= col("qstart") && col("d") < col("qend"))
+      graft.ops.Joins.pointInIntervalJoin(li, intervals,
+          pointCol = "d", startCol = "qstart", endCol = "qend",
+          binOf = d => to_date(date_trunc("month", d)),
+          binsOf = (qs, _) => array((0 until 3).map(i => add_months(qs, i)): _*))
         .groupBy("qstart")
         .agg(count(lit(1)).as("n_lines"),
           Det.dsum(col("l_extendedprice")).as("revenue"))
@@ -793,15 +792,12 @@ object Relational {
         .select(col("o_orderkey").as(s"${tag}_key"),
           to_date(col("o_orderdate")).as(s"${tag}_start"),
           date_add(to_date(col("o_orderdate")), days).as(s"${tag}_end"))
-      def binned(df: org.apache.spark.sql.DataFrame, tag: String) =
-        df.withColumn("bin", explode(expr(
-          s"""sequence(date_trunc('month', ${tag}_start),
-             |date_trunc('month', date_sub(${tag}_end, 1)), interval 1 month)""".stripMargin)))
-      binned(iv("1-URGENT", 97, 20, "a"), "a")
-        .join(broadcast(binned(iv("2-HIGH", 89, 15, "b"), "b")), Seq("bin"))
-        .select("a_key", "a_start", "a_end", "b_key", "b_start", "b_end")
-        .distinct()
-        .filter(col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      graft.ops.Joins.intervalOverlapJoin(
+          iv("1-URGENT", 97, 20, "a"), iv("2-HIGH", 89, 15, "b"),
+          aStart = "a_start", aEnd = "a_end",
+          bStart = "b_start", bEnd = "b_end",
+          binsOf = (s0, e0) => sequence(date_trunc("month", s0),
+            date_trunc("month", date_sub(e0, 1)), expr("interval 1 month")))
         .select(col("a_key"), col("b_key"),
           datediff(least(col("a_end"), col("b_end")),
             greatest(col("a_start"), col("b_start"))).as("overlap_days"))

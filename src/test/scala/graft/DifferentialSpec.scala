@@ -222,6 +222,57 @@ class DifferentialSpec extends SparkSuite {
     }
   }
 
+  // ---------------------------------------------------- range joins
+
+  test("differential: Joins.pointInIntervalJoin matches a nested-loop reference on random numeric ranges") {
+    val W = 10L // bin width
+    val pt: Gen[Long] = Gen.chooseNum(0L, 200L)
+    val iv: Gen[(Long, Long)] =
+      Gen.zip(Gen.chooseNum(0L, 190L), Gen.chooseNum(1L, 35L)).map { case (s0, len) => (s0, s0 + len) }
+    cases(Gen.zip(Gen.listOfN(80, pt), Gen.listOfN(15, iv)), n = 4).foreach {
+      case (pts, ivs) =>
+        val points = pts.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+        val intervals = ivs.zipWithIndex.map { case ((s0, e0), i) => (100L + i, s0, e0) }
+          .toDF("iid", "s", "e")
+        val got = graft.ops.Joins.pointInIntervalJoin(points, intervals,
+            pointCol = "p", startCol = "s", endCol = "e",
+            binOf = p => floor(p / W),
+            binsOf = (s0, e0) => sequence(floor(s0 / W), floor((e0 - 1) / W)))
+          .select("pid", "iid")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val want = (for {
+          (p, i) <- pts.zipWithIndex
+          ((s0, e0), j) <- ivs.zipWithIndex
+          if p >= s0 && p < e0
+        } yield (i.toLong, 100L + j)).sorted
+        assert(got == want, "pointInIntervalJoin diverged from nested loop")
+    }
+  }
+
+  test("differential: Joins.intervalOverlapJoin matches a nested-loop reference on random numeric ranges") {
+    val W = 10L
+    val iv: Gen[(Long, Long)] =
+      Gen.zip(Gen.chooseNum(0L, 150L), Gen.chooseNum(1L, 40L)).map { case (s0, len) => (s0, s0 + len) }
+    cases(Gen.zip(Gen.listOfN(20, iv), Gen.listOfN(20, iv)), n = 4).foreach {
+      case (as, bs) =>
+        val a = as.zipWithIndex.map { case ((s0, e0), i) => (i.toLong, s0, e0) }
+          .toDF("a_id", "a_s", "a_e")
+        val b = bs.zipWithIndex.map { case ((s0, e0), i) => (100L + i, s0, e0) }
+          .toDF("b_id", "b_s", "b_e")
+        val got = graft.ops.Joins.intervalOverlapJoin(a, b,
+            aStart = "a_s", aEnd = "a_e", bStart = "b_s", bEnd = "b_e",
+            binsOf = (s0, e0) => sequence(floor(s0 / W), floor((e0 - 1) / W)))
+          .select("a_id", "b_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val want = (for {
+          ((as0, ae0), i) <- as.zipWithIndex
+          ((bs0, be0), j) <- bs.zipWithIndex
+          if as0 < be0 && bs0 < ae0
+        } yield (i.toLong, 100L + j)).sorted
+        assert(got == want, "intervalOverlapJoin diverged from nested loop")
+    }
+  }
+
   // ---------------------------------------------------------- minhashLsh
 
   test("differential: minhashLsh always pairs exact duplicates and is order/partition-invariant") {
