@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -20,15 +21,28 @@ import graft.ops.VectorSearch.{IvfModel, IvfPqModel}
   * new index against an old codebook — the exact cross-table-atomicity
   * hazard the reference's multi-statement transactions guard against
   * (/root/reference/warehouse.py:252-301), solved here by the same
-  * pointer-commit that backs `o7_atomic_publish`. Re-encoding against a
-  * refreshed corpus is a new version; readers pin a snapshot (or time
-  * travel to a retained one — the o8 shape), so a rebuild mid-serve is
-  * invisible.
+  * pointer-commit that backs `o7_atomic_publish`. Readers pin a
+  * snapshot (or time travel to a retained one — the o8 shape), so a
+  * rebuild mid-serve is invisible.
+  *
+  * INCREMENTAL GROWTH (round 11): the coded index is stored as
+  * immutable SEGMENTS (`root/seg/<id>/`, each an [[VectorSearch.ivfPqEncode]]
+  * output) referenced by a tiny per-version manifest table — the
+  * Iceberg/Delta data-file/manifest split reduced to plain parquet.
+  * [[appendEncode]] therefore encodes ONLY the new batch and publishes
+  * a new version whose manifest is (old segments :+ new segment): at
+  * 100 TB, daily corpus growth costs one batch-sized encode + a
+  * pointer commit, never a corpus rewrite. The MODEL is frozen across
+  * appends by design — codes are only comparable under one codebook;
+  * re-training is a full rebuild ([[publish]]), which readers again
+  * only ever see atomically. Orphaned segments (from vacuumed or
+  * never-committed versions) are reclaimed by [[vacuumSegments]].
   *
   * Everything stored is exact-integer or an exact double (the trained
   * amax literal), so a served ranking from the read-back is
   * bit-identical to one served from the in-session model — pinned by
-  * PersistedIndexSpec against sim12's oracle-gated output.
+  * PersistedIndexSpec against sim12's oracle-gated output, and the
+  * append path by IncrementalIndexSpec against a one-shot full encode.
   */
 object AnnIndexStore {
 
@@ -36,7 +50,7 @@ object AnnIndexStore {
   private val MetaT = "ivf_meta"
   private val CentsT = "ivf_centroids"
   private val SeedsT = "pq_seeds"
-  private val IndexT = "ann_index"
+  private val SegsT = "ann_segments"
 
   private val centSchema = StructType(Seq(
     StructField("cid", IntegerType, nullable = false),
@@ -51,12 +65,28 @@ object AnnIndexStore {
     StructField("amax", DoubleType, nullable = false),
     StructField("n_sub", IntegerType, nullable = false)))
 
-  /** Publish trained model + coded index as one atomic version; returns
-    * the committed version. `encoded` is [[VectorSearch.ivfPqEncode]]'s
-    * output (the only corpus-sized write); the model tables are
-    * kLists + |seeds| + 1 rows. */
-  def publish(spark: SparkSession, root: String, model: IvfPqModel,
-              encoded: DataFrame): Long = {
+  private val segSchema = StructType(Seq(
+    StructField("seq", IntegerType, nullable = false),
+    StructField("seg", StringType, nullable = false)))
+
+  /** Write one immutable coded segment; returns its id. Segment dirs
+    * live OUTSIDE version dirs (like Iceberg data files) so appends
+    * never copy them; only manifests reference them. */
+  private def writeSegment(spark: SparkSession, root: String,
+                           encoded: DataFrame): String = {
+    val id = s"seg-${java.util.UUID.randomUUID}"
+    encoded.write.parquet(s"$root/seg/$id")
+    id
+  }
+
+  private def segmentIds(spark: SparkSession,
+                         snap: AtomicPublish.Snapshot): Seq[String] =
+    snap.table(spark, SegsT).orderBy("seq").collect()
+      .map(_.getAs[String]("seg")).toSeq
+
+  /** Publish model tables + a segment manifest as one atomic version. */
+  private def publishVersion(spark: SparkSession, root: String,
+                             model: IvfPqModel, segs: Seq[String]): Long = {
     val cents = spark.createDataFrame(
       java.util.Arrays.asList(model.ivf.cents.zipWithIndex.map {
         case ((cent, cnt), i) => Row(i, cent.toSeq, cnt)
@@ -67,15 +97,44 @@ object AnnIndexStore {
       }: _*), seedSchema)
     val meta = spark.createDataFrame(
       java.util.Arrays.asList(Row(model.ivf.amaxVal, model.nSub)), metaSchema)
+    val manifest = spark.createDataFrame(
+      java.util.Arrays.asList(segs.zipWithIndex.map {
+        case (s, i) => Row(i, s)
+      }: _*), segSchema)
     AtomicPublish.publish(spark, root, Seq(
-      MetaT -> meta, CentsT -> cents, SeedsT -> seeds, IndexT -> encoded))
+      MetaT -> meta, CentsT -> cents, SeedsT -> seeds, SegsT -> manifest))
+  }
+
+  /** FULL build: publish trained model + coded corpus as one atomic
+    * version (a single initial segment); returns the committed version.
+    * `encoded` is [[VectorSearch.ivfPqEncode]]'s output — the only
+    * corpus-sized write. */
+  def publish(spark: SparkSession, root: String, model: IvfPqModel,
+              encoded: DataFrame): Long = {
+    val seg = writeSegment(spark, root, encoded)
+    publishVersion(spark, root, model, Seq(seg))
+  }
+
+  /** INCREMENTAL growth: encode ONLY `batch` under the current
+    * version's frozen model and commit a new version referencing
+    * (old segments :+ the new one). Cost ∝ batch, never corpus; the
+    * old segments' files are untouched (IncrementalIndexSpec pins
+    * this). Rows in `batch` are the caller's responsibility to be new
+    * ids — the index is append-only, like the corpus it mirrors. */
+  def appendEncode(spark: SparkSession, root: String, batch: DataFrame,
+                   idCol: String, vecCol: String): Long = {
+    val snap = AtomicPublish.snapshot(spark, root)
+    val (model, _) = load(spark, root, Some(snap.version))
+    val seg = writeSegment(spark, root,
+      VectorSearch.ivfPqEncode(model, batch, idCol, vecCol))
+    publishVersion(spark, root, model, segmentIds(spark, snap) :+ seg)
   }
 
   /** Load the serving state back from a committed snapshot (the current
     * one, or a retained `version` for o8-style time travel). The model
     * tables collect to the driver (kLists + |seeds| rows — the same
-    * driver-side footprint training produced); the index stays a lazy
-    * DataFrame for [[VectorSearch.ivfPqServe]]. */
+    * driver-side footprint training produced); the index is the lazy
+    * union of the manifest's segments for [[VectorSearch.ivfPqServe]]. */
   def load(spark: SparkSession, root: String,
            version: Option[Long] = None): (IvfPqModel, DataFrame) = {
     val snap = version.fold(AtomicPublish.snapshot(spark, root))(
@@ -90,8 +149,9 @@ object AnnIndexStore {
     val seeds = snap.table(spark, SeedsT)
       .orderBy("sid").collect()
       .map(r => r.getSeq[Long](r.fieldIndex("qv")).toArray)
+    val paths = segmentIds(spark, snap).map(s => s"$root/seg/$s")
     (IvfPqModel(IvfModel(amax, cents), seeds, nSub),
-      snap.table(spark, IndexT))
+      spark.read.parquet(paths: _*))
   }
 
   /** Convenience: load (optionally pinned) state and serve one query
@@ -103,5 +163,27 @@ object AnnIndexStore {
     val (model, index) = load(spark, root, version)
     VectorSearch.ivfPqServe(model, index, queries, idCol, vecCol, k, nprobe,
       excludeSelf)
+  }
+
+  /** Reclaim segment dirs referenced by NO retained version's manifest
+    * (run after [[AtomicPublish.vacuum]]); returns the deleted ids.
+    * Retained-version reads are unaffected — their manifests only
+    * reference surviving segments by construction. */
+  def vacuumSegments(spark: SparkSession, root: String): Seq[String] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val segRoot = new Path(root, "seg")
+    if (!fs.exists(segRoot)) return Nil
+    val rootPath = new Path(root)
+    val retained = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
+      .flatMap(s => s.getPath.getName.drop(1).toLongOption)
+    val referenced = retained.flatMap { v =>
+      segmentIds(spark, AtomicPublish.Snapshot(root, v))
+    }.toSet
+    val doomed = fs.listStatus(segRoot).toSeq
+      .map(_.getPath.getName)
+      .filterNot(referenced)
+    doomed.foreach(id => fs.delete(new Path(segRoot, id), true))
+    doomed
   }
 }
