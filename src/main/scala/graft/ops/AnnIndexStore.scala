@@ -71,11 +71,14 @@ object AnnIndexStore {
 
   /** Write one immutable coded segment; returns its id. Segment dirs
     * live OUTSIDE version dirs (like Iceberg data files) so appends
-    * never copy them; only manifests reference them. */
+    * never copy them; only manifests reference them. Overwrite mode so
+    * a CALLER-named segment (streaming batch replay) lands
+    * idempotently; uuid-named segments never collide. */
   private def writeSegment(spark: SparkSession, root: String,
-                           encoded: DataFrame): String = {
-    val id = s"seg-${java.util.UUID.randomUUID}"
-    encoded.write.parquet(s"$root/seg/$id")
+                           encoded: DataFrame,
+                           segmentId: Option[String] = None): String = {
+    val id = segmentId.getOrElse(s"seg-${java.util.UUID.randomUUID}")
+    encoded.write.mode("overwrite").parquet(s"$root/seg/$id")
     id
   }
 
@@ -122,12 +125,17 @@ object AnnIndexStore {
     * this). Rows in `batch` are the caller's responsibility to be new
     * ids — the index is append-only, like the corpus it mirrors. */
   def appendEncode(spark: SparkSession, root: String, batch: DataFrame,
-                   idCol: String, vecCol: String): Long = {
+                   idCol: String, vecCol: String,
+                   segmentId: Option[String] = None): Long = {
     val snap = AtomicPublish.snapshot(spark, root)
     val (model, _) = load(spark, root, Some(snap.version))
     val seg = writeSegment(spark, root,
-      VectorSearch.ivfPqEncode(model, batch, idCol, vecCol))
-    publishVersion(spark, root, model, segmentIds(spark, snap) :+ seg)
+      VectorSearch.ivfPqEncode(model, batch, idCol, vecCol), segmentId)
+    // a replayed caller-named segment (streaming batch retry) overwrote
+    // its own files above; don't reference it twice
+    val prior = segmentIds(spark, snap)
+    publishVersion(spark, root, model,
+      if (prior.contains(seg)) prior else prior :+ seg)
   }
 
   /** Load the serving state back from a committed snapshot (the current

@@ -241,12 +241,7 @@ object SimilarityOps {
     // sim7's encode/LUT/ADC CTEs.
     "sim12_ivf_pq" -> ((s, dir) => {
       val corpus = Tables.embeddings(s, dir)
-      // dependencies resolved BEFORE each memo call (Shared's nesting rule)
-      val ivf = sharedIvfModel(s, dir)
-      val model = Shared.obj(s, dir, "ivfpq_model")(
-        graft.ops.VectorSearch.ivfPqTrain(s, ivf,
-          corpus.filter(col("vec_id") >= PQ_SEED_LO && col("vec_id") < PQ_SEED_HI),
-          "vec_id", "embedding", nSub = PQ_NSUB))
+      val model = sharedPqModel(s, dir)
       val index = Shared.frame(s, dir, "ivfpq_index")(
         graft.ops.VectorSearch.ivfPqEncode(model, corpus, "vec_id", "embedding"))
       graft.ops.VectorSearch.ivfPqServe(model, index,
@@ -271,12 +266,7 @@ object SimilarityOps {
     // per run would price the setup, not the serve).
     "sim13_persisted_serve" -> ((s, dir) => {
       val corpus = Tables.embeddings(s, dir)
-      // dependencies resolved BEFORE each memo call (Shared's nesting rule)
-      val ivf = sharedIvfModel(s, dir)
-      val model = Shared.obj(s, dir, "ivfpq_model")(
-        graft.ops.VectorSearch.ivfPqTrain(s, ivf,
-          corpus.filter(col("vec_id") >= PQ_SEED_LO && col("vec_id") < PQ_SEED_HI),
-          "vec_id", "embedding", nSub = PQ_NSUB))
+      val model = sharedPqModel(s, dir)
       val index = Shared.frame(s, dir, "ivfpq_index")(
         graft.ops.VectorSearch.ivfPqEncode(model, corpus, "vec_id", "embedding"))
       val root = s"/root/repo/target/sink/sim13_ann_${Tables.dirSlug(dir)}"
@@ -295,6 +285,22 @@ object SimilarityOps {
     Shared.obj(s, dir, "ivf_model")(
       graft.ops.VectorSearch.ivfTrain(s, Tables.embeddings(s, dir),
         "vec_id", "embedding", KM_K, KM_ITERS))
+
+  /** The session-shared trained IVF-PQ model (sim12/sim13's exact
+    * configuration), exposed to the streaming twin st13 so the ingest
+    * query prices INGEST, not retraining — and so its served ranking is
+    * oracle-comparable to sim12's. */
+  private[queries] def sharedPqModel(s: SparkSession, dir: String): graft.ops.VectorSearch.IvfPqModel = {
+    val ivf = sharedIvfModel(s, dir)
+    Shared.obj(s, dir, "ivfpq_model")(
+      graft.ops.VectorSearch.ivfPqTrain(s, ivf,
+        Tables.embeddings(s, dir)
+          .filter(col("vec_id") >= PQ_SEED_LO && col("vec_id") < PQ_SEED_HI),
+        "vec_id", "embedding", nSub = PQ_NSUB))
+  }
+
+  /** st13 reuses sim12's serve constants and oracle. */
+  private[queries] val servingConstants: (Int, Int, Int) = (NQUERIES, TOPK, KM_NPROBE)
 
   private val duckCos: String =
     s"""CAST(${VectorExprs.duckPairDot} AS DOUBLE)

@@ -172,6 +172,45 @@ object StreamingOps {
         .orderBy("rule")
     }),
 
+    // st13 — streaming ANN index ingest [extension]: the streaming twin
+    // of sim13's table-persisted serve, closing the loop on a
+    // continuously-fed vector corpus. The trained model publishes once
+    // as v0 with an EMPTY index (the "create index" step; training is
+    // session-shared with sim12 — the ingest prices ingest, not
+    // retraining); each arriving micro-batch of embeddings then
+    // foreachBatch-appends ONE coded segment named by its batchId
+    // (AnnIndexStore.appendEncode — batch-sized encode + pointer
+    // commit, idempotent under batch replay because a retried batch
+    // overwrites its own segment), and the final snapshot serves the
+    // query batch. Codes are deterministic per row under the frozen
+    // model, so ANY micro-batch split converges to the batch index —
+    // the served ranking hash-matches sim12's oracle (multi-batch
+    // convergence pinned in IncrementalIndexSpec's streaming test).
+    "st13_stream_index_ingest" -> ((s, dir) => {
+      val (nq, topk, nprobe) = SimilarityOps.servingConstants
+      val model = SimilarityOps.sharedPqModel(s, dir)
+      val root = s"/root/repo/target/sink/st13_ann_${Tables.dirSlug(dir)}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+      val corpus = Tables.embeddings(s, dir)
+      graft.ops.AnnIndexStore.publish(s, root, model,
+        graft.ops.VectorSearch.ivfPqEncode(model, corpus.limit(0),
+          "vec_id", "embedding"))
+      Streams.runIngest(s, Streams.embeddings(s, dir), s"$root/chk") {
+        (batch, batchId) =>
+          if (!batch.isEmpty)
+            graft.ops.AnnIndexStore.appendEncode(s, root, batch,
+              "vec_id", "embedding", Some(f"batch-$batchId%05d")): Unit
+      }
+      graft.ops.AnnIndexStore.serve(s, root,
+          corpus.filter(col("vec_id") < nq), "vec_id", "embedding",
+          k = topk, nprobe = nprobe)
+        .orderBy("query_id", "rank")
+    }),
+
     // st3 — custom sessionization state: flatMapGroupsWithState per user,
     // splitting the user's event times on gaps > GAP_US. One AvailableNow
     // batch delivers each user's full history, so the emitted sessions
@@ -340,6 +379,10 @@ object StreamingOps {
     // fn1's oracle verbatim: the streamed fold must converge to the
     // batch funnel's conversion table.
     "st11_stream_funnel" -> EventOps.oracles("fn1_funnel"),
+
+    // sim12's oracle verbatim: the streamed ingest must converge to the
+    // batch index, so the served ranking is the IVFADC chain's.
+    "st13_stream_index_ingest" -> SimilarityOps.oracles("sim12_ivf_pq"),
 
     "st12_stream_dq" ->
       """WITH a AS (SELECT

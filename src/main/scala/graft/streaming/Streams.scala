@@ -106,6 +106,44 @@ object Streams {
       .parquet(dir)
   }
 
+  /** Streaming view of `embeddings` (Tables.embeddings, streaming
+    * flavor) — the arrival feed of st13's continuous index ingest. */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val schema = schemaMemo.computeIfAbsent(s"$dir/embeddings.parquet",
+      p => spark.read.parquet(p).schema)
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
+  /** Drive a stream to completion through a caller-supplied foreachBatch
+    * body (an INGEST side effect keyed by batchId — the body must be
+    * idempotent per batchId, e.g. an overwrite-by-batch-name publish, so
+    * a replayed batch converges instead of duplicating). Checkpointed
+    * next to the ingest like the other production-sink runners; the
+    * caller clears its own output root for a deterministic fixture
+    * run. */
+  def runIngest(spark: SparkSession, streamed: DataFrame, chkDir: String)(
+      body: (DataFrame, Long) => Unit): Unit = {
+    val fs = new java.io.File(chkDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    if (fs.exists) rm(fs)
+    withStreamConfs(spark) {
+      val q = streamed.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          body(batch, batchId)
+        }
+        .option("checkpointLocation", chkDir)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+  }
+
   /** Run a streaming DataFrame to completion into a checkpointed PARQUET
     * file sink — the production sink shape (exactly-once via the sink's
     * commit log; the checkpoint makes re-runs resume, so the sink dir is

@@ -82,6 +82,39 @@ class IncrementalIndexSpec extends SparkSuite {
     assert(travel == before, "time-traveled v0 serve changed after the append")
   }
 
+  test("streaming ingest converges to the batch index across REAL multiple micro-batches") {
+    // st13's fixture replay is one AvailableNow batch; this forces a
+    // genuine multi-batch split (one file per trigger) and pins that
+    // the grown index serves exactly the one-shot batch encode.
+    val root = freshRoot()
+    val (emb, model, queries) = train()
+    val feed = java.nio.file.Files.createTempDirectory("ann_feed_").toString
+    emb.repartition(4).write.mode("overwrite").parquet(feed)
+
+    graft.ops.AnnIndexStore.publish(spark, root, model,
+      VectorSearch.ivfPqEncode(model, emb.limit(0), "vec_id", "embedding"))
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(feed)
+    var batches = 0
+    graft.streaming.Streams.runIngest(spark, stream, s"$root/chk") {
+      (batch, batchId) =>
+        if (!batch.isEmpty) {
+          batches += 1
+          graft.ops.AnnIndexStore.appendEncode(spark, root, batch,
+            "vec_id", "embedding", Some(f"batch-$batchId%05d")): Unit
+        }
+    }
+    assert(batches >= 2, s"expected a real multi-batch split, got $batches batch(es)")
+
+    val streamed = norm(graft.ops.AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe))
+    val oneShot = norm(VectorSearch.ivfPqServe(model,
+      VectorSearch.ivfPqEncode(model, emb, "vec_id", "embedding"),
+      queries, "vec_id", "embedding", topK, nprobe))
+    assert(streamed == oneShot,
+      "multi-batch streamed index serve diverged from the one-shot batch encode")
+  }
+
   test("vacuumSegments reclaims only unreferenced segments; the current serve is unaffected") {
     val root = freshRoot()
     val (emb, model, queries) = train()
