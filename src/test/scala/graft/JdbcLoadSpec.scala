@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.etl.JdbcLoad
+
+/** Live exercise of the JDBC LOAD surface (the reference's real sink
+  * protocol — warehouse.py writes every table INTO MySQL) against
+  * embedded Derby, completing the extraction coverage in
+  * JdbcSourceSpec: batched parallel append, staging-swap full refresh,
+  * and the set-based anti-join upsert with its inserted-count audit. */
+class JdbcLoadSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:graftload;create=true"
+
+  private def drop(table: String): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      try conn.createStatement().execute(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => () }
+    } finally conn.close()
+  }
+
+  private def dim(n: Int, from: Int = 1) =
+    (from until from + n).map(i => (i.toLong, s"name_$i", i * 2.5)).toDF("id", "name", "score")
+
+  test("append streams batched inserts; round-trip preserves every row") {
+    drop("D_APPEND")
+    JdbcLoad.append(dim(250), url, "D_APPEND", numPartitions = Some(4))
+    val back = Tables.readJdbc(spark, url, "D_APPEND")
+    assert(back.count() == 250)
+    assert(back.agg(sum(col("score"))).head().getDouble(0) ==
+      (1 to 250).map(_ * 2.5).sum)
+    JdbcLoad.append(dim(50, from = 251), url, "D_APPEND")
+    assert(Tables.readJdbc(spark, url, "D_APPEND").count() == 300)
+  }
+
+  test("refresh swaps a complete new generation in; the old table serves until the swap") {
+    drop("D_REF"); drop("D_REF_STAGING"); drop("D_REF_OLD")
+    JdbcLoad.refresh(spark, dim(100), url, "D_REF")
+    assert(Tables.readJdbc(spark, url, "D_REF").count() == 100)
+    // second generation: different rows entirely; after refresh the
+    // target holds exactly the new generation (no truncated mix), and
+    // the staging/old scaffolding is gone
+    JdbcLoad.refresh(spark, dim(40, from = 1000), url, "D_REF")
+    val back = Tables.readJdbc(spark, url, "D_REF")
+    assert(back.count() == 40)
+    assert(back.agg(min(col("id"))).head().getLong(0) == 1000L)
+    assert(!Seq("D_REF_STAGING", "D_REF_OLD").exists { t =>
+      try { Tables.readJdbc(spark, url, t).count(); true }
+      catch { case _: Exception => false }
+    }, "staging/old scaffolding left behind")
+  }
+
+  test("upsert inserts only absent keys and reports the audit count; idempotent") {
+    drop("D_UP")
+    JdbcLoad.append(dim(100), url, "D_UP")
+    // 50 overlapping + 30 new
+    val incoming = dim(80, from = 51)
+    assert(JdbcLoad.upsert(spark, incoming, url, "D_UP", Seq("id")) == 30L)
+    assert(Tables.readJdbc(spark, url, "D_UP").count() == 130)
+    // replay: nothing new, nothing duplicated
+    assert(JdbcLoad.upsert(spark, incoming, url, "D_UP", Seq("id")) == 0L)
+    val dupKeys = Tables.readJdbc(spark, url, "D_UP")
+      .groupBy("id").count().filter(col("count") > 1).count()
+    assert(dupKeys == 0, "upsert duplicated keys")
+  }
+}
