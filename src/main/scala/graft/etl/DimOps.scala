@@ -107,6 +107,39 @@ object DimOps {
     * else-branch: an unmatched name raises UnboundLocalError or silently
     * reuses the previous row's value (SURVEY.md Appendix Q1). We normalize
     * to `otherwise(null)` — the evident intent. */
+  /** O5 — SCD-2 history from an event log: per `keyCol`, events ordered
+    * by (`dateCol`, `tieCol`) collapse to their attribute TRANSITIONS
+    * (null-safe change detection, so a null attribute is a value, not a
+    * wildcard), and validity intervals come from lead over the
+    * surviving changes — [valid_from, valid_to) rows with `is_current`,
+    * the classic type-2 dimension. Both windows shuffle once on the
+    * key. `tieCol` must totally order same-date events per key or the
+    * surviving transition row is partitioning-dependent.
+    *
+    * Output: every event-log column of a transition row +
+    * (valid_from DATE, valid_to DATE — `endOfTime` for the open
+    * interval, is_current BOOLEAN). Random-history semantics proven vs
+    * a sequential fold reference in DifferentialSpec. */
+  def scd2History(events: DataFrame, keyCol: String, dateCol: String,
+                  tieCol: String, attrCol: String,
+                  endOfTime: String = "9999-12-31"): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(dateCol), col(tieCol))
+    // row_number (not prev-is-null) marks the first event, so a leading
+    // NULL attribute still opens its interval; both exprs share one
+    // window, so this costs no extra shuffle
+    val changes = events
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
+    changes
+      .withColumn("__next_from", lead(col(dateCol), 1).over(w))
+      .withColumn("valid_from", to_date(col(dateCol)))
+      .withColumn("valid_to",
+        coalesce(to_date(col("__next_from")), to_date(lit(endOfTime))))
+      .withColumn("is_current", col("__next_from").isNull)
+      .drop("__prev", "__rn", "__next_from")
+  }
+
   def decode(c: Column, mapping: Seq[(String, String)]): Column = {
     val first = when(c === mapping.head._1, lit(mapping.head._2))
     mapping.tail.foldLeft(first) { case (acc, (k, v)) =>

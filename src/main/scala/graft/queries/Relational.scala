@@ -1428,28 +1428,22 @@ object Relational {
           col("n_sampled"))
         .orderBy("l_returnflag")),
 
-    // o5 — SCD-2 history build: each order is an "update" to its
-    // customer's priority attribute; change detection (lag) keeps only
-    // transitions, then validity intervals come from lead over the
-    // surviving changes — [valid_from, valid_to) rows with is_current,
-    // the classic type-2 dimension. Both windows shuffle once on custkey.
-    "o5_scd2_history" -> ((s, dir) => {
-      val w = Window.partitionBy("o_custkey")
-        .orderBy(col("o_orderdate"), col("o_orderkey"))
-      val changes = Tables.orders(s, dir)
-        .withColumn("prev_p", lag(col("o_orderpriority"), 1).over(w))
-        .filter(col("prev_p").isNull || col("prev_p") =!= col("o_orderpriority"))
-      changes
-        .withColumn("next_from", lead(col("o_orderdate"), 1).over(w))
+    // o5 — SCD-2 history build via the public `DimOps.scd2History`: each
+    // order is an "update" to its customer's priority attribute; change
+    // detection (lag) keeps only transitions, then validity intervals
+    // come from lead over the surviving changes — [valid_from, valid_to)
+    // rows with is_current, the classic type-2 dimension. Both windows
+    // shuffle once on custkey; random-history semantics proven vs a
+    // sequential fold in DifferentialSpec.
+    "o5_scd2_history" -> ((s, dir) =>
+      graft.etl.DimOps.scd2History(Tables.orders(s, dir),
+          keyCol = "o_custkey", dateCol = "o_orderdate",
+          tieCol = "o_orderkey", attrCol = "o_orderpriority")
         .select(col("o_custkey").as("cust_id"),
           col("o_orderkey").as("change_id"),
           col("o_orderpriority").as("priority"),
-          to_date(col("o_orderdate")).as("valid_from"),
-          coalesce(to_date(col("next_from")), to_date(lit("9999-12-31")))
-            .as("valid_to"),
-          col("next_from").isNull.as("is_current"))
-        .orderBy("cust_id", "valid_from", "change_id")
-    }),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("cust_id", "valid_from", "change_id")),
 
     // o6 — MERGE with deletes: the full MERGE INTO surface (WHEN MATCHED
     // AND op='D' THEN DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT

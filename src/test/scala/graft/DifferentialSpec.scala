@@ -222,6 +222,40 @@ class DifferentialSpec extends SparkSuite {
     }
   }
 
+  // -------------------------------------------------------- scd2History
+
+  test("differential: DimOps.scd2History matches a sequential fold on random histories (incl. null attrs, date ties)") {
+    // few keys/dates/values → dense ties and repeated attrs; ~1/6 nulls
+    val ev: Gen[(Int, Int, Option[String])] = Gen.zip(
+      Gen.chooseNum(0, 2), Gen.chooseNum(1, 8),
+      Gen.oneOf(Some("a"), Some("b"), Some("c"), Some("a"), Some("b"), None))
+    cases(Gen.listOfN(60, ev), n = 5).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((k, d, v), i) =>
+        (k.toLong, java.sql.Date.valueOf(f"2024-01-$d%02d"), i.toLong, v.orNull) }
+      val got = graft.etl.DimOps.scd2History(
+          rows.toDF("k", "d", "tie", "attr"),
+          keyCol = "k", dateCol = "d", tieCol = "tie", attrCol = "attr")
+        .select("k", "tie", "attr", "valid_from", "valid_to", "is_current")
+        .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)),
+          r.getDate(3).toString, r.getDate(4).toString, r.getBoolean(5)))
+        .sortBy(t => (t._1, t._4, t._2)).toSeq
+
+      // sequential fold: per key in (date, tie) order, keep transition
+      // rows (first always; then null-safe attr inequality), close each
+      // interval at the next transition's date
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+        val sorted = es.sortBy(e => (e._2.toString, e._3))
+        val trans = sorted.zipWithIndex.filter { case ((_, _, _, v), i) =>
+          i == 0 || sorted(i - 1)._4 != v }.map(_._1)
+        trans.zipWithIndex.map { case ((_, d, tie, v), i) =>
+          val to = if (i + 1 < trans.size) trans(i + 1)._2.toString else "9999-12-31"
+          (k, tie, Option(v), d.toString, to, i + 1 == trans.size)
+        }
+      }.sortBy(t => (t._1, t._4, t._2))
+      assert(got == want, "scd2History diverged from the sequential fold")
+    }
+  }
+
   // ---------------------------------------------------- range joins
 
   test("differential: Joins.pointInIntervalJoin matches a nested-loop reference on random numeric ranges") {
