@@ -763,13 +763,17 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"),
           to_date(col("l_shipdate")).as("d"),
           col("l_extendedprice"))
+      // trunc (DATE-native) over date_trunc (which upcasts DATE →
+      // TIMESTAMP and pays per-row timezone logic): the distinct-
+      // quarters pass measured 2.7 → 1.0 s on the 60M-row sf10
+      // fixture, identical values (SCALE.md round-11 ladder)
       val intervals = li
-        .select(to_date(date_trunc("quarter", col("d"))).as("qstart")).distinct()
+        .select(trunc(col("d"), "quarter").as("qstart")).distinct()
         .withColumn("qend", add_months(col("qstart"), 3))
       // bin = month: a quarter interval spans exactly 3 month bins
       graft.ops.Joins.pointInIntervalJoin(li, intervals,
           pointCol = "d", startCol = "qstart", endCol = "qend",
-          binOf = d => to_date(date_trunc("month", d)),
+          binOf = d => trunc(d, "mon"),
           binsOf = (qs, _) => array((0 until 3).map(i => add_months(qs, i)): _*))
         .groupBy("qstart")
         .agg(count(lit(1)).as("n_lines"),
