@@ -222,6 +222,33 @@ class DifferentialSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------- funnelStages
+
+  test("differential: Funnel.funnelStages matches a greedy subsequence fold on random event logs") {
+    val steps = Seq("s1", "s2", "s3")
+    val ev: Gen[(Int, Int, String)] = Gen.zip(Gen.chooseNum(0, 4),
+      Gen.chooseNum(0, 30), Gen.oneOf("s1", "s2", "s3", "x", "y"))
+    cases(Gen.listOfN(120, ev), n = 5).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, t, ty), i) =>
+        (u.toLong, t.toLong, i.toLong, ty) }
+      def run(d: org.apache.spark.sql.DataFrame) =
+        graft.ops.Funnel.funnelStages(d,
+            "user_id", "ts", "event_id", "event_type", steps)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+      val df = rows.toDF("user_id", "ts", "event_id", "event_type")
+      val got = run(df)
+      val want = rows.groupBy(_._1).toSeq.map { case (u, es) =>
+        var st = 0
+        es.sortBy(e => (e._2, e._3)).foreach { e =>
+          if (st < steps.length && e._4 == steps(st)) st += 1 }
+        (u, st)
+      }.sortBy(_._1)
+      assert(got == want, "funnelStages diverged from the greedy fold")
+      assert(run(df.orderBy(col("event_id").desc).repartition(7)) == got,
+        "funnelStages depends on input order/partitioning")
+    }
+  }
+
   // -------------------------------------------------------- scd2History
 
   test("differential: DimOps.scd2History matches a sequential fold on random histories (incl. null attrs, date ties)") {
