@@ -334,6 +334,69 @@ class DifferentialSpec extends SparkSuite {
     }
   }
 
+  // ------------------------------------------------------- packSequences
+
+  test("differential: packSequences matches a sequential cumulative-offset replay") {
+    val doc: Gen[(Int, Int)] = Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(1, 15))
+    cases(Gen.zip(Gen.listOfN(70, doc), Gen.chooseNum(4L, 20L)), n = 4).foreach {
+      case (docs, budget) =>
+        val rows = docs.zipWithIndex.map { case ((shard, nTok), i) =>
+          (i.toLong, s"sh$shard", Seq.fill(nTok)("w").mkString(" ")) }
+        def run(d: org.apache.spark.sql.DataFrame) =
+          graft.ops.Packing.packSequences(d, "id", "text", "shard", budget)
+            .select("shard", "id", "n_tokens", "start_off", "first_pack", "n_packs")
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4), r.getLong(5)))
+            .sortBy(t => (t._1, t._2)).toSeq
+        val got = run(rows.toDF("id", "shard", "text"))
+        val want = rows.groupBy(_._2).toSeq.flatMap { case (sh, ds) =>
+          var off = 0L
+          ds.sortBy(_._1).map { case (id, _, text) =>
+            val t = text.split("\\s+").length.toLong
+            val start = off; off += t
+            val first = start / budget
+            (sh, id, t, start, first, (start + t - 1) / budget - first + 1)
+          }
+        }.sortBy(t => (t._1, t._2))
+        assert(got == want, "packSequences diverged from the sequential replay")
+        assert(run(rows.toDF("id", "shard", "text").repartition(5, col("id"))) == got,
+          "packSequences depends on input partitioning")
+    }
+  }
+
+  // ----------------------------------------------------- cohortRetention
+
+  test("differential: cohortRetention matches a naive per-user week fold") {
+    import java.time.{LocalDate, DayOfWeek}
+    import java.time.temporal.TemporalAdjusters
+    val ev: Gen[(Int, Int)] = Gen.zip(Gen.chooseNum(0, 6), Gen.chooseNum(0, 59))
+    cases(Gen.listOfN(80, ev), n = 4).foreach { evs =>
+      val base = LocalDate.of(2024, 3, 4) // a Monday
+      val rows = evs.map { case (u, d) =>
+        (u.toLong, java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay())) }
+      val got = graft.ops.Funnel.cohortRetention(
+          rows.toDF("user_id", "ts"), "user_id", "ts")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+
+      def monday(d: LocalDate) = d.`with`(TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY))
+      val byUser = rows.groupBy(_._1)
+      val cells = byUser.toSeq.flatMap { case (_, es) =>
+        val dates = es.map(_._2.toLocalDateTime.toLocalDate)
+        val cohort = monday(dates.min)
+        dates.map { d =>
+          val off = java.time.temporal.ChronoUnit.DAYS.between(cohort, monday(d)) / 7
+          (cohort, off)
+        }.distinct
+      }
+      val want = cells.groupBy(identity).toSeq.map { case ((cohort, off), xs) =>
+        val us = java.sql.Timestamp.valueOf(cohort.atStartOfDay()).getTime * 1000L
+        (us, off, xs.size.toLong)
+      }.sortBy(t => (t._1, t._2))
+      assert(got == want, "cohortRetention diverged from the naive week fold")
+    }
+  }
+
   // ---------------------------------------------------------- minhashLsh
 
   test("differential: minhashLsh always pairs exact duplicates and is order/partition-invariant") {
