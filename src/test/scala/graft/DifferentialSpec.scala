@@ -397,6 +397,79 @@ class DifferentialSpec extends SparkSuite {
     }
   }
 
+  // --------------------------------------------------------- rfmSegments
+
+  test("differential: rfmSegments matches a naive quintile reference (exact ntile semantics, tie-broken)") {
+    import java.time.LocalDate
+    val ev: Gen[(Int, Int, Int)] = Gen.zip(Gen.chooseNum(0, 11),
+      Gen.chooseNum(0, 40), Gen.chooseNum(1, 9999))
+    cases(Gen.listOfN(100, ev), n = 4).foreach { evs =>
+      val base = LocalDate.of(2024, 1, 1)
+      val rows = evs.map { case (u, d, v) =>
+        (u.toLong, java.sql.Timestamp.valueOf(base.plusDays(d).atStartOfDay()),
+          v / 100.0) }
+      val got = graft.ops.Funnel.rfmSegments(
+          rows.toDF("user_id", "ts", "value"), "user_id", "ts", "value")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7)))
+        .sortBy(_._1).toSeq
+
+      // naive: per-user aggregates, then score = 6 - ntile(5) with the
+      // documented (metric desc, user asc) order; ntile's first n%5
+      // buckets get the extra row
+      val per = rows.groupBy(_._1).toSeq.map { case (u, es) =>
+        val last = es.map(_._2.getTime).max
+        val mon = es.map(e => BigDecimal(e._3).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble
+        (u, last, es.size.toLong, mon)
+      }
+      val n = per.size
+      def ntile5(pos: Int): Int = {
+        val base5 = n / 5; val rem = n % 5
+        var acc = 0
+        (1 to 5).find { b =>
+          acc += base5 + (if (b <= rem) 1 else 0); pos < acc
+        }.get
+      }
+      def score[A](key: ((Long, Long, Long, Double)) => A, u: ((Long, Long, Long, Double)) => Long)(
+          implicit ord: Ordering[A]): Map[Long, Int] =
+        per.sortBy(t => (key(t), u(t)))(Ordering.Tuple2(ord.reverse, Ordering.Long))
+          .zipWithIndex.map { case (t, p) => t._1 -> (6 - ntile5(p)) }.toMap
+      val r = score(_._2, _._1)
+      val f = score(_._3, _._1)
+      val m = score(_._4, _._1)
+      val cmaxDate = LocalDate.ofEpochDay(rows.map(_._2.getTime).max / 86400000L)
+      val want = per.sortBy(_._1).map { case (u, last, freq, mon) =>
+        val rec = java.time.temporal.ChronoUnit.DAYS.between(
+          LocalDate.ofEpochDay(last / 86400000L), cmaxDate).toInt
+        (u, rec, freq, mon, r(u), f(u), m(u), s"${r(u)}${f(u)}${m(u)}")
+      }
+      assert(got == want, "rfmSegments diverged from the naive quintile reference")
+    }
+  }
+
+  // --------------------------------------------------------- transitions
+
+  test("differential: transitions matches a naive consecutive-pair count") {
+    val ev: Gen[(Int, Int, String)] = Gen.zip(Gen.chooseNum(0, 4),
+      Gen.chooseNum(0, 25), Gen.oneOf("a", "b", "c"))
+    cases(Gen.listOfN(90, ev), n = 4).foreach { evs =>
+      val rows = evs.zipWithIndex.map { case ((u, t, ty), i) =>
+        (u.toLong, t.toLong, i.toLong, ty) }
+      val got = graft.ops.Funnel.transitions(
+          rows.toDF("user_id", "ts", "event_id", "event_type"),
+          "user_id", "ts", "event_id", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+        es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2)
+          .collect { case Seq(a, b) => (a, b) }
+      }.groupBy(identity).map { case ((a, b), xs) => (a, b, xs.size.toLong) }
+        .toSeq.sortBy(t => (t._1, t._2))
+      assert(got == want, "transitions diverged from the naive pair count")
+    }
+  }
+
   // ---------------------------------------------------------- minhashLsh
 
   test("differential: minhashLsh always pairs exact duplicates and is order/partition-invariant") {
