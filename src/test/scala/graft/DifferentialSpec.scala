@@ -470,6 +470,91 @@ class DifferentialSpec extends SparkSuite {
     }
   }
 
+  // --------------------------------------------------------- capPerGroup
+
+  test("differential: capPerGroup equals a naive top-k by (value desc, id asc) per group") {
+    val row: Gen[(Int, Int)] = Gen.zip(Gen.chooseNum(0, 3), Gen.chooseNum(0, 20))
+    cases(Gen.zip(Gen.listOfN(80, row), Gen.chooseNum(1, 12)), n = 4).foreach {
+      case (rowsG, k) =>
+        // coarse values force heavy ties -> the (value, id) cutoff matters
+        val rows = rowsG.zipWithIndex.map { case ((g, v), i) =>
+          (s"g$g", i.toLong, v.toDouble) }
+        val got = graft.ops.Curation.capPerGroup(
+            rows.toDF("src", "doc_id", "score"), "src", "score", "doc_id", k)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+            r.getInt(3)))
+          .sortBy(t => (t._1, t._4)).toSeq
+        val want = rows.groupBy(_._1).toSeq.flatMap { case (g, ds) =>
+          ds.sortBy(d => (-d._3, d._2)).take(k).zipWithIndex
+            .map { case ((_, id, v), i) => (g, id, v, i + 1) }
+        }.sortBy(t => (t._1, t._4))
+        assert(got == want, s"capPerGroup(k=$k) diverged from naive top-k")
+    }
+  }
+
+  // --------------------------------------------------------- tokenBudget
+
+  test("differential: tokenBudget equals a sequential best-quality-first fill") {
+    val row: Gen[(Int, Int, Int)] = Gen.zip(Gen.chooseNum(0, 2),
+      Gen.chooseNum(1, 12), Gen.chooseNum(0, 5))
+    cases(Gen.zip(Gen.listOfN(60, row), Gen.chooseNum(5L, 40L)), n = 4).foreach {
+      case (rowsG, budget) =>
+        val rows = rowsG.zipWithIndex.map { case ((s0, t, q), i) =>
+          (s"s$s0", i.toLong, t.toLong, q.toDouble) }
+        val got = graft.ops.Curation.tokenBudget(
+            rows.toDF("stratum", "doc_id", "n_tokens", "quality"),
+            "doc_id", "stratum", col("n_tokens"), col("quality"), budget)
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getBoolean(4)))
+          .sortBy(t => (t._1, t._2)).toSeq
+        val want = rows.groupBy(_._1).toSeq.flatMap { case (s0, ds) =>
+          var cum = 0L
+          ds.sortBy(d => (-d._4, d._2)).map { case (_, id, t, _) =>
+            val before = cum; cum += t
+            (s0, id, t, before, before < budget)
+          }
+        }.sortBy(t => (t._1, t._2))
+        assert(got == want, s"tokenBudget($budget) diverged from the greedy fill")
+    }
+  }
+
+  // -------------------------------------------------------- quantileTrim
+
+  test("differential: quantileTrim bounds match naive interpolated percentiles") {
+    val row: Gen[(Int, Int)] = Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0, 1000))
+    cases(Gen.listOfN(70, row), n = 4).foreach { rowsG =>
+      val rows = rowsG.zipWithIndex.map { case ((s0, v), i) =>
+        (s"s$s0", i.toLong, v.toDouble) }
+      val (loQ, hiQ) = (0.05, 0.95)
+      val got = graft.ops.Curation.quantileTrim(
+          rows.toDF("stratum", "doc_id", "value"),
+          "doc_id", "stratum", col("value"), loQ, hiQ)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      def pct(sorted: Seq[Double], q: Double): Double = {
+        val idx = q * (sorted.size - 1)
+        val lo = idx.toInt
+        if (lo + 1 >= sorted.size) sorted(lo)
+        else sorted(lo) + (idx - lo) * (sorted(lo + 1) - sorted(lo))
+      }
+      val bounds = rows.groupBy(_._1).map { case (s0, ds) =>
+        val sorted = ds.map(_._3).sorted
+        s0 -> (pct(sorted, loQ), pct(sorted, hiQ))
+      }
+      got.foreach { case (s0, id, v, lo, hi, kept) =>
+        val (wl, wh) = bounds(s0)
+        assert(math.abs(lo - wl) < 1e-9 && math.abs(hi - wh) < 1e-9,
+          s"bounds for $s0 diverged: ($lo,$hi) vs ($wl,$wh)")
+        // boundary values within tolerance of a bound are allowed to
+        // disagree only if the engines' last-ulp interpolations differ;
+        // everything else must match the naive keep decision
+        if (math.abs(v - wl) > 1e-9 && math.abs(v - wh) > 1e-9)
+          assert(kept == (v >= wl && v <= wh), s"kept($s0, $id, $v) diverged")
+      }
+    }
+  }
+
   // ---------------------------------------------------------- minhashLsh
 
   test("differential: minhashLsh always pairs exact duplicates and is order/partition-invariant") {
