@@ -30,8 +30,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * protocol are unchanged.)
   *
   * Concurrency: single writer, many readers — the reference's shape (one
-  * ETL job owns the warehouse). Multi-writer would need the commit to be
-  * a compare-and-swap on the expected version; noted, out of scope.
+  * ETL job owns the warehouse). As insurance against a VIOLATED
+  * single-writer convention, the commit is conditional ([[stage]] /
+  * [[commit]]): outputs land in a private `tx-<uuid>/` staging dir, and
+  * the commit (a) claims the next version directory by a no-overwrite
+  * rename — two publishers racing from the same base version collide
+  * there, exactly one wins — and (b) verifies the pointer still reads
+  * the staged-against version before swapping it. The loser throws
+  * [[java.util.ConcurrentModificationException]] naming both versions;
+  * it never silently clobbers the winner's commit or data. (A
+  * filesystem rename is not a true CAS — a microsecond
+  * verify-then-rename window remains, documented at [[commit]]; a real
+  * multi-writer deployment puts the pointer behind an object-store
+  * conditional PUT or a catalog, layout unchanged.)
   */
 object AtomicPublish {
 
@@ -87,45 +98,108 @@ object AtomicPublish {
 
   /** Publish `outputs` as one atomic batch; returns the new version.
     * Either every table of the batch becomes visible together, or (on
-    * any failure before the pointer swap) none do. */
+    * any failure before the pointer swap) none do. Equivalent to
+    * `commit(spark, stage(spark, root, outputs))` — split those when a
+    * test (or a long write phase) needs the race window explicit. */
   def publish(spark: SparkSession, root: String,
-              outputs: Seq[(String, DataFrame)]): Long = {
+              outputs: Seq[(String, DataFrame)]): Long =
+    commit(spark, stage(spark, root, outputs))
+
+  /** A written-but-uncommitted batch: every output is materialized under
+    * a private staging dir, and `expected` records the version the batch
+    * was built against (None before the first publish). */
+  final case class Staged(root: String, txDir: String, expected: Option[Long])
+
+  /** Write phase: materialize every output under a fresh `tx-<uuid>/`
+    * staging dir private to this publisher — concurrent stages never
+    * touch each other's files, and a crash mid-stage leaves only an
+    * invisible orphan ([[vacuum]] reclaims it). */
+  def stage(spark: SparkSession, root: String,
+            outputs: Seq[(String, DataFrame)]): Staged = {
     require(outputs.nonEmpty, "empty publish batch")
-    val next = currentVersion(spark, root).getOrElse(-1L) + 1
-    // 1. materialize every output under the uncommitted version dir
+    val expected = currentVersion(spark, root)
+    val tx = s"tx-${java.util.UUID.randomUUID}"
     outputs.foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$root/v$next/$name")
+      df.write.mode("overwrite").parquet(s"$root/$tx/$name")
     }
-    // 2. commit: write pointer to a temp name, atomically swap it in
+    Staged(root, tx, expected)
+  }
+
+  /** Commit phase — conditional on the warehouse still being at the
+    * version the batch was staged against:
+    *
+    *  1. CLAIM `v<expected+1>` by renaming the staging dir onto it with
+    *     NO overwrite — if a racing publisher staged against the same
+    *     base and committed first, the rename fails on its existing
+    *     claim and this publisher throws (its staging dir left intact
+    *     for diagnosis; [[vacuum]] reclaims it). A claim that exists
+    *     while the pointer has NOT advanced is a crashed publisher's
+    *     orphan: deleted and the claim retried once.
+    *  2. VERIFY the pointer still reads `expected`, then swap it.
+    *
+    * Residual window: between a winner's successful claim-rename and
+    * its pointer swap, step 1's orphan test could misread the claim as
+    * a crash leftover — microseconds against a write phase of seconds;
+    * the single-writer convention remains the contract and this check
+    * is the detect-and-fail insurance for when it's violated. */
+  def commit(spark: SparkSession, staged: Staged): Long = {
     val ctx = fc(spark)
-    val tmp = new Path(root, s"$Pointer.tmp-${java.util.UUID.randomUUID}")
+    val next = staged.expected.getOrElse(-1L) + 1
+    val src = new Path(staged.root, staged.txDir)
+    val dest = new Path(staged.root, s"v$next")
+    def observed: Option[Long] = currentVersion(spark, staged.root)
+    def lost(): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"publish conflict under ${staged.root}: staged against version " +
+          s"${staged.expected.getOrElse(-1L)} but a concurrent publisher " +
+          s"advanced the warehouse to ${observed.getOrElse(-1L)}; " +
+          s"this batch (${staged.txDir}) was NOT committed")
+    def claim(): Boolean =
+      try { ctx.rename(src, dest); true }
+      catch { case _: java.io.IOException => false }
+    if (!claim()) {
+      if (observed != staged.expected) lost()
+      // pointer unmoved but v<next> exists → a crashed publisher's
+      // never-committed claim; reclaim it and retry once
+      ctx.delete(dest, true)
+      if (!claim()) lost()
+    }
+    // belt-and-braces: the pointer must not have moved while we claimed
+    if (observed != staged.expected) lost()
+    val tmp = new Path(staged.root, s"$Pointer.tmp-${java.util.UUID.randomUUID}")
     val out = ctx.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
         org.apache.hadoop.fs.CreateFlag.OVERWRITE),
       Options.CreateOpts.createParent())
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    ctx.rename(tmp, new Path(root, Pointer), Options.Rename.OVERWRITE)
+    ctx.rename(tmp, new Path(staged.root, Pointer), Options.Rename.OVERWRITE)
     next
   }
 
   /** Reclaim version directories older than the last `keep` committed
-    * versions (plus any orphaned never-committed ones below them).
-    * Readers of retained versions are unaffected — data dirs are
-    * immutable once written. */
+    * versions (plus any orphaned never-committed ones below them), and
+    * every orphaned `tx-*` staging dir (crashed or conflict-losing
+    * publishers). Readers of retained versions are unaffected — data
+    * dirs are immutable once written. Do not run concurrently with an
+    * in-flight [[stage]]: its not-yet-committed staging dir is
+    * indistinguishable from an orphan. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
     val cur = currentVersion(spark, root).getOrElse(return Nil)
     val ctx = fc(spark)
     val rootPath = new Path(root)
     if (!ctx.util.exists(rootPath)) return Nil
     val it = ctx.listStatus(rootPath)
-    val versions = Iterator.continually(it)
+    val dirs = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
       .filter(_.isDirectory)
-      .flatMap(s => s.getPath.getName match {
-        case n if n.startsWith("v") => n.drop(1).toLongOption
-        case _ => None
-      })
+      .map(_.getPath.getName)
       .toSeq
+    dirs.filter(_.startsWith("tx-"))
+      .foreach(tx => ctx.delete(new Path(root, tx), true))
+    val versions = dirs.flatMap {
+      case n if n.startsWith("v") => n.drop(1).toLongOption
+      case _ => None
+    }
     val doomed = versions.filter(_ <= cur - keep).sorted
     doomed.foreach(v => ctx.delete(new Path(root, s"v$v"), true))
     doomed

@@ -53,17 +53,45 @@ object JdbcLoad {
     writer(df, url, table, options, batchSize, numPartitions)
       .mode("append").save()
 
+  /** Driver-side connection honoring the SAME `options` the executor
+    * writes use: `user`/`password` go into connection Properties (the
+    * production target needs credentials that aren't embedded in the
+    * URL) and `driver` is class-loaded first (DriverManager won't find
+    * a driver jar the Spark session loaded lazily). */
+  private def connect(url: String,
+                      options: Map[String, String]): java.sql.Connection = {
+    options.get("driver").foreach(Class.forName)
+    val props = new java.util.Properties()
+    options.get("user").foreach(props.setProperty("user", _))
+    options.get("password").foreach(props.setProperty("password", _))
+    java.sql.DriverManager.getConnection(url, props)
+  }
+
   /** One driver-side DDL statement on a fresh connection. */
-  private def ddl(url: String, sql: String): Unit = {
-    val conn = java.sql.DriverManager.getConnection(url)
+  private def ddl(url: String, options: Map[String, String],
+                  sql: String): Unit = {
+    val conn = connect(url, options)
     try { conn.createStatement().execute(sql): Unit } finally conn.close()
   }
 
-  private def tableExists(url: String, table: String): Boolean = {
-    val conn = java.sql.DriverManager.getConnection(url)
+  /** Existence probe that respects the target's identifier folding:
+    * try the exact name, then the case the engine says it stores
+    * unquoted identifiers in (DatabaseMetaData.storesUpper/LowerCase).
+    * MySQL on Linux is case-SENSITIVE for table names, so a blanket
+    * toUpperCase would miss a lowercase table and [[refresh]] would
+    * wrongly take the create branch. */
+  private def tableExists(url: String, options: Map[String, String],
+                          table: String): Boolean = {
+    val conn = connect(url, options)
     try {
-      val rs = conn.getMetaData.getTables(null, null, table.toUpperCase, null)
-      try rs.next() finally rs.close()
+      val md = conn.getMetaData
+      val candidates = (Seq(table) ++
+        (if (md.storesUpperCaseIdentifiers) Seq(table.toUpperCase) else Nil) ++
+        (if (md.storesLowerCaseIdentifiers) Seq(table.toLowerCase) else Nil)).distinct
+      candidates.exists { t =>
+        val rs = md.getTables(null, null, t, null)
+        try rs.next() finally rs.close()
+      }
     } finally conn.close()
   }
 
@@ -83,14 +111,14 @@ object JdbcLoad {
                   s"RENAME TABLE $staging TO $t")): Unit = {
     val staging = s"${table}_STAGING"
     val old = s"${table}_OLD"
-    if (tableExists(url, staging)) ddl(url, s"DROP TABLE $staging")
-    if (tableExists(url, old)) ddl(url, s"DROP TABLE $old")
+    if (tableExists(url, options, staging)) ddl(url, options, s"DROP TABLE $staging")
+    if (tableExists(url, options, old)) ddl(url, options, s"DROP TABLE $old")
     writer(df, url, staging, options, batchSize, numPartitions)
       .mode("errorifexists").save()
-    if (tableExists(url, table)) {
-      renameSql(table, staging, old).foreach(ddl(url, _))
-      ddl(url, s"DROP TABLE $old")
-    } else ddl(url, s"RENAME TABLE $staging TO $table")
+    if (tableExists(url, options, table)) {
+      renameSql(table, staging, old).foreach(ddl(url, options, _))
+      ddl(url, options, s"DROP TABLE $old")
+    } else ddl(url, options, s"RENAME TABLE $staging TO $table")
   }
 
   /** J3's anti-join upsert against a JDBC target: read the target's key

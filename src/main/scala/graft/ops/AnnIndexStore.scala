@@ -128,14 +128,17 @@ object AnnIndexStore {
                    idCol: String, vecCol: String,
                    segmentId: Option[String] = None): Long = {
     val snap = AtomicPublish.snapshot(spark, root)
+    val prior = segmentIds(spark, snap)
+    // a replayed caller-named segment (streaming batch retry) whose
+    // publish ALREADY committed: short-circuit before touching its
+    // files — rewriting a committed segment (even with identical
+    // content) would transiently break pinned-snapshot readers mid-scan
+    // and violate the "prior segments' files are untouched" guarantee
+    if (segmentId.exists(prior.contains)) return snap.version
     val (model, _) = load(spark, root, Some(snap.version))
     val seg = writeSegment(spark, root,
       VectorSearch.ivfPqEncode(model, batch, idCol, vecCol), segmentId)
-    // a replayed caller-named segment (streaming batch retry) overwrote
-    // its own files above; don't reference it twice
-    val prior = segmentIds(spark, snap)
-    publishVersion(spark, root, model,
-      if (prior.contains(seg)) prior else prior :+ seg)
+    publishVersion(spark, root, model, prior :+ seg)
   }
 
   /** Load the serving state back from a committed snapshot (the current
@@ -171,6 +174,66 @@ object AnnIndexStore {
     val (model, index) = load(spark, root, version)
     VectorSearch.ivfPqServe(model, index, queries, idCol, vecCol, k, nprobe,
       excludeSelf)
+  }
+
+  /** SEGMENT COMPACTION — the counterweight to [[appendEncode]]'s
+    * accretion: at streaming cadence (st13's shape) the manifest gains
+    * one small segment per micro-batch, and [[serve]]'s union must plan
+    * ~1,440 parquet dirs/day — the classic small-files problem every
+    * segment store (Lucene's tiered merge, Iceberg's rewrite-data-files)
+    * solves by merging. This rewrites the SMALLEST segments whose
+    * combined size fits `targetBytes` into one segment and publishes a
+    * new version whose manifest swaps them; repeated calls converge to
+    * ~ceil(corpus / targetBytes) segments (tiered-merge style).
+    *
+    * Codes are pure (model, row) functions and the merge is a narrow
+    * byte-copy (`coalesce`, no shuffle, no re-encode), so the compacted
+    * index serves BIT-IDENTICAL rankings (IncrementalIndexSpec pins
+    * this, including mid-stream in the ingest chain). The doomed
+    * segments' files are untouched — still referenced by every earlier
+    * retained version (time travel unaffected) — until
+    * [[AtomicPublish.vacuum]] drops those versions and
+    * [[vacuumSegments]] reclaims the then-orphaned dirs.
+    *
+    * Trigger policy (SCALE.md): run at an ops cadence (e.g. hourly
+    * against a minute-level ingest), with `targetBytes` at the table's
+    * file sweet spot (default 128 MiB). Cost per call is one pass of
+    * decode+encode over at most `targetBytes` of the SMALLEST segments
+    * — independent of corpus size. Returns the new version, or the
+    * current one unchanged when fewer than `minSegments` segments fit
+    * the merge budget (nothing worth merging). */
+  def compactSegments(spark: SparkSession, root: String,
+                      targetBytes: Long = 128L * 1024 * 1024,
+                      minSegments: Int = 2): Long = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    require(minSegments >= 2, s"minSegments must be >= 2, got $minSegments")
+    val snap = AtomicPublish.snapshot(spark, root)
+    val segs = segmentIds(spark, snap)
+    val sizes = segs.map(s =>
+      s -> Maintenance.dataFiles(spark, s"$root/seg/$s").map(_._2).sum)
+    // smallest-first (id tiebreak for determinism); merge the longest
+    // prefix whose cumulative size fits the target
+    val bySize = sizes.sortBy { case (id, n) => (n, id) }
+    val cum = bySize.map(_._2).scanLeft(0L)(_ + _).tail
+    val doomed = bySize.zip(cum).takeWhile(_._2 <= targetBytes).map(_._1._1)
+    if (doomed.size < minSegments) return snap.version
+    val (model, _) = load(spark, root, Some(snap.version))
+    val doomedSet = doomed.toSet
+    val total = sizes.collect { case (id, n) if doomedSet(id) => n }.sum
+    val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val merged = spark.read.parquet(doomed.map(s => s"$root/seg/$s"): _*)
+      .coalesce(nOut)
+    val newSeg = writeSegment(spark, root, merged)
+    // manifest: the merged segment takes the earliest doomed slot;
+    // survivors keep their relative order (segment order is cosmetic —
+    // serving is order-independent — but determinism is free here)
+    val firstDoomed = segs.indexWhere(doomedSet)
+    val newSegs = segs.zipWithIndex.flatMap { case (s, i) =>
+      if (i == firstDoomed) Some(newSeg)
+      else if (doomedSet(s)) None
+      else Some(s)
+    }
+    publishVersion(spark, root, model, newSegs)
   }
 
   /** Reclaim segment dirs referenced by NO retained version's manifest

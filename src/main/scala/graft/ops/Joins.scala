@@ -28,20 +28,26 @@ object Joins {
     * left rows are always preserved).
     *
     * Mechanics: tag both sides, union by name, and run
-    * `last(payload, ignoreNulls)` over a running (unbounded-preceding)
-    * window ordered by (time, is_point) per key — right rows sort
-    * BEFORE left rows at equal time, so an anchor exactly at the left
-    * timestamp is eligible (<=, not <). Every `right` column that is
-    * neither a key nor `rightTime` is carried as payload.
+    * `last(payload_struct, ignoreNulls)` over a running
+    * (unbounded-preceding) window ordered by (time, is_point) per key —
+    * right rows sort BEFORE left rows at equal time, so an anchor
+    * exactly at the left timestamp is eligible (<=, not <). Every
+    * `right` column that is neither a key nor `rightTime` is carried as
+    * payload. All payload columns ride in ONE struct, so the join is
+    * ROW-ATOMIC: the attached values always come from the same right
+    * row, and a right row whose payload value is legitimately NULL
+    * still wins the window (the struct wrapper is non-null) and
+    * delivers its NULL — per-column `last(ignoreNulls)` would instead
+    * skip it and silently substitute an older anchor's value.
     *
     * Determinism: among right rows sharing (keys, time), the LAST row
-    * under `extraOrder` wins; among left rows the payload is
-    * order-independent (their own payload slots are null), but pass the
-    * left's unique id in `extraOrder` when downstream consumers need a
-    * fully deterministic window order (the battery's j5 does). If
-    * `right` can hold duplicate (keys, time) rows, supply an
-    * `extraOrder` that totally orders them — otherwise the surviving
-    * payload is partitioning-dependent.
+    * under `extraOrder` wins — and it wins WHOLE (row atomicity above).
+    * Among left rows the payload is order-independent (their struct
+    * slot is null), but pass the left's unique id in `extraOrder` when
+    * downstream consumers need a fully deterministic window order (the
+    * battery's j5 does). If `right` can hold duplicate (keys, time)
+    * rows, supply an `extraOrder` that totally orders them — otherwise
+    * the surviving payload row is partitioning-dependent.
     *
     * `leftTime`/`rightTime` may share a name; keys must not contain
     * either time column. */
@@ -55,22 +61,26 @@ object Joins {
     require(payloads.nonEmpty, "right side carries no payload columns")
     require(leftOnly.intersect(payloads).isEmpty,
       s"left/right column name collision: ${leftOnly.intersect(payloads)}")
+    // one nullable struct carries the whole right payload row: non-null
+    // iff the row IS a right row, so last(ignoreNulls) means "latest
+    // qualifying anchor ROW", never "latest non-null value per column"
+    val plType = StructType(payloads.map(p => right.schema(p).copy(nullable = true)))
     val lTagged = left.select(
       keys.map(col) ++ leftOnly.map(col) ++ Seq(col(leftTime).as("__t")) ++
-        payloads.map(p => nullAs(p, right.schema)) ++
-        Seq(lit(1).as("__is_point")): _*)
+        Seq(lit(null).cast(plType).as("__pl"), lit(1).as("__is_point")): _*)
     val rTagged = right.select(
       keys.map(col) ++ leftOnly.map(c => nullAs(c, left.schema)) ++
-        Seq(col(rightTime).as("__t")) ++ payloads.map(col) ++
-        Seq(lit(0).as("__is_point")): _*)
+        Seq(col(rightTime).as("__t"),
+          struct(payloads.map(col): _*).as("__pl"),
+          lit(0).as("__is_point")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc +: col("__is_point").asc +: extraOrder: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTagged.unionByName(rTagged)
-      .select(keys.map(col) ++ leftOnly.map(col) ++ Seq(col("__is_point")) ++
-        payloads.map(p => last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+      .withColumn("__pl", last(col("__pl"), ignoreNulls = true).over(w))
       .filter(col("__is_point") === 1)
-      .drop("__is_point")
+      .select(keys.map(col) ++ leftOnly.map(col) ++
+        payloads.map(p => col("__pl").getField(p).as(p)): _*)
   }
 
   /** Point-in-interval (range) join via coarse bins: each interval

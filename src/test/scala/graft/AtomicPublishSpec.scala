@@ -80,6 +80,56 @@ class AtomicPublishSpec extends SparkSuite {
     assert(snap2.table(spark, "b").count() === 3)
   }
 
+  test("racing publishers: exactly one commit wins, the loser throws and clobbers nothing") {
+    val root = freshRoot("race")
+    AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((1, "base")).toDF("k", "v")))
+    // both publishers stage against version 0 — the violated
+    // single-writer convention the CAS check exists to catch
+    val s1 = AtomicPublish.stage(spark, root, Seq(
+      "a" -> Seq((2, "winner")).toDF("k", "v")))
+    val s2 = AtomicPublish.stage(spark, root, Seq(
+      "a" -> Seq((2, "loser")).toDF("k", "v")))
+    assert(AtomicPublish.commit(spark, s1) === 1L)
+    val err = intercept[java.util.ConcurrentModificationException] {
+      AtomicPublish.commit(spark, s2)
+    }
+    assert(err.getMessage.contains("publish conflict"))
+    assert(err.getMessage.contains("NOT committed"))
+    // the winner's commit is untouched — no silent clobber
+    assert(AtomicPublish.currentVersion(spark, root) === Some(1L))
+    assert(AtomicPublish.readTable(spark, root, "a")
+      .first().getString(1) === "winner")
+    // the loser's staging dir is an orphan until vacuum reclaims it
+    def txDirs = new java.io.File(root).listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("tx-"))
+    assert(txDirs.nonEmpty)
+    AtomicPublish.vacuum(spark, root, keep = 10)
+    assert(txDirs.isEmpty, "orphaned staging dirs not reclaimed")
+    // and the warehouse stays writable afterwards
+    assert(AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((3, "next")).toDF("k", "v"))) === 2L)
+  }
+
+  test("commit reclaims a crashed publisher's claimed-but-unswapped version dir") {
+    val root = freshRoot("orphanclaim")
+    AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((1, "base")).toDF("k", "v")))
+    // simulate a crash BETWEEN the claim-rename and the pointer swap:
+    // v1 exists on disk, the pointer still reads 0
+    val dead = AtomicPublish.stage(spark, root, Seq(
+      "a" -> Seq((9, "dead")).toDF("k", "v")))
+    assert(new java.io.File(s"$root/${dead.txDir}")
+      .renameTo(new java.io.File(s"$root/v1")))
+    assert(AtomicPublish.currentVersion(spark, root) === Some(0L))
+    // the next publisher must not deadlock on the orphaned claim
+    val v = AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((2, "alive")).toDF("k", "v")))
+    assert(v === 1L)
+    assert(AtomicPublish.readTable(spark, root, "a")
+      .first().getString(1) === "alive")
+  }
+
   test("vacuum reclaims old versions but never the retained window") {
     val root = freshRoot("vacuum")
     (0 until 4).foreach { i =>

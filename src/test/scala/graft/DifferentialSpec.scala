@@ -222,6 +222,48 @@ class DifferentialSpec extends SparkSuite {
     }
   }
 
+  test("differential: asofJoin is row-atomic and preserves genuine NULL payload values") {
+    // anchors carry TWO payload columns, one often NULL: the winning
+    // anchor row must deliver BOTH its values (including the NULL) —
+    // never a per-column mix of different anchors (the pre-struct
+    // implementation substituted an OLDER anchor's value for a NULL)
+    val pt: Gen[(Int, Int)] = Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(0, 50))
+    val anc: Gen[(Int, Int, Option[Long])] = Gen.zip(
+      Gen.chooseNum(0, 2), Gen.chooseNum(0, 50),
+      Gen.oneOf(Some(1L), Some(2L), None, None))
+    cases(Gen.zip(Gen.listOfN(50, pt), Gen.listOfN(15, anc)), n = 4).foreach {
+      case (pts, anchors0) =>
+        val anchors = anchors0.distinctBy(a => (a._1, a._2)).zipWithIndex.map {
+          case ((k, t, p1), i) => (k, t, p1, s"tag_$i")
+        }
+        val left = pts.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+          .toDF("id", "k", "t")
+        val right = anchors.toDF("k", "t", "p1", "p2")
+        def run(l: org.apache.spark.sql.DataFrame,
+                r: org.apache.spark.sql.DataFrame) =
+          graft.ops.Joins.asofJoin(l, r, keys = Seq("k"),
+              leftTime = "t", rightTime = "t",
+              extraOrder = Seq(col("id").asc_nulls_first))
+            .select("id", "k", "t", "p1", "p2")
+            .collect()
+            .map(r0 => (r0.getLong(0), r0.getInt(1), r0.getInt(2),
+              if (r0.isNullAt(3)) None else Some(r0.getLong(3)),
+              Option(r0.getString(4))))
+            .sortBy(_._1).toSeq
+        val got = run(left, right)
+        val want = pts.zipWithIndex.map { case ((k, t), i) =>
+          // anchors are unique on (k, t), so time alone picks the winner
+          val best = anchors.filter(a => a._1 == k && a._2 <= t)
+            .sortBy(_._2).lastOption
+          (i.toLong, k, t, best.flatMap(_._3), best.map(_._4))
+        }
+        assert(got == want,
+          "asofJoin mixed payload rows or dropped a NULL payload value")
+        assert(run(left.repartition(5, col("id")), right.repartition(3)) == got,
+          "asofJoin null-payload output depends on partitioning")
+    }
+  }
+
   // ------------------------------------------------------- funnelStages
 
   test("differential: Funnel.funnelStages matches a greedy subsequence fold on random event logs") {

@@ -115,6 +115,104 @@ class IncrementalIndexSpec extends SparkSuite {
       "multi-batch streamed index serve diverged from the one-shot batch encode")
   }
 
+  test("appendEncode replay of a committed named segment is a pure no-op (version and files untouched)") {
+    val root = freshRoot()
+    val (emb, model, _) = train()
+    val n = emb.count()
+    val half = emb.filter(col("vec_id") < n / 2)
+    val rest = emb.filter(col("vec_id") >= n / 2)
+    AnnIndexStore.publish(spark, root, model,
+      VectorSearch.ivfPqEncode(model, half, "vec_id", "embedding"))
+    val v1 = AnnIndexStore.appendEncode(spark, root, rest,
+      "vec_id", "embedding", Some("batch-00001"))
+    assert(v1 == 1L)
+    def mtimes: Map[String, Set[(String, Long, Long)]] = {
+      val segRoot = new java.io.File(s"$root/seg")
+      segRoot.listFiles().map { d =>
+        d.getName -> d.listFiles().map(f =>
+          (f.getName, f.length(), f.lastModified())).toSet
+      }.toMap
+    }
+    val before = mtimes
+    // a streaming retry replays the batch AFTER its publish committed:
+    // the committed segment's files must not be rewritten (pinned
+    // readers could be mid-scan) and no new version may appear
+    val replay = AnnIndexStore.appendEncode(spark, root, rest,
+      "vec_id", "embedding", Some("batch-00001"))
+    assert(replay == 1L, "replay minted a new version")
+    assert(mtimes == before, "replay rewrote committed segment files")
+    assert(graft.etl.AtomicPublish.currentVersion(spark, root) == Some(1L))
+  }
+
+  test("compactSegments merges small segments bit-identically; time travel and GC behave") {
+    val root = freshRoot()
+    val (emb, model, queries) = train()
+    val n = emb.count()
+    val quarters = (0 until 4).map(q =>
+      emb.filter(col("vec_id") >= q * n / 4 && col("vec_id") < (q + 1) * n / 4))
+    AnnIndexStore.publish(spark, root, model,
+      VectorSearch.ivfPqEncode(model, quarters.head, "vec_id", "embedding"))
+    quarters.tail.foreach(qd =>
+      AnnIndexStore.appendEncode(spark, root, qd, "vec_id", "embedding"): Unit)
+    val vPre = graft.etl.AtomicPublish.currentVersion(spark, root).get
+    val before = norm(AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe))
+    val segsBefore = segListing(root)
+    assert(segsBefore.size == 4)
+
+    // a tiny budget merges nothing — not even one segment is worth it
+    assert(AnnIndexStore.compactSegments(spark, root, targetBytes = 1L) == vPre)
+    assert(segListing(root).size == 4)
+
+    val vc = AnnIndexStore.compactSegments(spark, root, targetBytes = 1L << 30)
+    assert(vc == vPre + 1, "compaction should commit exactly one new version")
+    // merged dir added; the doomed segments' files stay byte-identical
+    // (earlier retained versions still reference them)
+    val segsAfter = segListing(root)
+    assert(segsAfter.size == 5)
+    segsBefore.foreach { case (id, files) =>
+      assert(segsAfter(id) == files, s"compaction touched live segment $id")
+    }
+    // served ranking is bit-identical pre/post compaction
+    val after = norm(AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe))
+    assert(after == before, "compaction changed the served ranking")
+    // time travel to the pre-compaction version still serves identically
+    val travel = norm(AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe, version = Some(vPre)))
+    assert(travel == before, "pre-compaction version no longer serves")
+    // once pre-compaction versions are vacuumed, the merged-away
+    // segments become orphans and GC reclaims exactly them
+    graft.etl.AtomicPublish.vacuum(spark, root, keep = 1)
+    val deleted = AnnIndexStore.vacuumSegments(spark, root)
+    assert(deleted.toSet == segsBefore.keySet,
+      s"expected exactly the pre-compaction segments reclaimed, got $deleted")
+    val served = norm(AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe))
+    assert(served == before, "serve changed after segment GC")
+  }
+
+  test("mid-stream compaction: append → compact → append still converges to the one-shot encode") {
+    val root = freshRoot()
+    val (emb, model, queries) = train()
+    val n = emb.count()
+    val third = (0 until 3).map(q =>
+      emb.filter(col("vec_id") >= q * n / 3 && col("vec_id") < (q + 1) * n / 3))
+    AnnIndexStore.publish(spark, root, model,
+      VectorSearch.ivfPqEncode(model, third(0), "vec_id", "embedding"))
+    AnnIndexStore.appendEncode(spark, root, third(1), "vec_id", "embedding")
+    AnnIndexStore.compactSegments(spark, root, targetBytes = 1L << 30)
+    assert(segListing(root).size == 3) // 2 doomed + 1 merged on disk
+    AnnIndexStore.appendEncode(spark, root, third(2), "vec_id", "embedding")
+    val grown = norm(AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe))
+    val full = norm(VectorSearch.ivfPqServe(model,
+      VectorSearch.ivfPqEncode(model, emb, "vec_id", "embedding"),
+      queries, "vec_id", "embedding", topK, nprobe))
+    assert(grown == full,
+      "append-compact-append index diverged from the one-shot encode")
+  }
+
   test("vacuumSegments reclaims only unreferenced segments; the current serve is unaffected") {
     val root = freshRoot()
     val (emb, model, queries) = train()

@@ -53,6 +53,26 @@ class JdbcLoadSpec extends SparkSuite {
     }, "staging/old scaffolding left behind")
   }
 
+  test("differential: upsert audit counts match a set-difference replay over random key batches") {
+    drop("D_UPDIFF")
+    val rnd = new scala.util.Random(4242)
+    // upsert probes the target's keys, so the table must exist first
+    JdbcLoad.append(Seq((-1L, "seed", 0.0)).toDF("id", "name", "score"),
+      url, "D_UPDIFF")
+    var present = Set(-1L)
+    (1 to 5).foreach { round =>
+      val keys = Seq.fill(40)(rnd.nextInt(80).toLong).distinct
+      val batch = keys.map(k => (k, s"n_$k", k * 0.5)).toDF("id", "name", "score")
+      val want = (keys.toSet -- present).size.toLong
+      val got = JdbcLoad.upsert(spark, batch, url, "D_UPDIFF", Seq("id"))
+      assert(got == want,
+        s"round $round: upsert reported $got inserts, set-difference says $want")
+      present ++= keys
+      assert(Tables.readJdbc(spark, url, "D_UPDIFF").count() == present.size,
+        s"round $round: table row count diverged from the reference key set")
+    }
+  }
+
   test("upsert inserts only absent keys and reports the audit count; idempotent") {
     drop("D_UP")
     JdbcLoad.append(dim(100), url, "D_UP")
