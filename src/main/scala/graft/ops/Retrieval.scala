@@ -88,10 +88,11 @@ object Retrieval {
     val termList = terms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
     s"""WITH toks AS (SELECT $idCol, str_split_regex(trim($textCol), '\\s+') AS t
        |              FROM $table),
-       |q(term) AS (SELECT unnest([$termList])),
        |post AS (
-       |  SELECT $idCol, term, len(list_filter(t, x -> x = term)) AS tf, len(t) AS dl
-       |  FROM toks, q WHERE len(list_filter(t, x -> x = term)) > 0),
+       |  SELECT $idCol, w AS term, CAST(COUNT(*) AS BIGINT) AS tf,
+       |         any_value(dl) AS dl
+       |  FROM (SELECT $idCol, len(t) AS dl, unnest(t) AS w FROM toks)
+       |  WHERE w IN ($termList) GROUP BY 1, 2),
        |n AS (SELECT COUNT(*) AS n_docs FROM $table),
        |idf AS (SELECT term, ((SELECT n_docs FROM n) * $IdfScale) // COUNT(*) AS idf
        |        FROM post GROUP BY term),
@@ -194,10 +195,11 @@ object Retrieval {
     }.mkString("(", " + ", ")")
     s"""WITH toks AS (SELECT $idCol, str_split_regex(trim($textCol), '\\s+') AS t
        |              FROM $table),
-       |q(term) AS (SELECT unnest([$termList])),
        |post AS (
-       |  SELECT $idCol, term, len(list_filter(t, x -> x = term)) AS tf, len(t) AS dl
-       |  FROM toks, q WHERE len(list_filter(t, x -> x = term)) > 0),
+       |  SELECT $idCol, w AS term, CAST(COUNT(*) AS BIGINT) AS tf,
+       |         any_value(dl) AS dl
+       |  FROM (SELECT $idCol, len(t) AS dl, unnest(t) AS w FROM toks)
+       |  WHERE w IN ($termList) GROUP BY 1, 2),
        |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
        |                 AVG(CAST(len(t) AS DOUBLE)) AS avgdl
        |          FROM toks WHERE t IS NOT NULL),

@@ -209,8 +209,14 @@ object TextDedup {
         col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct, explicitly: the dedup only has to
+      // hash surviving near-dup pairs, not every bucket-candidate pair.
+      // At the 500k-doc sf10 rung the 12-bit chunk buckets emit ~8.2e9
+      // candidates — Catalyst would push this predicate below the
+      // Aggregate anyway, but the contract is too load-bearing at scale
+      // to leave to the optimizer.
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** n-gram Jaccard pairs via shared-shingle candidate join. Shingles

@@ -32,13 +32,6 @@ object DedupOps {
     val parts = (0 until n).map(k => s"t[i + $k]").mkString(" || ' ' || ")
     s"list_transform(generate_series(1, len(t) - ${n - 1}), i -> $parts)"
   }
-  private val duckHmod =
-    s"list_transform(s, x -> (('0x' || substr(md5(x), 1, 15))::UBIGINT)::BIGINT % $P)"
-  private val duckSig = {
-    val comps = (0 until DetHash.K).map(i =>
-      s"list_min(list_transform(hm, x -> (${A(i)} * x + ${B(i)}) % $P))").mkString(", ")
-    s"[$comps]"
-  }
 
   /** dd12's span-coverage chain as a CTE list ending in
     * `cov(doc_id, covered)` and `base(doc_id, n_tokens)` — shared with
@@ -66,17 +59,28 @@ object DedupOps {
 
   /** The MinHash signature + band chain as a CTE list ending in
     * `sigs(doc_id, sig)` and `bands(doc_id, band, bkey)` — the prefix
-    * every LSH oracle (dd2/dd7/dd10/px2/ct2) builds on. */
-  private[queries] val duckSigCtes: String =
+    * every LSH oracle (dd2/dd7/dd10/px2/ct2) builds on. Signature
+    * components come from UNNESTED shingle-hash rows through 16 MIN
+    * aggregates (vectorized hash-agg) rather than 16 per-doc
+    * `list_min(list_transform(...))` lambdas — interpreted per-element,
+    * those ground for minutes at the 500k-doc sf10 rung; identical
+    * values (same multiset per doc, MIN = list_min). */
+  private[queries] val duckSigCtes: String = {
+    val mins = (0 until DetHash.K).map(i =>
+      s"MIN((${A(i)} * hm + ${B(i)}) % $P) AS c$i").mkString(", ")
+    val comps = (0 until DetHash.K).map(i => s"c$i").mkString(", ")
     s"""toks AS (SELECT doc_id, $duckToks AS t FROM documents),
        |sh AS (SELECT doc_id, ${duckShingles(3)} AS s
        |       FROM toks WHERE len(t) >= 3),
-       |hm AS (SELECT doc_id, $duckHmod AS hm FROM sh),
-       |sigs AS (SELECT doc_id, $duckSig AS sig FROM hm),
+       |hmx AS (SELECT doc_id, ${DetHash.hSql("sg")} % $P AS hm
+       |        FROM (SELECT doc_id, unnest(s) AS sg FROM sh)),
+       |sigc AS (SELECT doc_id, $mins FROM hmx GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, [$comps] AS sig FROM sigc),
        |bands AS (
        |  SELECT doc_id, j AS band,
        |         array_to_string(list_slice(sig, 4*j + 1, 4*j + 4), '_') AS bkey
        |  FROM sigs, UNNEST([0, 1, 2, 3]) u(j))""".stripMargin
+  }
 
   /** DuckDB: MinHash-estimated Jaccard of pre-joined sigs `sa`/`sb`. */
   private[queries] val duckEstJaccard: String =
@@ -287,15 +291,7 @@ object DedupOps {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dd2_minhash_lsh" ->
-      s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-         |sh AS (SELECT doc_id, ${duckShingles(3)} AS s
-         |       FROM toks WHERE len(t) >= 3),
-         |hm AS (SELECT doc_id, $duckHmod AS hm FROM sh),
-         |sigs AS (SELECT doc_id, $duckSig AS sig FROM hm),
-         |bands AS (
-         |  SELECT doc_id, j AS band,
-         |         array_to_string(list_slice(sig, 4*j + 1, 4*j + 4), '_') AS bkey
-         |  FROM sigs, UNNEST([0, 1, 2, 3]) u(j)),
+      s"""WITH $duckSigCtes,
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
@@ -308,16 +304,29 @@ object DedupOps {
          |WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) >= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
-    "dd3_simhash" ->
+    // Per-bit majority sums come from UNNESTED token-hash rows through
+    // 48 SUM aggregates (one vectorized hash-agg pass) instead of a
+    // 48 × |tokens| interpreted lambda per doc — the latter ground >8
+    // min at the 500k-doc sf10 rung. Identical bits: SUM((bit*2)-1) =
+    // list_sum(if(bit,1,-1)); a NULL-text doc has no token rows, its
+    // bit sums are NULL, and CASE(NULL > 0 → ELSE 0) rebuilds the
+    // original's simhash = 0 for it (lambda on a NULL list yields NULL
+    // per bit, if(NULL > 0) → 0, list_sum of zeros → 0).
+    "dd3_simhash" -> {
+      val sums = (0 until 48).map(b =>
+        s"SUM((((hv >> $b) & 1)*2 - 1)) AS b$b").mkString(",\n         |    ")
+      val bits = (0 until 48).map(b =>
+        s"CASE WHEN b$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END")
+        .mkString("\n         |   + ")
       s"""WITH toks AS (SELECT doc_id, $duckToks AS t FROM documents),
-         |hs AS (SELECT doc_id,
-         |  list_transform(t, w -> (('0x' || substr(md5(w), 1, 15))::UBIGINT)::BIGINT) AS hs
-         |  FROM toks),
-         |sims AS (SELECT doc_id,
-         |  list_sum(list_transform(generate_series(0, 47), b ->
-         |    if(list_sum(list_transform(hs, hv -> if(((hv >> b) & 1) = 1, 1, -1))) > 0,
-         |       (1::BIGINT << b), 0::BIGINT)))::BIGINT AS simhash
-         |  FROM hs),
+         |hx AS (SELECT doc_id, ${DetHash.hSql("w")} AS hv
+         |       FROM (SELECT doc_id, unnest(t) AS w FROM toks)),
+         |bs AS (SELECT doc_id,
+         |    $sums
+         |  FROM hx GROUP BY doc_id),
+         |sims AS (SELECT toks.doc_id,
+         |  ($bits)::BIGINT AS simhash
+         |  FROM toks LEFT JOIN bs USING (doc_id)),
          |chunks AS (
          |  SELECT doc_id, simhash, j AS chunk_idx, ((simhash >> (12*j)) & 4095) AS chunk
          |  FROM sims, UNNEST([0, 1, 2, 3]) u(j)),
@@ -325,9 +334,11 @@ object DedupOps {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |  FROM chunks a JOIN chunks b
-         |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
+         |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+         |SELECT doc_a, doc_b, hamming FROM pairs
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     // shingles are H-hashed before the distinct/join (mirrors the Spark
     // side: 8-byte join keys; any hash collision is identical in both

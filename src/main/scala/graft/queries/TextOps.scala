@@ -276,23 +276,34 @@ object TextOps {
       """SELECT (n_chars // 100) * 100 AS bucket_lo, COUNT(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Type/top-token counts come from an unnested (doc, token) hash
+    // aggregate and bigram stats from a COUNT(DISTINCT) over exploded
+    // bigrams — vectorized, replacing the per-doc
+    // list_max(list_transform(list_distinct...list_filter)) lambda
+    // (O(types × tokens) interpreted per doc; ~26 s at the 500k-doc
+    // sf10 rung). NULL-text docs keep NULL stats (no unnest rows →
+    // missing agg row → NULL through the left joins), len(t)=1 docs
+    // keep dup_bigram_ratio = 0.0 — both pinned identical to the
+    // lambda form at sf0.001/0.01/0.1.
     "tx6_repetition" ->
       s"""WITH toks AS (SELECT doc_id, $sqlTokens AS t FROM documents),
-         |b AS (SELECT doc_id, len(t) AS n,
-         |        len(list_distinct(t)) AS ntypes,
-         |        list_max(list_transform(list_distinct(t),
-         |          w -> len(list_filter(t, x -> x = w)))) AS maxf,
-         |        CASE WHEN t IS NULL THEN NULL
-         |             WHEN len(t) > 1 THEN list_transform(
-         |               generate_series(1, len(t) - 1), i -> t[i] || ' ' || t[i+1])
-         |             ELSE [] END AS bg
-         |      FROM toks),
+         |tc AS (SELECT doc_id, w, COUNT(*) AS c
+         |       FROM (SELECT doc_id, unnest(t) AS w FROM toks) GROUP BY 1, 2),
+         |ts AS (SELECT doc_id, COUNT(*) AS ntypes, MAX(c) AS maxf FROM tc GROUP BY 1),
+         |bgx AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b2
+         |        FROM toks, UNNEST(generate_series(1, len(t) - 1)) u(i)
+         |        WHERE t IS NOT NULL AND len(t) > 1),
+         |bstat AS (SELECT doc_id, COUNT(*) AS nbg,
+         |                 COUNT(DISTINCT b2) AS nbgd FROM bgx GROUP BY 1),
+         |b AS (SELECT toks.doc_id, len(t) AS n, ts.ntypes, ts.maxf,
+         |        CASE WHEN t IS NULL THEN NULL ELSE coalesce(bstat.nbg, 0) END AS nbg,
+         |        CASE WHEN t IS NULL THEN NULL ELSE coalesce(bstat.nbgd, 0) END AS nbgd
+         |      FROM toks LEFT JOIN ts USING (doc_id) LEFT JOIN bstat USING (doc_id)),
          |r AS (SELECT doc_id, n,
          |        1.0 - CAST(ntypes AS DOUBLE) / n AS dup_token_ratio,
          |        CAST(maxf AS DOUBLE) / n AS top_token_ratio,
          |        CASE WHEN n IS NULL THEN NULL
-         |             WHEN len(bg) > 0
-         |               THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+         |             WHEN nbg > 0 THEN 1.0 - CAST(nbgd AS DOUBLE) / nbg
          |             ELSE 0.0 END AS dup_bigram_ratio
          |      FROM b)
          |SELECT doc_id, n AS n_tokens, dup_token_ratio, top_token_ratio,
@@ -371,45 +382,69 @@ object TextOps {
          |  ((start_off + n_tokens - 1) // 2048) - (start_off // 2048) + 1 AS n_packs
          |FROM c ORDER BY shard, id""".stripMargin,
 
-    // Replays greedyPack's state machine row-by-row per shard: state
-    // (p, f) = (current pack, its fill) BEFORE each doc; oversize docs
-    // (t > budget) close any open pack and take their own. Branch
-    // expressions are repeated (a recursive CTE can't name them).
+    // Replays greedyPack SET-BASED instead of row-at-a-time (the
+    // original per-doc recursive CTE re-scanned the corpus once per doc
+    // rank — quadratic, >6 min at 500k docs; this runs in seconds):
+    // pack boundaries are exactly the orbit of position 0 under
+    //   next(b) = max(b+1, largest rn with P(rn) <= P(b) + C)
+    // (P = per-shard token prefix sum; the max(b+1,·) arm is the
+    // oversize-doc singleton pack). next() comes from one ASOF join,
+    // the orbit from binary jump-doubling (j_k = next^(2^k) by
+    // self-join; s_k accumulates every boundary with pack count < 2^k —
+    // unique binary decomposition, so no duplicates), and docs attach
+    // to their pack's start boundary by a final ASOF join: pack_id =
+    // the boundary's orbit count, pack_off = P(rn-1) - P(boundary).
+    // Depth 20 covers 2^20 packs/shard (1000x the sf10 fixture). CTEs
+    // are MATERIALIZED — inlined, the doubling would expand 2^20-fold.
     "pk2_greedy_pack" -> {
       val C = 256
-      s"""WITH RECURSIVE t AS (
+      val J = 20
+      val jumps = (1 until J).map(k =>
+        s"""j$k AS MATERIALIZED (
+           |  SELECT a.shard, a.b, c.nxt FROM j${k - 1} a JOIN j${k - 1} c
+           |    ON c.shard = a.shard AND c.b = a.nxt)""".stripMargin)
+      val orbit = (0 until J).map(k =>
+        s"""s${k + 1} AS MATERIALIZED (
+           |  SELECT shard, b, cnt FROM s$k
+           |  UNION ALL
+           |  SELECT s.shard, j.nxt AS b, s.cnt + ${1L << k} AS cnt
+           |  FROM s$k s JOIN j$k j ON j.shard = s.shard AND j.b = s.b)""".stripMargin)
+      s"""WITH t AS MATERIALIZED (
          |  SELECT source AS shard, doc_id AS id,
          |         CAST(len($sqlTokens) AS BIGINT) AS n_tokens,
          |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
          |  FROM documents WHERE text IS NOT NULL),
-         |r AS (
+         |p AS MATERIALIZED (
          |  SELECT shard, id, n_tokens, rn,
-         |    CAST(0 AS BIGINT) AS pack_id,
-         |    CAST(0 AS BIGINT) AS pack_off,
-         |    n_tokens > $C AS oversize,
-         |    CASE WHEN n_tokens > $C THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS p_next,
-         |    CASE WHEN n_tokens > $C THEN CAST(0 AS BIGINT) ELSE n_tokens END AS f_next
-         |  FROM t WHERE rn = 1
+         |         CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY rn)
+         |              AS BIGINT) AS cum
+         |  FROM t),
+         |pos AS MATERIALIZED (
+         |  SELECT shard, rn AS b, cum FROM p
          |  UNION ALL
-         |  SELECT t.shard, t.id, t.n_tokens, t.rn,
-         |    CASE WHEN t.n_tokens > $C THEN
-         |           (CASE WHEN r.f_next > 0 THEN r.p_next + 1 ELSE r.p_next END)
-         |         WHEN r.f_next + t.n_tokens > $C THEN r.p_next + 1
-         |         ELSE r.p_next END AS pack_id,
-         |    CASE WHEN t.n_tokens > $C THEN CAST(0 AS BIGINT)
-         |         WHEN r.f_next + t.n_tokens > $C THEN CAST(0 AS BIGINT)
-         |         ELSE r.f_next END AS pack_off,
-         |    t.n_tokens > $C AS oversize,
-         |    CASE WHEN t.n_tokens > $C THEN
-         |           (CASE WHEN r.f_next > 0 THEN r.p_next + 1 ELSE r.p_next END) + 1
-         |         WHEN r.f_next + t.n_tokens > $C THEN r.p_next + 1
-         |         ELSE r.p_next END AS p_next,
-         |    CASE WHEN t.n_tokens > $C THEN CAST(0 AS BIGINT)
-         |         WHEN r.f_next + t.n_tokens > $C THEN t.n_tokens
-         |         ELSE r.f_next + t.n_tokens END AS f_next
-         |  FROM t JOIN r ON t.shard = r.shard AND t.rn = r.rn + 1)
-         |SELECT shard, id, n_tokens, pack_id, pack_off, oversize
-         |FROM r ORDER BY shard, id""".stripMargin
+         |  SELECT DISTINCT shard, CAST(0 AS BIGINT) AS b,
+         |         CAST(0 AS BIGINT) AS cum FROM t),
+         |mx AS MATERIALIZED (SELECT shard, MAX(rn) AS maxrn FROM t GROUP BY shard),
+         |nx AS MATERIALIZED (
+         |  SELECT a.shard, a.b, GREATEST(a.b + 1, COALESCE(q.rn, a.b + 1)) AS nxt
+         |  FROM pos a ASOF LEFT JOIN p q
+         |    ON a.shard = q.shard AND a.cum + $C >= q.cum),
+         |j0 AS MATERIALIZED (
+         |  SELECT n.shard, n.b, n.nxt FROM nx n JOIN mx ON mx.shard = n.shard
+         |  WHERE n.b < mx.maxrn),
+         |${jumps.mkString(",\n")},
+         |s0 AS MATERIALIZED (SELECT shard, CAST(0 AS BIGINT) AS b,
+         |                           CAST(0 AS BIGINT) AS cnt FROM mx),
+         |${orbit.mkString(",\n")},
+         |bd AS MATERIALIZED (
+         |  SELECT s.shard, s.b, s.cnt, pos.cum AS bcum
+         |  FROM s$J s JOIN pos ON pos.shard = s.shard AND pos.b = s.b)
+         |SELECT d.shard, d.id, d.n_tokens,
+         |  CAST(bb.cnt AS BIGINT) AS pack_id,
+         |  CAST(d.cum - d.n_tokens - bb.bcum AS BIGINT) AS pack_off,
+         |  d.n_tokens > $C AS oversize
+         |FROM p d ASOF JOIN bd bb ON d.shard = bb.shard AND d.rn - 1 >= bb.b
+         |ORDER BY d.shard, d.id""".stripMargin
     },
 
     "ir1_keyword_topk" -> graft.ops.Retrieval.duckKeywordTopK(ir1Terms, k = 20),
