@@ -17,6 +17,13 @@ object Bench {
     sys.env.get("SPARK_GRAFT_JARS").foreach { j =>
       builder = builder.config("spark.jars", j)
     }
+    // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs for rehearsal
+    // benches (same contract as Verify). The driver leaves it unset.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder = builder.config(k, v)
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val benchStart = System.nanoTime()

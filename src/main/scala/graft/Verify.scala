@@ -23,8 +23,39 @@ object Verify {
     sys.env.get("SPARK_GRAFT_JARS").foreach { j =>
       builder = builder.config("spark.jars", j)
     }
+    // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs for rehearsals
+    // (e.g. spark.sql.autoBroadcastJoinThreshold=-1 to force the SMJ
+    // fallbacks the plan guard normally forbids, memory knobs for the
+    // constrained-memory spill rehearsal). The driver leaves it unset.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder = builder.config(k, v)
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_SPILL_REPORT=1 — sum task-level spill counters across
+    // the whole battery and print one [spill] line at the end: the
+    // constrained-memory rehearsal's evidence that spill paths actually
+    // engaged (and results still hash-matched).
+    val spillTotals =
+      if (!sys.env.contains("SPARK_GRAFT_SPILL_REPORT")) None
+      else {
+        val mem = new java.util.concurrent.atomic.AtomicLong
+        val disk = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = t.taskMetrics
+              if (m != null) {
+                mem.addAndGet(m.memoryBytesSpilled)
+                disk.addAndGet(m.diskBytesSpilled): Unit
+              }
+            }
+          })
+        Some((mem, disk))
+      }
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=name1,name2 restricts the dump for local iteration
     // (tools/check.py passes the same names); the driver leaves it unset.
@@ -64,6 +95,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    spillTotals.foreach { case (mem, disk) =>
+      // "[verify]" prefix so tools/check.py's stderr filter surfaces it
+      System.err.println(
+        s"[verify] spill: memoryBytesSpilled=${mem.get} diskBytesSpilled=${disk.get}")
+    }
     spark.stop()
   }
 }

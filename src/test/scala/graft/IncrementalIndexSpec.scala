@@ -102,6 +102,11 @@ class IncrementalIndexSpec extends SparkSuite {
           batches += 1
           graft.ops.AnnIndexStore.appendEncode(spark, root, batch,
             "vec_id", "embedding", Some(f"batch-$batchId%05d")): Unit
+          // compaction interleaved with live ingest (the production
+          // cadence: merge while batches keep arriving) must not
+          // disturb convergence
+          if (batches == 2)
+            AnnIndexStore.compactSegments(spark, root, targetBytes = 1L << 30): Unit
         }
     }
     assert(batches >= 2, s"expected a real multi-batch split, got $batches batch(es)")
