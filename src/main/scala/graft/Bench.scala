@@ -19,11 +19,7 @@ object Bench {
     }
     // SPARK_GRAFT_CONF="k=v;k=v" — extra session confs for rehearsal
     // benches (same contract as Verify). The driver leaves it unset.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder = builder.config(k, v)
-      })
+    builder = SessionConf.applyEnv(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val benchStart = System.nanoTime()

@@ -27,11 +27,7 @@ object Verify {
     // (e.g. spark.sql.autoBroadcastJoinThreshold=-1 to force the SMJ
     // fallbacks the plan guard normally forbids, memory knobs for the
     // constrained-memory spill rehearsal). The driver leaves it unset.
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty)
-      .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder = builder.config(k, v)
-      })
+    builder = SessionConf.applyEnv(builder)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_SPILL_REPORT=1 — sum task-level spill counters across

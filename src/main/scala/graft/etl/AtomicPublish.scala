@@ -38,11 +38,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * there, exactly one wins — and (b) verifies the pointer still reads
   * the staged-against version before swapping it. The loser throws
   * [[java.util.ConcurrentModificationException]] naming both versions;
-  * it never silently clobbers the winner's commit or data. (A
-  * filesystem rename is not a true CAS — a microsecond
-  * verify-then-rename window remains, documented at [[commit]]; a real
-  * multi-writer deployment puts the pointer behind an object-store
-  * conditional PUT or a catalog, layout unchanged.)
+  * it never silently clobbers the winner's commit or data, and nothing
+  * in the commit path ever deletes another publisher's claim — orphan
+  * reclaim lives solely in the age-guarded [[vacuum]], so the only way
+  * to destroy a live publisher's in-flight state is to run vacuum with
+  * `minAgeMs` shorter than a write phase. (On an object store the
+  * no-overwrite rename becomes a conditional PUT or a catalog CAS;
+  * layout and protocol unchanged.)
   */
 object AtomicPublish {
 
@@ -102,8 +104,9 @@ object AtomicPublish {
     * `commit(spark, stage(spark, root, outputs))` — split those when a
     * test (or a long write phase) needs the race window explicit. */
   def publish(spark: SparkSession, root: String,
-              outputs: Seq[(String, DataFrame)]): Long =
-    commit(spark, stage(spark, root, outputs))
+              outputs: Seq[(String, DataFrame)],
+              expectedBase: Option[Option[Long]] = None): Long =
+    commit(spark, stage(spark, root, outputs, expectedBase))
 
   /** A written-but-uncommitted batch: every output is materialized under
     * a private staging dir, and `expected` records the version the batch
@@ -113,11 +116,24 @@ object AtomicPublish {
   /** Write phase: materialize every output under a fresh `tx-<uuid>/`
     * staging dir private to this publisher — concurrent stages never
     * touch each other's files, and a crash mid-stage leaves only an
-    * invisible orphan ([[vacuum]] reclaims it). */
+    * invisible orphan ([[vacuum]] reclaims it).
+    *
+    * `expectedBase` pins the version this batch was DERIVED from, for
+    * callers whose outputs were computed from an earlier snapshot (an
+    * index append, an incremental merge): `Some(base)` makes [[commit]]
+    * conditional on the warehouse still being at `base` — a publish
+    * that landed during the (possibly minutes-long) compute window then
+    * surfaces as [[java.util.ConcurrentModificationException]] instead
+    * of a silently-regressed output. The default (outer `None`) reads
+    * the pointer at stage time — correct when the outputs don't depend
+    * on prior warehouse state (a full rebuild). The inner Option is the
+    * base itself: `Some(None)` means "derived from the empty,
+    * never-published warehouse". */
   def stage(spark: SparkSession, root: String,
-            outputs: Seq[(String, DataFrame)]): Staged = {
+            outputs: Seq[(String, DataFrame)],
+            expectedBase: Option[Option[Long]] = None): Staged = {
     require(outputs.nonEmpty, "empty publish batch")
-    val expected = currentVersion(spark, root)
+    val expected = expectedBase.getOrElse(currentVersion(spark, root))
     val tx = s"tx-${java.util.UUID.randomUUID}"
     outputs.foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$root/$tx/$name")
@@ -133,39 +149,47 @@ object AtomicPublish {
     *     base and committed first, the rename fails on its existing
     *     claim and this publisher throws (its staging dir left intact
     *     for diagnosis; [[vacuum]] reclaims it). A claim that exists
-    *     while the pointer has NOT advanced is a crashed publisher's
-    *     orphan: deleted and the claim retried once.
+    *     while the pointer has NOT advanced is NEVER deleted here: it
+    *     is indistinguishable from a LIVE racing winner between its
+    *     claim-rename and its pointer swap, and deleting it would let
+    *     both publishers "win" the same version (one batch silently
+    *     replaced). The commit fails loudly instead; a genuinely
+    *     crashed claim is reclaimed by an age-guarded [[vacuum]].
     *  2. VERIFY the pointer still reads `expected`, then swap it.
     *
-    * Residual window: between a winner's successful claim-rename and
-    * its pointer swap, step 1's orphan test could misread the claim as
-    * a crash leftover — microseconds against a write phase of seconds;
-    * the single-writer convention remains the contract and this check
-    * is the detect-and-fail insurance for when it's violated. */
+    * Only the claim-exists signal ([[org.apache.hadoop.fs.FileAlreadyExistsException]]
+    * / [[org.apache.hadoop.fs.PathExistsException]]) is treated as a
+    * publish conflict; any other I/O failure on the rename (permissions,
+    * quota, a vanished staging dir) propagates as itself — misreporting
+    * an I/O error as a conflict would send the operator chasing a
+    * phantom second writer. */
   def commit(spark: SparkSession, staged: Staged): Long = {
     val ctx = fc(spark)
     val next = staged.expected.getOrElse(-1L) + 1
     val src = new Path(staged.root, staged.txDir)
     val dest = new Path(staged.root, s"v$next")
     def observed: Option[Long] = currentVersion(spark, staged.root)
-    def lost(): Nothing =
+    def lost(detail: String): Nothing =
       throw new java.util.ConcurrentModificationException(
         s"publish conflict under ${staged.root}: staged against version " +
-          s"${staged.expected.getOrElse(-1L)} but a concurrent publisher " +
-          s"advanced the warehouse to ${observed.getOrElse(-1L)}; " +
+          s"${staged.expected.getOrElse(-1L)} but $detail; " +
           s"this batch (${staged.txDir}) was NOT committed")
-    def claim(): Boolean =
-      try { ctx.rename(src, dest); true }
-      catch { case _: java.io.IOException => false }
-    if (!claim()) {
-      if (observed != staged.expected) lost()
-      // pointer unmoved but v<next> exists → a crashed publisher's
-      // never-committed claim; reclaim it and retry once
-      ctx.delete(dest, true)
-      if (!claim()) lost()
+    try ctx.rename(src, dest)
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: org.apache.hadoop.fs.PathExistsException =>
+        if (observed != staged.expected)
+          lost(s"a concurrent publisher advanced the warehouse to " +
+            s"${observed.getOrElse(-1L)}")
+        else
+          lost(s"version dir v$next already exists while the pointer is " +
+            s"unmoved — a publisher mid-commit, or a crashed publisher's " +
+            s"orphaned claim (reclaim aged orphans with vacuum, then re-stage)")
     }
     // belt-and-braces: the pointer must not have moved while we claimed
-    if (observed != staged.expected) lost()
+    if (observed != staged.expected)
+      lost(s"a concurrent publisher advanced the warehouse to " +
+        s"${observed.getOrElse(-1L)}")
     val tmp = new Path(staged.root, s"$Pointer.tmp-${java.util.UUID.randomUUID}")
     val out = ctx.create(tmp,
       java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
@@ -176,14 +200,30 @@ object AtomicPublish {
     next
   }
 
+  /** Default age below which vacuum presumes a staging dir / unswapped
+    * claim belongs to a LIVE publisher and leaves it alone. Long enough
+    * to cover any sane write phase; crashed orphans older than this are
+    * reclaimed on the next vacuum pass. */
+  val DefaultVacuumMinAgeMs: Long = 20L * 60 * 1000
+
   /** Reclaim version directories older than the last `keep` committed
-    * versions (plus any orphaned never-committed ones below them), and
-    * every orphaned `tx-*` staging dir (crashed or conflict-losing
-    * publishers). Readers of retained versions are unaffected — data
-    * dirs are immutable once written. Do not run concurrently with an
-    * in-flight [[stage]]: its not-yet-committed staging dir is
-    * indistinguishable from an orphan. */
-  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
+    * versions (plus any orphaned never-committed ones below them),
+    * orphaned `tx-*` staging dirs (crashed or conflict-losing
+    * publishers), and orphaned unswapped claims ABOVE the pointer
+    * (publishers that crashed between claim and pointer swap — these
+    * otherwise block every future commit of that version). Readers of
+    * retained versions are unaffected — data dirs are immutable once
+    * written.
+    *
+    * Staging dirs and above-pointer claims younger than `minAgeMs` are
+    * SKIPPED: a fresh one may belong to a live in-flight publisher, and
+    * deleting it mid-[[stage]] (or between its claim and swap) would
+    * corrupt that publisher's batch. Committed versions below the
+    * retained window carry no such hazard and are reclaimed regardless
+    * of age. Pass `minAgeMs = 0` only where no publisher can be
+    * in flight. Returns the reclaimed COMMITTED versions. */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2,
+             minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[Long] = {
     val cur = currentVersion(spark, root).getOrElse(return Nil)
     val ctx = fc(spark)
     val rootPath = new Path(root)
@@ -192,15 +232,20 @@ object AtomicPublish {
     val dirs = Iterator.continually(it)
       .takeWhile(_.hasNext).map(_.next())
       .filter(_.isDirectory)
-      .map(_.getPath.getName)
+      .map(s => (s.getPath.getName, s.getModificationTime))
       .toSeq
-    dirs.filter(_.startsWith("tx-"))
-      .foreach(tx => ctx.delete(new Path(root, tx), true))
+    val now = System.currentTimeMillis()
+    def aged(mtime: Long): Boolean = now - mtime >= minAgeMs
+    dirs.filter { case (n, m) => n.startsWith("tx-") && aged(m) }
+      .foreach { case (n, _) => ctx.delete(new Path(root, n), true) }
     val versions = dirs.flatMap {
-      case n if n.startsWith("v") => n.drop(1).toLongOption
+      case (n, m) if n.startsWith("v") => n.drop(1).toLongOption.map((_, m))
       case _ => None
     }
-    val doomed = versions.filter(_ <= cur - keep).sorted
+    // aged claims above the pointer: crashed mid-commit, never visible
+    versions.filter { case (v, m) => v > cur && aged(m) }
+      .foreach { case (v, _) => ctx.delete(new Path(root, s"v$v"), true) }
+    val doomed = versions.map(_._1).filter(_ <= cur - keep).sorted
     doomed.foreach(v => ctx.delete(new Path(root, s"v$v"), true))
     doomed
   }

@@ -79,18 +79,41 @@ object JdbcLoad {
     * unquoted identifiers in (DatabaseMetaData.storesUpper/LowerCase).
     * MySQL on Linux is case-SENSITIVE for table names, so a blanket
     * toUpperCase would miss a lowercase table and [[refresh]] would
-    * wrongly take the create branch. */
+    * wrongly take the create branch.
+    *
+    * `getTables` takes a search PATTERN, where `_` matches any single
+    * char and `%` any run — unescaped, the probe for `D_UP_STAGING`
+    * also matches `DXUPXSTAGING` and [[refresh]] would DROP/RENAME
+    * against a table that doesn't exist. Two defenses, because drivers
+    * disagree: metacharacters are escaped with the driver's own escape
+    * string where one exists (DatabaseMetaData.getSearchStringEscape —
+    * Derby returns "" and honors NO escape in metadata patterns), and
+    * the result set is post-filtered to an exact TABLE_NAME match, so
+    * the probe is exact even on escape-less drivers. */
   private def tableExists(url: String, options: Map[String, String],
                           table: String): Boolean = {
     val conn = connect(url, options)
     try {
       val md = conn.getMetaData
+      val esc = Option(md.getSearchStringEscape).getOrElse("")
+      def pattern(name: String): String =
+        if (esc.isEmpty) name
+        else name.flatMap {
+          case c if esc.length == 1 && c == esc.head => esc + c
+          case c @ ('_' | '%') => esc + c
+          case c => c.toString
+        }
       val candidates = (Seq(table) ++
         (if (md.storesUpperCaseIdentifiers) Seq(table.toUpperCase) else Nil) ++
         (if (md.storesLowerCaseIdentifiers) Seq(table.toLowerCase) else Nil)).distinct
       candidates.exists { t =>
-        val rs = md.getTables(null, null, t, null)
-        try rs.next() finally rs.close()
+        val rs = md.getTables(null, null, pattern(t), null)
+        try {
+          var found = false
+          while (!found && rs.next())
+            found = rs.getString("TABLE_NAME") == t
+          found
+        } finally rs.close()
       }
     } finally conn.close()
   }

@@ -87,9 +87,16 @@ object AnnIndexStore {
     snap.table(spark, SegsT).orderBy("seq").collect()
       .map(_.getAs[String]("seg")).toSeq
 
-  /** Publish model tables + a segment manifest as one atomic version. */
+  /** Publish model tables + a segment manifest as one atomic version.
+    * `expectedBase` (see [[graft.etl.AtomicPublish.stage]]) pins the
+    * version the manifest was DERIVED from: appendEncode/compactSegments
+    * build their new manifest from a snapshot taken BEFORE a potentially
+    * long encode/merge, so a publish that commits inside that window
+    * must fail this one (ConcurrentModificationException) rather than
+    * let the stale manifest silently drop the other writer's segment. */
   private def publishVersion(spark: SparkSession, root: String,
-                             model: IvfPqModel, segs: Seq[String]): Long = {
+                             model: IvfPqModel, segs: Seq[String],
+                             expectedBase: Option[Option[Long]] = None): Long = {
     val cents = spark.createDataFrame(
       java.util.Arrays.asList(model.ivf.cents.zipWithIndex.map {
         case ((cent, cnt), i) => Row(i, cent.toSeq, cnt)
@@ -105,7 +112,8 @@ object AnnIndexStore {
         case (s, i) => Row(i, s)
       }: _*), segSchema)
     AtomicPublish.publish(spark, root, Seq(
-      MetaT -> meta, CentsT -> cents, SeedsT -> seeds, SegsT -> manifest))
+      MetaT -> meta, CentsT -> cents, SeedsT -> seeds, SegsT -> manifest),
+      expectedBase)
   }
 
   /** FULL build: publish trained model + coded corpus as one atomic
@@ -123,11 +131,22 @@ object AnnIndexStore {
     * (old segments :+ the new one). Cost ∝ batch, never corpus; the
     * old segments' files are untouched (IncrementalIndexSpec pins
     * this). Rows in `batch` are the caller's responsibility to be new
-    * ids — the index is append-only, like the corpus it mirrors. */
+    * ids — the index is append-only, like the corpus it mirrors.
+    *
+    * The commit is CONDITIONAL on the base snapshot: the new manifest
+    * is (that snapshot's segments :+ the new one), so a version
+    * published by anyone else during the encode window would be
+    * silently dropped from it — instead the publish fails with
+    * ConcurrentModificationException and the caller re-runs against
+    * the fresh snapshot. `asOf` pins an explicit base version (a
+    * caller that resolved a snapshot earlier for other reads); default
+    * is the current version at entry. */
   def appendEncode(spark: SparkSession, root: String, batch: DataFrame,
                    idCol: String, vecCol: String,
-                   segmentId: Option[String] = None): Long = {
-    val snap = AtomicPublish.snapshot(spark, root)
+                   segmentId: Option[String] = None,
+                   asOf: Option[Long] = None): Long = {
+    val snap = asOf.fold(AtomicPublish.snapshot(spark, root))(
+      AtomicPublish.snapshotAt(spark, root, _))
     val prior = segmentIds(spark, snap)
     // a replayed caller-named segment (streaming batch retry) whose
     // publish ALREADY committed: short-circuit before touching its
@@ -138,7 +157,8 @@ object AnnIndexStore {
     val (model, _) = load(spark, root, Some(snap.version))
     val seg = writeSegment(spark, root,
       VectorSearch.ivfPqEncode(model, batch, idCol, vecCol), segmentId)
-    publishVersion(spark, root, model, prior :+ seg)
+    publishVersion(spark, root, model, prior :+ seg,
+      expectedBase = Some(Some(snap.version)))
   }
 
   /** Load the serving state back from a committed snapshot (the current
@@ -197,11 +217,15 @@ object AnnIndexStore {
     *
     * Trigger policy (SCALE.md): run at an ops cadence (e.g. hourly
     * against a minute-level ingest), with `targetBytes` at the table's
-    * file sweet spot (default 128 MiB). Cost per call is one pass of
-    * decode+encode over at most `targetBytes` of the SMALLEST segments
-    * — independent of corpus size. Returns the new version, or the
-    * current one unchanged when fewer than `minSegments` segments fit
-    * the merge budget (nothing worth merging). */
+    * file sweet spot (default 128 MiB). Cost per call is one narrow
+    * read+rewrite pass over at most `targetBytes` of the SMALLEST
+    * segments — independent of corpus size. Returns the new version, or
+    * the current one unchanged when fewer than `minSegments` segments
+    * fit the merge budget (nothing worth merging). The publish is
+    * conditional on the entry snapshot (same contract as
+    * [[appendEncode]]): an ingest that commits mid-merge turns this
+    * compaction into a loud ConcurrentModificationException — retry at
+    * the next cadence tick — never a manifest that drops its segment. */
   def compactSegments(spark: SparkSession, root: String,
                       targetBytes: Long = 128L * 1024 * 1024,
                       minSegments: Int = 2): Long = {
@@ -233,7 +257,8 @@ object AnnIndexStore {
       else if (doomedSet(s)) None
       else Some(s)
     }
-    publishVersion(spark, root, model, newSegs)
+    publishVersion(spark, root, model, newSegs,
+      expectedBase = Some(Some(snap.version)))
   }
 
   /** Reclaim segment dirs referenced by NO retained version's manifest

@@ -201,9 +201,18 @@ object StreamingOps {
           "vec_id", "embedding"))
       Streams.runIngest(s, Streams.embeddings(s, dir), s"$root/chk") {
         (batch, batchId) =>
-          if (!batch.isEmpty)
+          if (!batch.isEmpty) {
             graft.ops.AnnIndexStore.appendEncode(s, root, batch,
               "vec_id", "embedding", Some(f"batch-$batchId%05d")): Unit
+            // ops-cadence compaction INSIDE the live ingest loop — the
+            // production counterweight to per-batch segment accretion,
+            // gated here so the full lifecycle (ingest → compact →
+            // serve) hash-matches sim12's oracle every round, not just
+            // in IncrementalIndexSpec. Codes are pure (model, row)
+            // functions and the merge is a byte-copy, so the served
+            // ranking is unchanged by construction.
+            graft.ops.AnnIndexStore.compactSegments(s, root): Unit
+          }
       }
       graft.ops.AnnIndexStore.serve(s, root,
           corpus.filter(col("vec_id") < nq), "vec_id", "embedding",

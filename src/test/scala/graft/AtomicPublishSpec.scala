@@ -100,18 +100,24 @@ class AtomicPublishSpec extends SparkSuite {
     assert(AtomicPublish.currentVersion(spark, root) === Some(1L))
     assert(AtomicPublish.readTable(spark, root, "a")
       .first().getString(1) === "winner")
-    // the loser's staging dir is an orphan until vacuum reclaims it
+    // the loser's staging dir is an orphan until vacuum reclaims it —
+    // but a default-age vacuum SKIPS it (it's seconds old, and a fresh
+    // tx dir is indistinguishable from a live publisher's in-flight
+    // stage); only an explicit zero-age vacuum may reclaim it here,
+    // where we know no publisher is in flight
     def txDirs = new java.io.File(root).listFiles().toSeq
       .filter(f => f.isDirectory && f.getName.startsWith("tx-"))
     assert(txDirs.nonEmpty)
     AtomicPublish.vacuum(spark, root, keep = 10)
+    assert(txDirs.nonEmpty, "age-guarded vacuum reclaimed a fresh staging dir")
+    AtomicPublish.vacuum(spark, root, keep = 10, minAgeMs = 0)
     assert(txDirs.isEmpty, "orphaned staging dirs not reclaimed")
     // and the warehouse stays writable afterwards
     assert(AtomicPublish.publish(spark, root, Seq(
       "a" -> Seq((3, "next")).toDF("k", "v"))) === 2L)
   }
 
-  test("commit reclaims a crashed publisher's claimed-but-unswapped version dir") {
+  test("a crashed claim fails the next commit loudly; an aged vacuum reclaims it") {
     val root = freshRoot("orphanclaim")
     AtomicPublish.publish(spark, root, Seq(
       "a" -> Seq((1, "base")).toDF("k", "v")))
@@ -122,12 +128,79 @@ class AtomicPublishSpec extends SparkSuite {
     assert(new java.io.File(s"$root/${dead.txDir}")
       .renameTo(new java.io.File(s"$root/v1")))
     assert(AtomicPublish.currentVersion(spark, root) === Some(0L))
-    // the next publisher must not deadlock on the orphaned claim
+    // the next publisher must NOT auto-delete the claim (it cannot
+    // distinguish a crash leftover from a live winner mid-commit —
+    // deleting a live one would let two publishers win the same
+    // version); it fails loudly, naming the recovery path
+    val err = intercept[java.util.ConcurrentModificationException] {
+      AtomicPublish.publish(spark, root, Seq(
+        "a" -> Seq((2, "alive")).toDF("k", "v")))
+    }
+    assert(err.getMessage.contains("already exists"))
+    assert(err.getMessage.contains("vacuum"))
+    // a default-age vacuum skips the fresh claim (could be a live
+    // publisher); an explicit zero-age one reclaims it
+    AtomicPublish.vacuum(spark, root, keep = 10)
+    assert(new java.io.File(s"$root/v1").isDirectory,
+      "age-guarded vacuum reclaimed a fresh claim")
+    AtomicPublish.vacuum(spark, root, keep = 10, minAgeMs = 0)
+    assert(!new java.io.File(s"$root/v1").exists(),
+      "aged orphan claim not reclaimed")
+    // and publishing works again
     val v = AtomicPublish.publish(spark, root, Seq(
       "a" -> Seq((2, "alive")).toDF("k", "v")))
     assert(v === 1L)
     assert(AtomicPublish.readTable(spark, root, "a")
       .first().getString(1) === "alive")
+  }
+
+  test("a non-race rename failure surfaces as the I/O error it is, not a publish conflict") {
+    val root = freshRoot("ioerr")
+    AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((1, "base")).toDF("k", "v")))
+    val staged = AtomicPublish.stage(spark, root, Seq(
+      "a" -> Seq((2, "next")).toDF("k", "v")))
+    // sabotage: the staging dir vanishes before commit (quota purge,
+    // operator error). The old code swallowed every IOException as
+    // "claim failed" and misdiagnosed this as a ConcurrentModification
+    // conflict — sending the operator hunting a phantom second writer.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    rm(new java.io.File(s"$root/${staged.txDir}"))
+    val err = intercept[java.io.IOException] {
+      AtomicPublish.commit(spark, staged)
+    }
+    assert(!err.isInstanceOf[java.util.ConcurrentModificationException],
+      s"I/O error misreported as a publish conflict: $err")
+    // nothing moved
+    assert(AtomicPublish.currentVersion(spark, root) === Some(0L))
+  }
+
+  test("stage(expectedBase) makes a commit conditional on the derivation snapshot") {
+    val root = freshRoot("expbase")
+    AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((1, "v0")).toDF("k", "v")))
+    // a slow writer derives its outputs from v0...
+    val slow = AtomicPublish.stage(spark, root, Seq(
+      "a" -> Seq((1, "derived-from-v0")).toDF("k", "v")),
+      expectedBase = Some(Some(0L)))
+    // ...and a fast writer commits v1 inside the slow one's window
+    AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((2, "v1")).toDF("k", "v")))
+    // the slow writer's commit must fail — its output would silently
+    // drop the fast writer's batch
+    val err = intercept[java.util.ConcurrentModificationException] {
+      AtomicPublish.commit(spark, slow)
+    }
+    assert(err.getMessage.contains("NOT committed"))
+    assert(AtomicPublish.readTable(spark, root, "a")
+      .first().getString(1) === "v1")
+    // without the pin, a stale derivation would commit blindly: the
+    // default stage reads the pointer at stage time and still works
+    assert(AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((3, "v2")).toDF("k", "v"))) === 2L)
   }
 
   test("vacuum reclaims old versions but never the retained window") {

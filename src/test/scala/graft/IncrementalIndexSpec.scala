@@ -120,6 +120,43 @@ class IncrementalIndexSpec extends SparkSuite {
       "multi-batch streamed index serve diverged from the one-shot batch encode")
   }
 
+  test("a publish landing inside an append's encode window fails that append instead of dropping the segment") {
+    // the two-writer lost-update hole: writer A snapshots v0, spends
+    // minutes encoding; writer B commits v1 (adding its segment) inside
+    // that window; A's manifest was derived from v0's segment list, so
+    // an unconditional publish of it would make v2 silently DROP B's
+    // segment. The expected-base pin must turn that into a loud
+    // ConcurrentModificationException, with B's segment still served.
+    val root = freshRoot()
+    val (emb, model, queries) = train()
+    val n = emb.count()
+    val third = (i: Int) =>
+      emb.filter(col("vec_id") >= i * n / 3 && col("vec_id") < (i + 1) * n / 3)
+    AnnIndexStore.publish(spark, root, model,
+      VectorSearch.ivfPqEncode(model, third(0), "vec_id", "embedding"))
+    // writer A "snapshots" v0 (asOf pin); writer B then commits v1
+    AnnIndexStore.appendEncode(spark, root, third(1), "vec_id", "embedding")
+    val served = norm(AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe))
+    // writer A's append, derived from the stale v0 snapshot, must fail
+    intercept[java.util.ConcurrentModificationException] {
+      AnnIndexStore.appendEncode(spark, root, third(2), "vec_id", "embedding",
+        asOf = Some(0L))
+    }
+    // B's segment is intact: the current serve is unchanged
+    assert(norm(AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe)) == served,
+      "failed conditional append disturbed the committed index")
+    // and A recovers by re-running against the fresh snapshot
+    AnnIndexStore.appendEncode(spark, root, third(2), "vec_id", "embedding")
+    val grown = norm(AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe))
+    val full = norm(VectorSearch.ivfPqServe(model,
+      VectorSearch.ivfPqEncode(model, emb, "vec_id", "embedding"),
+      queries, "vec_id", "embedding", topK, nprobe))
+    assert(grown == full, "recovered append diverged from one-shot full encode")
+  }
+
   test("appendEncode replay of a committed named segment is a pure no-op (version and files untouched)") {
     val root = freshRoot()
     val (emb, model, _) = train()

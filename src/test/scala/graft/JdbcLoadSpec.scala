@@ -53,6 +53,25 @@ class JdbcLoadSpec extends SparkSuite {
     }, "staging/old scaffolding left behind")
   }
 
+  test("existence probe is an exact lookup — a wildcard-decoy table cannot fool refresh") {
+    // DatabaseMetaData.getTables takes a PATTERN: unescaped, the probe
+    // for D_WC_STAGING ('_' = any char) also matches DXWCXSTAGING, and
+    // refresh would DROP a staging table that doesn't exist. The decoy
+    // must neither break the refresh nor be touched by it.
+    drop("D_WC"); drop("D_WC_STAGING"); drop("D_WC_OLD"); drop("DXWCXSTAGING")
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE DXWCXSTAGING (id BIGINT)"): Unit
+    finally conn.close()
+    JdbcLoad.refresh(spark, dim(10), url, "D_WC")
+    assert(Tables.readJdbc(spark, url, "D_WC").count() == 10)
+    // second refresh exercises the table-exists branch too
+    JdbcLoad.refresh(spark, dim(5, from = 100), url, "D_WC")
+    assert(Tables.readJdbc(spark, url, "D_WC").count() == 5)
+    // the decoy survived untouched
+    assert(Tables.readJdbc(spark, url, "DXWCXSTAGING").count() == 0)
+  }
+
   test("differential: upsert audit counts match a set-difference replay over random key batches") {
     drop("D_UPDIFF")
     val rnd = new scala.util.Random(4242)
