@@ -103,9 +103,16 @@ object JdbcLoad {
           case c @ ('_' | '%') => esc + c
           case c => c.toString
         }
+      // Locale.ROOT: identifier folding must match the DATABASE's ASCII
+      // case rules, not the JVM default locale's — under tr-TR,
+      // "d_client".toUpperCase is "D_CLİENT" (dotted İ), the probe
+      // misses the real D_CLIENT, and refresh takes the create branch
+      // against an existing table (JdbcLoadSpec pins this under a
+      // swapped default locale).
+      val root = java.util.Locale.ROOT
       val candidates = (Seq(table) ++
-        (if (md.storesUpperCaseIdentifiers) Seq(table.toUpperCase) else Nil) ++
-        (if (md.storesLowerCaseIdentifiers) Seq(table.toLowerCase) else Nil)).distinct
+        (if (md.storesUpperCaseIdentifiers) Seq(table.toUpperCase(root)) else Nil) ++
+        (if (md.storesLowerCaseIdentifiers) Seq(table.toLowerCase(root)) else Nil)).distinct
       candidates.exists { t =>
         val rs = md.getTables(null, null, pattern(t), null)
         try {

@@ -72,6 +72,24 @@ class JdbcLoadSpec extends SparkSuite {
     assert(Tables.readJdbc(spark, url, "DXWCXSTAGING").count() == 0)
   }
 
+  test("identifier case folding is locale-independent (Turkish-I safe)") {
+    // Under a tr-TR default locale, locale-sensitive folding turns
+    // "d_client".toUpperCase into "D_CLİENT" (dotted İ): the existence
+    // probe then misses the real D_CLIENT and the second refresh takes
+    // the create branch against an existing table. The fold must use
+    // Locale.ROOT — the database's ASCII case rules, not the JVM's.
+    drop("D_CLIENT"); drop("D_CLIENT_STAGING"); drop("D_CLIENT_OLD")
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      JdbcLoad.refresh(spark, dim(10), url, "d_client")
+      assert(Tables.readJdbc(spark, url, "D_CLIENT").count() == 10)
+      // the second refresh exercises the exists branch under tr-TR
+      JdbcLoad.refresh(spark, dim(4, from = 500), url, "d_client")
+      assert(Tables.readJdbc(spark, url, "D_CLIENT").count() == 4)
+    } finally java.util.Locale.setDefault(saved)
+  }
+
   test("differential: upsert audit counts match a set-difference replay over random key batches") {
     drop("D_UPDIFF")
     val rnd = new scala.util.Random(4242)
