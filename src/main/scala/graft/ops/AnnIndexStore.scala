@@ -264,8 +264,17 @@ object AnnIndexStore {
   /** Reclaim segment dirs referenced by NO retained version's manifest
     * (run after [[AtomicPublish.vacuum]]); returns the deleted ids.
     * Retained-version reads are unaffected — their manifests only
-    * reference surviving segments by construction. */
-  def vacuumSegments(spark: SparkSession, root: String): Seq[String] = {
+    * reference surviving segments by construction.
+    *
+    * Same in-flight hazard class as [[AtomicPublish.vacuum]]'s staging
+    * dirs, one level down: a segment just written by an appendEncode /
+    * compactSegments that has NOT yet committed its manifest is
+    * unreferenced at this instant — deleting it would let that publish
+    * commit a manifest pointing at a missing dir (serving then fails at
+    * read time). Segment dirs younger than `minAgeMs` are therefore
+    * SKIPPED; pass 0 only where no index writer can be in flight. */
+  def vacuumSegments(spark: SparkSession, root: String,
+                     minAgeMs: Long = AtomicPublish.DefaultVacuumMinAgeMs): Seq[String] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val segRoot = new Path(root, "seg")
     if (!fs.exists(segRoot)) return Nil
@@ -276,7 +285,9 @@ object AnnIndexStore {
     val referenced = retained.flatMap { v =>
       segmentIds(spark, AtomicPublish.Snapshot(root, v))
     }.toSet
+    val now = System.currentTimeMillis()
     val doomed = fs.listStatus(segRoot).toSeq
+      .filter(s => now - s.getModificationTime >= minAgeMs)
       .map(_.getPath.getName)
       .filterNot(referenced)
     doomed.foreach(id => fs.delete(new Path(segRoot, id), true))

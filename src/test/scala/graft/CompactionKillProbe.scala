@@ -136,7 +136,7 @@ object CompactionKillProbe {
     // reclaim whatever the crash orphaned (loser tx dirs, an unswapped
     // claim, an unreferenced merged segment), then require convergence
     AtomicPublish.vacuum(spark, root, keep = 1000, minAgeMs = 0)
-    val orphans = AnnIndexStore.vacuumSegments(spark, root)
+    val orphans = AnnIndexStore.vacuumSegments(spark, root, minAgeMs = 0)
     println(s"[probe] vacuum reclaimed ${orphans.size} orphan segment dir(s)")
     val vFinal =
       if (outcome.isLeft)

@@ -226,7 +226,12 @@ class IncrementalIndexSpec extends SparkSuite {
     // once pre-compaction versions are vacuumed, the merged-away
     // segments become orphans and GC reclaims exactly them
     graft.etl.AtomicPublish.vacuum(spark, root, keep = 1)
-    val deleted = AnnIndexStore.vacuumSegments(spark, root)
+    // the default-age GC SKIPS fresh orphans (an in-flight writer's
+    // not-yet-committed segment is indistinguishable); explicit zero
+    // age reclaims them here, where no writer is in flight
+    assert(AnnIndexStore.vacuumSegments(spark, root).isEmpty,
+      "age-guarded segment GC reclaimed a fresh dir")
+    val deleted = AnnIndexStore.vacuumSegments(spark, root, minAgeMs = 0)
     assert(deleted.toSet == segsBefore.keySet,
       s"expected exactly the pre-compaction segments reclaimed, got $deleted")
     val served = norm(AnnIndexStore.serve(spark, root, queries,
@@ -275,7 +280,7 @@ class IncrementalIndexSpec extends SparkSuite {
     // nothing is orphaned while v0/v1 are retained
     assert(AnnIndexStore.vacuumSegments(spark, root).isEmpty)
     graft.etl.AtomicPublish.vacuum(spark, root, keep = 1)
-    val deleted = AnnIndexStore.vacuumSegments(spark, root)
+    val deleted = AnnIndexStore.vacuumSegments(spark, root, minAgeMs = 0)
     assert(deleted.size == 2, s"expected the two pre-rebuild segments gone, got $deleted")
     assert(segListing(root).size == 1)
     val served = norm(AnnIndexStore.serve(spark, root, queries,
