@@ -186,6 +186,14 @@ object AtomicPublish {
             s"unmoved — a publisher mid-commit, or a crashed publisher's " +
             s"orphaned claim (reclaim aged orphans with vacuum, then re-stage)")
     }
+    // Touch the claim so its mtime records CLAIM time, not stage time:
+    // rename preserves the staging dir's mtime, so a slow writer's
+    // claim would otherwise look "aged" the moment it appears and an
+    // age-guarded vacuum could misread the live commit as a crashed
+    // orphan. Best-effort — the pointer re-check in [[vacuum]] is the
+    // hard guard; this one makes the age signal mean what it says.
+    try ctx.setTimes(dest, System.currentTimeMillis(), -1)
+    catch { case _: java.io.IOException => () }
     // belt-and-braces: the pointer must not have moved while we claimed
     if (observed != staged.expected)
       lost(s"a concurrent publisher advanced the warehouse to " +
@@ -242,9 +250,19 @@ object AtomicPublish {
       case (n, m) if n.startsWith("v") => n.drop(1).toLongOption.map((_, m))
       case _ => None
     }
-    // aged claims above the pointer: crashed mid-commit, never visible
+    // Aged claims above the pointer: crashed mid-commit, never visible.
+    // Re-read the pointer immediately before each delete — a publisher
+    // may have COMMITTED this very version since `cur` was read at
+    // entry (and [[commit]] refreshes the claim's mtime at claim time,
+    // so only a genuinely old claim reaches this branch at all). The
+    // remaining commit-between-recheck-and-delete window is the
+    // microsecond class the single-writer convention covers, not the
+    // minutes-long stage/encode class these guards exist for.
     versions.filter { case (v, m) => v > cur && aged(m) }
-      .foreach { case (v, _) => ctx.delete(new Path(root, s"v$v"), true) }
+      .foreach { case (v, _) =>
+        if (currentVersion(spark, root).forall(_ < v))
+          ctx.delete(new Path(root, s"v$v"), true)
+      }
     val doomed = versions.map(_._1).filter(_ <= cur - keep).sorted
     doomed.foreach(v => ctx.delete(new Path(root, s"v$v"), true))
     doomed

@@ -203,6 +203,29 @@ class AtomicPublishSpec extends SparkSuite {
       "a" -> Seq((3, "v2")).toDF("k", "v"))) === 2L)
   }
 
+  test("a slow writer's committed version never looks aged: claim time resets the age clock") {
+    // rename preserves mtime, so a version dir committed from a
+    // staging dir written 25 minutes ago would otherwise carry a
+    // 25-minute-old mtime from the instant it appears — and a vacuum
+    // whose pointer read predates the commit would misread the LIVE
+    // commit as an aged crashed claim and delete the current version.
+    // commit() therefore touches the claim dir: age measures
+    // time-since-claim, not time-since-stage.
+    val root = freshRoot("slowstage")
+    AtomicPublish.publish(spark, root, Seq(
+      "a" -> Seq((1, "base")).toDF("k", "v")))
+    val staged = AtomicPublish.stage(spark, root, Seq(
+      "a" -> Seq((2, "slow")).toDF("k", "v")))
+    // backdate the staging dir 25 minutes (the slow encode)
+    val tx = new java.io.File(s"$root/${staged.txDir}")
+    assert(tx.setLastModified(System.currentTimeMillis() - 25 * 60 * 1000L))
+    assert(AtomicPublish.commit(spark, staged) === 1L)
+    val age = System.currentTimeMillis() -
+      new java.io.File(s"$root/v1").lastModified()
+    assert(age < 60 * 1000L,
+      s"committed claim still carries the stale stage mtime (age ${age}ms)")
+  }
+
   test("vacuum reclaims old versions but never the retained window") {
     val root = freshRoot("vacuum")
     (0 until 4).foreach { i =>
