@@ -47,12 +47,20 @@ object CompactionKillProbe {
     val jars = sys.env.getOrElse("SPARK_GRAFT_JARS",
       "/root/repo/target/scala-2.13/datawarehouse_codespark_2.13-0.1.0.jar," +
         "/root/repo/target/scala-2.13/datawarehouse_codespark_2.13-0.1.0-tests.jar")
+    // SPARK_GRAFT_PROBE_MAXFAIL=1 biases toward the FAILURE branch
+    // (fewer task retries before the job aborts) — though executor-lost
+    // task failures may not count against the limit, so Spark can still
+    // absorb the kill; both probe branches assert the invariant either
+    // way, and the crash path is pinned deterministically in
+    // AtomicPublishSpec's crashed-claim test.
+    val maxFail = sys.env.getOrElse("SPARK_GRAFT_PROBE_MAXFAIL", "4")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local-cluster[2,4,4096]"))
       .config("spark.jars", jars)
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.task.maxFailures", maxFail)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
