@@ -88,14 +88,26 @@ object Tables {
     * already spreads the reduce side, and partial aggregation of narrow
     * rows is cheap).
     *
-    * Row-order caveat: `repartition` round-robins, so this is only used
-    * upstream of order-independent logic (joins, aggregates, per-row
-    * projections) — never before first-wins/limit-style operators.
+    * The spread is a HASH repartition over every column, not
+    * round-robin: RoundRobinPartitioning pays Spark's
+    * sortBeforeRepartition determinism rule — a FULL local sort of each
+    * scan slice before the exchange, which at sf10 under 16-thread/
+    * 20 GiB executors OOMed the map side outright (SCALE.md r13). A
+    * full-row hash reaches the same uniform spread for near-unique
+    * rows, is retry-deterministic by construction (same row → same
+    * partition, stronger than sorted round-robin), and its map side is
+    * a pure hash-and-write with no buffered state. Exact duplicate
+    * rows co-locate — irrelevant for the spread, and a reminder that
+    * this helper stays upstream of order-independent logic (joins,
+    * aggregates, per-row projections) — never before
+    * first-wins/limit-style operators (partition-internal row order is
+    * still nondeterministic).
     */
   def fanOut(df: DataFrame, parts: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val target = if (parts > 0) parts else spark.sparkContext.defaultParallelism
-    if (scanSplitEstimate(df) < math.max(2, target / 2)) df.repartition(target)
+    if (scanSplitEstimate(df) < math.max(2, target / 2))
+      df.repartition(target, df.columns.toIndexedSeq.map(org.apache.spark.sql.functions.col): _*)
     else df
   }
 

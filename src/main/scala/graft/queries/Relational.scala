@@ -75,10 +75,20 @@ object Relational {
       // each year's files by fact id so parquet row-group stats also
       // prune id-ranged reads (SCALE.md). Explicit partition count keeps
       // AQE from coalescing the write stage to one task.
+      //
+      // Both widths DERIVE from spark.sql.shuffle.partitions rather than
+      // being hardcoded: a fixed 32-wide exchange means per-task sort
+      // volume grows linearly with data — at sf10 under 16-thread/20 GiB
+      // executors the fixed width OOMed the write stage (SCALE.md r13).
+      // At the default 32 the plan is bit-identical to the old shape;
+      // scaling the conf scales the salt with it, so parallelism grows
+      // while files-per-year stays bounded at width/8.
+      val writeWidth = s.sessionState.conf.numShufflePartitions
+      val salt = math.max(4, writeWidth / 8)
       graft.etl.StarSchema.fact(
           graft.etl.StarSchema.factInput(Tables.lineitem(s, dir)),
           Tables.orders(s, dir), Tables.customer(s, dir))
-        .repartition(32, col("year"), pmod(col("id"), lit(4)))
+        .repartition(writeWidth, col("year"), pmod(col("id"), lit(salt)))
         .sortWithinPartitions("year", "id")
         .write.mode("overwrite").partitionBy("year").parquet(out)
       val back = s.read.parquet(out).filter(col("year") === 1997)
@@ -1264,8 +1274,20 @@ object Relational {
     // price (q2's derivation): a second aggregate over the fact joined
     // back on the (partkey, suppkey) pair — a genuine shuffle join whose
     // two sides share the grouping key; dims broadcast.
+    //
+    // The pair key is NEAR-UNIQUE in the fact (≈1.1 rows/pair at every
+    // SF), so a plain groupBy's map-side partial aggregate achieves no
+    // reduction while holding its task's full slice as a hash map —
+    // at sf10 under 16-thread/20 GiB executors that partial-agg
+    // spill-merge OOMs before the reduce side ever runs. Repartition
+    // by the pair FIRST: the raw-row shuffle is the same volume the
+    // no-op partial agg would have written, and aggregation state
+    // shrinks from (task's scan slice) to (corpus / shuffle
+    // partitions) — the knob that actually scales.
     "tpch_q9_profit" -> ((s, dir) => {
       val ps = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+        .repartition(col("l_partkey"), col("l_suppkey"))
         .groupBy(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
         .agg(Det.davg(Det.q6(col("l_extendedprice") / col("l_quantity")))
           .as("ps_supplycost"))
