@@ -40,12 +40,25 @@ object DimOps {
     * map-side partial combining — the shuffle moves one candidate row
     * per (key, mapper) instead of every input row, which is the
     * difference that matters when deduping 100 TB with a high dup ratio.
+    *
+    * `preShuffle` flips that trade for LOW-dup inputs (a handful of rows
+    * per key): there the map-side map holds most of its slice for little
+    * reduction, and at sf10 under 16-thread/20 GiB executors that map's
+    * spill-merge is an OOM risk (the q9 lesson, SCALE.md r13).
+    * Repartitioning by the keys first moves raw rows — roughly what the
+    * near-no-op partial agg would have shuffled anyway — and bounds
+    * aggregation state by (corpus / shuffle partitions). The dup ratio
+    * is the CALLER's knowledge: keep the default for true dedup
+    * (fact→dim extraction, crawl dedup), set it for near-unique keys.
+    * Both forms are value-identical (min(struct) is order-independent).
     */
-  def firstWins(df: DataFrame, keys: Seq[String]): DataFrame = {
+  def firstWins(df: DataFrame, keys: Seq[String],
+                preShuffle: Boolean = false): DataFrame = {
     val rest = df.columns.filterNot(keys.contains)
-    if (rest.isEmpty) df.distinct()
+    val base = if (preShuffle) df.repartition(keys.map(col): _*) else df
+    if (rest.isEmpty) base.distinct()
     else
-      df.groupBy(keys.map(col): _*)
+      base.groupBy(keys.map(col): _*)
         .agg(min(struct(rest.map(col): _*)).as("__first"))
         .select(df.columns.toSeq.map(c =>
           if (keys.contains(c)) col(c) else col("__first").getField(c).as(c)): _*)

@@ -287,9 +287,12 @@ object Relational {
     // ── A: dedup / distinct ───────────────────────────────────────────
     // A1 first-wins dedup by key (warehouse.py:81).
     "a1_first_wins_dedup" -> ((s, dir) =>
+      // preShuffle: l_orderkey is LOW-dup (≈4 rows/key), so map-side
+      // partial combining would hold ~3/4 of each scan slice for a 25%
+      // reduction — the near-unique-key OOM shape (SCALE.md r13).
       DimOps.firstWins(
         Tables.lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity"),
-        Seq("l_orderkey"))
+        Seq("l_orderkey"), preShuffle = true)
         .orderBy("l_orderkey")),
 
     // A2 distinct on natural key (warehouse.py:145-151).
