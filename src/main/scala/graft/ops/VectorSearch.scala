@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{NativeVectorExpressions, VectorUdfs}
@@ -471,7 +471,23 @@ object VectorSearch {
   }
 
   /** Embedding near-dup pairs: banded signature candidates + exact
-    * cosine ≥ threshold. Output: vec_a, vec_b, cos_sim. */
+    * cosine ≥ threshold. Output: vec_a, vec_b, cos_sim.
+    *
+    * A pair agreeing on SEVERAL bands must still surface once; instead
+    * of enumerating every agreement and `distinct()`-ing (a
+    * near-unique-key dedup whose map-side state OOMed at the 200k-vector
+    * sf10 rung — the candidate volume here is Θ(N²/16) because a 4-bit
+    * band has only 16 bucket values), each pair is emitted solely from
+    * its LOWEST matching band, decided from the two signatures inline in
+    * the join condition. The emitted pair set is identical by
+    * construction, and the pipeline holds ZERO dedup state — the
+    * quadratic candidate stream stays a stream, feeding the map-side
+    * broadcast cosine verification directly. The enumeration itself is
+    * inherently Θ(N²/16) at this signature geometry (the recall contract
+    * pins 4 × 4-bit bands); corpora past ~10⁶ vectors should move to a
+    * wider signature with the recall-equivalent band count re-derived
+    * from the collision bound — a parameter change, not a shape
+    * change. */
   def nearDupPairs(spark: SparkSession, corpus: DataFrame,
                    idCol: String, vecCol: String,
                    threshold: Double = 0.4, oracleDim: Int = -1): DataFrame = {
@@ -479,16 +495,24 @@ object VectorSearch {
     val sigs = withNorm(spark, corpus, vecCol)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"),
         col("__norm2").as("__n"), sig(col(vecCol)).as("sig"))
-    val bands = sigs.select(col("__id"),
+    val bands = sigs.select(col("__id"), col("sig"),
       posexplode(expr(
         """array(sig & 15, shiftright(sig, 4) & 15,
           |      shiftright(sig, 8) & 15, shiftright(sig, 12) & 15)""".stripMargin))
         .as(Seq("band", "bkey")))
+    def bandOf(s: Column, i: Int): Column =
+      (if (i == 0) s else shiftright(s, 4 * i)).bitwiseAND(lit(15))
+    val firstMatch = {
+      val sa = col("a.sig"); val sb = col("b.sig")
+      when(bandOf(sa, 0) === bandOf(sb, 0), lit(0))
+        .when(bandOf(sa, 1) === bandOf(sb, 1), lit(1))
+        .when(bandOf(sa, 2) === bandOf(sb, 2), lit(2))
+        .otherwise(lit(3))
+    }
     val pairs = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-        col("a.__id") < col("b.__id"))
+        col("a.__id") < col("b.__id") && firstMatch === col("a.band"))
       .select(col("a.__id").as("vec_a"), col("b.__id").as("vec_b"))
-      .distinct()
     pairs
       .join(broadcast(sigs.select(col("__id").as("vec_a"),
         col("__v").as("ea"), col("__n").as("na"))), "vec_a")
