@@ -70,11 +70,36 @@ object Shared {
     (c(memo), c(objMemo), c(once))
   }
 
+  /** Two materialization forms behind one memo, selected by the same
+    * deployment conf as [[materialized]]:
+    *
+    *   - default: `persist(MEMORY_AND_DISK)` — right for a single-JVM
+    *     harness where the block manager owns the whole heap.
+    *   - `graft.materialize.dir` set: write-parquet-and-read-back — the
+    *     production form the header Scaladoc promises ("at 100 TB the
+    *     cube would be materialized to a TABLE"). On memory-tight
+    *     executors the block-cache form is actively dangerous: caching a
+    *     corpus-sized intermediate (the sf10 cube is 60M wide rows)
+    *     crowds the storage pool until an unrelated allocation — in the
+    *     observed failure, deserializing a broadcast dim's
+    *     LongHashedRelation into the MemoryStore — becomes the
+    *     last-straw OOM. A written table costs one extra scan per
+    *     consumer and holds zero executor memory between queries.
+    *
+    * Row identity of the two forms is pinned by MaterializeSpec. The
+    * materialize dir is per-run state (one writer per path), same
+    * convention as [[materialized]]. */
   private def cached(spark: SparkSession, dir: String, what: String)(
       build: => DataFrame): DataFrame = {
     hookCleanup(spark)
     memo.computeIfAbsent((System.identityHashCode(spark), dir, what),
-      _ => build.persist(StorageLevel.MEMORY_AND_DISK))
+      _ => spark.conf.getOption("graft.materialize.dir") match {
+        case Some(root) =>
+          val out = s"$root/${what}_${graft.Tables.dirSlug(dir)}"
+          build.write.mode("overwrite").parquet(out)
+          spark.read.parquet(out)
+        case None => build.persist(StorageLevel.MEMORY_AND_DISK)
+      })
   }
 
   /** The denormalized star cube — one broadcast-join build per

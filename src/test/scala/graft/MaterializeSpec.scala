@@ -30,6 +30,27 @@ class MaterializeSpec extends SparkSuite {
       s"expected a parquet materialization at $simsDir")
   }
 
+  test("written-table form of Shared.cached is row-identical to the persist form, through the cube") {
+    // fact_id is not unique on this generator (duplicate (orderkey,
+    // linenumber) pairs — see etl_fact_load's note), so the tie-safe
+    // sort key is the full column list, same as etl_cube_build's gate.
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(df.columns.map(org.apache.spark.sql.functions.col): _*)
+        .collect().toSeq
+    val base = sorted(Shared.cube(spark, sf))
+
+    val s2 = spark.newSession()
+    val mat = java.nio.file.Files.createTempDirectory("graft_mat_cube").toString
+    s2.conf.set("graft.materialize.dir", mat)
+    val alt = sorted(Shared.cube(s2, sf))
+
+    assert(alt == base, "cube rows diverged between materialization forms")
+
+    val cubeDir = new java.io.File(s"$mat/cube_${Tables.dirSlug(sf)}")
+    assert(cubeDir.isDirectory && cubeDir.listFiles().exists(_.getName.endsWith(".parquet")),
+      s"expected a parquet materialization at $cubeDir")
+  }
+
   test("materialized memoizes: the builder runs once per (session, dir, key)") {
     var builds = 0
     def build() = { builds += 1; spark.range(5).toDF("x") }
