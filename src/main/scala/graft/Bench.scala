@@ -87,18 +87,37 @@ object Bench {
     // A failed query reports -1.0 (never its partial elapsed time), so a
     // crash can't masquerade as a fast success in the emitted JSON.
     val debug = sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")
+    // SPARK_GRAFT_RETRY=<seconds>: on failure, pause and retry the query
+    // ONCE. For memory-density rehearsals under local-cluster — an
+    // executor OOM (exit 52) kills the whole worker JVM, and every query
+    // submitted during the ~10 s replacement-registration window dies
+    // with RejectedExecutionException, so one real OOM used to poison
+    // the next ~10 entries of a sweep. A paused retry separates the
+    // deterministic failures (still fail) from the collateral (pass on
+    // the retry). Unset (the driver's mode) = fail immediately, so the
+    // committed artifacts never hide a flap behind a retry.
+    val retryPause = sys.env.get("SPARK_GRAFT_RETRY")
+      .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 pass: String): Double = {
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed ($pass): ${e.getMessage}")
-          false
+      def once(tag: String): Double = {
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed ($tag): ${e.getMessage}")
+            false
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (debug) System.err.println(
+          f"[bench-debug] +${(System.nanoTime() - benchStart) / 1e9}%.1fs [$tag] $name%-28s ${sec}%.2fs")
+        if (ok) sec else -1.0
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      if (debug) System.err.println(
-        f"[bench-debug] +${(System.nanoTime() - benchStart) / 1e9}%.1fs [$pass] $name%-28s ${sec}%.2fs")
-      if (ok) sec else -1.0
+      val first = once(pass)
+      if (first >= 0 || retryPause.isEmpty) first
+      else {
+        Thread.sleep(retryPause.get * 1000L)
+        once(s"$pass-retry")
+      }
     }
     val ordered = selected.toSeq.sortBy(_._1)
     val results = ordered.map { case (name, fn) => name -> timeOne(name, fn, "first") }.toMap
