@@ -96,10 +96,45 @@ object Shared {
       _ => spark.conf.getOption("graft.materialize.dir") match {
         case Some(root) =>
           val out = s"$root/${what}_${graft.Tables.dirSlug(dir)}"
-          build.write.mode("overwrite").parquet(out)
+          matWrite(spark, build, out)
           spark.read.parquet(out)
         case None => build.persist(StorageLevel.MEMORY_AND_DISK)
       })
+  }
+
+  /** Materialization write with a BOUNDED parquet writer footprint.
+    *
+    * Parquet's writer buffers are UNTRACKED by Spark's memory manager:
+    * each open file holds up to `parquet.block.size` of encoded pages
+    * plus, per column, a dictionary hash map that grows until the
+    * dictionary-page threshold trips the plain-encoding fallback. A
+    * denormalized materialization (the cube: every fact row joined ~4×
+    * wider) amplifies a 128 MB scan slice into ~0.5 GB of write-side
+    * work, so at 16 concurrent tasks the DEFAULT 128 MB row group can
+    * demand multiple GB of unevictable buffers per executor — on the
+    * sf10 64 MiB/core rehearsal (SCALE.md r13) the OOM was literally
+    * inside PlainLongDictionaryValuesWriter.rehash. Two bounds, both
+    * per-write options so nothing global changes:
+    *
+    *   - row group = 32 MiB (`graft.materialize.rowgroup.bytes` to
+    *     override): 16 writers buffer ≤ 0.5 GB total. These tables are
+    *     written once and scanned sequentially a handful of times inside
+    *     the pipeline — the read-side cost of smaller groups is noise.
+    *   - dictionary page = 256 KiB: near-unique key columns (where the
+    *     dictionary can never win) fall back to plain encoding 4× sooner
+    *     and drop their maps; low-cardinality dim columns never reach
+    *     the threshold and still dictionary-encode.
+    *
+    * Values are unaffected (row-group geometry only); every gated
+    * consumer sorts, so read-back order is immaterial. */
+  private def matWrite(spark: SparkSession, df: DataFrame,
+                       out: String): Unit = {
+    val rowGroup = spark.conf.getOption("graft.materialize.rowgroup.bytes")
+      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    df.write.mode("overwrite")
+      .option("parquet.block.size", rowGroup.toString)
+      .option("parquet.dictionary.page.size", (256 * 1024).toString)
+      .parquet(out)
   }
 
   /** The denormalized star cube — one broadcast-join build per
@@ -180,7 +215,7 @@ object Shared {
       spark.conf.getOption("graft.materialize.dir") match {
         case Some(root) =>
           val out = s"$root/${what}_${graft.Tables.dirSlug(dir)}"
-          build.write.mode("overwrite").parquet(out)
+          matWrite(spark, build, out)
           spark.read.parquet(out)
         case None => build.localCheckpoint(true)
       }
