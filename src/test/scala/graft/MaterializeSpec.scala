@@ -51,6 +51,41 @@ class MaterializeSpec extends SparkSuite {
       s"expected a parquet materialization at $cubeDir")
   }
 
+  test("materialization writes honor the bounded row-group size") {
+    // The write-side OOM defense (Shared.matWrite, SCALE.md r13): a
+    // materialization's parquet row groups must flush at the configured
+    // bound, not parquet's 128 MiB default — set the bound tiny, write
+    // ~2.4 MB of longs into one file, and read the footers back.
+    val s2 = spark.newSession()
+    val mat = java.nio.file.Files.createTempDirectory("graft_mat_rg").toString
+    s2.conf.set("graft.materialize.dir", mat)
+    val bound = 64L * 1024
+    s2.conf.set("graft.materialize.rowgroup.bytes", bound.toString)
+    Shared.materialized(s2, sf, "rg_probe") {
+      s2.range(300000).toDF("x").repartition(1)
+    }.count()
+
+    import scala.jdk.CollectionConverters._
+    val dir = new java.io.File(s"$mat/rg_probe_${Tables.dirSlug(sf)}")
+    val files = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty, s"expected parquet files at $dir")
+    val groupSizes = files.toSeq.flatMap { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        s2.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getTotalByteSize).toSeq
+      finally r.close()
+    }
+    assert(groupSizes.size > 1,
+      s"expected multiple row groups under a ${bound}B bound, got ${groupSizes.size}")
+    // parquet's flush check is periodic (every ~100 records early on),
+    // so allow generous slack over the configured bound.
+    val tooBig = groupSizes.filter(_ > bound * 4)
+    assert(tooBig.isEmpty,
+      s"row groups exceeded the bound beyond slack: $tooBig (bound $bound)")
+  }
+
   test("materialized memoizes: the builder runs once per (session, dir, key)") {
     var builds = 0
     def build() = { builds += 1; spark.range(5).toDF("x") }
