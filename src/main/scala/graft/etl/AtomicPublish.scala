@@ -135,8 +135,28 @@ object AtomicPublish {
     require(outputs.nonEmpty, "empty publish batch")
     val expected = expectedBase.getOrElse(currentVersion(spark, root))
     val tx = s"tx-${java.util.UUID.randomUUID}"
-    outputs.foreach { case (name, df) =>
+    // Outputs are independent writes into a private dir, so they submit
+    // as CONCURRENT Spark jobs (one thread each — Spark's scheduler is
+    // thread-safe and fair-shares the same executors): a batch of small
+    // dimension tables pays one job latency, not one per table, and big
+    // outputs overlap their write tails. Failure semantics unchanged —
+    // any failed write fails the stage (first error rethrown), nothing
+    // is visible outside the tx dir either way.
+    if (outputs.size == 1) {
+      val (name, df) = outputs.head
       df.write.mode("overwrite").parquet(s"$root/$tx/$name")
+    } else {
+      val threads = outputs.map { case (name, df) =>
+        val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val t = new Thread(() =>
+          try df.write.mode("overwrite").parquet(s"$root/$tx/$name")
+          catch { case e: Throwable => err.set(e) })
+        t.setDaemon(true)
+        t.start()
+        (t, err)
+      }
+      threads.foreach(_._1.join())
+      threads.flatMap(t => Option(t._2.get())).headOption.foreach(throw _)
     }
     Staged(root, tx, expected)
   }

@@ -1,8 +1,10 @@
 package graft.ops
 
+import java.util.concurrent.ConcurrentHashMap
+
 import org.apache.hadoop.fs.Path
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.etl.AtomicPublish
@@ -25,18 +27,46 @@ import graft.ops.VectorSearch.{IvfModel, IvfPqModel}
   * snapshot (or time travel to a retained one — the o8 shape), so a
   * rebuild mid-serve is invisible.
   *
-  * INCREMENTAL GROWTH (round 11): the coded index is stored as
-  * immutable SEGMENTS (`root/seg/<id>/`, each an [[VectorSearch.ivfPqEncode]]
-  * output) referenced by a tiny per-version manifest table — the
-  * Iceberg/Delta data-file/manifest split reduced to plain parquet.
-  * [[appendEncode]] therefore encodes ONLY the new batch and publishes
-  * a new version whose manifest is (old segments :+ new segment): at
-  * 100 TB, daily corpus growth costs one batch-sized encode + a
-  * pointer commit, never a corpus rewrite. The MODEL is frozen across
-  * appends by design — codes are only comparable under one codebook;
-  * re-training is a full rebuild ([[publish]]), which readers again
-  * only ever see atomically. Orphaned segments (from vacuumed or
-  * never-committed versions) are reclaimed by [[vacuumSegments]].
+  * LAYOUT — immutable artifacts referenced by a tiny per-version
+  * manifest (the Iceberg/Delta data-file/metadata split reduced to
+  * plain parquet):
+  *
+  *   - `root/model/<model-id>/` — the trained model's three tables,
+  *     written ONCE per lineage ([[publish]] mints a fresh id) and
+  *     never rewritten: codes are only comparable under one codebook,
+  *     so every append/compaction of a lineage shares its model. This
+  *     is what keeps a minute-cadence ingest cheap — before round 14
+  *     every published version re-wrote the model tables and every
+  *     append re-collected them; now a version is ONE small manifest
+  *     write, and model reads are memoized per (session, model-id)
+  *     (sound because a model dir is immutable once its manifest
+  *     commits).
+  *   - `root/seg/<seg-id>/` — immutable coded segments
+  *     ([[VectorSearch.ivfPqEncode]] outputs); appends add one, never
+  *     copy old ones.
+  *   - `root/v<N>/ann_manifest` — one table of (seq, kind, ref) rows:
+  *     exactly one `model` row, the ordered `seg` list the version
+  *     serves, and the `applied` ledger (below).
+  *
+  * INCREMENTAL GROWTH: [[appendEncode]] encodes ONLY the new batch and
+  * publishes a manifest of (old segments :+ new segment): at 100 TB,
+  * daily corpus growth costs one batch-sized encode + a pointer
+  * commit, never a corpus rewrite. Re-training is a full rebuild
+  * ([[publish]]), which readers again only ever see atomically.
+  * Orphaned segments and model dirs (from vacuumed or never-committed
+  * versions) are reclaimed by [[vacuumSegments]].
+  *
+  * THE APPLIED LEDGER: the manifest's `applied` rows record every
+  * caller-named segment id ever appended to this lineage — appends
+  * extend the list, compactions copy it verbatim, a rebuild resets it.
+  * This is Delta's `txn`/streaming-transaction-id device reduced to
+  * manifest rows: [[appendEncode]]'s replay guard asks "was this batch
+  * id ever APPLIED?", not "is its segment still in the current
+  * manifest?" — the latter breaks the moment a compaction merges the
+  * just-committed segment away (a checkpoint-replayed batch would
+  * re-encode, overwrite the still-referenced seg dir, and serve its
+  * vectors twice). One short string per append ever; a year of
+  * minute-cadence ingest is ~0.5M rows — noise next to any real index.
   *
   * Everything stored is exact-integer or an exact double (the trained
   * amax literal), so a served ranking from the read-back is
@@ -46,11 +76,13 @@ import graft.ops.VectorSearch.{IvfModel, IvfPqModel}
   */
 object AnnIndexStore {
 
-  /** Table names inside a version directory. */
+  /** The single per-version table (see layout above). */
+  private val ManifestT = "ann_manifest"
+
+  /** Model tables inside `root/model/<model-id>/`. */
   private val MetaT = "ivf_meta"
   private val CentsT = "ivf_centroids"
   private val SeedsT = "pq_seeds"
-  private val SegsT = "ann_segments"
 
   private val centSchema = StructType(Seq(
     StructField("cid", IntegerType, nullable = false),
@@ -65,9 +97,29 @@ object AnnIndexStore {
     StructField("amax", DoubleType, nullable = false),
     StructField("n_sub", IntegerType, nullable = false)))
 
-  private val segSchema = StructType(Seq(
+  private val manifestSchema = StructType(Seq(
     StructField("seq", IntegerType, nullable = false),
-    StructField("seg", StringType, nullable = false)))
+    StructField("kind", StringType, nullable = false),
+    StructField("ref", StringType, nullable = false)))
+
+  /** A version's decoded manifest. */
+  private final case class Manifest(modelId: String, segs: Seq[String],
+                                    applied: Seq[String])
+
+  private def readManifest(spark: SparkSession,
+                           snap: AtomicPublish.Snapshot): Manifest = {
+    // explicit schema: a manifest is read on every append/serve, and
+    // footer-based schema inference is pure overhead on a known table
+    val rows = spark.read.schema(manifestSchema)
+      .parquet(s"${snap.root}/v${snap.version}/$ManifestT")
+      .orderBy("seq").collect()
+    def refs(kind: String): Seq[String] = rows.toSeq
+      .filter(_.getAs[String]("kind") == kind).map(_.getAs[String]("ref"))
+    val model = refs("model")
+    require(model.size == 1,
+      s"corrupt manifest at ${snap.root} v${snap.version}: ${model.size} model rows")
+    Manifest(model.head, refs("seg"), refs("applied"))
+  }
 
   /** Write one immutable coded segment; returns its id. Segment dirs
     * live OUTSIDE version dirs (like Iceberg data files) so appends
@@ -82,21 +134,14 @@ object AnnIndexStore {
     id
   }
 
-  private def segmentIds(spark: SparkSession,
-                         snap: AtomicPublish.Snapshot): Seq[String] =
-    snap.table(spark, SegsT).orderBy("seq").collect()
-      .map(_.getAs[String]("seg")).toSeq
-
-  /** Publish model tables + a segment manifest as one atomic version.
-    * `expectedBase` (see [[graft.etl.AtomicPublish.stage]]) pins the
-    * version the manifest was DERIVED from: appendEncode/compactSegments
-    * build their new manifest from a snapshot taken BEFORE a potentially
-    * long encode/merge, so a publish that commits inside that window
-    * must fail this one (ConcurrentModificationException) rather than
-    * let the stale manifest silently drop the other writer's segment. */
-  private def publishVersion(spark: SparkSession, root: String,
-                             model: IvfPqModel, segs: Seq[String],
-                             expectedBase: Option[Option[Long]] = None): Long = {
+  /** Write the trained model's three tables under a fresh immutable
+    * model dir; returns its id. Only [[publish]] (full rebuild) calls
+    * this — appends and compactions reference the lineage's existing
+    * model by id. */
+  private def writeModel(spark: SparkSession, root: String,
+                         model: IvfPqModel): String = {
+    val id = s"model-${java.util.UUID.randomUUID}"
+    val dir = s"$root/model/$id"
     val cents = spark.createDataFrame(
       java.util.Arrays.asList(model.ivf.cents.zipWithIndex.map {
         case ((cent, cnt), i) => Row(i, cent.toSeq, cnt)
@@ -107,31 +152,100 @@ object AnnIndexStore {
       }: _*), seedSchema)
     val meta = spark.createDataFrame(
       java.util.Arrays.asList(Row(model.ivf.amaxVal, model.nSub)), metaSchema)
+    // three independent tiny writes — submit concurrently (same
+    // rationale as AtomicPublish.stage: pay one job latency, not three)
+    val writes = Seq(MetaT -> meta, CentsT -> cents, SeedsT -> seeds)
+      .map { case (t, df) =>
+        val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val th = new Thread(() =>
+          try df.write.mode("overwrite").parquet(s"$dir/$t")
+          catch { case e: Throwable => err.set(e) })
+        th.setDaemon(true)
+        th.start()
+        (th, err)
+      }
+    writes.foreach(_._1.join())
+    writes.flatMap(w => Option(w._2.get())).headOption.foreach(throw _)
+    id
+  }
+
+  // Model reads memoized per (session, model dir): a model dir is
+  // immutable once any manifest referencing it commits, so the memo can
+  // never serve stale state; it turns the per-micro-batch ingest cost
+  // from three collect jobs into zero. Same session-lifecycle eviction
+  // pattern as graft.queries.Shared (entries die with their session).
+  private val modelMemo = new ConcurrentHashMap[(Int, String), IvfPqModel]()
+  private val cleanupHooked = new ConcurrentHashMap[Int, Boolean]()
+  private def hookCleanup(spark: SparkSession): Unit = {
+    val key = System.identityHashCode(spark)
+    cleanupHooked.computeIfAbsent(key, _ => {
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
+          modelMemo.keySet.removeIf(_._1 == key)
+          cleanupHooked.remove(key)
+          ()
+        }
+      })
+      true
+    }): Unit
+  }
+
+  private def loadModel(spark: SparkSession, root: String,
+                        modelId: String): IvfPqModel = {
+    hookCleanup(spark)
+    val dir = s"$root/model/$modelId"
+    modelMemo.computeIfAbsent((System.identityHashCode(spark), dir), _ => {
+      val metaRow = spark.read.schema(metaSchema)
+        .parquet(s"$dir/$MetaT").collect()(0)
+      val cents = spark.read.schema(centSchema).parquet(s"$dir/$CentsT")
+        .orderBy("cid").collect()
+        .map(r => (r.getSeq[Long](r.fieldIndex("cent")).toArray,
+          r.getAs[Long]("cnt")))
+      val seeds = spark.read.schema(seedSchema).parquet(s"$dir/$SeedsT")
+        .orderBy("sid").collect()
+        .map(r => r.getSeq[Long](r.fieldIndex("qv")).toArray)
+      IvfPqModel(IvfModel(metaRow.getAs[Double]("amax"), cents), seeds,
+        metaRow.getAs[Int]("n_sub"))
+    })
+  }
+
+  /** Publish a manifest as one atomic version. `expectedBase` (see
+    * [[graft.etl.AtomicPublish.stage]]) pins the version the manifest
+    * was DERIVED from: appendEncode/compactSegments build their new
+    * manifest from a snapshot taken BEFORE a potentially long
+    * encode/merge, so a publish that commits inside that window must
+    * fail this one (ConcurrentModificationException) rather than let
+    * the stale manifest silently drop the other writer's segment. */
+  private def publishVersion(spark: SparkSession, root: String, m: Manifest,
+                             expectedBase: Option[Option[Long]] = None): Long = {
+    val rows = (Seq("model" -> m.modelId) ++
+      m.segs.map("seg" -> _) ++ m.applied.map("applied" -> _))
+      .zipWithIndex.map { case ((kind, ref), i) => Row(i, kind, ref) }
     val manifest = spark.createDataFrame(
-      java.util.Arrays.asList(segs.zipWithIndex.map {
-        case (s, i) => Row(i, s)
-      }: _*), segSchema)
-    AtomicPublish.publish(spark, root, Seq(
-      MetaT -> meta, CentsT -> cents, SeedsT -> seeds, SegsT -> manifest),
-      expectedBase)
+      java.util.Arrays.asList(rows: _*), manifestSchema)
+    AtomicPublish.publish(spark, root, Seq(ManifestT -> manifest), expectedBase)
   }
 
   /** FULL build: publish trained model + coded corpus as one atomic
-    * version (a single initial segment); returns the committed version.
-    * `encoded` is [[VectorSearch.ivfPqEncode]]'s output — the only
-    * corpus-sized write. */
+    * version (a fresh model dir + a single initial segment); returns
+    * the committed version. `encoded` is [[VectorSearch.ivfPqEncode]]'s
+    * output — the only corpus-sized write. A rebuild starts a new index
+    * lineage: the applied ledger resets with it (batch ids of the
+    * PREVIOUS lineage are re-appendable against the rebuilt corpus by
+    * design — the rebuild replaced them). */
   def publish(spark: SparkSession, root: String, model: IvfPqModel,
               encoded: DataFrame): Long = {
+    val modelId = writeModel(spark, root, model)
     val seg = writeSegment(spark, root, encoded)
-    publishVersion(spark, root, model, Seq(seg))
+    publishVersion(spark, root, Manifest(modelId, Seq(seg), Seq(seg)))
   }
 
-  /** INCREMENTAL growth: encode ONLY `batch` under the current
-    * version's frozen model and commit a new version referencing
-    * (old segments :+ the new one). Cost ∝ batch, never corpus; the
-    * old segments' files are untouched (IncrementalIndexSpec pins
-    * this). Rows in `batch` are the caller's responsibility to be new
-    * ids — the index is append-only, like the corpus it mirrors.
+  /** INCREMENTAL growth: encode ONLY `batch` under the lineage's frozen
+    * model and commit a new version referencing (old segments :+ the
+    * new one). Cost ∝ batch, never corpus; the old segments' files are
+    * untouched (IncrementalIndexSpec pins this). Rows in `batch` are
+    * the caller's responsibility to be new ids — the index is
+    * append-only, like the corpus it mirrors.
     *
     * The commit is CONDITIONAL on the base snapshot: the new manifest
     * is (that snapshot's segments :+ the new one), so a version
@@ -140,49 +254,48 @@ object AnnIndexStore {
     * ConcurrentModificationException and the caller re-runs against
     * the fresh snapshot. `asOf` pins an explicit base version (a
     * caller that resolved a snapshot earlier for other reads); default
-    * is the current version at entry. */
+    * is the current version at entry.
+    *
+    * A replayed caller-named segment (streaming batch retry) whose
+    * publish ALREADY committed short-circuits to a no-op via the
+    * applied ledger — robust to compactions between commit and replay
+    * (see the header; pinned in IncrementalIndexSpec). */
   def appendEncode(spark: SparkSession, root: String, batch: DataFrame,
                    idCol: String, vecCol: String,
                    segmentId: Option[String] = None,
                    asOf: Option[Long] = None): Long = {
     val snap = asOf.fold(AtomicPublish.snapshot(spark, root))(
       AtomicPublish.snapshotAt(spark, root, _))
-    val prior = segmentIds(spark, snap)
-    // a replayed caller-named segment (streaming batch retry) whose
-    // publish ALREADY committed: short-circuit before touching its
-    // files — rewriting a committed segment (even with identical
-    // content) would transiently break pinned-snapshot readers mid-scan
-    // and violate the "prior segments' files are untouched" guarantee
-    if (segmentId.exists(prior.contains)) return snap.version
-    val (model, _) = load(spark, root, Some(snap.version))
+    val m = readManifest(spark, snap)
+    // replay guard — the APPLIED ledger, not the current segment list:
+    // rewriting a committed segment (even with identical content) would
+    // transiently break pinned-snapshot readers mid-scan, and a
+    // manifest-only check stops recognizing the segment the moment a
+    // compaction merges it away (the replay would then append the
+    // batch's vectors a second time — duplicate ids in the served
+    // index)
+    if (segmentId.exists(m.applied.contains)) return snap.version
+    val model = loadModel(spark, root, m.modelId)
     val seg = writeSegment(spark, root,
       VectorSearch.ivfPqEncode(model, batch, idCol, vecCol), segmentId)
-    publishVersion(spark, root, model, prior :+ seg,
+    publishVersion(spark, root,
+      Manifest(m.modelId, m.segs :+ seg, m.applied :+ seg),
       expectedBase = Some(Some(snap.version)))
   }
 
   /** Load the serving state back from a committed snapshot (the current
     * one, or a retained `version` for o8-style time travel). The model
-    * tables collect to the driver (kLists + |seeds| rows — the same
-    * driver-side footprint training produced); the index is the lazy
-    * union of the manifest's segments for [[VectorSearch.ivfPqServe]]. */
+    * tables collect to the driver once per (session, model-id) — the
+    * same driver-side footprint training produced; the index is the
+    * lazy union of the manifest's segments for
+    * [[VectorSearch.ivfPqServe]]. */
   def load(spark: SparkSession, root: String,
            version: Option[Long] = None): (IvfPqModel, DataFrame) = {
     val snap = version.fold(AtomicPublish.snapshot(spark, root))(
       AtomicPublish.snapshotAt(spark, root, _))
-    val metaRow = snap.table(spark, MetaT).collect()(0)
-    val amax = metaRow.getAs[Double]("amax")
-    val nSub = metaRow.getAs[Int]("n_sub")
-    val cents = snap.table(spark, CentsT)
-      .orderBy("cid").collect()
-      .map(r => (r.getSeq[Long](r.fieldIndex("cent")).toArray,
-        r.getAs[Long]("cnt")))
-    val seeds = snap.table(spark, SeedsT)
-      .orderBy("sid").collect()
-      .map(r => r.getSeq[Long](r.fieldIndex("qv")).toArray)
-    val paths = segmentIds(spark, snap).map(s => s"$root/seg/$s")
-    (IvfPqModel(IvfModel(amax, cents), seeds, nSub),
-      spark.read.parquet(paths: _*))
+    val m = readManifest(spark, snap)
+    val paths = m.segs.map(s => s"$root/seg/$s")
+    (loadModel(spark, root, m.modelId), spark.read.parquet(paths: _*))
   }
 
   /** Convenience: load (optionally pinned) state and serve one query
@@ -213,27 +326,32 @@ object AnnIndexStore {
     * segments' files are untouched — still referenced by every earlier
     * retained version (time travel unaffected) — until
     * [[AtomicPublish.vacuum]] drops those versions and
-    * [[vacuumSegments]] reclaims the then-orphaned dirs.
+    * [[vacuumSegments]] reclaims the then-orphaned dirs. The applied
+    * ledger passes through UNCHANGED: compaction rearranges segments,
+    * it never applies a batch — this is what keeps replayed batches
+    * no-ops after their segment is merged away.
     *
     * Trigger policy (SCALE.md): run at an ops cadence (e.g. hourly
-    * against a minute-level ingest), with `targetBytes` at the table's
-    * file sweet spot (default 128 MiB). Cost per call is one narrow
-    * read+rewrite pass over at most `targetBytes` of the SMALLEST
-    * segments — independent of corpus size. Returns the new version, or
-    * the current one unchanged when fewer than `minSegments` segments
-    * fit the merge budget (nothing worth merging). The publish is
-    * conditional on the entry snapshot (same contract as
-    * [[appendEncode]]): an ingest that commits mid-merge turns this
-    * compaction into a loud ConcurrentModificationException — retry at
-    * the next cadence tick — never a manifest that drops its segment. */
+    * against a minute-level ingest, or every Nth batch inside the
+    * ingest loop — st13 runs every 4th), with `targetBytes` at the
+    * table's file sweet spot (default 128 MiB). Cost per call is one
+    * narrow read+rewrite pass over at most `targetBytes` of the
+    * SMALLEST segments — independent of corpus size. Returns the new
+    * version, or the current one unchanged when fewer than
+    * `minSegments` segments fit the merge budget (nothing worth
+    * merging). The publish is conditional on the entry snapshot (same
+    * contract as [[appendEncode]]): an ingest that commits mid-merge
+    * turns this compaction into a loud ConcurrentModificationException
+    * — retry at the next cadence tick — never a manifest that drops
+    * its segment. */
   def compactSegments(spark: SparkSession, root: String,
                       targetBytes: Long = 128L * 1024 * 1024,
                       minSegments: Int = 2): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(minSegments >= 2, s"minSegments must be >= 2, got $minSegments")
     val snap = AtomicPublish.snapshot(spark, root)
-    val segs = segmentIds(spark, snap)
-    val sizes = segs.map(s =>
+    val m = readManifest(spark, snap)
+    val sizes = m.segs.map(s =>
       s -> Maintenance.dataFiles(spark, s"$root/seg/$s").map(_._2).sum)
     // smallest-first (id tiebreak for determinism); merge the longest
     // prefix whose cumulative size fits the target
@@ -241,7 +359,6 @@ object AnnIndexStore {
     val cum = bySize.map(_._2).scanLeft(0L)(_ + _).tail
     val doomed = bySize.zip(cum).takeWhile(_._2 <= targetBytes).map(_._1._1)
     if (doomed.size < minSegments) return snap.version
-    val (model, _) = load(spark, root, Some(snap.version))
     val doomedSet = doomed.toSet
     val total = sizes.collect { case (id, n) if doomedSet(id) => n }.sum
     val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
@@ -251,28 +368,29 @@ object AnnIndexStore {
     // manifest: the merged segment takes the earliest doomed slot;
     // survivors keep their relative order (segment order is cosmetic —
     // serving is order-independent — but determinism is free here)
-    val firstDoomed = segs.indexWhere(doomedSet)
-    val newSegs = segs.zipWithIndex.flatMap { case (s, i) =>
+    val firstDoomed = m.segs.indexWhere(doomedSet)
+    val newSegs = m.segs.zipWithIndex.flatMap { case (s, i) =>
       if (i == firstDoomed) Some(newSeg)
       else if (doomedSet(s)) None
       else Some(s)
     }
-    publishVersion(spark, root, model, newSegs,
+    publishVersion(spark, root, Manifest(m.modelId, newSegs, m.applied),
       expectedBase = Some(Some(snap.version)))
   }
 
-  /** Reclaim segment dirs referenced by NO retained version's manifest
-    * (run after [[AtomicPublish.vacuum]]); returns the deleted ids.
-    * Retained-version reads are unaffected — their manifests only
-    * reference surviving segments by construction.
+  /** Reclaim segment dirs — and model dirs — referenced by NO retained
+    * version's manifest (run after [[AtomicPublish.vacuum]]); returns
+    * the deleted SEGMENT ids (orphaned model dirs are reclaimed in the
+    * same pass). Retained-version reads are unaffected — their
+    * manifests only reference surviving artifacts by construction.
     *
     * Same in-flight hazard class as [[AtomicPublish.vacuum]]'s staging
-    * dirs, one level down: a segment just written by an appendEncode /
-    * compactSegments that has NOT yet committed its manifest is
+    * dirs, one level down: a segment (or rebuild's model dir) just
+    * written by a publisher that has NOT yet committed its manifest is
     * unreferenced at this instant — deleting it would let that publish
     * commit a manifest pointing at a missing dir (serving then fails at
-    * read time). Segment dirs younger than `minAgeMs` are therefore
-    * SKIPPED; pass 0 only where no index writer can be in flight. */
+    * read time). Dirs younger than `minAgeMs` are therefore SKIPPED;
+    * pass 0 only where no index writer can be in flight. */
   def vacuumSegments(spark: SparkSession, root: String,
                      minAgeMs: Long = AtomicPublish.DefaultVacuumMinAgeMs): Seq[String] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -282,15 +400,23 @@ object AnnIndexStore {
     val retained = fs.listStatus(rootPath).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("v"))
       .flatMap(s => s.getPath.getName.drop(1).toLongOption)
-    val referenced = retained.flatMap { v =>
-      segmentIds(spark, AtomicPublish.Snapshot(root, v))
-    }.toSet
+    val manifests = retained.map { v =>
+      readManifest(spark, AtomicPublish.Snapshot(root, v))
+    }
+    val refSegs = manifests.flatMap(_.segs).toSet
+    val refModels = manifests.map(_.modelId).toSet
     val now = System.currentTimeMillis()
-    val doomed = fs.listStatus(segRoot).toSeq
-      .filter(s => now - s.getModificationTime >= minAgeMs)
-      .map(_.getPath.getName)
-      .filterNot(referenced)
-    doomed.foreach(id => fs.delete(new Path(segRoot, id), true))
-    doomed
+    def orphansUnder(sub: Path, referenced: Set[String]): Seq[String] =
+      if (!fs.exists(sub)) Nil
+      else fs.listStatus(sub).toSeq
+        .filter(s => now - s.getModificationTime >= minAgeMs)
+        .map(_.getPath.getName)
+        .filterNot(referenced)
+    val doomedSegs = orphansUnder(segRoot, refSegs)
+    doomedSegs.foreach(id => fs.delete(new Path(segRoot, id), true))
+    val modelRoot = new Path(root, "model")
+    orphansUnder(modelRoot, refModels)
+      .foreach(id => fs.delete(new Path(modelRoot, id), true))
+    doomedSegs
   }
 }

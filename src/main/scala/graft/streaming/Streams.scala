@@ -106,16 +106,6 @@ object Streams {
       .parquet(dir)
   }
 
-  /** Streaming view of `embeddings` (Tables.embeddings, streaming
-    * flavor) — the arrival feed of st13's continuous index ingest. */
-  def embeddings(spark: SparkSession, dir: String): DataFrame = {
-    val schema = schemaMemo.computeIfAbsent(s"$dir/embeddings.parquet",
-      p => spark.read.parquet(p).schema)
-    spark.readStream.schema(schema)
-      .option("pathGlobFilter", "embeddings.parquet")
-      .parquet(dir)
-  }
-
   /** Drive a stream to completion through a caller-supplied foreachBatch
     * body (an INGEST side effect keyed by batchId — the body must be
     * idempotent per batchId, e.g. an overwrite-by-batch-name publish, so
@@ -173,6 +163,45 @@ object Streams {
     spark.read.schema(streamed.schema).parquet(s"$outDir/data")
   }
 
+  /** Run a COMPLETE-mode streaming aggregation to completion into a
+    * versioned parquet table and return the read-back of the final
+    * version — the bounded result surface for complete-mode queries
+    * whose output is corpus-shaped (st7's per-user sessions): a memory
+    * sink collects the whole result to the DRIVER every batch, which at
+    * sf10 is ~1.1 GiB and trips the default
+    * `spark.driver.maxResultSize`; here each batch's full result is
+    * written by the EXECUTORS and the driver never holds a row.
+    * Versioning per batchId keeps read and write of a live serve in
+    * different directories (same convention as [[runMergeToParquet]] —
+    * the built-in file sink is append-only and cannot carry complete
+    * mode, hence foreachBatch). */
+  def runCompleteToParquet(spark: SparkSession, streamed: DataFrame,
+                           outDir: String): DataFrame = {
+    val root = new java.io.File(outDir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(): Unit
+    }
+    if (root.exists) rm(root)
+    @volatile var lastVersion = -1L
+    withStreamConfs(spark) {
+      val q = streamed.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.write.mode("overwrite").parquet(s"$outDir/v$batchId")
+          lastVersion = batchId
+        }
+        .option("checkpointLocation", s"$outDir/chk")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    if (lastVersion < 0)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), streamed.schema)
+    else spark.read.parquet(s"$outDir/v$lastVersion")
+  }
+
   /** Run a stream through a foreachBatch MERGE into a versioned parquet
     * state table — the streaming-upsert sink shape (Delta/Iceberg MERGE
     * INTO stand-in on plain parquet). Each micro-batch is reduced by
@@ -217,6 +246,22 @@ object Streams {
   private val RocksDB =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
+  /** tmpfs root for checkpoints with NO recovery value — harness runs
+    * that delete their checkpoint at entry anyway (the memory-sink
+    * queries; st13's per-run ingest). State-store and offset/commit-log
+    * fsyncs against a disk-backed /tmp are most of a fixture-scale
+    * micro-batch's wall-clock; the checkpoint PROTOCOL (offset log,
+    * commit log, replay idempotence) is exercised identically on tmpfs.
+    * Durability is kept where it has recovery value: the
+    * production-sink runners (runToParquet / runMergeToParquet) keep
+    * checkpoints next to their data, and batch-replay idempotence is
+    * pinned directly by IncrementalIndexSpec's applied-ledger tests. */
+  private[graft] def ephemeralChkRoot: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-chk"
+    else sys.props("java.io.tmpdir") + "/graft-chk"
+  }
+
   /** Run a streaming DataFrame to completion into a memory sink and
     * return the materialized result. AvailableNow processes the whole
     * fixture then stops — batch-equivalent semantics, streaming plan.
@@ -244,12 +289,8 @@ object Streams {
     // of the wall-clock at fixture scale) and delete it afterwards. The
     // production-sink shapes (runToParquet / runMergeToParquet) keep
     // durable checkpoints next to their data.
-    val ckRoot = {
-      val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) "/dev/shm/graft-chk"
-      else sys.props("java.io.tmpdir") + "/graft-chk"
-    }
-    val ck = new java.io.File(s"$ckRoot/$name-${java.util.UUID.randomUUID}")
+    val ck = new java.io.File(
+      s"$ephemeralChkRoot/$name-${java.util.UUID.randomUUID}")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete(): Unit

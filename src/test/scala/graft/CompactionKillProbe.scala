@@ -151,7 +151,7 @@ object CompactionKillProbe {
         AnnIndexStore.compactSegments(spark, root, targetBytes = 1L << 30)
       else cur
     val segsLeft = AtomicPublish.snapshotAt(spark, root, vFinal)
-      .table(spark, "ann_segments").count()
+      .table(spark, "ann_manifest").filter(col("kind") === "seg").count()
     val end = served()
     println(s"[probe] retry/converged at v$vFinal with $segsLeft segment(s); " +
       s"served identical=${end == before}")

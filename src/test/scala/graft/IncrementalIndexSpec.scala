@@ -186,6 +186,42 @@ class IncrementalIndexSpec extends SparkSuite {
     assert(graft.etl.AtomicPublish.currentVersion(spark, root) == Some(1L))
   }
 
+  test("replay of a committed named segment stays a no-op AFTER compaction merged it away") {
+    // the crash window the applied-segment ledger exists for: a
+    // checkpointed ingest loop commits batch-00001, compacts (removing
+    // batch-00001 from the CURRENT manifest), then the driver dies
+    // before the checkpoint commit — the restarted stream replays the
+    // batch. A manifest-only replay guard no longer finds the segment,
+    // re-encodes it, overwrites the still-referenced seg dir, and
+    // appends the batch's vectors a SECOND time (duplicate ids in the
+    // served index). The ledger must keep the replay a pure no-op.
+    val root = freshRoot()
+    val (emb, model, queries) = train()
+    val n = emb.count()
+    AnnIndexStore.publish(spark, root, model,
+      VectorSearch.ivfPqEncode(model, emb.filter(col("vec_id") < n / 2),
+        "vec_id", "embedding"))
+    AnnIndexStore.appendEncode(spark, root,
+      emb.filter(col("vec_id") >= n / 2), "vec_id", "embedding",
+      Some("batch-00001"))
+    val vc = AnnIndexStore.compactSegments(spark, root, targetBytes = 1L << 30)
+    assert(vc == 2L, "compaction should have merged the two segments")
+    val served = norm(AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe))
+    val segsBefore = segListing(root)
+
+    val replay = AnnIndexStore.appendEncode(spark, root,
+      emb.filter(col("vec_id") >= n / 2), "vec_id", "embedding",
+      Some("batch-00001"))
+    assert(replay == vc, "post-compaction replay minted a new version")
+    assert(segListing(root) == segsBefore,
+      "post-compaction replay touched segment files")
+    val after = norm(AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe))
+    assert(after == served,
+      "post-compaction replay changed the served ranking (duplicate append?)")
+  }
+
   test("compactSegments merges small segments bit-identically; time travel and GC behave") {
     val root = freshRoot()
     val (emb, model, queries) = train()
@@ -283,6 +319,10 @@ class IncrementalIndexSpec extends SparkSuite {
     val deleted = AnnIndexStore.vacuumSegments(spark, root, minAgeMs = 0)
     assert(deleted.size == 2, s"expected the two pre-rebuild segments gone, got $deleted")
     assert(segListing(root).size == 1)
+    // the rebuild minted a fresh model dir; the first lineage's model is
+    // unreferenced once v0/v1 are vacuumed and goes in the same pass
+    assert(new java.io.File(s"$root/model").list().length == 1,
+      "orphaned model dir survived vacuumSegments")
     val served = norm(AnnIndexStore.serve(spark, root, queries,
       "vec_id", "embedding", k = topK, nprobe = nprobe))
     assert(served == current, "segment GC changed the current serve")
