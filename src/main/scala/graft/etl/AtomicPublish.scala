@@ -23,11 +23,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * before the pointer moves, so a crash mid-batch leaves `_CURRENT`
   * untouched and readers keep the previous consistent snapshot; the
   * orphaned half-written `v<N+1>` is invisible and reclaimed by
-  * [[vacuum]]. The pointer swap itself is `FileContext.rename(…,
-  * Rename.OVERWRITE)` — atomic on POSIX filesystems and HDFS. (On an
-  * object store the same contract needs a CAS primitive — an S3
-  * conditional PUT or a DynamoDB/catalog pointer — the layout and
-  * protocol are unchanged.)
+  * [[vacuum]]. The pointer read/swap primitive is pluggable
+  * ([[PointerStore]]): the default [[RenamePointerStore]] implements it
+  * as `FileContext.rename(…, Rename.OVERWRITE)` — atomic on POSIX
+  * filesystems and HDFS — with a verify-then-swap whose microsecond
+  * window the single-writer convention covers; an object-store
+  * deployment supplies a true CAS implementation (an S3 conditional
+  * PUT or a DynamoDB/catalog pointer) behind the same trait, with the
+  * layout and protocol unchanged. PointerStoreContractSpec pins the
+  * contract both implementations must satisfy (claim exclusivity, swap
+  * visibility, crashed-claim recoverability).
   *
   * Concurrency: single writer, many readers — the reference's shape (one
   * ETL job owns the warehouse). As insurance against a VIOLATED
@@ -53,20 +58,66 @@ object AtomicPublish {
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
 
-  /** The committed version, or None before the first publish. */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
-    val p = new Path(root, Pointer)
-    val ctx = fc(spark)
-    if (!ctx.util.exists(p)) None
-    else {
-      val in = ctx.open(p)
-      try {
-        val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
-      } finally in.close()
-    }
+  /** The pluggable pointer-commit primitive — the ONE place the
+    * publish protocol touches mutable shared state. Everything else
+    * (staging dirs, claim renames, immutable version dirs) is
+    * filesystem-portable as-is; a deployment whose store cannot rename
+    * atomically (S3 and friends) swaps only this: `read` resolves the
+    * committed version, `compareAndSwap` advances it iff it still
+    * reads `expected`. Implementations must make compareAndSwap
+    * LINEARIZABLE against concurrent compareAndSwaps for the contract
+    * to hold (the rename default approximates this with a
+    * verify-then-swap whose window the single-writer convention
+    * covers; a catalog/conditional-PUT implementation closes it).
+    * PointerStoreContractSpec is the conformance test. */
+  trait PointerStore {
+    /** The committed version, or None before the first publish. */
+    def read(ctx: FileContext, root: String): Option[Long]
+    /** Advance the pointer to `next` iff it currently reads `expected`;
+      * false = precondition failed (a concurrent publisher advanced
+      * it). Must never leave the pointer unreadable. */
+    def compareAndSwap(ctx: FileContext, root: String,
+                       expected: Option[Long], next: Long): Boolean
   }
+
+  /** Default [[PointerStore]]: the pointer is a one-line `_CURRENT`
+    * file swapped by write-temp + atomic rename — correct on POSIX /
+    * HDFS. The verify-then-rename pair is NOT a true CAS: a commit
+    * landing in the microsecond between the read and the rename is the
+    * residual window the single-writer convention covers (every
+    * MINUTES-long window — stage, encode, merge — is closed by the
+    * claim protocol and `expectedBase` pins around it). */
+  object RenamePointerStore extends PointerStore {
+    def read(ctx: FileContext, root: String): Option[Long] = {
+      val p = new Path(root, Pointer)
+      if (!ctx.util.exists(p)) None
+      else {
+        val in = ctx.open(p)
+        try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
+        } finally in.close()
+      }
+    }
+    def compareAndSwap(ctx: FileContext, root: String,
+                       expected: Option[Long], next: Long): Boolean =
+      read(ctx, root) == expected && {
+        val tmp = new Path(root, s"$Pointer.tmp-${java.util.UUID.randomUUID}")
+        val out = ctx.create(tmp,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+            org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+          Options.CreateOpts.createParent())
+        try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+        ctx.rename(tmp, new Path(root, Pointer), Options.Rename.OVERWRITE)
+        true
+      }
+  }
+
+  /** The committed version, or None before the first publish. */
+  def currentVersion(spark: SparkSession, root: String,
+                     store: PointerStore = RenamePointerStore): Option[Long] =
+    store.read(fc(spark), root)
 
   /** A resolved snapshot: table reads through it all see ONE version,
     * even if a publish commits concurrently mid-job. */
@@ -105,8 +156,9 @@ object AtomicPublish {
     * test (or a long write phase) needs the race window explicit. */
   def publish(spark: SparkSession, root: String,
               outputs: Seq[(String, DataFrame)],
-              expectedBase: Option[Option[Long]] = None): Long =
-    commit(spark, stage(spark, root, outputs, expectedBase))
+              expectedBase: Option[Option[Long]] = None,
+              store: PointerStore = RenamePointerStore): Long =
+    commit(spark, stage(spark, root, outputs, expectedBase, store), store)
 
   /** A written-but-uncommitted batch: every output is materialized under
     * a private staging dir, and `expected` records the version the batch
@@ -131,9 +183,10 @@ object AtomicPublish {
     * never-published warehouse". */
   def stage(spark: SparkSession, root: String,
             outputs: Seq[(String, DataFrame)],
-            expectedBase: Option[Option[Long]] = None): Staged = {
+            expectedBase: Option[Option[Long]] = None,
+            store: PointerStore = RenamePointerStore): Staged = {
     require(outputs.nonEmpty, "empty publish batch")
-    val expected = expectedBase.getOrElse(currentVersion(spark, root))
+    val expected = expectedBase.getOrElse(currentVersion(spark, root, store))
     val tx = s"tx-${java.util.UUID.randomUUID}"
     // Outputs are independent writes into a private dir, so they submit
     // as CONCURRENT Spark jobs (one thread each — Spark's scheduler is
@@ -183,12 +236,13 @@ object AtomicPublish {
     * quota, a vanished staging dir) propagates as itself — misreporting
     * an I/O error as a conflict would send the operator chasing a
     * phantom second writer. */
-  def commit(spark: SparkSession, staged: Staged): Long = {
+  def commit(spark: SparkSession, staged: Staged,
+             store: PointerStore = RenamePointerStore): Long = {
     val ctx = fc(spark)
     val next = staged.expected.getOrElse(-1L) + 1
     val src = new Path(staged.root, staged.txDir)
     val dest = new Path(staged.root, s"v$next")
-    def observed: Option[Long] = currentVersion(spark, staged.root)
+    def observed: Option[Long] = store.read(ctx, staged.root)
     def lost(detail: String): Nothing =
       throw new java.util.ConcurrentModificationException(
         s"publish conflict under ${staged.root}: staged against version " +
@@ -211,28 +265,35 @@ object AtomicPublish {
     // claim would otherwise look "aged" the moment it appears and an
     // age-guarded vacuum could misread the live commit as a crashed
     // orphan. Best-effort — the pointer re-check in [[vacuum]] is the
-    // hard guard; this one makes the age signal mean what it says.
+    // hard guard — but LOUD on failure: on a filesystem where setTimes
+    // does not work, the age guard silently degrades to stage-time
+    // mtimes, and the operator should know to schedule vacuum with
+    // minAgeMs above the longest write phase instead.
     try ctx.setTimes(dest, System.currentTimeMillis(), -1)
-    catch { case _: java.io.IOException => () }
-    // belt-and-braces: the pointer must not have moved while we claimed
-    if (observed != staged.expected)
+    catch {
+      case e: java.io.IOException => System.err.println(
+        s"[atomic-publish] claim mtime refresh failed for $dest " +
+          s"(${e.getMessage}) — vacuum's age guard will see STAGE-time " +
+          s"mtimes for this store; schedule vacuum with minAgeMs above " +
+          s"the longest write phase")
+    }
+    // the conditional swap: the pointer must still read the staged-
+    // against version, else a concurrent publisher won the version
+    if (!store.compareAndSwap(ctx, staged.root, staged.expected, next))
       lost(s"a concurrent publisher advanced the warehouse to " +
         s"${observed.getOrElse(-1L)}")
-    val tmp = new Path(staged.root, s"$Pointer.tmp-${java.util.UUID.randomUUID}")
-    val out = ctx.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      Options.CreateOpts.createParent())
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    ctx.rename(tmp, new Path(staged.root, Pointer), Options.Rename.OVERWRITE)
     next
   }
 
   /** Default age below which vacuum presumes a staging dir / unswapped
-    * claim belongs to a LIVE publisher and leaves it alone. Long enough
-    * to cover any sane write phase; crashed orphans older than this are
-    * reclaimed on the next vacuum pass. */
-  val DefaultVacuumMinAgeMs: Long = 20L * 60 * 1000
+    * claim belongs to a LIVE publisher and leaves it alone. Staging-dir
+    * age is measured from the NEWEST mtime under the dir (a live write
+    * keeps refreshing its output subdirs as part files land), so this
+    * only needs to cover the longest GAP between file creations of one
+    * write — not a whole write phase — plus the claim-to-swap window;
+    * an hour is comfortably past both. Crashed orphans older than this
+    * are reclaimed on the next vacuum pass. */
+  val DefaultVacuumMinAgeMs: Long = 60L * 60 * 1000
 
   /** Reclaim version directories older than the last `keep` committed
     * versions (plus any orphaned never-committed ones below them),
@@ -244,16 +305,19 @@ object AtomicPublish {
     * written.
     *
     * Staging dirs and above-pointer claims younger than `minAgeMs` are
-    * SKIPPED: a fresh one may belong to a live in-flight publisher, and
+    * SKIPPED (a staging dir's age is measured from the newest mtime
+    * under it, so a write that is still landing part files never looks
+    * aged): a fresh one may belong to a live in-flight publisher, and
     * deleting it mid-[[stage]] (or between its claim and swap) would
     * corrupt that publisher's batch. Committed versions below the
     * retained window carry no such hazard and are reclaimed regardless
     * of age. Pass `minAgeMs = 0` only where no publisher can be
     * in flight. Returns the reclaimed COMMITTED versions. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
-             minAgeMs: Long = DefaultVacuumMinAgeMs): Seq[Long] = {
-    val cur = currentVersion(spark, root).getOrElse(return Nil)
+             minAgeMs: Long = DefaultVacuumMinAgeMs,
+             store: PointerStore = RenamePointerStore): Seq[Long] = {
     val ctx = fc(spark)
+    val cur = store.read(ctx, root).getOrElse(return Nil)
     val rootPath = new Path(root)
     if (!ctx.util.exists(rootPath)) return Nil
     val it = ctx.listStatus(rootPath)
@@ -264,8 +328,22 @@ object AtomicPublish {
       .toSeq
     val now = System.currentTimeMillis()
     def aged(mtime: Long): Boolean = now - mtime >= minAgeMs
-    dirs.filter { case (n, m) => n.startsWith("tx-") && aged(m) }
-      .foreach { case (n, _) => ctx.delete(new Path(root, n), true) }
+    // A staging dir's own mtime is set when its output subdirs are
+    // CREATED (start of the write) and never refreshed by the write
+    // itself — a single long parquet write would look "aged" while
+    // still live. Age from the NEWEST mtime one level down instead: a
+    // live write refreshes its table subdir's mtime with every part
+    // file it lands, so only a write that has been SILENT for the full
+    // minAgeMs qualifies.
+    def newestUnder(dir: Path, dirMtime: Long): Long = {
+      val children = ctx.listStatus(dir)
+      Iterator.continually(children).takeWhile(_.hasNext).map(_.next())
+        .map(_.getModificationTime)
+        .foldLeft(dirMtime)(math.max)
+    }
+    dirs.filter { case (n, m) =>
+      n.startsWith("tx-") && aged(newestUnder(new Path(root, n), m))
+    }.foreach { case (n, _) => ctx.delete(new Path(root, n), true) }
     val versions = dirs.flatMap {
       case (n, m) if n.startsWith("v") => n.drop(1).toLongOption.map((_, m))
       case _ => None
@@ -280,7 +358,7 @@ object AtomicPublish {
     // minutes-long stage/encode class these guards exist for.
     versions.filter { case (v, m) => v > cur && aged(m) }
       .foreach { case (v, _) =>
-        if (currentVersion(spark, root).forall(_ < v))
+        if (store.read(ctx, root).forall(_ < v))
           ctx.delete(new Path(root, s"v$v"), true)
       }
     val doomed = versions.map(_._1).filter(_ <= cur - keep).sorted
@@ -288,3 +366,4 @@ object AtomicPublish {
     doomed
   }
 }
+
