@@ -102,6 +102,15 @@ object Tables {
     * aggregates, per-row projections) — never before
     * first-wins/limit-style operators (partition-internal row order is
     * still nondeterministic).
+    *
+    * PRECONDITION — rows must be near-unique across ALL columns: the
+    * full-row hash derives its uniform spread from row distinctness, so
+    * a duplicate-heavy or low-distinct-row input collapses onto few
+    * partitions and silently loses the spread this helper promises.
+    * That holds for every current caller (raw fact rows carry unique
+    * keys); a future caller with duplicated rows should hash on an
+    * explicit near-unique column subset (`repartition(n, cols…)`) or
+    * accept round-robin's sort tax instead.
     */
   def fanOut(df: DataFrame, parts: Int = 0): DataFrame = {
     val spark = df.sparkSession

@@ -51,6 +51,9 @@ object DimOps {
     * is the CALLER's knowledge: keep the default for true dedup
     * (fact→dim extraction, crawl dedup), set it for near-unique keys.
     * Both forms are value-identical (min(struct) is order-independent).
+    * Decision rule — below ~8 rows/key, pre-shuffle — with the why,
+    * the q9/a1 worked examples, and a cheap rows-per-key estimate, in
+    * SCALE.md §"Round-14: the partial-aggregation decision rule".
     */
   def firstWins(df: DataFrame, keys: Seq[String],
                 preShuffle: Boolean = false): DataFrame = {

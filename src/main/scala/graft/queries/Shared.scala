@@ -129,8 +129,17 @@ object Shared {
     * consumer sorts, so read-back order is immaterial. */
   private def matWrite(spark: SparkSession, df: DataFrame,
                        out: String): Unit = {
-    val rowGroup = spark.conf.getOption("graft.materialize.rowgroup.bytes")
-      .map(_.toLong).getOrElse(32L * 1024 * 1024)
+    val rgKey = "graft.materialize.rowgroup.bytes"
+    val rowGroup = spark.conf.getOption(rgKey).map { raw =>
+      // name the conf key on a malformed value — a bare toLong throws a
+      // NumberFormatException that says only "For input string", the
+      // same unnamed-failure class SessionConf.parse was fixed for
+      try raw.trim.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"malformed $rgKey value '$raw' — expected a byte count")
+      }
+    }.getOrElse(32L * 1024 * 1024)
     df.write.mode("overwrite")
       .option("parquet.block.size", rowGroup.toString)
       .option("parquet.dictionary.page.size", (256 * 1024).toString)
