@@ -199,6 +199,31 @@ object Etl {
         .orderBy("order_year")
     }),
 
+    // o10 — post-hoc change feed [extension over O8; Delta-CDF shape
+    // without writer-side bookkeeping]: two successive publishes of the
+    // client dimension — a correction batch that drops one decile
+    // (deletes), admits a previously-missing decile (inserts), and
+    // reclassifies a third (updates) — then the exact row-level delta
+    // recovered from the two immutable snapshots alone:
+    // ChangeFeed.between classifies insert / delete / update_preimage /
+    // update_postimage via one keyed full-outer join. Unchanged rows
+    // (seven deciles) never enter the feed.
+    "o10_change_feed" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed}
+      val root = s"/root/repo/target/sink/o10_cdc_${Tables.dirSlug(dir)}"
+      val base = StarSchema.dimClient(Tables.customer(s, dir))
+      val v1 = AtomicPublish.publish(s, root, Seq("dim_client" ->
+        base.filter(col("id") % 10 =!= 7)))
+      val v2 = AtomicPublish.publish(s, root, Seq("dim_client" ->
+        base.filter(col("id") % 10 =!= 3)
+          .withColumn("company_type",
+            when(col("id") % 10 === 4, lit("reclassified"))
+              .otherwise(col("company_type")))))
+      AtomicPublish.vacuum(s, root, keep = 2)
+      ChangeFeed.between(s, root, "dim_client", v1, v2, Seq("id"))
+        .orderBy("id", "_change_type")
+    }),
+
     // o9 — schema evolution [extension]: a partitioned table whose later
     // batches added a column (the constant lake migration — no rewrite
     // of old data). Old files lack `channel`; a mergeSchema read unions
@@ -280,6 +305,43 @@ object Etl {
         |  COALESCE(v2.n, 0) - COALESCE(v1.n, 0) AS delta
         |FROM v1 FULL OUTER JOIN v2 USING (order_year)
         |ORDER BY order_year""".stripMargin,
+
+    // The feed replayed relationally: both versions rebuilt from the
+    // base table, full-outer-joined on the key, classified with
+    // IS DISTINCT FROM (the null-safe compare ChangeFeed uses).
+    "o10_change_feed" ->
+      s"""WITH base AS (
+         |  SELECT c_custkey AS id, c_name AS client_name,
+         |         $clientDecodeSql AS company_type
+         |  FROM customer),
+         |v1 AS (SELECT * FROM base WHERE id % 10 <> 7),
+         |v2 AS (SELECT id, client_name,
+         |         CASE WHEN id % 10 = 4 THEN 'reclassified'
+         |              ELSE company_type END AS company_type
+         |       FROM base WHERE id % 10 <> 3),
+         |j AS (
+         |  SELECT v1.id AS f_id, v1.client_name AS f_name,
+         |         v1.company_type AS f_ct,
+         |         v2.id AS t_id, v2.client_name AS t_name,
+         |         v2.company_type AS t_ct
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.id = v2.id)
+         |SELECT id, client_name, company_type, _change_type FROM (
+         |  SELECT t_id AS id, t_name AS client_name, t_ct AS company_type,
+         |         'insert' AS _change_type
+         |  FROM j WHERE f_id IS NULL
+         |  UNION ALL
+         |  SELECT f_id, f_name, f_ct, 'delete' FROM j WHERE t_id IS NULL
+         |  UNION ALL
+         |  SELECT f_id, f_name, f_ct, 'update_preimage' FROM j
+         |  WHERE f_id IS NOT NULL AND t_id IS NOT NULL
+         |    AND (f_name IS DISTINCT FROM t_name
+         |         OR f_ct IS DISTINCT FROM t_ct)
+         |  UNION ALL
+         |  SELECT t_id, t_name, t_ct, 'update_postimage' FROM j
+         |  WHERE f_id IS NOT NULL AND t_id IS NOT NULL
+         |    AND (f_name IS DISTINCT FROM t_name
+         |         OR f_ct IS DISTINCT FROM t_ct))
+         |ORDER BY id, _change_type""".stripMargin,
 
     "o9_schema_evolution" ->
       """WITH evo AS (

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.etl.{AtomicPublish, ChangeFeed}
+
+/** [[graft.etl.ChangeFeed]] — the post-hoc CDC diff of two immutable
+  * snapshots. The oracle gate (o10_change_feed) pins the end-to-end
+  * values against DuckDB; this spec pins the semantic edges the fixture
+  * data can't reach: null-safe update detection, null-key behavior, the
+  * empty feed, schema/key preconditions, and the version-store
+  * round-trip through snapshotAt. */
+class ChangeFeedSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def feed(from: Seq[(Int, Option[String], Option[Long])],
+                   to: Seq[(Int, Option[String], Option[Long])]) =
+    ChangeFeed.diff(
+      from.toDF("id", "name", "score"),
+      to.toDF("id", "name", "score"),
+      Seq("id"))
+
+  test("classifies insert, delete, and update; unchanged rows emit nothing") {
+    val out = feed(
+      from = Seq((1, Some("a"), Some(10L)), (2, Some("b"), Some(20L)),
+        (3, Some("c"), Some(30L))),
+      to = Seq((1, Some("a"), Some(10L)), (2, Some("b2"), Some(20L)),
+        (4, Some("d"), Some(40L))))
+      .orderBy("id", "_change_type")
+      .as[(Int, Option[String], Option[Long], String)].collect().toSeq
+    assert(out === Seq(
+      (2, Some("b2"), Some(20L), "update_postimage"),
+      (2, Some("b"), Some(20L), "update_preimage"),
+      (3, Some("c"), Some(30L), "delete"),
+      (4, Some("d"), Some(40L), "insert")))
+  }
+
+  test("update detection is null-safe: null→value is an update, null→null is not") {
+    val out = feed(
+      from = Seq((1, None, Some(10L)), (2, None, None)),
+      to = Seq((1, Some("x"), Some(10L)), (2, None, None)))
+      .orderBy("id", "_change_type")
+      .as[(Int, Option[String], Option[Long], String)].collect().toSeq
+    // id=2 is identical under null-safe compare → absent from the feed
+    assert(out === Seq(
+      (1, Some("x"), Some(10L), "update_postimage"),
+      (1, None, Some(10L), "update_preimage")))
+  }
+
+  test("identical snapshots produce an empty feed") {
+    val rows = Seq((1, Some("a"), Some(1L)), (2, None, None))
+    assert(feed(rows, rows).count() === 0L)
+  }
+
+  test("a null key never matches across sides: surfaces as delete+insert, not update") {
+    val from = Seq((Some(1), "a"), (None, "b")).toDF("id", "name")
+    val to = Seq((Some(1), "a"), (None, "b2")).toDF("id", "name")
+    val out = ChangeFeed.diff(from, to, Seq("id"))
+      .orderBy("_change_type")
+      .as[(Option[Int], String, String)].collect().toSeq
+    assert(out === Seq(
+      (None, "b", "delete"), (None, "b2", "insert")))
+  }
+
+  test("preconditions fail fast: schema mismatch, missing key, empty key") {
+    val a = Seq((1, "x")).toDF("id", "name")
+    val b = Seq((1, "x", 2L)).toDF("id", "name", "extra")
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.diff(a, b, Seq("id"))
+    }.getMessage.contains("schema mismatch"))
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.diff(a, a, Seq("nope"))
+    }.getMessage.contains("key columns absent"))
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.diff(a, a, Nil)
+    }.getMessage.contains("at least one column"))
+  }
+
+  test("between() reads the two RETAINED versions through snapshotAt") {
+    val root = "/root/repo/target/test-sink/changefeed_between"
+    new java.io.File(root).getParentFile.mkdirs()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val v1 = AtomicPublish.publish(spark, root,
+      Seq("t" -> Seq((1, "a"), (2, "b")).toDF("id", "name")))
+    val v2 = AtomicPublish.publish(spark, root,
+      Seq("t" -> Seq((2, "b!"), (3, "c")).toDF("id", "name")))
+    val out = ChangeFeed.between(spark, root, "t", v1, v2, Seq("id"))
+      .orderBy("id", "_change_type")
+      .as[(Int, String, String)].collect().toSeq
+    assert(out === Seq(
+      (1, "a", "delete"),
+      (2, "b!", "update_postimage"), (2, "b", "update_preimage"),
+      (3, "c", "insert")))
+    // feed direction matters: reversed versions invert the classification
+    val rev = ChangeFeed.between(spark, root, "t", v2, v1, Seq("id"))
+      .groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(rev === Map("insert" -> 1L, "delete" -> 1L,
+      "update_preimage" -> 1L, "update_postimage" -> 1L))
+  }
+}
