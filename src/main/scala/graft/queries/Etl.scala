@@ -224,6 +224,35 @@ object Etl {
         .orderBy("id", "_change_type")
     }),
 
+    // o11 — incremental aggregate maintenance [extension; the
+    // materialized-view half of o10's CDC]: last batch's group-by state
+    // plus the row-level change feed yields this batch's state WITHOUT
+    // rescanning the base — work ∝ the true delta. The correction batch
+    // deliberately MIGRATES one decile's rows to a brand-new group (a
+    // value only the postimages carry), drops one decile, and admits
+    // another. The oracle recomputes the aggregate from scratch on the
+    // v2 slice — it never sees the incremental path — so the hash match
+    // proves maintained state ≡ full recompute, bit-exactly (decimal
+    // sums; double sums would only be approximately equal).
+    "o11_incremental_agg" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, IncrementalAgg}
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val v1 = rows.filter(col("o_orderkey") % 10 =!= 7)
+      val v2 = rows.filter(col("o_orderkey") % 10 =!= 3)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 10 === 4, lit("9-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority")))
+      val grp = Seq("o_orderpriority")
+      val sums = Seq("total_price" -> "o_totalprice")
+      val prev = IncrementalAgg.aggregate(v1, grp, sums)
+      val feed = ChangeFeed.diff(v1, v2, Seq("o_orderkey"))
+      IncrementalAgg.maintain(prev, feed, grp, sums)
+        .select(col("o_orderpriority"), col("n"),
+          col("total_price").cast("double").as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // o9 — schema evolution [extension]: a partitioned table whose later
     // batches added a column (the constant lake migration — no rewrite
     // of old data). Old files lack `channel`; a mergeSchema read unions
@@ -305,6 +334,19 @@ object Etl {
         |  COALESCE(v2.n, 0) - COALESCE(v1.n, 0) AS delta
         |FROM v1 FULL OUTER JOIN v2 USING (order_year)
         |ORDER BY order_year""".stripMargin,
+
+    // The from-scratch recompute on the v2 slice — the incremental path
+    // never appears here, so a hash match proves it exact.
+    "o11_incremental_agg" ->
+      """WITH v2 AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 4 THEN '9-RECLASSIFIED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3)
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+        |    AS DOUBLE) AS total_price
+        |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // The feed replayed relationally: both versions rebuilt from the
     // base table, full-outer-joined on the key, classified with

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.etl.{ChangeFeed, IncrementalAgg}
+
+/** [[graft.etl.IncrementalAgg]] — the o11 gate pins maintained ≡
+  * recomputed end-to-end against DuckDB; this spec pins the algebra on
+  * constructed edges: group migration, group birth and death, NULL
+  * groups, the zero-delta no-op, exact decimal identity on drift-prone
+  * doubles, and the corrupted-feed surfacing contract. */
+class IncrementalAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val grp = Seq("g")
+  private val sums = Seq("total" -> "x")
+
+  private def state(rows: Seq[(Int, Option[String], Double)]): DataFrame =
+    IncrementalAgg.aggregate(rows.toDF("id", "g", "x"), grp, sums)
+
+  private def maintained(from: Seq[(Int, Option[String], Double)],
+                         to: Seq[(Int, Option[String], Double)]): DataFrame =
+    IncrementalAgg.maintain(state(from),
+      ChangeFeed.diff(from.toDF("id", "g", "x"), to.toDF("id", "g", "x"),
+        Seq("id")),
+      grp, sums)
+
+  private def snap(df: DataFrame): Set[(Option[String], Long, BigDecimal)] =
+    df.select(col("g"), col("n"), col("total"))
+      .as[(Option[String], Long, BigDecimal)].collect().toSet
+
+  test("maintained state is IDENTICAL to a from-scratch recompute " +
+    "(migration, birth, death, null group, drift-prone doubles)") {
+    val from = Seq(
+      (1, Some("a"), 0.1), (2, Some("a"), 0.2), (3, Some("b"), 0.3),
+      (4, None, 0.7), (5, Some("dies"), 1.1))
+    val to = Seq(
+      (1, Some("a"), 0.1),            // untouched
+      (2, Some("b"), 0.2),            // migrated a → b
+      (3, Some("b"), 0.45),           // value updated in place
+      (4, None, 0.8),                 // null group updated
+      (6, Some("born"), 2.2))         // new row, brand-new group
+    assert(snap(maintained(from, to)) === snap(state(to)))
+  }
+
+  test("an empty feed is a no-op: state passes through unchanged") {
+    val rows = Seq((1, Some("a"), 1.5), (2, None, 2.5))
+    assert(snap(maintained(rows, rows)) === snap(state(rows)))
+  }
+
+  test("decimal sums make repeated maintenance exact, not approximate") {
+    // 0.1 is not representable in binary; ten float additions of 0.1
+    // already differ from 1.0. Chain three maintenance steps and demand
+    // BigDecimal equality with the direct aggregate.
+    val v0 = (1 to 10).map(i => (i, Some("g"), 0.1))
+    val v1 = v0.filterNot(_._1 == 3)
+    val v2 = v1.map { case (i, g, x) => (i, g, if (i == 5) 0.3 else x) }
+    val v3 = v2 :+ (11, Some("g"), 0.1)
+    val s3 = IncrementalAgg.maintain(
+      IncrementalAgg.maintain(
+        IncrementalAgg.maintain(state(v0),
+          ChangeFeed.diff(v0.toDF("id", "g", "x"), v1.toDF("id", "g", "x"), Seq("id")), grp, sums),
+        ChangeFeed.diff(v1.toDF("id", "g", "x"), v2.toDF("id", "g", "x"), Seq("id")), grp, sums),
+      ChangeFeed.diff(v2.toDF("id", "g", "x"), v3.toDF("id", "g", "x"), Seq("id")), grp, sums)
+    assert(snap(s3) === snap(state(v3)))
+  }
+
+  test("a feed that does not match the state SURFACES as an impossible row") {
+    val from = Seq((1, Some("a"), 1.0))
+    val to = Seq.empty[(Int, Option[String], Double)]
+    val feed = ChangeFeed.diff(from.toDF("id", "g", "x"),
+      to.toDF("id", "g", "x"), Seq("id"))
+    // apply the same delete feed TWICE: the second application has no
+    // row left to remove — the count goes negative and must be visible,
+    // not silently dropped
+    val once = IncrementalAgg.maintain(state(from), feed, grp, sums)
+    val twice = IncrementalAgg.maintain(
+      once.select(col("g"), col("n"), col("total")), feed, grp, sums)
+    val bad = twice.as[(Option[String], Long, BigDecimal)].collect().toSeq
+    assert(bad === Seq((Some("a"), -1L, BigDecimal("-1.000000"))))
+  }
+
+  test("preconditions fail fast: wrong state shape, non-feed input") {
+    val st = state(Seq((1, Some("a"), 1.0)))
+    val notFeed = Seq((1, "a")).toDF("id", "g")
+    assert(intercept[IllegalArgumentException] {
+      IncrementalAgg.maintain(notFeed, notFeed, grp, sums)
+    }.getMessage.contains("not an aggregate state"))
+    assert(intercept[IllegalArgumentException] {
+      IncrementalAgg.maintain(st, notFeed, grp, sums)
+    }.getMessage.contains("_change_type"))
+  }
+}
