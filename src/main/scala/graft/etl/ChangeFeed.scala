@@ -68,9 +68,12 @@ object ChangeFeed {
       struct(cols.map(c => col(s"$side.$c").as(c)) :+
         lit(changeType).as("_change_type"): _*)
     // Null-safe "any non-key column differs": struct <=> struct compares
-    // field-wise with NULL == NULL, exactly the update predicate.
+    // field-wise with NULL == NULL, exactly the update predicate. When
+    // the key IS the whole row (presence-only diff) a key present on
+    // both sides is unchanged by definition — inserts and deletes only.
     val sameValues =
-      struct(nonKey.map(c => col(s"f.$c")): _*) <=>
+      if (nonKey.isEmpty) lit(true)
+      else struct(nonKey.map(c => col(s"f.$c")): _*) <=>
         struct(nonKey.map(c => col(s"t.$c")): _*)
     f.join(t, joinCond, "full_outer")
       // both-present-and-identical rows leave the feed BEFORE the

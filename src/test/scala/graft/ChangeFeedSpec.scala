@@ -61,6 +61,15 @@ class ChangeFeedSpec extends SparkSuite {
       (None, "b", "delete"), (None, "b2", "insert")))
   }
 
+  test("key = whole row degrades to a presence-only diff: inserts and deletes, never updates") {
+    val from = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    val to = Seq((2, "b"), (3, "c")).toDF("id", "name")
+    val out = ChangeFeed.diff(from, to, Seq("id", "name"))
+      .orderBy("id")
+      .as[(Int, String, String)].collect().toSeq
+    assert(out === Seq((1, "a", "delete"), (3, "c", "insert")))
+  }
+
   test("preconditions fail fast: schema mismatch, missing key, empty key") {
     val a = Seq((1, "x")).toDF("id", "name")
     val b = Seq((1, "x", 2L)).toDF("id", "name", "extra")
