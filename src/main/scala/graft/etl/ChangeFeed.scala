@@ -46,8 +46,34 @@ object ChangeFeed {
   /** Row-level changes turning `from` into `to`, classified per the
     * table above. Output schema: `key ++ nonKey` columns in `to`'s
     * order, plus `_change_type` last. Both inputs must share one
-    * schema; `key` must be a per-side unique key. */
-  def diff(from: DataFrame, to: DataFrame, key: Seq[String]): DataFrame = {
+    * schema; `key` must be a per-side unique key.
+    *
+    * A VIOLATED uniqueness precondition row-multiplies the outer join
+    * (a key with n `from` rows and m `to` rows emits up to n×m change
+    * pairs) — the same corruption every CDC format exhibits on a false
+    * primary key. Callers diffing tables whose key is enforced
+    * upstream pay nothing; callers that cannot trust the key pass
+    * `requireUniqueKey = true` to fail loudly instead (one extra
+    * aggregate per side — a key-shuffle-sized check, worth it exactly
+    * when the key is unverified). */
+  def diff(from: DataFrame, to: DataFrame, key: Seq[String],
+           requireUniqueKey: Boolean = false): DataFrame = {
+    if (requireUniqueKey) {
+      Seq("from" -> from, "to" -> to).foreach { case (side, df) =>
+        val dup = df.groupBy(key.map(col): _*)
+          .agg(count(lit(1)).as("_cf_n")).filter(col("_cf_n") > 1)
+          .limit(1).collect()
+        require(dup.isEmpty,
+          s"change-feed key (${key.mkString(",")}) is not unique on the " +
+            s"$side side: e.g. ${dup.head.toSeq.init.mkString(",")} appears " +
+            s"${dup.head.getAs[Long]("_cf_n")} times")
+      }
+    }
+    diffUnchecked(from, to, key)
+  }
+
+  private def diffUnchecked(from: DataFrame, to: DataFrame,
+                            key: Seq[String]): DataFrame = {
     require(key.nonEmpty, "change-feed key must name at least one column")
     require(from.columns.sorted.sameElements(to.columns.sorted),
       s"schema mismatch: from=${from.columns.sorted.mkString(",")} " +

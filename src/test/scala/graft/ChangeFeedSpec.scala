@@ -70,6 +70,22 @@ class ChangeFeedSpec extends SparkSuite {
     assert(out === Seq((1, "a", "delete"), (3, "c", "insert")))
   }
 
+  test("requireUniqueKey fails loudly on a duplicate key; unchecked diff " +
+    "row-multiplies (the documented CDC false-primary-key hazard)") {
+    val from = Seq((1, "a"), (1, "a2")).toDF("id", "name") // dup key
+    val to = Seq((1, "b")).toDF("id", "name")
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeed.diff(from, to, Seq("id"), requireUniqueKey = true)
+    }
+    assert(e.getMessage.contains("not unique on the from side"))
+    // the unchecked form multiplies: 2 from-rows × 1 to-row → 2 update
+    // pairs (4 rows) — pinned so the hazard stays visible, not vague
+    assert(ChangeFeed.diff(from, to, Seq("id")).count() === 4L)
+    // a clean pair passes the check and diffs normally
+    assert(ChangeFeed.diff(to, to, Seq("id"),
+      requireUniqueKey = true).count() === 0L)
+  }
+
   test("preconditions fail fast: schema mismatch, missing key, empty key") {
     val a = Seq((1, "x")).toDF("id", "name")
     val b = Seq((1, "x", 2L)).toDF("id", "name", "extra")
