@@ -1,6 +1,6 @@
 package graft.etl
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -87,5 +87,52 @@ object IncrementalAgg {
             (coalesce(col(s"p.$out"), zero) +
               coalesce(col(s"d.$out"), zero)).cast(D).as(out) }: _*)
       .filter(col("n") =!= 0L)
+  }
+
+  /** Table names of a published maintained aggregate (see [[applyOnce]]). */
+  val StateT = "state"
+  val AppliedT = "applied"
+
+  /** EXACTLY-ONCE application of one CDC batch to a maintained
+    * aggregate living in an [[AtomicPublish]] store — the consumer side
+    * of a change-feed stream (a foreachBatch body at minute cadence).
+    * The store holds two tables per version: [[StateT]] (the aggregate)
+    * and [[AppliedT]] (one `batch_id` row per batch ever applied — the
+    * ledger). Because both commit in ONE atomic publish, the ledger can
+    * never disagree with the state it describes: a checkpoint-replayed
+    * batch finds its own id and returns false without touching
+    * anything, and a crash between maintain and commit leaves the
+    * previous version serving — there is no partial application to
+    * observe. `expectedBase` pins the snapshot the maintenance read, so
+    * a concurrent publisher surfaces as a publish conflict rather than
+    * a lost update. Returns true iff the batch was applied.
+    *
+    * Call [[publishInitial]] once to seed the store. */
+  def applyOnce(spark: SparkSession, root: String, feed: DataFrame,
+                batchId: Long, groupCols: Seq[String],
+                sumCols: Seq[(String, String)]): Boolean = {
+    import spark.implicits._
+    val base = AtomicPublish.currentVersion(spark, root)
+    val snap = AtomicPublish.snapshot(spark, root)
+    val applied = snap.table(spark, AppliedT)
+    if (!applied.filter(col("batch_id") === batchId).isEmpty) false
+    else {
+      AtomicPublish.publish(spark, root, Seq(
+        StateT -> maintain(snap.table(spark, StateT), feed, groupCols, sumCols),
+        AppliedT -> applied.unionByName(Seq(batchId).toDF("batch_id"))),
+        expectedBase = Some(base))
+      true
+    }
+  }
+
+  /** Seed a maintained-aggregate store with the base table's state and
+    * an empty ledger; returns the committed version. */
+  def publishInitial(spark: SparkSession, root: String, rows: DataFrame,
+                     groupCols: Seq[String],
+                     sumCols: Seq[(String, String)]): Long = {
+    import spark.implicits._
+    AtomicPublish.publish(spark, root, Seq(
+      StateT -> aggregate(rows, groupCols, sumCols),
+      AppliedT -> Seq.empty[Long].toDF("batch_id")))
   }
 }

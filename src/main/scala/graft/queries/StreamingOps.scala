@@ -247,6 +247,74 @@ object StreamingOps {
         .orderBy("query_id", "rank")
     }),
 
+    // st14 — streaming CDC APPLY [extension; the consumer side of
+    // o10/o11]: a stream of change-feed batches (the shape a CDC topic
+    // delivers) maintains a PUBLISHED downstream aggregate exactly-once.
+    // Each micro-batch applies IncrementalAgg.maintain to the current
+    // snapshot's state and commits (state', ledger+batchId) as ONE
+    // atomic publish — the applied ledger rides in the same version as
+    // the state it describes, so a checkpoint-replayed batch reads its
+    // own id and skips (Delta's txn device again, here for the MV).
+    // Additive deltas COMMUTE, so the final state is independent of
+    // feed admission order and batching — maxFilesPerTrigger=1 makes
+    // the loop genuinely multi-batch, but any split converges. The
+    // oracle recomputes the final slice's aggregate from scratch: the
+    // hash match proves streamed maintenance ≡ full recompute.
+    "st14_stream_cdc_apply" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg}
+      val grp = Seq("o_orderpriority")
+      val sums = Seq("total_price" -> "o_totalprice")
+      val orders = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      // the version chain: base, then three correction batches (drop a
+      // decile, admit a decile, reclassify a decile — group migrations
+      // included), each feed = the exact row-level delta
+      val chain = Seq[DataFrame => DataFrame](
+        df => df.filter(col("o_orderkey") % 10 =!= 7),
+        df => df.filter(col("o_orderkey") % 10 =!= 3),
+        df => df.filter(col("o_orderkey") % 10 =!= 3)
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 10 === 4, lit("9-RECLASSIFIED"))
+              .otherwise(col("o_orderpriority"))),
+        df => df.filter(col("o_orderkey") % 10 =!= 3 &&
+            col("o_orderkey") % 10 =!= 1)
+          .withColumn("o_orderpriority",
+            when(col("o_orderkey") % 10 === 4, lit("9-RECLASSIFIED"))
+              .otherwise(col("o_orderpriority"))))
+      val versions = chain.map(_(orders))
+      val feedDir = s"/root/repo/target/sink/st14_feeds_${Tables.dirSlug(dir)}"
+      Shared.setupOnce(s, dir, "st14_feeds") {
+        // one subdir per feed, each overwritten idempotently (a fresh
+        // JVM re-stages the same bytes — append would double the feed):
+        // the CDC topic's batch boundaries, admitted one per trigger
+        versions.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+          ChangeFeed.diff(a, b, Seq("o_orderkey"))
+            .repartition(1).write.mode("overwrite").parquet(s"$feedDir/f$i")
+        }
+      }
+      val root = s"/root/repo/target/sink/st14_mv_${Tables.dirSlug(dir)}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(root))
+      IncrementalAgg.publishInitial(s, root, versions.head, grp, sums)
+      val feedSchema = versions.head.schema
+        .add("_change_type", "string", nullable = false)
+      val stream = s.readStream.schema(feedSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$feedDir/*")
+      val chk = s"${Streams.ephemeralChkRoot}/st14_${Tables.dirSlug(dir)}"
+      Streams.runIngest(s, stream, chk) { (batch, batchId) =>
+        if (!batch.isEmpty &&
+            IncrementalAgg.applyOnce(s, root, batch, batchId, grp, sums))
+          AtomicPublish.vacuum(s, root, keep = 2): Unit
+      }
+      AtomicPublish.snapshot(s, root).table(s, IncrementalAgg.StateT)
+        .select(col("o_orderpriority"), col("n"),
+          col("total_price").cast("double").as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
+
     // st3 — custom sessionization state: flatMapGroupsWithState per user,
     // splitting the user's event times on gaps > GAP_US. One AvailableNow
     // batch delivers each user's full history, so the emitted sessions
@@ -424,6 +492,19 @@ object StreamingOps {
     // sim12's oracle verbatim: the streamed ingest must converge to the
     // batch index, so the served ranking is the IVFADC chain's.
     "st13_stream_index_ingest" -> SimilarityOps.oracles("sim12_ivf_pq"),
+
+    // The final version of the chain recomputed from scratch — the
+    // streamed incremental path never appears in the oracle.
+    "st14_stream_cdc_apply" ->
+      """WITH final AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 4 THEN '9-RECLASSIFIED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (3, 1))
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+        |    AS DOUBLE) AS total_price
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "st12_stream_dq" ->
       """WITH a AS (SELECT

@@ -80,6 +80,35 @@ class IncrementalAggSpec extends SparkSuite {
     assert(bad === Seq((Some("a"), -1L, BigDecimal("-1.000000"))))
   }
 
+  test("applyOnce is exactly-once: a replayed batch id is a no-op even " +
+    "though the feed would corrupt the state if re-applied") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    val root = "/root/repo/target/test-sink/incagg_applyonce"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val v0 = Seq((1, Some("a"), 1.0), (2, Some("a"), 2.0), (3, Some("b"), 3.0))
+    val v1 = Seq((1, Some("a"), 1.0), (3, Some("b"), 9.0))
+    IncrementalAgg.publishInitial(spark, root, v0.toDF("id", "g", "x"), grp, sums)
+    val feed = ChangeFeed.diff(v0.toDF("id", "g", "x"),
+      v1.toDF("id", "g", "x"), Seq("id"))
+    assert(IncrementalAgg.applyOnce(spark, root, feed, 0L, grp, sums))
+    val after = snap(AtomicPublish.snapshot(spark, root)
+      .table(spark, IncrementalAgg.StateT))
+    assert(after === snap(state(v1)))
+    // the replay: same batch id, same feed — must refuse and leave the
+    // published state byte-identical (a re-application would double the
+    // delete and drop group "a" entirely)
+    assert(!IncrementalAgg.applyOnce(spark, root, feed, 0L, grp, sums))
+    assert(snap(AtomicPublish.snapshot(spark, root)
+      .table(spark, IncrementalAgg.StateT)) === after)
+    // a NEW batch id still applies
+    val v2 = v1 :+ (4, Some("c"), 4.0)
+    val feed2 = ChangeFeed.diff(v1.toDF("id", "g", "x"),
+      v2.toDF("id", "g", "x"), Seq("id"))
+    assert(IncrementalAgg.applyOnce(spark, root, feed2, 1L, grp, sums))
+    assert(snap(AtomicPublish.snapshot(spark, root)
+      .table(spark, IncrementalAgg.StateT)) === snap(state(v2)))
+  }
+
   test("preconditions fail fast: wrong state shape, non-feed input") {
     val st = state(Seq((1, Some("a"), 1.0)))
     val notFeed = Seq((1, "a")).toDF("id", "g")
