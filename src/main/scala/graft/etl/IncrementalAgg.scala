@@ -112,7 +112,9 @@ object IncrementalAgg {
                 batchId: Long, groupCols: Seq[String],
                 sumCols: Seq[(String, String)]): Boolean = {
     import spark.implicits._
-    val base = AtomicPublish.currentVersion(spark, root)
+    // one pointer resolution: the snapshot read IS the expectedBase pin
+    // (reading the pointer twice would let a publish land in between and
+    // surface as a spurious conflict)
     val snap = AtomicPublish.snapshot(spark, root)
     val applied = snap.table(spark, AppliedT)
     if (!applied.filter(col("batch_id") === batchId).isEmpty) false
@@ -120,7 +122,7 @@ object IncrementalAgg {
       AtomicPublish.publish(spark, root, Seq(
         StateT -> maintain(snap.table(spark, StateT), feed, groupCols, sumCols),
         AppliedT -> applied.unionByName(Seq(batchId).toDF("batch_id"))),
-        expectedBase = Some(base))
+        expectedBase = Some(Some(snap.version)))
       true
     }
   }
