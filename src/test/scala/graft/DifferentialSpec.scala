@@ -599,6 +599,60 @@ class DifferentialSpec extends SparkSuite {
 
   // ---------------------------------------------------------- minhashLsh
 
+  test("differential: ChangeFeed.diff matches a naive per-key map compare, " +
+    "and maintain(prev, feed) equals a recompute — any partitioning, random versions") {
+    import graft.etl.{ChangeFeed, IncrementalAgg}
+    // random keyed table: unique keys, nullable group + value columns
+    val row: Gen[(Long, Option[String], Double)] = for {
+      g <- Gen.option(Gen.oneOf("a", "b", "c"))
+      x <- Gen.chooseNum(-99999L, 99999L).map(_ / 100.0)
+    } yield (0L, g, x)
+    val tbl: Gen[Map[Long, (Option[String], Double)]] =
+      Gen.listOfN(40, row).map(_.zipWithIndex.map {
+        case ((_, g, x), i) => i.toLong -> ((g, x))
+      }.toMap)
+    // v2 = v1 mutated: drop some keys, change some, add some new ones
+    def mutate(v1: Map[Long, (Option[String], Double)],
+               salt: Int): Map[Long, (Option[String], Double)] =
+      v1.filter { case (k, _) => (k + salt) % 5 != 0 }
+        .map { case (k, (g, x)) =>
+          if ((k + salt) % 3 == 0) k -> ((g.map(_ + "!"), x + 1.0))
+          else k -> ((g, x))
+        } ++ (100L to 104L).map(k => k -> ((Some("new"), salt * 1.5)))
+    cases(tbl, n = 3).zipWithIndex.foreach { case (v1, salt) =>
+      val v2 = mutate(v1, salt)
+      def df(m: Map[Long, (Option[String], Double)], parts: Int) =
+        m.toSeq.map { case (k, (g, x)) => (k, g, x) }
+          .toDF("id", "g", "x").repartition(parts)
+      // naive reference: per-key map compare, second algorithm entirely
+      val expected: Set[(Long, Option[String], Double, String)] =
+        (v1.keySet ++ v2.keySet).flatMap { k =>
+          (v1.get(k), v2.get(k)) match {
+            case (None, Some((g, x))) => Seq((k, g, x, "insert"))
+            case (Some((g, x)), None) => Seq((k, g, x, "delete"))
+            case (Some(a), Some(b)) if a != b =>
+              Seq((k, a._1, a._2, "update_preimage"),
+                (k, b._1, b._2, "update_postimage"))
+            case _ => Nil
+          }
+        }
+      for (parts <- Seq(1, 7)) {
+        val got = ChangeFeed.diff(df(v1, parts), df(v2, 9 - parts), Seq("id"))
+          .as[(Long, Option[String], Double, String)].collect().toSet
+        assert(got === expected, s"diff diverged at $parts partitions")
+      }
+      // maintenance differential: state(v1) + feed ≡ state(v2) recomputed
+      val grp = Seq("g"); val sums = Seq("total" -> "x")
+      val maintained = IncrementalAgg.maintain(
+        IncrementalAgg.aggregate(df(v1, 7), grp, sums),
+        ChangeFeed.diff(df(v1, 3), df(v2, 5), Seq("id")), grp, sums)
+        .as[(Option[String], Long, BigDecimal)].collect().toSet
+      val recomputed = IncrementalAgg.aggregate(df(v2, 2), grp, sums)
+        .as[(Option[String], Long, BigDecimal)].collect().toSet
+      assert(maintained === recomputed, "maintained state != recompute")
+    }
+  }
+
   test("differential: minhashLsh always pairs exact duplicates and is order/partition-invariant") {
     val word: Gen[String] = Gen.oneOf("red", "blue", "green", "gold", "iron", "clay")
     val text: Gen[String] = Gen.chooseNum(8, 15)
