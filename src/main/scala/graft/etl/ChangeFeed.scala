@@ -80,6 +80,9 @@ object ChangeFeed {
         s"to=${to.columns.sorted.mkString(",")}")
     val missing = key.filterNot(to.columns.contains)
     require(missing.isEmpty, s"key columns absent from table: ${missing.mkString(",")}")
+    val reserved = Seq("_cf_present", "_change_type").filter(to.columns.contains)
+    require(reserved.isEmpty,
+      s"table uses reserved change-feed column name(s): ${reserved.mkString(",")}")
     val cols = to.columns.toSeq
     val nonKey = cols.filterNot(key.contains)
     // Presence flags survive the outer join even when every data column

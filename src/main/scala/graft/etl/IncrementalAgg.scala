@@ -86,7 +86,12 @@ object IncrementalAgg {
           sumCols.map { case (out, _) =>
             (coalesce(col(s"p.$out"), zero) +
               coalesce(col(s"d.$out"), zero)).cast(D).as(out) }: _*)
-      .filter(col("n") =!= 0L)
+      // a consistently-emptied group has n = 0 AND every sum exactly 0
+      // (decimal arithmetic) and leaves the state; n = 0 with a nonzero
+      // residual sum is the zero-count face of feed corruption and
+      // SURFACES like the negative count does
+      .filter(sumCols.map(s => col(s._1) =!= zero)
+        .foldLeft(col("n") =!= 0L)(_ || _))
   }
 
   /** Table names of a published maintained aggregate (see [[applyOnce]]). */

@@ -98,6 +98,10 @@ class ChangeFeedSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException] {
       ChangeFeed.diff(a, a, Nil)
     }.getMessage.contains("at least one column"))
+    val clash = Seq((1, "x")).toDF("id", "_change_type")
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.diff(clash, clash, Seq("id"))
+    }.getMessage.contains("reserved change-feed column"))
   }
 
   test("between() reads the two RETAINED versions through snapshotAt") {

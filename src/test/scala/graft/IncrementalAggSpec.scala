@@ -109,6 +109,26 @@ class IncrementalAggSpec extends SparkSuite {
       .table(spark, IncrementalAgg.StateT)) === snap(state(v2)))
   }
 
+  test("the ZERO-COUNT face of feed corruption surfaces too: n = 0 with a " +
+    "nonzero residual sum stays visible instead of vanishing") {
+    import graft.etl.{ChangeFeed, IncrementalAgg}
+    // state: group "a" holds one row of x=2.0; the (inconsistent) feed
+    // deletes a row that group never contained (x=3.0) — count reaches
+    // zero but the sum leaves a -1.0 residue that must not disappear
+    val prev = state(Seq((1, Some("a"), 2.0)))
+    val feed = ChangeFeed.diff(
+      Seq((1, Some("a"), 3.0)).toDF("id", "g", "x"),
+      Seq.empty[(Int, Option[String], Double)].toDF("id", "g", "x"), Seq("id"))
+    val out = IncrementalAgg.maintain(prev, feed, grp, sums)
+      .as[(Option[String], Long, BigDecimal)].collect().toSeq
+    assert(out === Seq((Some("a"), 0L, BigDecimal("-1.000000"))))
+    // a CONSISTENT emptying (same values deleted) still leaves cleanly
+    val cleanFeed = ChangeFeed.diff(
+      Seq((1, Some("a"), 2.0)).toDF("id", "g", "x"),
+      Seq.empty[(Int, Option[String], Double)].toDF("id", "g", "x"), Seq("id"))
+    assert(IncrementalAgg.maintain(prev, cleanFeed, grp, sums).count() === 0L)
+  }
+
   test("preconditions fail fast: wrong state shape, non-feed input") {
     val st = state(Seq((1, Some("a"), 1.0)))
     val notFeed = Seq((1, "a")).toDF("id", "g")
