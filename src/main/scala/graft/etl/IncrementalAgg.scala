@@ -112,6 +112,11 @@ object IncrementalAgg {
     * a concurrent publisher surfaces as a publish conflict rather than
     * a lost update. Returns true iff the batch was applied.
     *
+    * The ledger costs one long per batch EVER applied (a year of
+    * minute-cadence ingest ≈ 0.5M rows — noise next to any real
+    * state); re-seeding via [[publishInitial]] from a fresh base
+    * rebase resets it, the same device as the ANN store's rebuild.
+    *
     * Call [[publishInitial]] once to seed the store. */
   def applyOnce(spark: SparkSession, root: String, feed: DataFrame,
                 batchId: Long, groupCols: Seq[String],
