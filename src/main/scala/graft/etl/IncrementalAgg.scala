@@ -48,13 +48,25 @@ object IncrementalAgg {
   private val D = DecimalType(38, 6)
 
   /** Build the initial additive state of `rows`: one count column `n`
-    * plus one exact decimal sum per `(outName, sourceCol)`. */
+    * plus one exact decimal sum per `(outName, sourceCol)`.
+    *
+    * Sums are `coalesce(sum(x), 0)` — a DELIBERATE deviation from SQL's
+    * NULL-on-all-NULL-input: the state's sums live in the additive
+    * group (Decimal, +), and that group's identity element is 0, not
+    * NULL. Under SQL semantics a group whose every source value is NULL
+    * would carry `sum = NULL`, but [[maintain]]'s merge must treat an
+    * absent group and a contributes-nothing group identically (both add
+    * the identity), so the state normalizes both to 0. With NULL sums
+    * the two paths would diverge after one maintenance cycle (state 0
+    * vs recompute NULL) and the bit-identity contract would break;
+    * IncrementalAggSpec's all-NULL-sum case pins the agreement. NULL
+    * source values inside a mixed group are still skipped, as in SQL. */
   def aggregate(rows: DataFrame, groupCols: Seq[String],
                 sumCols: Seq[(String, String)]): DataFrame =
     rows.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sumCols.map { case (out, src) =>
-          sum(col(src).cast(D)).cast(D).as(out) }: _*)
+          coalesce(sum(col(src).cast(D)), lit(0).cast(D)).cast(D).as(out) }: _*)
 
   /** Apply a [[ChangeFeed.diff]] to `prev` (a state produced by
     * [[aggregate]] with the same `groupCols`/`sumCols`), yielding the

@@ -602,30 +602,37 @@ class DifferentialSpec extends SparkSuite {
   test("differential: ChangeFeed.diff matches a naive per-key map compare, " +
     "and maintain(prev, feed) equals a recompute — any partitioning, random versions") {
     import graft.etl.{ChangeFeed, IncrementalAgg}
-    // random keyed table: unique keys, nullable group + value columns
-    val row: Gen[(Long, Option[String], Double)] = for {
+    // random keyed table: unique keys, nullable group AND nullable value
+    // columns — the value's Option covers the r14 advisory edge (a group
+    // whose every value is NULL must maintain bit-identically, 0 on both
+    // paths, not SQL's NULL-on-empty)
+    val row: Gen[(Long, Option[String], Option[Double])] = for {
       g <- Gen.option(Gen.oneOf("a", "b", "c"))
-      x <- Gen.chooseNum(-99999L, 99999L).map(_ / 100.0)
+      x <- Gen.option(Gen.chooseNum(-99999L, 99999L).map(_ / 100.0))
     } yield (0L, g, x)
-    val tbl: Gen[Map[Long, (Option[String], Double)]] =
+    val tbl: Gen[Map[Long, (Option[String], Option[Double])]] =
       Gen.listOfN(40, row).map(_.zipWithIndex.map {
         case ((_, g, x), i) => i.toLong -> ((g, x))
-      }.toMap)
+      }.toMap
+        // a GUARANTEED all-NULL-sum group (random Options only hit it by
+        // luck); mutate() deletes key 200, so its delta carries NULL sums
+        ++ (200L to 202L).map(k => k -> ((Some("nullgrp"), None))))
     // v2 = v1 mutated: drop some keys, change some, add some new ones
-    def mutate(v1: Map[Long, (Option[String], Double)],
-               salt: Int): Map[Long, (Option[String], Double)] =
-      v1.filter { case (k, _) => (k + salt) % 5 != 0 }
+    def mutate(v1: Map[Long, (Option[String], Option[Double])],
+               salt: Int): Map[Long, (Option[String], Option[Double])] =
+      v1.filter { case (k, _) => (k + salt) % 5 != 0 && k != 200L }
         .map { case (k, (g, x)) =>
-          if ((k + salt) % 3 == 0) k -> ((g.map(_ + "!"), x + 1.0))
+          if ((k + salt) % 3 == 0) k -> ((g.map(_ + "!"), x.map(_ + 1.0)))
           else k -> ((g, x))
-        } ++ (100L to 104L).map(k => k -> ((Some("new"), salt * 1.5)))
+        } ++ (100L to 104L).map(k =>
+          k -> ((Some("new"), if (k % 2 == 0) Some(salt * 1.5) else None)))
     cases(tbl, n = 3).zipWithIndex.foreach { case (v1, salt) =>
       val v2 = mutate(v1, salt)
-      def df(m: Map[Long, (Option[String], Double)], parts: Int) =
+      def df(m: Map[Long, (Option[String], Option[Double])], parts: Int) =
         m.toSeq.map { case (k, (g, x)) => (k, g, x) }
           .toDF("id", "g", "x").repartition(parts)
       // naive reference: per-key map compare, second algorithm entirely
-      val expected: Set[(Long, Option[String], Double, String)] =
+      val expected: Set[(Long, Option[String], Option[Double], String)] =
         (v1.keySet ++ v2.keySet).flatMap { k =>
           (v1.get(k), v2.get(k)) match {
             case (None, Some((g, x))) => Seq((k, g, x, "insert"))
@@ -638,7 +645,7 @@ class DifferentialSpec extends SparkSuite {
         }
       for (parts <- Seq(1, 7)) {
         val got = ChangeFeed.diff(df(v1, parts), df(v2, 9 - parts), Seq("id"))
-          .as[(Long, Option[String], Double, String)].collect().toSet
+          .as[(Long, Option[String], Option[Double], String)].collect().toSet
         assert(got === expected, s"diff diverged at $parts partitions")
       }
       // maintenance differential: state(v1) + feed ≡ state(v2) recomputed

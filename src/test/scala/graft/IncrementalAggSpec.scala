@@ -43,6 +43,40 @@ class IncrementalAggSpec extends SparkSuite {
     assert(snap(maintained(from, to)) === snap(state(to)))
   }
 
+  test("an all-NULL-sum group maintains bit-identically: both paths agree " +
+    "on 0 (the additive identity), not SQL's NULL-on-empty") {
+    // the r14 advisory edge: SQL leaves SUM over an all-NULL group as
+    // NULL, but maintain's merge adds the group identity (0) for absent
+    // sides — aggregate() now normalizes both paths to coalesce(sum, 0)
+    // so maintained ≡ recompute holds on nullable sum columns too
+    def stateN(rows: Seq[(Int, Option[String], Option[Double])]): DataFrame =
+      IncrementalAgg.aggregate(rows.toDF("id", "g", "x"), grp, sums)
+    def maintainedN(from: Seq[(Int, Option[String], Option[Double])],
+                    to: Seq[(Int, Option[String], Option[Double])]): DataFrame =
+      IncrementalAgg.maintain(stateN(from),
+        ChangeFeed.diff(from.toDF("id", "g", "x"), to.toDF("id", "g", "x"),
+          Seq("id")),
+        grp, sums)
+    val from = Seq(
+      (1, Some("allnull"), None),          // group whose every value is NULL
+      (2, Some("allnull"), None),
+      (3, Some("mixed"), Some(1.5)), (4, Some("mixed"), None),
+      (5, Some("dies"), None))             // all-NULL group that will empty
+    val to = Seq(
+      (1, Some("allnull"), None),
+      (2, Some("allnull"), None),          // untouched: EMPTY feed for it
+      (3, Some("mixed"), Some(2.5)), (4, Some("mixed"), None),
+      (6, Some("born"), None))             // brand-new group, NULL value
+    assert(snap(maintainedN(from, to)) === snap(stateN(to)))
+    // the all-NULL group's state is 0.000000 on BOTH paths — and an
+    // empty feed leaves it byte-identical (the r14 bug: an empty feed
+    // mutated NULL → 0)
+    assert(snap(maintainedN(from, from)) === snap(stateN(from)))
+    val allNull = stateN(from).filter(col("g") === "allnull")
+      .as[(Option[String], Long, BigDecimal)].collect().toSeq
+    assert(allNull === Seq((Some("allnull"), 2L, BigDecimal("0.000000"))))
+  }
+
   test("an empty feed is a no-op: state passes through unchanged") {
     val rows = Seq((1, Some("a"), 1.5), (2, None, 2.5))
     assert(snap(maintained(rows, rows)) === snap(state(rows)))
