@@ -192,24 +192,41 @@ object AtomicPublish {
     // as CONCURRENT Spark jobs (one thread each — Spark's scheduler is
     // thread-safe and fair-shares the same executors): a batch of small
     // dimension tables pays one job latency, not one per table, and big
-    // outputs overlap their write tails. Failure semantics unchanged —
-    // any failed write fails the stage (first error rethrown), nothing
-    // is visible outside the tx dir either way.
+    // outputs overlap their write tails. The writes share one JOB GROUP
+    // and the FIRST failure cancels it: a doomed multi-table stage
+    // stops its siblings (and their cluster time) instead of running
+    // every other corpus-sized write to completion before failing. The
+    // first error is what propagates — the siblings' cancellation
+    // exceptions are consequences, not causes. Nothing is visible
+    // outside the tx dir either way.
     if (outputs.size == 1) {
       val (name, df) = outputs.head
       df.write.mode("overwrite").parquet(s"$root/$tx/$name")
     } else {
+      val sc = spark.sparkContext
+      val group = s"graft-stage-$tx"
+      val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val threads = outputs.map { case (name, df) =>
-        val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-        val t = new Thread(() =>
-          try df.write.mode("overwrite").parquet(s"$root/$tx/$name")
-          catch { case e: Throwable => err.set(e) })
+        val t = new Thread(() => {
+          // job-group tags are thread-local: each writer tags its own
+          sc.setJobGroup(group, s"atomic-publish stage $tx/$name",
+            interruptOnCancel = true)
+          try {
+            // a sibling already failed → don't even submit this write
+            // (cancelJobGroup only reaches jobs that are RUNNING)
+            if (err.get() == null)
+              df.write.mode("overwrite").parquet(s"$root/$tx/$name")
+          } catch {
+            case e: Throwable =>
+              if (err.compareAndSet(null, e)) sc.cancelJobGroup(group)
+          } finally sc.clearJobGroup()
+        })
         t.setDaemon(true)
         t.start()
-        (t, err)
+        t
       }
-      threads.foreach(_._1.join())
-      threads.flatMap(t => Option(t._2.get())).headOption.foreach(throw _)
+      threads.foreach(_.join())
+      Option(err.get()).foreach(throw _)
     }
     Staged(root, tx, expected)
   }
@@ -287,12 +304,14 @@ object AtomicPublish {
 
   /** Default age below which vacuum presumes a staging dir / unswapped
     * claim belongs to a LIVE publisher and leaves it alone. Staging-dir
-    * age is measured from the NEWEST mtime under the dir (a live write
-    * keeps refreshing its output subdirs as part files land), so this
-    * only needs to cover the longest GAP between file creations of one
-    * write — not a whole write phase — plus the claim-to-swap window;
-    * an hour is comfortably past both. Crashed orphans older than this
-    * are reclaimed on the next vacuum pass. */
+    * age is measured from the NEWEST mtime anywhere in the dir's
+    * SUBTREE — recursive, so the part files a live write keeps landing
+    * under the committer's `_temporary` attempt dirs count (they only
+    * move up to the table dir at job commit). This therefore only needs
+    * to cover the longest GAP between file creations of one write — not
+    * a whole write phase — plus the claim-to-swap window; an hour is
+    * comfortably past both. Crashed orphans older than this are
+    * reclaimed on the next vacuum pass. */
   val DefaultVacuumMinAgeMs: Long = 60L * 60 * 1000
 
   /** Reclaim version directories older than the last `keep` committed
@@ -313,6 +332,31 @@ object AtomicPublish {
     * retained window carry no such hazard and are reclaimed regardless
     * of age. Pass `minAgeMs = 0` only where no publisher can be
     * in flight. Returns the reclaimed COMMITTED versions. */
+  /** Newest mtime anywhere in `dir`'s subtree (including `dir` itself,
+    * passed as `dirMtime`) — the age basis for [[vacuum]]'s staging-dir
+    * guard. RECURSIVE, because a staging dir's own mtime is set when
+    * its output subdirs are created and never refreshed by the write
+    * itself, and under the default FileOutputCommitter (algorithm v1) a
+    * live write's part files land at tx/<table>/_temporary/<attempt>/…
+    * and only move up at job commit: during a long write phase the
+    * freshest mtimes live two or more levels down, so a shallow scan
+    * would misread the live write as silent and vacuum it mid-write.
+    * A subtree that vanishes mid-scan (a concurrent vacuum, a
+    * publisher's own cleanup) is treated as already gone, not an abort:
+    * its mtimes stop contributing and the caller's delete is a no-op. */
+  private[graft] def newestUnder(ctx: FileContext, dir: Path,
+                                 dirMtime: Long): Long =
+    try {
+      val children = ctx.listStatus(dir)
+      Iterator.continually(children).takeWhile(_.hasNext).map(_.next())
+        .map(s =>
+          if (s.isDirectory) newestUnder(ctx, s.getPath, s.getModificationTime)
+          else s.getModificationTime)
+        .foldLeft(dirMtime)(math.max)
+    } catch {
+      case _: java.io.FileNotFoundException => dirMtime
+    }
+
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
              minAgeMs: Long = DefaultVacuumMinAgeMs,
              store: PointerStore = RenamePointerStore): Seq[Long] = {
@@ -328,21 +372,8 @@ object AtomicPublish {
       .toSeq
     val now = System.currentTimeMillis()
     def aged(mtime: Long): Boolean = now - mtime >= minAgeMs
-    // A staging dir's own mtime is set when its output subdirs are
-    // CREATED (start of the write) and never refreshed by the write
-    // itself — a single long parquet write would look "aged" while
-    // still live. Age from the NEWEST mtime one level down instead: a
-    // live write refreshes its table subdir's mtime with every part
-    // file it lands, so only a write that has been SILENT for the full
-    // minAgeMs qualifies.
-    def newestUnder(dir: Path, dirMtime: Long): Long = {
-      val children = ctx.listStatus(dir)
-      Iterator.continually(children).takeWhile(_.hasNext).map(_.next())
-        .map(_.getModificationTime)
-        .foldLeft(dirMtime)(math.max)
-    }
     dirs.filter { case (n, m) =>
-      n.startsWith("tx-") && aged(newestUnder(new Path(root, n), m))
+      n.startsWith("tx-") && aged(newestUnder(ctx, new Path(root, n), m))
     }.foreach { case (n, _) => ctx.delete(new Path(root, n), true) }
     val versions = dirs.flatMap {
       case (n, m) if n.startsWith("v") => n.drop(1).toLongOption.map((_, m))

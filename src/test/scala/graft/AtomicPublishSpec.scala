@@ -60,6 +60,40 @@ class AtomicPublishSpec extends SparkSuite {
     assert(AtomicPublish.readTable(spark, root, "b").count() === 2)
   }
 
+  test("stage is fail-fast: a failing output cancels its siblings and " +
+    "rethrows the ORIGINAL error, not the cancellations") {
+    // the r14 advisory: the concurrent writer threads joined ALL
+    // siblings before rethrowing, so a fast-failing output let every
+    // other corpus-sized write run to completion first. The writes now
+    // share a job group and the first failure cancels it.
+    val root = freshRoot("failfast")
+    val boom = udf((l: Long) => {
+      if (l >= 0) throw new RuntimeException("boom-stage"); l
+    })
+    val crawl = udf((l: Long) => { Thread.sleep(60000L); l })
+    val bad = spark.range(4).select(boom(col("id")).as("x"))
+    // 2 single-row tasks × 60 s each: without cancellation the stage
+    // cannot finish under a minute
+    val slow = spark.range(2).repartition(2).select(crawl(col("id")).as("x"))
+    val t0 = System.nanoTime()
+    val e = intercept[Throwable] {
+      AtomicPublish.stage(spark, root, Seq("bad" -> bad, "slow" -> slow))
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("boom-stage"))),
+      s"rethrown error is not the original failure: $e")
+    assert(secs < 45,
+      f"stage took $secs%.1f s — the slow sibling ran to completion " +
+        "instead of being cancelled")
+    // nothing committed, and a later publish on the same root works
+    assert(AtomicPublish.currentVersion(spark, root) === None)
+    assert(AtomicPublish.publish(spark, root,
+      Seq("a" -> Seq((1, "ok")).toDF("k", "v"))) === 0L)
+  }
+
   test("a resolved snapshot is immune to a commit that lands mid-job") {
     val root = freshRoot("iso")
     AtomicPublish.publish(spark, root, Seq(

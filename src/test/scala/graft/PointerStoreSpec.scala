@@ -114,34 +114,83 @@ class PointerStoreSpec extends SparkSuite {
     }
   }
 
-  test("a live slow write never looks aged: staging age follows the newest file, not dir creation") {
-    // the r13 advisory: tx- dir mtime is set when output subdirs are
-    // created and never refreshed during a long parquet write, so a
-    // single write phase longer than the age guard used to qualify a
-    // LIVE staging dir for deletion. Age now follows the newest mtime
-    // one level down — backdating the dir itself must not age it while
-    // its contents are fresh.
+  test("a live slow write never looks aged: staging age follows the newest " +
+    "file ANYWHERE in the subtree, committer layout included") {
+    // the r13 advisory, tightened in r15: under the default
+    // FileOutputCommitter (algorithm v1) a live write's part files land
+    // in tx/<table>/_temporary/<attempt>/... and only move into the
+    // table dir at job commit — so during one long write phase NOTHING
+    // at depth 1 is refreshed. Model exactly that layout: tx dir AND
+    // table subdir both 2 h stale, the only fresh mtimes two+ levels
+    // down inside _temporary. The age guard must scan recursively or it
+    // vacuums a live publisher's staging mid-write.
     val root = freshRoot("slowwrite")
     AtomicPublish.publish(spark, root,
       Seq("a" -> Seq((1, "base")).toDF("k", "v")))
     val staged = AtomicPublish.stage(spark, root,
       Seq("a" -> Seq((2, "slow")).toDF("k", "v")))
     val tx = new java.io.File(s"$root/${staged.txDir}")
-    // the dir looks 2 hours old (output subdir created at write start)…
-    assert(tx.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L))
-    // …but its table subdir is fresh (part files still landing)
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+    // sculpt the committer layout: a deep in-flight attempt dir whose
+    // part file is FRESH, while everything at depths 0–2 is backdated
+    val attempt = new java.io.File(s"$root/${staged.txDir}/a/_temporary/0/" +
+      "_temporary/attempt_2025_m_000000_0")
+    assert(attempt.mkdirs())
+    val part = new java.io.File(attempt, "part-00000.parquet")
+    assert(part.createNewFile())
+    def walk(f: java.io.File): Seq[java.io.File] =
+      f +: Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+    walk(tx).filterNot(_ == part).foreach(f => assert(f.setLastModified(old)))
     AtomicPublish.vacuum(spark, root, keep = 10)
     assert(tx.isDirectory,
-      "vacuum deleted a staging dir whose write was still landing files")
-    // once the CONTENTS are aged too, the dir is a genuine orphan
-    tx.listFiles().foreach(f =>
-      assert(f.setLastModified(System.currentTimeMillis() - 2 * 3600 * 1000L)))
+      "vacuum deleted a staging dir whose write was still landing files " +
+        "deep under _temporary")
+    // once the ENTIRE subtree is aged, the dir is a genuine orphan
+    walk(tx).foreach(f => assert(f.setLastModified(old)))
     AtomicPublish.vacuum(spark, root, keep = 10)
     assert(!tx.exists(), "vacuum kept a genuinely aged orphan staging dir")
     // the backdated stage never had a claim; committing it would now
     // fail on the vanished dir — publishing a fresh batch still works
     assert(AtomicPublish.publish(spark, root,
       Seq("a" -> Seq((3, "next")).toDF("k", "v"))) === 1L)
+  }
+
+  test("vacuum skips a staging dir that vanishes mid-pass instead of aborting") {
+    // the r14 advisory: newestUnder listed each tx- dir after the root
+    // listing; a dir deleted in between (a concurrent vacuum, a
+    // publisher's own cleanup) threw FileNotFoundException and aborted
+    // the whole pass. A vanished subtree now just stops contributing
+    // mtimes and the later delete is a no-op.
+    val ctx = FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
+    // the FNF path directly: a dir that no longer exists contributes
+    // only the mtime the root listing already recorded
+    assert(AtomicPublish.newestUnder(ctx,
+      new org.apache.hadoop.fs.Path(
+        s"/root/repo/target/test-publish/never-existed-${java.util.UUID.randomUUID}"),
+      123L) === 123L)
+    // and end-to-end: a pass over a root where an orphan vanished
+    // still reclaims everything else
+    val root = freshRoot("vanish")
+    AtomicPublish.publish(spark, root,
+      Seq("a" -> Seq((1, "base")).toDF("k", "v")))
+    // two aged orphans plus three committed versions to reclaim
+    val s1 = AtomicPublish.stage(spark, root,
+      Seq("a" -> Seq((2, "dead1")).toDF("k", "v")))
+    AtomicPublish.stage(spark, root,
+      Seq("a" -> Seq((3, "dead2")).toDF("k", "v")))
+    AtomicPublish.publish(spark, root, Seq("a" -> Seq((4, "x")).toDF("k", "v")))
+    AtomicPublish.publish(spark, root, Seq("a" -> Seq((5, "y")).toDF("k", "v")))
+    // delete one orphan between the root listing and its subtree scan —
+    // simulated by deleting it before the pass; the pass must still
+    // reclaim the other orphan and the old versions
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$root/${s1.txDir}"))
+    val reclaimed = AtomicPublish.vacuum(spark, root, keep = 1, minAgeMs = 0)
+    assert(reclaimed === Seq(0L, 1L))
+    assert(!new java.io.File(root).listFiles().exists(_.getName.startsWith("tx-")),
+      "surviving orphan staging dir not reclaimed")
   }
 }
 
