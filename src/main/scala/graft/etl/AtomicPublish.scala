@@ -114,6 +114,164 @@ object AtomicPublish {
       }
   }
 
+  /** A TRUE-CAS [[PointerStore]] on any filesystem with atomic
+    * create-if-absent — the production-grade alternative to
+    * [[RenamePointerStore]]'s verify-then-swap, with NO residual race
+    * window. The pointer is a directory `_CURRENT.d/` of immutable
+    * GENERATION files `gen-<G>` whose content is the committed version;
+    * the committed pointer is the highest generation present.
+    *
+    *   - `read`: list the dir, parse the max generation, read its
+    *     content. A generation file becomes visible atomically WITH its
+    *     content (written to a temp name, then renamed without
+    *     overwrite), so a reader never observes a partial pointer.
+    *   - `compareAndSwap`: read (maxGen, version); precondition-check
+    *     against `expected`; then attempt to create `gen-<maxGen+1>`
+    *     atomically-if-absent — a hardlink (`link(2)`) of a complete
+    *     temp file on the local filesystem, a no-overwrite rename on
+    *     HDFS, a conditional PUT (`If-None-Match: *`) on an object
+    *     store. The create-if-absent is the linearization point: two
+    *     CAS calls racing from the same observed generation propose
+    *     the SAME file name, the store admits exactly one, and the
+    *     loser returns false. A nonce read-back double-checks the
+    *     verdict, failing safe on any store whose no-overwrite
+    *     semantics are weaker than advertised.
+    *
+    * Old generations are pruned with a deep retention margin
+    * ([[CasPointerStore.Retain]]) rather than eagerly: pruning
+    * re-exposes a generation name, and a CAS stalled between its read
+    * and its create for that many intervening commits could then
+    * create a stale below-max file and misreport success. Inside the
+    * publish protocol that is unreachable — a committer holds the
+    * exclusive `v<next>` claim, so a CAS proposing generation G runs
+    * only after winning claim G, and G can't be reproposed — but the
+    * margin keeps the primitive safe even for callers outside the
+    * protocol, at ~8 bytes per retained generation.
+    *
+    * A root commits to ONE store implementation for its lifetime: the
+    * rename store and this one keep their state under different names
+    * and do not see each other's pointer. */
+  object CasPointerStore extends PointerStore {
+    private val Dir = s"$Pointer.d"
+    private[graft] val Retain = 64
+    private def gname(g: Long): String = f"gen-$g%020d"
+
+    /** On the LOCAL filesystem the default `LocalFs` is a ChecksumFs:
+      * every file rename is secretly TWO renames (data + `.crc`
+      * sidecar), a non-atomic pair under which concurrent CAS attempts
+      * interleave pathologically (one racer's data lands with another's
+      * crc; the winner reads back a foreign nonce; nobody claims the
+      * committed generation). Generation files are tiny, self-verified
+      * by the nonce, and never read by anything else — so route their
+      * I/O through a raw, checksum-free local FileContext instead.
+      * Remote stores (HDFS, object stores) do their atomicity
+      * server-side and are used as given. */
+    private lazy val rawLocal: FileContext = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.set("fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs")
+      FileContext.getFileContext(java.net.URI.create("file:///"), conf)
+    }
+    private def genCtx(ctx: FileContext, root: String): FileContext = {
+      val scheme = ctx.makeQualified(new Path(root)).toUri.getScheme
+      if (scheme == null || scheme == "file") rawLocal else ctx
+    }
+
+    private def listGens(ctx: FileContext, root: String): Seq[Long] = {
+      val c = genCtx(ctx, root)
+      val d = new Path(root, Dir)
+      if (!c.util.exists(d)) Nil
+      else {
+        val it = c.listStatus(d)
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map(_.getPath.getName)
+          .filter(_.startsWith("gen-"))
+          .flatMap(_.drop(4).toLongOption)
+          .toSeq
+      }
+    }
+
+    /** A generation file's content: `<version> <writer-nonce>`, written
+      * whole to a temp name then renamed, so readers only ever observe
+      * complete files. */
+    private def readGenRaw(ctx: FileContext, root: String,
+                           g: Long): (Long, String) = {
+      val in = genCtx(ctx, root).open(new Path(new Path(root, Dir), gname(g)))
+      try {
+        val buf = new Array[Byte](128)
+        val n = in.read(buf)
+        val parts = new String(buf, 0, math.max(n, 0), "UTF-8").trim
+          .split(' ')
+        (parts(0).toLong, if (parts.length > 1) parts(1) else "")
+      } finally in.close()
+    }
+
+    def read(ctx: FileContext, root: String): Option[Long] = {
+      val gens = listGens(ctx, root)
+      if (gens.isEmpty) None else Some(readGenRaw(ctx, root, gens.max)._1)
+    }
+
+    def compareAndSwap(ctx: FileContext, root: String,
+                       expected: Option[Long], next: Long): Boolean = {
+      val gens = listGens(ctx, root)
+      val observed =
+        if (gens.isEmpty) None else Some(readGenRaw(ctx, root, gens.max)._1)
+      observed == expected && {
+        val c = genCtx(ctx, root)
+        val nextGen = gens.maxOption.fold(0L)(_ + 1)
+        val dir = new Path(root, Dir)
+        val nonce = java.util.UUID.randomUUID.toString
+        // The create-if-absent itself, per store class:
+        //   - LOCAL: hardlink a complete temp file onto the generation
+        //     name (link(2) — atomic, fails if the name exists, and the
+        //     content appears whole because both names are one inode).
+        //     A no-overwrite RENAME is *not* safe here: Hadoop's
+        //     existence check is check-then-act over a POSIX rename
+        //     that silently REPLACES files, so two racers can both see
+        //     "success".
+        //   - REMOTE (HDFS, object stores): write a temp file, rename
+        //     without overwrite — atomic server-side (conditional PUT
+        //     on an object store).
+        val renamed =
+          if (c eq rawLocal) {
+            import java.nio.file.{Files, Paths}
+            val dirP = Paths.get(ctx.makeQualified(dir).toUri.getPath)
+            Files.createDirectories(dirP)
+            val tmpP = dirP.resolve(s".tmp-$nonce")
+            Files.write(tmpP, s"$next $nonce".getBytes("UTF-8"))
+            try { Files.createLink(dirP.resolve(gname(nextGen)), tmpP); true }
+            catch { case _: java.nio.file.FileAlreadyExistsException => false }
+            finally { Files.deleteIfExists(tmpP); () }
+          } else {
+            val tmp = new Path(dir, s".tmp-$nonce")
+            val out = c.create(tmp,
+              java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE),
+              Options.CreateOpts.createParent())
+            try out.write(s"$next $nonce".getBytes("UTF-8")) finally out.close()
+            try { c.rename(tmp, new Path(dir, gname(nextGen))); true }
+            catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+                   _: org.apache.hadoop.fs.PathExistsException =>
+                c.delete(tmp, false); false
+            }
+          }
+        // Belt-and-braces read-back: you won iff the committed
+        // generation file holds YOUR nonce. With an atomic
+        // create-if-absent this never disagrees with `renamed`; it
+        // exists to fail safe on a store whose no-overwrite semantics
+        // turn out weaker than advertised.
+        val won = renamed && readGenRaw(ctx, root, nextGen)._2 == nonce
+        // deep-margin prune (see Scaladoc); best-effort, losers' and
+        // readers' correctness never depends on which gens remain
+        // because read always takes the max
+        if (won) gens.filter(_ < nextGen - Retain)
+          .foreach(g => try c.delete(new Path(dir, gname(g)), false)
+            catch { case _: java.io.IOException => () })
+        won
+      }
+    }
+  }
+
   /** The committed version, or None before the first publish. */
   def currentVersion(spark: SparkSession, root: String,
                      store: PointerStore = RenamePointerStore): Option[Long] =
@@ -127,8 +285,9 @@ object AtomicPublish {
   }
 
   /** Resolve the current snapshot once; throws before the first publish. */
-  def snapshot(spark: SparkSession, root: String): Snapshot =
-    Snapshot(root, currentVersion(spark, root).getOrElse(
+  def snapshot(spark: SparkSession, root: String,
+               store: PointerStore = RenamePointerStore): Snapshot =
+    Snapshot(root, currentVersion(spark, root, store).getOrElse(
       throw new IllegalStateException(s"no published version under $root")))
 
   /** TIME TRAVEL: resolve a specific retained version — "read the
@@ -146,8 +305,9 @@ object AtomicPublish {
   /** Convenience single-table read through the current snapshot. Jobs
     * touching several tables should hold one [[snapshot]] instead, so
     * all their reads resolve to the same version. */
-  def readTable(spark: SparkSession, root: String, name: String): DataFrame =
-    snapshot(spark, root).table(spark, name)
+  def readTable(spark: SparkSession, root: String, name: String,
+                store: PointerStore = RenamePointerStore): DataFrame =
+    snapshot(spark, root, store).table(spark, name)
 
   /** Publish `outputs` as one atomic batch; returns the new version.
     * Either every table of the batch becomes visible together, or (on

@@ -108,6 +108,30 @@ object AnnIndexStore {
 
   private def readManifest(spark: SparkSession,
                            snap: AtomicPublish.Snapshot): Manifest = {
+    // Version detection for stores published by the pre-manifest layout
+    // (one ann_segments table + ivf_* model tables inside each version
+    // dir, replaced by the one-manifest layout): reading one through
+    // this code would otherwise throw a bare missing-path error deep in
+    // the parquet reader. The formats share no table name, so presence
+    // of the legacy table is an unambiguous signal — fail with the
+    // remedy instead of a stack trace.
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      spark.sparkContext.hadoopConfiguration)
+    val manifestPath = new org.apache.hadoop.fs.Path(
+      s"${snap.root}/v${snap.version}/$ManifestT")
+    if (!fc.util.exists(manifestPath)) {
+      val legacy = fc.util.exists(new org.apache.hadoop.fs.Path(
+        s"${snap.root}/v${snap.version}/ann_segments"))
+      if (legacy) throw new IllegalStateException(
+        s"${snap.root} v${snap.version} uses the legacy ann_segments " +
+          "index layout (pre-manifest); this build reads only the " +
+          "one-manifest layout — rebuild the index with " +
+          "AnnIndexStore.publish (re-training from the corpus resets " +
+          "the store in place)")
+      else throw new IllegalStateException(
+        s"${snap.root} v${snap.version} is not an ANN index store: " +
+          s"no $ManifestT table under the version dir")
+    }
     // explicit schema: a manifest is read on every append/serve, and
     // footer-based schema inference is pure overhead on a known table
     val rows = spark.read.schema(manifestSchema)

@@ -43,6 +43,32 @@ class IncrementalIndexSpec extends SparkSuite {
       emb.filter(col("vec_id") < kQ))
   }
 
+  test("a store published by the legacy pre-manifest layout fails with a " +
+    "named remedy, not a parquet stack trace") {
+    import spark.implicits._
+    // the r14 advisory: the ann_segments→ann_manifest layout change is
+    // backward-incompatible, so a pre-manifest store must be DETECTED
+    // (the legacy table name is unambiguous) and the error must say
+    // what to do, instead of a missing-path failure deep in the reader
+    val root = freshRoot()
+    graft.etl.AtomicPublish.publish(spark, root, Seq(
+      "ann_segments" -> Seq((0, "seg-0")).toDF("seq", "ref"),
+      "ivf_meta" -> Seq((1.0, 16)).toDF("amax", "n_sub")))
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.load(spark, root)
+    }
+    assert(e.getMessage.contains("legacy ann_segments"), e.getMessage)
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // a random non-index store gets the plain diagnosis
+    val notIndex = freshRoot()
+    graft.etl.AtomicPublish.publish(spark, notIndex,
+      Seq("whatever" -> Seq((1, "x")).toDF("k", "v")))
+    val e2 = intercept[IllegalStateException] {
+      AnnIndexStore.load(spark, notIndex)
+    }
+    assert(e2.getMessage.contains("not an ANN index store"), e2.getMessage)
+  }
+
   test("appendEncode grows the index to exactly the full-encode serve, without touching prior segments") {
     val root = freshRoot()
     val (emb, model, queries) = train()

@@ -44,7 +44,9 @@ class PointerStoreSpec extends SparkSuite {
 
   private val stores: Seq[(String, PointerStore)] = Seq(
     "rename" -> RenamePointerStore,
-    "locked-cas" -> LockedCasPointerStore)
+    "locked-cas" -> LockedCasPointerStore,
+    // the src/main production CAS: generation files created-if-absent
+    "cas-file" -> AtomicPublish.CasPointerStore)
 
   private def freshRoot(tag: String): String =
     s"/root/repo/target/test-publish/ptr-$tag-${java.util.UUID.randomUUID}"
@@ -64,7 +66,7 @@ class PointerStoreSpec extends SparkSuite {
         AtomicPublish.commit(spark, s2, store)
       }
       assert(AtomicPublish.currentVersion(spark, root, store) === Some(1L))
-      assert(AtomicPublish.readTable(spark, root, "a")
+      assert(AtomicPublish.readTable(spark, root, "a", store)
         .filter(org.apache.spark.sql.functions.col("k") === 2)
         .first().getString(1) === "winner")
     }
@@ -76,14 +78,14 @@ class PointerStoreSpec extends SparkSuite {
         "b" -> Seq((1, 10L)).toDF("k", "n")), store = store)
       assert(v0 === 0L)
       assert(AtomicPublish.currentVersion(spark, root, store) === Some(0L))
-      val snap = AtomicPublish.snapshot(spark, root)
+      val snap = AtomicPublish.snapshot(spark, root, store)
       assert(snap.table(spark, "a").count() === 1)
       assert(snap.table(spark, "b").count() === 1)
       val v1 = AtomicPublish.publish(spark, root, Seq(
         "a" -> Seq((1, "x"), (2, "y")).toDF("k", "v"),
         "b" -> Seq((1, 10L), (2, 20L)).toDF("k", "n")), store = store)
       assert(v1 === 1L)
-      val snap2 = AtomicPublish.snapshot(spark, root)
+      val snap2 = AtomicPublish.snapshot(spark, root, store)
       assert(snap2.table(spark, "a").count() === 2)
       assert(snap2.table(spark, "b").count() === 2)
     }
@@ -108,10 +110,64 @@ class PointerStoreSpec extends SparkSuite {
         "aged orphan claim not reclaimed")
       assert(AtomicPublish.publish(spark, root,
         Seq("a" -> Seq((2, "alive")).toDF("k", "v")), store = store) === 1L)
-      assert(AtomicPublish.readTable(spark, root, "a")
+      assert(AtomicPublish.readTable(spark, root, "a", store)
         .filter(org.apache.spark.sql.functions.col("k") === 2)
         .first().getString(1) === "alive")
     }
+  }
+
+  test("cas-file: racing compareAndSwaps from one observed state admit " +
+    "EXACTLY one winner (the create-if-absent linearization point)") {
+    val ctx = FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
+    val store = AtomicPublish.CasPointerStore
+    val root = freshRoot("casrace")
+    new java.io.File(root).mkdirs()
+    assert(store.compareAndSwap(ctx, root, None, 0L))
+    assert(store.read(ctx, root) === Some(0L))
+    // 8 threads all try to advance 0 → their own distinct version; the
+    // generation file name is shared, so the filesystem admits one
+    for (round <- 1 to 5) {
+      val base = store.read(ctx, root)
+      val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val threads = (0 until 8).map { i =>
+        val t = new Thread(() => {
+          gate.await()
+          // each its own FileContext: no accidental JVM-side sharing
+          val myCtx = FileContext.getFileContext(
+            spark.sparkContext.hadoopConfiguration)
+          if (store.compareAndSwap(myCtx, root, base, round * 100L + i))
+            wins.incrementAndGet(): Unit
+        })
+        t.start(); t
+      }
+      gate.countDown()
+      threads.foreach(_.join())
+      assert(wins.get() === 1, s"round $round: ${wins.get()} winners")
+      // the committed version is the unique winner's proposal
+      val v = store.read(ctx, root).get
+      assert(v >= round * 100L && v < round * 100L + 8)
+      // a CAS against the stale base now fails cleanly
+      assert(!store.compareAndSwap(ctx, root, base, 999999L))
+    }
+  }
+
+  test("cas-file: generation pruning keeps reads correct across many commits") {
+    val ctx = FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
+    val store = AtomicPublish.CasPointerStore
+    val root = freshRoot("casprune")
+    new java.io.File(root).mkdirs()
+    var cur: Option[Long] = None
+    val n = AtomicPublish.CasPointerStore.Retain + 20
+    (0 until n).foreach { v =>
+      assert(store.compareAndSwap(ctx, root, cur, v.toLong), s"commit $v")
+      cur = Some(v.toLong)
+    }
+    assert(store.read(ctx, root) === Some((n - 1).toLong))
+    val gens = new java.io.File(s"$root/_CURRENT.d").listFiles()
+      .map(_.getName).filter(_.startsWith("gen-"))
+    assert(gens.length <= AtomicPublish.CasPointerStore.Retain + 2,
+      s"pruning left ${gens.length} generation files")
   }
 
   test("a live slow write never looks aged: staging age follows the newest " +
