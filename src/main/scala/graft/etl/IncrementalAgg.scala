@@ -106,23 +106,129 @@ object IncrementalAgg {
         .foldLeft(col("n") =!= 0L)(_ || _))
   }
 
+  // ------------------------------------------------------------------
+  // The published maintained-aggregate store: BUCKETED state segments
+  //
+  // A maintained state at warehouse scale can hold 10⁸ groups; a
+  // minute-cadence consumer that republishes the whole state table per
+  // batch rewrites it 1,440×/day regardless of delta size — the write
+  // half of the maintenance cost would stay O(|groups|) while the
+  // compute half is O(delta). The store therefore HASH-BUCKETS the
+  // state on its group key and a batch rewrites ONLY the buckets its
+  // delta touches; untouched buckets are carried BY REFERENCE into the
+  // new version's manifest (the same segments-outside-versions device
+  // as [[graft.ops.AnnIndexStore]], and as Iceberg's data files).
+  //
+  // Layout:
+  //   root/state_segments/seg-<uuid>/graft_bucket=<b>/  immutable rows
+  //     of one bucket, written once, never mutated; a segment dir holds
+  //     the buckets one batch wrote (partitionBy output)
+  //   root/v<N>/state_manifest  (bucket, ref) rows: bucket -1 carries
+  //     the state schema as a DDL string (so an EMPTY state is still
+  //     readable); buckets 0..B-1 carry the relative segment ref of
+  //     that bucket's current rows, or NULL for an empty bucket. B is
+  //     fixed at seeding (row count of the non-schema rows).
+  //   root/v<N>/applied         the exactly-once ledger (batch_id)
+  //
+  // Readers union the referenced bucket dirs ([[readState]]); the
+  // manifest is B+1 tiny rows. Orphaned segments (vacuumed or
+  // never-committed versions) are reclaimed by [[vacuumSegments]].
+  // ------------------------------------------------------------------
+
   /** Table names of a published maintained aggregate (see [[applyOnce]]). */
-  val StateT = "state"
+  val ManifestT = "state_manifest"
   val AppliedT = "applied"
+
+  /** Reserved bucket column name (also the partition-dir prefix inside
+    * state segments). Group/sum columns may not use it. */
+  val BucketCol = "graft_bucket"
+
+  private val SchemaBucket = -1
+
+  private def bucketExpr(groupCols: Seq[String], numBuckets: Int) =
+    pmod(hash(groupCols.map(col): _*), lit(numBuckets))
+
+  /** Decoded manifest: (numBuckets, bucket → relative segment ref,
+    * state schema DDL). */
+  private def readManifest(spark: SparkSession,
+                           snap: AtomicPublish.Snapshot): (Int, Map[Int, String], String) = {
+    val rows = snap.table(spark, ManifestT).collect()
+    val schema = rows.find(_.getInt(0) == SchemaBucket).map(_.getString(1))
+      .getOrElse(throw new IllegalStateException(
+        s"corrupt state manifest at ${snap.root} v${snap.version}: no schema row"))
+    val refs = rows.filter(r => r.getInt(0) >= 0 && !r.isNullAt(1))
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    (rows.count(_.getInt(0) >= 0), refs, schema)
+  }
+
+  private def manifestDF(spark: SparkSession, numBuckets: Int,
+                         refs: Map[Int, String], schemaDDL: String): DataFrame = {
+    import spark.implicits._
+    ((SchemaBucket, Option(schemaDDL)) +:
+      (0 until numBuckets).map(b => (b, refs.get(b))))
+      .toDF("bucket", "ref")
+  }
+
+  /** Write `state` as one immutable segment, partitioned by bucket;
+    * returns the refs of the buckets that actually hold rows (an
+    * emptied bucket writes nothing and drops out of the manifest). */
+  private def writeSegment(spark: SparkSession, root: String, state: DataFrame,
+                           groupCols: Seq[String], numBuckets: Int): Map[Int, String] = {
+    val seg = s"seg-${java.util.UUID.randomUUID}"
+    state.withColumn(BucketCol, bucketExpr(groupCols, numBuckets))
+      // one write task per bucket: the shuffle is |touched state|-sized
+      // and each partition dir stays one file
+      .repartition(numBuckets, col(BucketCol))
+      .write.partitionBy(BucketCol).mode("overwrite")
+      .parquet(s"$root/state_segments/$seg")
+    // non-empty buckets from the written layout — a directory listing,
+    // not a recompute of the state
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      spark.sparkContext.hadoopConfiguration)
+    val it = fc.listStatus(new org.apache.hadoop.fs.Path(s"$root/state_segments/$seg"))
+    Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith(s"$BucketCol="))
+      .map(n => n.stripPrefix(s"$BucketCol=").toInt)
+      .map(b => b -> s"$seg/$BucketCol=$b")
+      .toMap
+  }
+
+  private def emptyState(spark: SparkSession, schemaDDL: String): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+
+  /** The maintained state served by a store version (current by
+    * default) — the union of every referenced bucket. */
+  def readState(spark: SparkSession, root: String,
+                version: Option[Long] = None): DataFrame = {
+    val snap = version.fold(AtomicPublish.snapshot(spark, root))(
+      AtomicPublish.snapshotAt(spark, root, _))
+    val (_, refs, schemaDDL) = readManifest(spark, snap)
+    if (refs.isEmpty) emptyState(spark, schemaDDL)
+    else spark.read.parquet(
+      refs.values.toSeq.distinct.sorted.map(r => s"${snap.root}/state_segments/$r"): _*)
+  }
 
   /** EXACTLY-ONCE application of one CDC batch to a maintained
     * aggregate living in an [[AtomicPublish]] store — the consumer side
     * of a change-feed stream (a foreachBatch body at minute cadence).
-    * The store holds two tables per version: [[StateT]] (the aggregate)
-    * and [[AppliedT]] (one `batch_id` row per batch ever applied — the
-    * ledger). Because both commit in ONE atomic publish, the ledger can
-    * never disagree with the state it describes: a checkpoint-replayed
-    * batch finds its own id and returns false without touching
-    * anything, and a crash between maintain and commit leaves the
-    * previous version serving — there is no partial application to
-    * observe. `expectedBase` pins the snapshot the maintenance read, so
-    * a concurrent publisher surfaces as a publish conflict rather than
-    * a lost update. Returns true iff the batch was applied.
+    * Because the manifest and [[AppliedT]] ledger commit in ONE atomic
+    * publish, the ledger can never disagree with the state it
+    * describes: a checkpoint-replayed batch finds its own id and
+    * returns false without touching anything, and a crash between
+    * maintain and commit leaves the previous version serving — there is
+    * no partial application to observe. `expectedBase` pins the
+    * snapshot the maintenance read, so a concurrent publisher surfaces
+    * as a publish conflict rather than a lost update. Returns true iff
+    * the batch was applied.
+    *
+    * DELTA-PROPORTIONAL WRITES: only the buckets the feed's groups hash
+    * into are read, maintained, and rewritten; every other bucket's ref
+    * is copied into the new manifest untouched. A batch touching k of B
+    * buckets costs k bucket reads + k bucket writes + (B+1) manifest
+    * rows — independent of |groups| outside the touched buckets.
     *
     * The ledger costs one long per batch EVER applied (a year of
     * minute-cadence ingest ≈ 0.5M rows — noise next to any real
@@ -141,22 +247,79 @@ object IncrementalAgg {
     val applied = snap.table(spark, AppliedT)
     if (!applied.filter(col("batch_id") === batchId).isEmpty) false
     else {
+      val (numBuckets, refs, schemaDDL) = readManifest(spark, snap)
+      // the buckets this delta touches — a feed-sized distinct, ≤ B ints
+      val touched = feed.select(bucketExpr(groupCols, numBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val prevTouched = {
+        val paths = touched.toSeq.sorted.flatMap(refs.get).distinct
+          .map(r => s"${snap.root}/state_segments/$r")
+        if (paths.isEmpty) emptyState(spark, schemaDDL)
+        else spark.read.parquet(paths: _*)
+      }
+      val newRefs = writeSegment(spark, snap.root,
+        maintain(prevTouched, feed, groupCols, sumCols), groupCols, numBuckets)
       AtomicPublish.publish(spark, root, Seq(
-        StateT -> maintain(snap.table(spark, StateT), feed, groupCols, sumCols),
+        ManifestT -> manifestDF(spark, numBuckets,
+          (refs -- touched) ++ newRefs, schemaDDL),
         AppliedT -> applied.unionByName(Seq(batchId).toDF("batch_id"))),
         expectedBase = Some(Some(snap.version)))
       true
     }
   }
 
-  /** Seed a maintained-aggregate store with the base table's state and
-    * an empty ledger; returns the committed version. */
+  /** Seed a maintained-aggregate store with the base table's state
+    * (bucketed B ways) and an empty ledger; returns the committed
+    * version. `numBuckets` is fixed for the store's lifetime — size it
+    * so one bucket's groups fit comfortably in one task (10⁸ groups /
+    * 1024 buckets ≈ 10⁵ rows per bucket file). */
   def publishInitial(spark: SparkSession, root: String, rows: DataFrame,
-                     groupCols: Seq[String],
-                     sumCols: Seq[(String, String)]): Long = {
+                     groupCols: Seq[String], sumCols: Seq[(String, String)],
+                     numBuckets: Int = 64): Long = {
     import spark.implicits._
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    require(!(groupCols ++ sumCols.map(_._1)).contains(BucketCol),
+      s"'$BucketCol' is reserved for the state store's bucket layout")
+    val state = aggregate(rows, groupCols, sumCols)
+    val refs = writeSegment(spark, root, state, groupCols, numBuckets)
     AtomicPublish.publish(spark, root, Seq(
-      StateT -> aggregate(rows, groupCols, sumCols),
+      ManifestT -> manifestDF(spark, numBuckets, refs, state.schema.toDDL),
       AppliedT -> Seq.empty[Long].toDF("batch_id")))
+  }
+
+  /** Reclaim state segments no retained version's manifest references
+    * (conflict losers, crashed publishers, segments whose last
+    * referencing version was vacuumed). Age-guarded like
+    * [[AtomicPublish.vacuum]]: a fresh unreferenced segment may belong
+    * to an in-flight [[applyOnce]] between its write and its publish.
+    * Returns the reclaimed segment dir names. */
+  def vacuumSegments(spark: SparkSession, root: String,
+                     minAgeMs: Long = AtomicPublish.DefaultVacuumMinAgeMs): Seq[String] = {
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      spark.sparkContext.hadoopConfiguration)
+    val segRoot = new org.apache.hadoop.fs.Path(s"$root/state_segments")
+    if (!fc.util.exists(segRoot)) return Nil
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val versions = {
+      val it = fc.listStatus(rootPath)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption).toSeq
+    }
+    val live: Set[String] = versions.flatMap { v =>
+      val snap = AtomicPublish.Snapshot(root, v)
+      try readManifest(spark, snap)._2.values.map(_.split('/').head).toSeq
+      catch { case _: Exception => Nil } // half-written claim: keep nothing from it
+    }.toSet
+    val now = System.currentTimeMillis()
+    val segs = {
+      val it = fc.listStatus(segRoot)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(_.isDirectory).map(s => (s.getPath, s.getModificationTime)).toSeq
+    }
+    segs.filter { case (p, m) =>
+      !live.contains(p.getName) &&
+        now - AtomicPublish.newestUnder(fc, p, m) >= minAgeMs
+    }.map { case (p, _) => fc.delete(p, true); p.getName }
   }
 }

@@ -309,7 +309,7 @@ object StreamingOps {
             IncrementalAgg.applyOnce(s, root, batch, batchId, grp, sums))
           AtomicPublish.vacuum(s, root, keep = 2): Unit
       }
-      AtomicPublish.snapshot(s, root).table(s, IncrementalAgg.StateT)
+      IncrementalAgg.readState(s, root)
         .select(col("o_orderpriority"), col("n"),
           col("total_price").cast("double").as("total_price"))
         .orderBy("o_orderpriority")

@@ -84,8 +84,7 @@ class CdcReplayCrashSpec extends SparkSuite {
     assert(replays === Seq(true, false),
       s"batch 1 must publish once then no-op on replay, saw $replays")
 
-    val finalState = AtomicPublish.snapshot(spark, root)
-      .table(spark, IncrementalAgg.StateT)
+    val finalState = IncrementalAgg.readState(spark, root)
       .as[(String, Long, BigDecimal)].collect().toSet
     val recompute = IncrementalAgg.aggregate(df(v3), grp, sums)
       .as[(String, Long, BigDecimal)].collect().toSet

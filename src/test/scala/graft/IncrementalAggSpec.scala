@@ -125,22 +125,69 @@ class IncrementalAggSpec extends SparkSuite {
     val feed = ChangeFeed.diff(v0.toDF("id", "g", "x"),
       v1.toDF("id", "g", "x"), Seq("id"))
     assert(IncrementalAgg.applyOnce(spark, root, feed, 0L, grp, sums))
-    val after = snap(AtomicPublish.snapshot(spark, root)
-      .table(spark, IncrementalAgg.StateT))
+    val after = snap(IncrementalAgg.readState(spark, root))
     assert(after === snap(state(v1)))
     // the replay: same batch id, same feed — must refuse and leave the
     // published state byte-identical (a re-application would double the
     // delete and drop group "a" entirely)
     assert(!IncrementalAgg.applyOnce(spark, root, feed, 0L, grp, sums))
-    assert(snap(AtomicPublish.snapshot(spark, root)
-      .table(spark, IncrementalAgg.StateT)) === after)
+    assert(snap(IncrementalAgg.readState(spark, root)) === after)
     // a NEW batch id still applies
     val v2 = v1 :+ (4, Some("c"), 4.0)
     val feed2 = ChangeFeed.diff(v1.toDF("id", "g", "x"),
       v2.toDF("id", "g", "x"), Seq("id"))
     assert(IncrementalAgg.applyOnce(spark, root, feed2, 1L, grp, sums))
-    assert(snap(AtomicPublish.snapshot(spark, root)
-      .table(spark, IncrementalAgg.StateT)) === snap(state(v2)))
+    assert(snap(IncrementalAgg.readState(spark, root)) === snap(state(v2)))
+  }
+
+  test("bucketed state: a batch rewrites ONLY the buckets its delta " +
+    "touches; untouched buckets carry by reference, and time travel " +
+    "still reads every version's exact state") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    val root = "/root/repo/target/test-sink/incagg_buckets"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // many groups spread over 8 buckets; the delta touches ONE group
+    val v0 = (0 until 64).map(i => (i, Some(s"g$i"), i * 1.0))
+    val v1 = v0.map { case (i, g, x) => if (i == 7) (i, g, 100.0) else (i, g, x) }
+    IncrementalAgg.publishInitial(spark, root, v0.toDF("id", "g", "x"),
+      grp, sums, numBuckets = 8)
+    def manifest(): Map[Int, String] =
+      AtomicPublish.snapshot(spark, root)
+        .table(spark, IncrementalAgg.ManifestT)
+        .collect().filter(r => r.getInt(0) >= 0 && !r.isNullAt(1))
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val refs0 = manifest()
+    assert(refs0.size === 8, s"64 groups should fill all 8 buckets: $refs0")
+    val feed = ChangeFeed.diff(v0.toDF("id", "g", "x"),
+      v1.toDF("id", "g", "x"), Seq("id"))
+    assert(IncrementalAgg.applyOnce(spark, root, feed, 0L, grp, sums))
+    val refs1 = manifest()
+    val changed = refs1.filter { case (b, r) => refs0(b) != r }
+    assert(changed.size === 1,
+      s"a one-group delta must rewrite exactly one bucket, rewrote: ${changed.keys}")
+    assert((refs1 -- changed.keySet) === (refs0 -- changed.keySet),
+      "untouched buckets must carry IDENTICAL refs (by reference, not rewrite)")
+    // both versions still read exactly, through their manifests
+    assert(snap(IncrementalAgg.readState(spark, root)) === snap(state(v1)))
+    assert(snap(IncrementalAgg.readState(spark, root, version = Some(0L)))
+      === snap(state(v0)))
+    // a second batch touching the SAME group supersedes batch 0's
+    // segment for that bucket — but the segment stays live while v1's
+    // manifest (which references it) is retained
+    val v2 = v1.map { case (i, g, x) => if (i == 7) (i, g, 200.0) else (i, g, x) }
+    val feed2 = ChangeFeed.diff(v1.toDF("id", "g", "x"),
+      v2.toDF("id", "g", "x"), Seq("id"))
+    assert(IncrementalAgg.applyOnce(spark, root, feed2, 1L, grp, sums))
+    assert(IncrementalAgg.vacuumSegments(spark, root, minAgeMs = 0) === Nil)
+    // vacuum v0+v1 away: the initial segment stays LIVE (7 untouched
+    // buckets still reference it from v2's manifest); only batch 0's
+    // one-bucket segment is now unreferenced
+    AtomicPublish.vacuum(spark, root, keep = 1, minAgeMs = 0)
+    val reclaimed = IncrementalAgg.vacuumSegments(spark, root, minAgeMs = 0)
+    assert(reclaimed === Seq(changed.head._2.split('/').head),
+      s"exactly batch 0's superseded segment goes: $reclaimed")
+    assert(snap(IncrementalAgg.readState(spark, root)) === snap(state(v2)),
+      "current state must survive segment GC")
   }
 
   test("the ZERO-COUNT face of feed corruption surfaces too: n = 0 with a " +
