@@ -35,7 +35,10 @@ import org.apache.spark.sql.functions._
   * for a keyed diff — every row's fate depends on its key's presence on
   * the other side), then a streaming merge-join; nothing is collected,
   * nothing is all-pairs. A table bucketed or range-laid-out on its key
-  * diffs exchange-free; the change-type classification and the null-safe
+  * diffs exchange-free — plan-pinned, not just asserted:
+  * PlanShapeSpec's "bucketed change-feed diff is exchange-free" gate
+  * diffs two key-bucketed snapshots and fails on any Exchange over the
+  * key. The change-type classification and the null-safe
   * column comparison are codegen'd expressions (struct `<=>`). A keyless
   * multiset diff, when a table has no primary key, is the existing
   * composition `to.exceptAll(from)` / `from.exceptAll(to)` (E1's

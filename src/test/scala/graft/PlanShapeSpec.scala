@@ -61,6 +61,47 @@ class PlanShapeSpec extends SparkSuite {
       s"bucketed join still shuffles on the join key:\n$p")
   }
 
+  test("bucketed change-feed diff is exchange-free: two key-bucketed " +
+    "snapshots diff without shuffling either side") {
+    // the r14 verdict's ask: ChangeFeed's Scaladoc claims a table
+    // bucketed on its key diffs exchange-free — turn the sentence into
+    // a gate. Two snapshots of one logical table, both bucketed 8 ways
+    // on the key; the full-outer keyed diff must ride the co-located
+    // layout (its presence-flag projection must not break the scan's
+    // partitioning).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (ta, tb) = ("cf_bkt_v0", "cf_bkt_v1")
+    val v0 = (1L to 1000L).map(k => (k, s"p$k", (k % 97).toDouble))
+      .toDF("id", "name", "score")
+    val v1 = v0.filter(col("id") % 10 =!= 3)
+      .withColumn("score", when(col("id") % 10 === 4, col("score") + 0.5)
+        .otherwise(col("score")))
+      .union(Seq((2000L, "new", 1.0)).toDF("id", "name", "score"))
+    for ((t, df) <- Seq(ta -> v0, tb -> v1)) {
+      df.repartition(8, col("id"))
+        .write.mode("overwrite")
+        .bucketBy(8, "id").sortBy("id")
+        .option("path", s"/root/repo/target/sink/$t")
+        .saveAsTable(t)
+    }
+    val diff = graft.etl.ChangeFeed.diff(spark.table(ta), spark.table(tb),
+      Seq("id"))
+    val p = diff.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"keyed diff should plan a full-outer SMJ over the buckets:\n$p")
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"),
+      s"scans must read the bucketed layout:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(id"),
+      s"bucketed diff still shuffles on the key:\n$p")
+    // and the plan is the same feed: spot-check the classification
+    val counts = diff.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts("delete") === 100 && counts("insert") === 1 &&
+      counts("update_preimage") === 100 && counts("update_postimage") === 100,
+      s"unexpected feed: $counts")
+  }
+
   test("optimizer rewrites a self-dot into a squared norm (SelfDotToNorm rule)") {
     graft.functions.NativeVectorExpressions.register(spark)
     val df = Tables.embeddings(spark, sf)
