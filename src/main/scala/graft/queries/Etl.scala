@@ -253,6 +253,43 @@ object Etl {
         .orderBy("o_orderpriority")
     }),
 
+    // o12 — change-feed FAN-OUT [extension; gates SCALE.md's
+    // amortization claim: ONE diff maintains EVERY downstream
+    // aggregate]: the o11 version chain's feed is MATERIALIZED ONCE
+    // (the shape a production consumer stores alongside its state),
+    // then two DIFFERENTLY-GROUPED maintained aggregates consume that
+    // same feed — priority and status views of the same fact stream,
+    // each reaching its batch state without rescanning the base. The
+    // oracle recomputes BOTH views from the v2 slice from scratch, so
+    // the hash match proves the fan-out exact on every branch. Results
+    // normalize to (agg_name, group_key) so one gate carries both.
+    "o12_feed_fanout" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, IncrementalAgg}
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val v1 = rows.filter(col("o_orderkey") % 10 =!= 7)
+      val v2 = rows.filter(col("o_orderkey") % 10 =!= 3)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 10 === 4, lit("9-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority")))
+      val feedDir = s"/root/repo/target/sink/o12_feed_${Tables.dirSlug(dir)}"
+      Shared.setupOnce(s, dir, "o12_feed") {
+        ChangeFeed.diff(v1, v2, Seq("o_orderkey"))
+          .write.mode("overwrite").parquet(feedDir)
+      }
+      val feed = s.read.parquet(feedDir)
+      val sums = Seq("total_price" -> "o_totalprice")
+      def maintained(grp: String, label: String) =
+        IncrementalAgg.maintain(
+          IncrementalAgg.aggregate(v1, Seq(grp), sums), feed, Seq(grp), sums)
+          .select(lit(label).as("agg_name"), col(grp).as("group_key"),
+            col("n"), col("total_price").cast("double").as("total_price"))
+      maintained("o_orderpriority", "by_priority")
+        .unionByName(maintained("o_orderstatus", "by_status"))
+        .orderBy("agg_name", "group_key")
+    }),
+
     // o9 — schema evolution [extension]: a partitioned table whose later
     // batches added a column (the constant lake migration — no rewrite
     // of old data). Old files lack `channel`; a mergeSchema read unions
@@ -347,6 +384,27 @@ object Etl {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
         |    AS DOUBLE) AS total_price
         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Both fan-out branches recomputed from scratch on the v2 slice —
+    // neither the feed nor the incremental path appears here.
+    "o12_feed_fanout" ->
+      """WITH v2 AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 4 THEN '9-RECLASSIFIED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3)
+        |SELECT * FROM (
+        |  SELECT 'by_priority' AS agg_name, o_orderpriority AS group_key,
+        |    COUNT(*) AS n,
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+        |      AS DOUBLE) AS total_price
+        |  FROM v2 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'by_status', o_orderstatus, COUNT(*),
+        |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+        |      AS DOUBLE)
+        |  FROM v2 GROUP BY 2)
+        |ORDER BY agg_name, group_key""".stripMargin,
 
     // The feed replayed relationally: both versions rebuilt from the
     // base table, full-outer-joined on the key, classified with
