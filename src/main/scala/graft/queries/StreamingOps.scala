@@ -298,7 +298,10 @@ object StreamingOps {
         f.delete(): Unit
       }
       rm(new java.io.File(root))
-      IncrementalAgg.publishInitial(s, root, versions.head, grp, sums)
+      // 8 buckets for a handful of groups: B sizes the write granularity
+      // (SCALE.md's f ≈ gΔ/B rule), not the group capacity
+      IncrementalAgg.publishInitial(s, root, versions.head, grp, sums,
+        numBuckets = 8)
       val feedSchema = versions.head.schema
         .add("_change_type", "string", nullable = false)
       val stream = s.readStream.schema(feedSchema)
@@ -306,8 +309,16 @@ object StreamingOps {
       val chk = s"${Streams.ephemeralChkRoot}/st14_${Tables.dirSlug(dir)}"
       Streams.runIngest(s, stream, chk) { (batch, batchId) =>
         if (!batch.isEmpty &&
-            IncrementalAgg.applyOnce(s, root, batch, batchId, grp, sums))
-          AtomicPublish.vacuum(s, root, keep = 2): Unit
+            IncrementalAgg.applyOnce(s, root, batch, batchId, grp, sums)) {
+          AtomicPublish.vacuum(s, root, keep = 2)
+          // ops cadence, like st13's compaction: reclaim state segments
+          // whose last referencing manifest was just vacuumed — without
+          // this a long-running consumer accretes one superseded segment
+          // per touched bucket per batch forever. minAgeMs=0 is safe
+          // here because the consumer is the only publisher (no
+          // in-flight applyOnce can exist between its own batches).
+          IncrementalAgg.vacuumSegments(s, root, minAgeMs = 0): Unit
+        }
       }
       IncrementalAgg.readState(s, root)
         .select(col("o_orderpriority"), col("n"),
