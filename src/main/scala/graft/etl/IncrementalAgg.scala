@@ -133,11 +133,39 @@ object IncrementalAgg {
   // Readers union the referenced bucket dirs ([[readState]]); the
   // manifest is B+1 tiny rows. Orphaned segments (vacuumed or
   // never-committed versions) are reclaimed by [[vacuumSegments]].
+  //
+  // A store can maintain SEVERAL differently-grouped views of one fact
+  // stream ([[applyOnceMulti]]): each view gets its own
+  // `<view>_manifest` table, all views share ONE ledger, and one batch
+  // commits every view's new manifest + the ledger row as ONE atomic
+  // publish — the amortization claim (one diff maintains every
+  // downstream aggregate) as a store primitive with cross-view
+  // consistency: a reader can never observe view A at batch N next to
+  // view B at batch N−1. The single-view API is the one-element case.
   // ------------------------------------------------------------------
 
-  /** Table names of a published maintained aggregate (see [[applyOnce]]). */
+  /** One maintained view of the feed: a name (its manifest table is
+    * `<name>_manifest`), its grouping, its sums, and its bucket count
+    * (fixed at seeding; B sizes WRITE granularity — SCALE.md's
+    * f ≈ gΔ/B rule — not group capacity). */
+  final case class ViewSpec(name: String, groupCols: Seq[String],
+                            sumCols: Seq[(String, String)],
+                            numBuckets: Int = 64) {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"view name must be [A-Za-z0-9_]+: '$name'")
+    require(name != "applied", "'applied' is reserved for the ledger")
+    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+    require(!(groupCols ++ sumCols.map(_._1)).contains(BucketCol),
+      s"'$BucketCol' is reserved for the state store's bucket layout")
+    private[IncrementalAgg] def manifestT: String = s"${name}_manifest"
+  }
+
+  /** Table names of the default single-view store (see [[applyOnce]]). */
   val ManifestT = "state_manifest"
   val AppliedT = "applied"
+
+  /** The single-view name behind [[publishInitial]]/[[applyOnce]]. */
+  private val DefaultView = "state"
 
   /** Reserved bucket column name (also the partition-dir prefix inside
     * state segments). Group/sum columns may not use it. */
@@ -150,12 +178,12 @@ object IncrementalAgg {
 
   /** Decoded manifest: (numBuckets, bucket → relative segment ref,
     * state schema DDL). */
-  private def readManifest(spark: SparkSession,
-                           snap: AtomicPublish.Snapshot): (Int, Map[Int, String], String) = {
-    val rows = snap.table(spark, ManifestT).collect()
+  private def readManifest(spark: SparkSession, snap: AtomicPublish.Snapshot,
+                           table: String): (Int, Map[Int, String], String) = {
+    val rows = snap.table(spark, table).collect()
     val schema = rows.find(_.getInt(0) == SchemaBucket).map(_.getString(1))
       .getOrElse(throw new IllegalStateException(
-        s"corrupt state manifest at ${snap.root} v${snap.version}: no schema row"))
+        s"corrupt state manifest '$table' at ${snap.root} v${snap.version}: no schema row"))
     val refs = rows.filter(r => r.getInt(0) >= 0 && !r.isNullAt(1))
       .map(r => r.getInt(0) -> r.getString(1)).toMap
     (rows.count(_.getInt(0) >= 0), refs, schema)
@@ -199,47 +227,80 @@ object IncrementalAgg {
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
 
-  /** The maintained state served by a store version (current by
-    * default) — the union of every referenced bucket. */
-  def readState(spark: SparkSession, root: String,
-                version: Option[Long] = None): DataFrame = {
+  /** The maintained state of one view, served by a store version
+    * (current by default) — the union of every referenced bucket. */
+  def readView(spark: SparkSession, root: String, view: String,
+               version: Option[Long] = None): DataFrame = {
     val snap = version.fold(AtomicPublish.snapshot(spark, root))(
       AtomicPublish.snapshotAt(spark, root, _))
-    val (_, refs, schemaDDL) = readManifest(spark, snap)
+    val (_, refs, schemaDDL) = readManifest(spark, snap, s"${view}_manifest")
     if (refs.isEmpty) emptyState(spark, schemaDDL)
     else spark.read.parquet(
       refs.values.toSeq.distinct.sorted.map(r => s"${snap.root}/state_segments/$r"): _*)
   }
 
-  /** EXACTLY-ONCE application of one CDC batch to a maintained
-    * aggregate living in an [[AtomicPublish]] store — the consumer side
-    * of a change-feed stream (a foreachBatch body at minute cadence).
-    * Because the manifest and [[AppliedT]] ledger commit in ONE atomic
-    * publish, the ledger can never disagree with the state it
-    * describes: a checkpoint-replayed batch finds its own id and
-    * returns false without touching anything, and a crash between
-    * maintain and commit leaves the previous version serving — there is
-    * no partial application to observe. `expectedBase` pins the
-    * snapshot the maintenance read, so a concurrent publisher surfaces
-    * as a publish conflict rather than a lost update. Returns true iff
-    * the batch was applied.
+  /** [[readView]] of the single-view store's default view. */
+  def readState(spark: SparkSession, root: String,
+                version: Option[Long] = None): DataFrame =
+    readView(spark, root, DefaultView, version)
+
+  /** Maintain ONE view against the feed under `snap`, returning its new
+    * manifest table (name -> rows). The delta-proportional core: only
+    * the buckets the feed's groups hash into are read, maintained, and
+    * rewritten; every other bucket's ref is carried verbatim. */
+  private def maintainView(spark: SparkSession, snap: AtomicPublish.Snapshot,
+                           feed: DataFrame, view: ViewSpec): (String, DataFrame) = {
+    val (numBuckets, refs, schemaDDL) = readManifest(spark, snap, view.manifestT)
+    // the buckets this delta touches — a feed-sized distinct, ≤ B ints
+    val touched = feed.select(bucketExpr(view.groupCols, numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val prevTouched = {
+      val paths = touched.toSeq.sorted.flatMap(refs.get).distinct
+        .map(r => s"${snap.root}/state_segments/$r")
+      if (paths.isEmpty) emptyState(spark, schemaDDL)
+      else spark.read.parquet(paths: _*)
+    }
+    val newRefs = writeSegment(spark, snap.root,
+      maintain(prevTouched, feed, view.groupCols, view.sumCols),
+      view.groupCols, numBuckets)
+    view.manifestT -> manifestDF(spark, numBuckets,
+      (refs -- touched) ++ newRefs, schemaDDL)
+  }
+
+  /** EXACTLY-ONCE application of one CDC batch to EVERY maintained view
+    * of a store — the consumer side of a change-feed stream (a
+    * foreachBatch body at minute cadence), and the production form of
+    * the amortization claim: the feed is read once per view's delta
+    * aggregation, but the diff that produced it is computed (or
+    * received) ONCE, and all views advance TOGETHER. Because every
+    * view's manifest and the shared [[AppliedT]] ledger commit in ONE
+    * atomic publish, the ledger can never disagree with any state it
+    * describes, and a reader can never observe view A at batch N next
+    * to view B at batch N−1: a checkpoint-replayed batch finds its own
+    * id and returns false without touching anything, and a crash
+    * between maintain and commit leaves the previous version of EVERY
+    * view serving — there is no partial application to observe.
+    * `expectedBase` pins the snapshot the maintenance read, so a
+    * concurrent publisher surfaces as a publish conflict rather than a
+    * lost update. Returns true iff the batch was applied.
     *
-    * DELTA-PROPORTIONAL WRITES: only the buckets the feed's groups hash
-    * into are read, maintained, and rewritten; every other bucket's ref
-    * is copied into the new manifest untouched. A batch touching k of B
+    * DELTA-PROPORTIONAL WRITES per view: a batch touching k of B
     * buckets costs k bucket reads + k bucket writes + (B+1) manifest
     * rows — independent of |groups| outside the touched buckets.
     *
     * The ledger costs one long per batch EVER applied (a year of
     * minute-cadence ingest ≈ 0.5M rows — noise next to any real
-    * state); re-seeding via [[publishInitial]] from a fresh base
+    * state); re-seeding via [[publishInitialMulti]] from a fresh base
     * rebase resets it, the same device as the ANN store's rebuild.
     *
-    * Call [[publishInitial]] once to seed the store. */
-  def applyOnce(spark: SparkSession, root: String, feed: DataFrame,
-                batchId: Long, groupCols: Seq[String],
-                sumCols: Seq[(String, String)]): Boolean = {
+    * `views` must be the seeded set (same names). Call
+    * [[publishInitialMulti]] once to seed the store. */
+  def applyOnceMulti(spark: SparkSession, root: String, feed: DataFrame,
+                     batchId: Long, views: Seq[ViewSpec]): Boolean = {
     import spark.implicits._
+    require(views.nonEmpty, "no views")
+    require(views.map(_.name).distinct.size == views.size,
+      s"duplicate view names: ${views.map(_.name).mkString(",")}")
     // one pointer resolution: the snapshot read IS the expectedBase pin
     // (reading the pointer twice would let a publish land in between and
     // surface as a spurious conflict)
@@ -247,49 +308,51 @@ object IncrementalAgg {
     val applied = snap.table(spark, AppliedT)
     if (!applied.filter(col("batch_id") === batchId).isEmpty) false
     else {
-      val (numBuckets, refs, schemaDDL) = readManifest(spark, snap)
-      // the buckets this delta touches — a feed-sized distinct, ≤ B ints
-      val touched = feed.select(bucketExpr(groupCols, numBuckets).as("b"))
-        .distinct().collect().map(_.getInt(0)).toSet
-      val prevTouched = {
-        val paths = touched.toSeq.sorted.flatMap(refs.get).distinct
-          .map(r => s"${snap.root}/state_segments/$r")
-        if (paths.isEmpty) emptyState(spark, schemaDDL)
-        else spark.read.parquet(paths: _*)
-      }
-      val newRefs = writeSegment(spark, snap.root,
-        maintain(prevTouched, feed, groupCols, sumCols), groupCols, numBuckets)
-      AtomicPublish.publish(spark, root, Seq(
-        ManifestT -> manifestDF(spark, numBuckets,
-          (refs -- touched) ++ newRefs, schemaDDL),
-        AppliedT -> applied.unionByName(Seq(batchId).toDF("batch_id"))),
+      AtomicPublish.publish(spark, root,
+        views.map(maintainView(spark, snap, feed, _)) :+
+          (AppliedT -> applied.unionByName(Seq(batchId).toDF("batch_id"))),
         expectedBase = Some(Some(snap.version)))
       true
     }
   }
 
-  /** Seed a maintained-aggregate store with the base table's state
-    * (bucketed B ways) and an empty ledger; returns the committed
-    * version. `numBuckets` is fixed for the store's lifetime — size it
-    * so one bucket's groups fit comfortably in one task (10⁸ groups /
-    * 1024 buckets ≈ 10⁵ rows per bucket file). */
-  def publishInitial(spark: SparkSession, root: String, rows: DataFrame,
-                     groupCols: Seq[String], sumCols: Seq[(String, String)],
-                     numBuckets: Int = 64): Long = {
+  /** Single-view [[applyOnceMulti]] against the default view. */
+  def applyOnce(spark: SparkSession, root: String, feed: DataFrame,
+                batchId: Long, groupCols: Seq[String],
+                sumCols: Seq[(String, String)]): Boolean =
+    applyOnceMulti(spark, root, feed, batchId,
+      Seq(ViewSpec(DefaultView, groupCols, sumCols)))
+
+  /** Seed a multi-view maintained store: every view's initial bucketed
+    * state plus one empty shared ledger, committed as one atomic
+    * publish; returns the version. Each view's `numBuckets` is fixed
+    * for the store's lifetime — size it so one bucket's groups fit
+    * comfortably in one task (10⁸ groups / 1024 buckets ≈ 10⁵ rows per
+    * bucket file). */
+  def publishInitialMulti(spark: SparkSession, root: String, rows: DataFrame,
+                          views: Seq[ViewSpec]): Long = {
     import spark.implicits._
-    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
-    require(!(groupCols ++ sumCols.map(_._1)).contains(BucketCol),
-      s"'$BucketCol' is reserved for the state store's bucket layout")
-    val state = aggregate(rows, groupCols, sumCols)
-    val refs = writeSegment(spark, root, state, groupCols, numBuckets)
-    AtomicPublish.publish(spark, root, Seq(
-      ManifestT -> manifestDF(spark, numBuckets, refs, state.schema.toDDL),
-      AppliedT -> Seq.empty[Long].toDF("batch_id")))
+    require(views.nonEmpty, "no views")
+    require(views.map(_.name).distinct.size == views.size,
+      s"duplicate view names: ${views.map(_.name).mkString(",")}")
+    AtomicPublish.publish(spark, root,
+      views.map { v =>
+        val state = aggregate(rows, v.groupCols, v.sumCols)
+        val refs = writeSegment(spark, root, state, v.groupCols, v.numBuckets)
+        v.manifestT -> manifestDF(spark, v.numBuckets, refs, state.schema.toDDL)
+      } :+ (AppliedT -> Seq.empty[Long].toDF("batch_id")))
   }
 
-  /** Reclaim state segments no retained version's manifest references
-    * (conflict losers, crashed publishers, segments whose last
-    * referencing version was vacuumed). Age-guarded like
+  /** Single-view [[publishInitialMulti]] under the default view name. */
+  def publishInitial(spark: SparkSession, root: String, rows: DataFrame,
+                     groupCols: Seq[String], sumCols: Seq[(String, String)],
+                     numBuckets: Int = 64): Long =
+    publishInitialMulti(spark, root, rows,
+      Seq(ViewSpec(DefaultView, groupCols, sumCols, numBuckets)))
+
+  /** Reclaim state segments no retained version's manifests (of ANY
+    * view) reference — conflict losers, crashed publishers, segments
+    * whose last referencing version was vacuumed. Age-guarded like
     * [[AtomicPublish.vacuum]]: a fresh unreferenced segment may belong
     * to an in-flight [[applyOnce]] between its write and its publish.
     * Returns the reclaimed segment dir names. */
@@ -300,26 +363,31 @@ object IncrementalAgg {
     val segRoot = new org.apache.hadoop.fs.Path(s"$root/state_segments")
     if (!fc.util.exists(segRoot)) return Nil
     val rootPath = new org.apache.hadoop.fs.Path(root)
-    val versions = {
-      val it = fc.listStatus(rootPath)
-      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-        .filter(_.isDirectory).map(_.getPath.getName)
-        .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption).toSeq
+    def ls(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fc.listStatus(p)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
     }
+    val versions = ls(rootPath).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption)
     val live: Set[String] = versions.flatMap { v =>
       val snap = AtomicPublish.Snapshot(root, v)
-      try readManifest(spark, snap)._2.values.map(_.split('/').head).toSeq
-      catch { case _: Exception => Nil } // half-written claim: keep nothing from it
+      // every view's manifest in this version — discovered from the
+      // version dir itself, so vacuum needs no view list
+      val manifests = try ls(new org.apache.hadoop.fs.Path(s"$root/v$v"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.endsWith("_manifest"))
+      catch { case _: java.io.FileNotFoundException => Nil }
+      manifests.flatMap { t =>
+        try readManifest(spark, snap, t)._2.values.map(_.split('/').head).toSeq
+        catch { case _: Exception => Nil } // half-written claim: keep nothing from it
+      }
     }.toSet
     val now = System.currentTimeMillis()
-    val segs = {
-      val it = fc.listStatus(segRoot)
-      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-        .filter(_.isDirectory).map(s => (s.getPath, s.getModificationTime)).toSeq
-    }
-    segs.filter { case (p, m) =>
-      !live.contains(p.getName) &&
-        now - AtomicPublish.newestUnder(fc, p, m) >= minAgeMs
-    }.map { case (p, _) => fc.delete(p, true); p.getName }
+    ls(segRoot).filter(_.isDirectory)
+      .map(s => (s.getPath, s.getModificationTime))
+      .filter { case (p, m) =>
+        !live.contains(p.getName) &&
+          now - AtomicPublish.newestUnder(fc, p, m) >= minAgeMs
+      }.map { case (p, _) => fc.delete(p, true); p.getName }
   }
 }

@@ -309,17 +309,18 @@ object StreamingOps {
       val chk = s"${Streams.ephemeralChkRoot}/st14_${Tables.dirSlug(dir)}"
       Streams.runIngest(s, stream, chk) { (batch, batchId) =>
         if (!batch.isEmpty &&
-            IncrementalAgg.applyOnce(s, root, batch, batchId, grp, sums)) {
-          AtomicPublish.vacuum(s, root, keep = 2)
-          // ops cadence, like st13's compaction: reclaim state segments
-          // whose last referencing manifest was just vacuumed — without
-          // this a long-running consumer accretes one superseded segment
-          // per touched bucket per batch forever. minAgeMs=0 is safe
-          // here because the consumer is the only publisher (no
-          // in-flight applyOnce can exist between its own batches).
-          IncrementalAgg.vacuumSegments(s, root, minAgeMs = 0): Unit
-        }
+            IncrementalAgg.applyOnce(s, root, batch, batchId, grp, sums))
+          AtomicPublish.vacuum(s, root, keep = 2): Unit
       }
+      // segment GC at the OPS cadence (st13 runs compaction the same
+      // way — every Nth batch, not every batch: each pass costs one
+      // manifest read per retained version, so per-batch GC would
+      // double the read half of a batch's work). Without it a
+      // long-running consumer accretes one superseded segment per
+      // touched bucket per batch forever. minAgeMs=0 is safe here
+      // because the consumer is the only publisher (nothing can be
+      // in flight between its own batches).
+      IncrementalAgg.vacuumSegments(s, root, minAgeMs = 0)
       IncrementalAgg.readState(s, root)
         .select(col("o_orderpriority"), col("n"),
           col("total_price").cast("double").as("total_price"))

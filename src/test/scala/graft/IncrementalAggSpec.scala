@@ -190,6 +190,62 @@ class IncrementalAggSpec extends SparkSuite {
       "current state must survive segment GC")
   }
 
+  test("multi-view store: one feed advances EVERY view atomically — one " +
+    "version per batch, cross-view consistency, exactly-once shared ledger") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    import graft.etl.IncrementalAgg.ViewSpec
+    val root = "/root/repo/target/test-sink/incagg_multiview"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // rows carry TWO grouping dimensions; each view maintains one
+    val v0 = Seq((1, Some("a"), "x", 1.0), (2, Some("a"), "y", 2.0),
+      (3, Some("b"), "x", 3.0), (4, None, "y", 4.0))
+    val v1 = Seq((1, Some("a"), "x", 1.0), (2, Some("b"), "y", 2.0),
+      (4, None, "y", 9.0), (5, Some("c"), "x", 5.0))
+    def df(rows: Seq[(Int, Option[String], String, Double)]) =
+      rows.toDF("id", "g", "h", "x")
+    val views = Seq(
+      ViewSpec("by_g", Seq("g"), Seq("total" -> "x"), numBuckets = 4),
+      ViewSpec("by_h", Seq("h"), Seq("total" -> "x"), numBuckets = 4))
+    val seeded = IncrementalAgg.publishInitialMulti(spark, root, df(v0), views)
+    assert(seeded === 0L)
+    def viewSnap(view: String, cols: Seq[String]): Set[Seq[Any]] =
+      IncrementalAgg.readView(spark, root, view)
+        .collect().map(_.toSeq).toSet
+    def recompute(rows: Seq[(Int, Option[String], String, Double)],
+                  grpCol: String): Set[Seq[Any]] =
+      IncrementalAgg.aggregate(df(rows), Seq(grpCol), Seq("total" -> "x"))
+        .collect().map(_.toSeq).toSet
+    assert(viewSnap("by_g", Seq("g")) === recompute(v0, "g"))
+    assert(viewSnap("by_h", Seq("h")) === recompute(v0, "h"))
+    // ONE feed advances BOTH views in ONE committed version
+    val feed = ChangeFeed.diff(df(v0), df(v1), Seq("id"))
+    assert(IncrementalAgg.applyOnceMulti(spark, root, feed, 0L, views))
+    assert(AtomicPublish.currentVersion(spark, root) === Some(1L),
+      "one batch must commit exactly one version across all views")
+    assert(viewSnap("by_g", Seq("g")) === recompute(v1, "g"))
+    assert(viewSnap("by_h", Seq("h")) === recompute(v1, "h"))
+    // cross-view time travel: version 0 still serves BOTH views' seed
+    assert(IncrementalAgg.readView(spark, root, "by_g", Some(0L))
+      .collect().map(_.toSeq).toSet === recompute(v0, "g"))
+    // replay: the shared ledger refuses once for ALL views — neither
+    // view mutates, no version is burned
+    assert(!IncrementalAgg.applyOnceMulti(spark, root, feed, 0L, views))
+    assert(AtomicPublish.currentVersion(spark, root) === Some(1L))
+    assert(viewSnap("by_g", Seq("g")) === recompute(v1, "g"))
+    assert(viewSnap("by_h", Seq("h")) === recompute(v1, "h"))
+    // segment GC discovers every view's manifest: nothing live is lost
+    AtomicPublish.vacuum(spark, root, keep = 1, minAgeMs = 0)
+    IncrementalAgg.vacuumSegments(spark, root, minAgeMs = 0)
+    assert(viewSnap("by_g", Seq("g")) === recompute(v1, "g"))
+    assert(viewSnap("by_h", Seq("h")) === recompute(v1, "h"))
+    // view-name hygiene fails fast
+    assertThrows[IllegalArgumentException](ViewSpec("applied", Seq("g"), Nil))
+    assertThrows[IllegalArgumentException](ViewSpec("bad name", Seq("g"), Nil))
+    assertThrows[IllegalArgumentException](
+      IncrementalAgg.publishInitialMulti(spark, root, df(v0),
+        views :+ views.head))
+  }
+
   test("the ZERO-COUNT face of feed corruption surfaces too: n = 0 with a " +
     "nonzero residual sum stays visible instead of vanishing") {
     import graft.etl.{ChangeFeed, IncrementalAgg}
