@@ -272,9 +272,26 @@ object AtomicPublish {
     }
   }
 
+  /** The deployment-selected default [[PointerStore]]: every
+    * AtomicPublish entry point defaults to this, so ONE environment
+    * flag (`SPARK_GRAFT_POINTER_STORE=cas|rename`) switches the whole
+    * engine's pointer primitive — no call-site changes. Unset =
+    * rename (POSIX/HDFS). A root commits to one store for its
+    * lifetime: the two keep their pointer state under different names
+    * and do not see each other's commits, so flip the flag only with
+    * fresh roots (the per-run sinks the harness uses) or after a
+    * re-seed. The full oracle battery is rehearsed green under `cas`
+    * (SCALE.md round-15). */
+  val DefaultStore: PointerStore = sys.env.get("SPARK_GRAFT_POINTER_STORE") match {
+    case Some("cas") => CasPointerStore
+    case Some("rename") | None => RenamePointerStore
+    case Some(other) => throw new IllegalArgumentException(
+      s"SPARK_GRAFT_POINTER_STORE='$other' (expected cas|rename)")
+  }
+
   /** The committed version, or None before the first publish. */
   def currentVersion(spark: SparkSession, root: String,
-                     store: PointerStore = RenamePointerStore): Option[Long] =
+                     store: PointerStore = DefaultStore): Option[Long] =
     store.read(fc(spark), root)
 
   /** A resolved snapshot: table reads through it all see ONE version,
@@ -286,7 +303,7 @@ object AtomicPublish {
 
   /** Resolve the current snapshot once; throws before the first publish. */
   def snapshot(spark: SparkSession, root: String,
-               store: PointerStore = RenamePointerStore): Snapshot =
+               store: PointerStore = DefaultStore): Snapshot =
     Snapshot(root, currentVersion(spark, root, store).getOrElse(
       throw new IllegalStateException(s"no published version under $root")))
 
@@ -306,7 +323,7 @@ object AtomicPublish {
     * touching several tables should hold one [[snapshot]] instead, so
     * all their reads resolve to the same version. */
   def readTable(spark: SparkSession, root: String, name: String,
-                store: PointerStore = RenamePointerStore): DataFrame =
+                store: PointerStore = DefaultStore): DataFrame =
     snapshot(spark, root, store).table(spark, name)
 
   /** Publish `outputs` as one atomic batch; returns the new version.
@@ -317,7 +334,7 @@ object AtomicPublish {
   def publish(spark: SparkSession, root: String,
               outputs: Seq[(String, DataFrame)],
               expectedBase: Option[Option[Long]] = None,
-              store: PointerStore = RenamePointerStore): Long =
+              store: PointerStore = DefaultStore): Long =
     commit(spark, stage(spark, root, outputs, expectedBase, store), store)
 
   /** A written-but-uncommitted batch: every output is materialized under
@@ -344,7 +361,7 @@ object AtomicPublish {
   def stage(spark: SparkSession, root: String,
             outputs: Seq[(String, DataFrame)],
             expectedBase: Option[Option[Long]] = None,
-            store: PointerStore = RenamePointerStore): Staged = {
+            store: PointerStore = DefaultStore): Staged = {
     require(outputs.nonEmpty, "empty publish batch")
     val expected = expectedBase.getOrElse(currentVersion(spark, root, store))
     val tx = s"tx-${java.util.UUID.randomUUID}"
@@ -414,7 +431,7 @@ object AtomicPublish {
     * an I/O error as a conflict would send the operator chasing a
     * phantom second writer. */
   def commit(spark: SparkSession, staged: Staged,
-             store: PointerStore = RenamePointerStore): Long = {
+             store: PointerStore = DefaultStore): Long = {
     val ctx = fc(spark)
     val next = staged.expected.getOrElse(-1L) + 1
     val src = new Path(staged.root, staged.txDir)
@@ -519,7 +536,7 @@ object AtomicPublish {
 
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
              minAgeMs: Long = DefaultVacuumMinAgeMs,
-             store: PointerStore = RenamePointerStore): Seq[Long] = {
+             store: PointerStore = DefaultStore): Seq[Long] = {
     val ctx = fc(spark)
     val cur = store.read(ctx, root).getOrElse(return Nil)
     val rootPath = new Path(root)
