@@ -24,15 +24,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * untouched and readers keep the previous consistent snapshot; the
   * orphaned half-written `v<N+1>` is invisible and reclaimed by
   * [[vacuum]]. The pointer read/swap primitive is pluggable
-  * ([[PointerStore]]): the default [[RenamePointerStore]] implements it
-  * as `FileContext.rename(…, Rename.OVERWRITE)` — atomic on POSIX
+  * ([[PointerStore]]), selected engine-wide by
+  * `SPARK_GRAFT_POINTER_STORE` ([[DefaultStore]]): the default
+  * [[RenamePointerStore]] implements it as
+  * `FileContext.rename(…, Rename.OVERWRITE)` — atomic on POSIX
   * filesystems and HDFS — with a verify-then-swap whose microsecond
-  * window the single-writer convention covers; an object-store
-  * deployment supplies a true CAS implementation (an S3 conditional
-  * PUT or a DynamoDB/catalog pointer) behind the same trait, with the
-  * layout and protocol unchanged. PointerStoreContractSpec pins the
-  * contract both implementations must satisfy (claim exclusivity, swap
-  * visibility, crashed-claim recoverability).
+  * window the single-writer convention covers; [[CasPointerStore]] is
+  * a TRUE create-if-absent CAS (generation files) for deployments that
+  * want no residual window at all, mapping to a conditional PUT on
+  * object stores. PointerStoreSpec pins the contract every
+  * implementation must satisfy (claim exclusivity, swap visibility,
+  * crashed-claim recoverability), and the full oracle battery is
+  * rehearsed green under the CAS store (SCALE.md round-15).
   *
   * Concurrency: single writer, many readers — the reference's shape (one
   * ETL job owns the warehouse). As insurance against a VIOLATED

@@ -208,22 +208,22 @@ class IncrementalAggSpec extends SparkSuite {
       ViewSpec("by_h", Seq("h"), Seq("total" -> "x"), numBuckets = 4))
     val seeded = IncrementalAgg.publishInitialMulti(spark, root, df(v0), views)
     assert(seeded === 0L)
-    def viewSnap(view: String, cols: Seq[String]): Set[Seq[Any]] =
+    def viewSnap(view: String): Set[Seq[Any]] =
       IncrementalAgg.readView(spark, root, view)
         .collect().map(_.toSeq).toSet
     def recompute(rows: Seq[(Int, Option[String], String, Double)],
                   grpCol: String): Set[Seq[Any]] =
       IncrementalAgg.aggregate(df(rows), Seq(grpCol), Seq("total" -> "x"))
         .collect().map(_.toSeq).toSet
-    assert(viewSnap("by_g", Seq("g")) === recompute(v0, "g"))
-    assert(viewSnap("by_h", Seq("h")) === recompute(v0, "h"))
+    assert(viewSnap("by_g") === recompute(v0, "g"))
+    assert(viewSnap("by_h") === recompute(v0, "h"))
     // ONE feed advances BOTH views in ONE committed version
     val feed = ChangeFeed.diff(df(v0), df(v1), Seq("id"))
     assert(IncrementalAgg.applyOnceMulti(spark, root, feed, 0L, views))
     assert(AtomicPublish.currentVersion(spark, root) === Some(1L),
       "one batch must commit exactly one version across all views")
-    assert(viewSnap("by_g", Seq("g")) === recompute(v1, "g"))
-    assert(viewSnap("by_h", Seq("h")) === recompute(v1, "h"))
+    assert(viewSnap("by_g") === recompute(v1, "g"))
+    assert(viewSnap("by_h") === recompute(v1, "h"))
     // cross-view time travel: version 0 still serves BOTH views' seed
     assert(IncrementalAgg.readView(spark, root, "by_g", Some(0L))
       .collect().map(_.toSeq).toSet === recompute(v0, "g"))
@@ -231,13 +231,13 @@ class IncrementalAggSpec extends SparkSuite {
     // view mutates, no version is burned
     assert(!IncrementalAgg.applyOnceMulti(spark, root, feed, 0L, views))
     assert(AtomicPublish.currentVersion(spark, root) === Some(1L))
-    assert(viewSnap("by_g", Seq("g")) === recompute(v1, "g"))
-    assert(viewSnap("by_h", Seq("h")) === recompute(v1, "h"))
+    assert(viewSnap("by_g") === recompute(v1, "g"))
+    assert(viewSnap("by_h") === recompute(v1, "h"))
     // segment GC discovers every view's manifest: nothing live is lost
     AtomicPublish.vacuum(spark, root, keep = 1, minAgeMs = 0)
     IncrementalAgg.vacuumSegments(spark, root, minAgeMs = 0)
-    assert(viewSnap("by_g", Seq("g")) === recompute(v1, "g"))
-    assert(viewSnap("by_h", Seq("h")) === recompute(v1, "h"))
+    assert(viewSnap("by_g") === recompute(v1, "g"))
+    assert(viewSnap("by_h") === recompute(v1, "h"))
     // view-name hygiene fails fast
     assertThrows[IllegalArgumentException](ViewSpec("applied", Seq("g"), Nil))
     assertThrows[IllegalArgumentException](ViewSpec("bad name", Seq("g"), Nil))

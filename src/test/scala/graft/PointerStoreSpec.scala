@@ -16,11 +16,13 @@ import graft.etl.AtomicPublish.{PointerStore, RenamePointerStore}
   *      happened blocks that version loudly until an aged vacuum
   *      reclaims it, after which publishing resumes.
   *
-  * Run against both the rename implementation and a LOCK-SERIALIZED
-  * CAS stand-in (a catalog/conditional-PUT pointer reduced to a JVM
-  * lock — compareAndSwap is genuinely atomic, the way S3 conditional
-  * PUT or a DynamoDB pointer would make it). The protocol code is
-  * identical either way; only the pointer primitive differs. */
+  * Run against THREE implementations: the rename default, a
+  * LOCK-SERIALIZED CAS stand-in (a catalog/conditional-PUT pointer
+  * reduced to a JVM lock — compareAndSwap is genuinely atomic, the way
+  * S3 conditional PUT or a DynamoDB pointer would make it), and the
+  * production [[AtomicPublish.CasPointerStore]] (create-if-absent
+  * generation files). The protocol code is identical in every case;
+  * only the pointer primitive differs. */
 class PointerStoreSpec extends SparkSuite {
   import spark.implicits._
 
