@@ -119,6 +119,77 @@ object ChangeFeed {
       .select(col("_r.*"))
   }
 
+  /** COMPOSE two consecutive feeds: the net row-level changes A→C from
+    * the feeds of A→B and B→C, without touching either snapshot — the
+    * algebra behind CDC topic/ledger compaction (Kafka log compaction,
+    * Debezium event folding): a consumer that fell N batches behind
+    * applies ONE composed feed instead of N, and the composed feed is
+    * sized by the NET delta (a row inserted then deleted vanishes; a
+    * row changed then reverted vanishes; a chain of updates collapses
+    * to one preimage/postimage pair).
+    *
+    * Identity (differential-tested on random version chains):
+    * `compose(diff(a,b), diff(b,c), k)` is row-for-row `diff(a,c, k)`.
+    * Since [[IncrementalAgg.maintain]] consumes exactly this shape,
+    * maintenance over the composed feed equals maintenance over the
+    * chain — N batches of MV work collapse with it.
+    *
+    * Preconditions: both inputs are [[diff]] outputs over the same
+    * schema and key, and CONSECUTIVE (`ab`'s `to` side is `bc`'s
+    * `from` side — violations surface as impossible rows downstream,
+    * the same contract as maintain's corrupted-feed surfacing). Rows
+    * with NULL key columns group as one key here (SQL GROUP BY
+    * semantics), matching their delete+insert surfacing in [[diff]].
+    *
+    * Scale: one key-shuffle per feed (each folded to at most one
+    * (preimage, postimage) pair per key — map-side partial agg), then
+    * one keyed full-outer merge; work ∝ the feeds, never a snapshot. */
+  def compose(ab: DataFrame, bc: DataFrame, key: Seq[String]): DataFrame = {
+    Seq(ab, bc).foreach(f => require(f.columns.contains("_change_type"),
+      "compose inputs must be ChangeFeed.diff outputs (missing _change_type)"))
+    require(ab.columns.sorted.sameElements(bc.columns.sorted),
+      s"schema mismatch: ab=${ab.columns.sorted.mkString(",")} " +
+        s"bc=${bc.columns.sorted.mkString(",")}")
+    val cols = bc.columns.toSeq.filterNot(_ == "_change_type")
+    val missing = key.filterNot(cols.contains)
+    require(missing.isEmpty, s"key columns absent from feed: ${missing.mkString(",")}")
+    // fold each feed to one (from-image, to-image) pair per key: the
+    // preimage/delete row is the key's state BEFORE the feed, the
+    // postimage/insert row its state AFTER; max() picks the single
+    // non-null struct (a valid feed has at most one of each per key)
+    def fold(feed: DataFrame): DataFrame =
+      feed.groupBy(key.map(col): _*).agg(
+        max(when(col("_change_type").isin("delete", "update_preimage"),
+          struct(cols.map(col): _*))).as("from_img"),
+        max(when(col("_change_type").isin("insert", "update_postimage"),
+          struct(cols.map(col): _*))).as("to_img"))
+        .withColumn("_cf_present", lit(true))
+    val a = fold(ab).as("a")
+    val c = fold(bc).as("c")
+    val joinCond = key.map(k => col(s"a.$k") <=> col(s"c.$k")).reduce(_ && _)
+    val aPresent = col("a._cf_present").isNotNull
+    val cPresent = col("c._cf_present").isNotNull
+    // net from-image: the key's state before A→B if the key appears
+    // there (NULL = born in A→B), else its state before B→C; net
+    // to-image symmetrically from the later feed first
+    val fromNet = when(aPresent, col("a.from_img")).otherwise(col("c.from_img"))
+    val toNet = when(cPresent, col("c.to_img")).otherwise(col("a.to_img"))
+    def row(img: Column, changeType: String): Column =
+      struct(cols.map(n => img.getField(n).as(n)) :+
+        lit(changeType).as("_change_type"): _*)
+    a.join(c, joinCond, "full_outer")
+      .select(fromNet.as("f"), toNet.as("t"))
+      // born-then-died (both null) and changed-then-reverted (equal)
+      // produce NO net change — exactly diff(a, c)'s verdict
+      .filter(!(col("f") <=> col("t")))
+      .select(explode(
+        when(col("f").isNull, array(row(col("t"), "insert")))
+          .when(col("t").isNull, array(row(col("f"), "delete")))
+          .otherwise(array(row(col("f"), "update_preimage"),
+            row(col("t"), "update_postimage")))).as("_r"))
+      .select(col("_r.*"))
+  }
+
   /** [[diff]] between two RETAINED versions of a published table, read
     * through [[AtomicPublish.snapshotAt]] — throws if either version was
     * vacuumed or never committed. `fromVersion` is the older side. */

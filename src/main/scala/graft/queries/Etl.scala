@@ -290,6 +290,35 @@ object Etl {
         .orderBy("agg_name", "group_key")
     }),
 
+    // o13 — feed COMPOSITION [extension; CDC ledger compaction]: the
+    // net row-level changes across a THREE-version chain, computed from
+    // the two per-batch feeds alone — compose(diff(v1,v2), diff(v2,v3))
+    // — never from the snapshots. A consumer that fell behind applies
+    // ONE composed feed instead of two; rows that changed and changed
+    // back (decile 4 is reclassified in batch 1 and the classification
+    // survives batch 2 — but decile 1 rows UPDATED in batch 1 are
+    // DELETED by batch 2, collapsing to plain deletes) net out exactly.
+    // The oracle computes the direct v1↔v3 classification relationally
+    // — the composition path never appears in it, so the hash match
+    // proves compose ≡ direct diff on real data.
+    "o13_feed_compose" -> ((s, dir) => {
+      import graft.etl.ChangeFeed
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val reclass = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_orderpriority",
+          when(col("o_orderkey") % 10 === 4, lit("9-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority")))
+      val v1 = rows.filter(col("o_orderkey") % 10 =!= 7)
+      val v2 = reclass(rows.filter(col("o_orderkey") % 10 =!= 3))
+      val v3 = reclass(rows.filter(col("o_orderkey") % 10 =!= 3 &&
+        col("o_orderkey") % 10 =!= 1))
+      ChangeFeed.compose(
+        ChangeFeed.diff(v1, v2, Seq("o_orderkey")),
+        ChangeFeed.diff(v2, v3, Seq("o_orderkey")), Seq("o_orderkey"))
+        .orderBy("o_orderkey", "_change_type")
+    }),
+
     // o9 — schema evolution [extension]: a partitioned table whose later
     // batches added a column (the constant lake migration — no rewrite
     // of old data). Old files lack `channel`; a mergeSchema read unions
@@ -384,6 +413,40 @@ object Etl {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
         |    AS DOUBLE) AS total_price
         |FROM v2 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The DIRECT v1↔v3 classification — the two per-batch feeds and
+    // their composition never appear in the oracle.
+    "o13_feed_compose" ->
+      """WITH v1 AS (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 7),
+        |v3 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN '9-RECLASSIFIED'
+        |         ELSE o_orderpriority END AS o_orderpriority,
+        |    o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (3, 1)),
+        |j AS (
+        |  SELECT v1.o_orderkey AS f_k, v1.o_orderpriority AS f_p,
+        |         v1.o_totalprice AS f_t,
+        |         v3.o_orderkey AS t_k, v3.o_orderpriority AS t_p,
+        |         v3.o_totalprice AS t_t
+        |  FROM v1 FULL OUTER JOIN v3 ON v1.o_orderkey = v3.o_orderkey)
+        |SELECT o_orderkey, o_orderpriority, o_totalprice, _change_type FROM (
+        |  SELECT t_k AS o_orderkey, t_p AS o_orderpriority,
+        |         t_t AS o_totalprice, 'insert' AS _change_type
+        |  FROM j WHERE f_k IS NULL
+        |  UNION ALL
+        |  SELECT f_k, f_p, f_t, 'delete' FROM j WHERE t_k IS NULL
+        |  UNION ALL
+        |  SELECT f_k, f_p, f_t, 'update_preimage' FROM j
+        |  WHERE f_k IS NOT NULL AND t_k IS NOT NULL
+        |    AND (f_p IS DISTINCT FROM t_p OR f_t IS DISTINCT FROM t_t)
+        |  UNION ALL
+        |  SELECT t_k, t_p, t_t, 'update_postimage' FROM j
+        |  WHERE f_k IS NOT NULL AND t_k IS NOT NULL
+        |    AND (f_p IS DISTINCT FROM t_p OR f_t IS DISTINCT FROM t_t))
+        |ORDER BY o_orderkey, _change_type""".stripMargin,
 
     // Both fan-out branches recomputed from scratch on the v2 slice —
     // neither the feed nor the incremental path appears here.

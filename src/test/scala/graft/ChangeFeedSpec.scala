@@ -86,6 +86,41 @@ class ChangeFeedSpec extends SparkSuite {
       requireUniqueKey = true).count() === 0L)
   }
 
+  test("compose nets out the vanishing chains: insert-then-delete, revert, " +
+    "delete-then-reinsert-same; update chains collapse to one pair") {
+    val v1 = Seq((1, Some("a"), Some(10L)), (2, Some("b"), Some(20L)),
+      (3, Some("c"), Some(30L)), (4, Some("d"), Some(40L)))
+    val v2 = Seq((1, Some("a!"), Some(10L)),              // 1 updated…
+      (2, Some("b"), Some(20L)),
+      (4, Some("d!"), Some(41L)),                         // 4 updated (chain 1/2)
+      (5, Some("born"), Some(50L)))                       // 5 inserted… (3 deleted…)
+    val v3 = Seq((1, Some("a"), Some(10L)),               // …1 REVERTED
+      (2, Some("b"), Some(20L)),
+      (3, Some("c"), Some(30L)),                          // …3 REINSTATED verbatim
+      (4, Some("d!!"), Some(42L)))                        // 4 updated again (…5 deleted)
+    val composed = ChangeFeed.compose(feed(v1, v2), feed(v2, v3), Seq("id"))
+      .as[(Int, Option[String], Option[Long], String)].collect().toSet
+    // 1, 3, 5 net to NOTHING; 4's two updates collapse to v1→v3 images
+    assert(composed === Set(
+      (4, Some("d"), Some(40L), "update_preimage"),
+      (4, Some("d!!"), Some(42L), "update_postimage")))
+    // and the identity against the direct diff, on the same chain
+    assert(composed === feed(v1, v3)
+      .as[(Int, Option[String], Option[Long], String)].collect().toSet)
+    // preconditions: non-feed input, schema mismatch, bad key
+    val notFeed = Seq((1, "x")).toDF("id", "name")
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.compose(notFeed, feed(v1, v2), Seq("id"))
+    }.getMessage.contains("_change_type"))
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.compose(feed(v1, v2),
+        feed(v2, v3).withColumnRenamed("score", "points"), Seq("id"))
+    }.getMessage.contains("schema mismatch"))
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.compose(feed(v1, v2), feed(v2, v3), Seq("missing"))
+    }.getMessage.contains("absent"))
+  }
+
   test("preconditions fail fast: schema mismatch, missing key, empty key") {
     val a = Seq((1, "x")).toDF("id", "name")
     val b = Seq((1, "x", 2L)).toDF("id", "name", "extra")

@@ -657,6 +657,32 @@ class DifferentialSpec extends SparkSuite {
       val recomputed = IncrementalAgg.aggregate(df(v2, 2), grp, sums)
         .as[(Option[String], Long, BigDecimal)].collect().toSet
       assert(maintained === recomputed, "maintained state != recompute")
+      // compose differential: the net feed of two consecutive diffs IS
+      // the direct diff — insert-then-delete vanishes, revert vanishes,
+      // update chains collapse. The third version plants the vanishing
+      // cases deliberately: key 100 (inserted by mutate in A→B) is
+      // dropped in B→C, and key 1 is forced back to its v1 state (a
+      // revert if it survived to v2, a delete-then-reinsert-same if
+      // mutate dropped it) — both must produce NO net change rows
+      val v3 = mutate(v2, salt + 1) - 100L ++ v1.get(1L).map(s => 1L -> s)
+      val composed = ChangeFeed.compose(
+        ChangeFeed.diff(df(v1, 2), df(v2, 6), Seq("id")),
+        ChangeFeed.diff(df(v2, 4), df(v3, 3), Seq("id")), Seq("id"))
+        .as[(Long, Option[String], Option[Double], String)].collect().toSet
+      val direct = ChangeFeed.diff(df(v1, 5), df(v3, 7), Seq("id"))
+        .as[(Long, Option[String], Option[Double], String)].collect().toSet
+      assert(composed === direct, "compose(diff,diff) != direct diff")
+      // and maintenance over the COMPOSED feed equals the chain's end
+      val viaComposed = IncrementalAgg.maintain(
+        IncrementalAgg.aggregate(df(v1, 3), grp, sums),
+        ChangeFeed.compose(
+          ChangeFeed.diff(df(v1, 2), df(v2, 6), Seq("id")),
+          ChangeFeed.diff(df(v2, 4), df(v3, 3), Seq("id")), Seq("id")),
+        grp, sums)
+        .as[(Option[String], Long, BigDecimal)].collect().toSet
+      assert(viaComposed === IncrementalAgg.aggregate(df(v3, 2), grp, sums)
+        .as[(Option[String], Long, BigDecimal)].collect().toSet,
+        "maintain over composed feed != recompute at chain end")
     }
   }
 
