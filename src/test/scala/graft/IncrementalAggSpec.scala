@@ -246,6 +246,61 @@ class IncrementalAggSpec extends SparkSuite {
         views :+ views.head))
   }
 
+  test("catch-up apply: missed batches compose into ONE maintenance round; " +
+    "exactly-once survives regrouping; inconsistent chains fail loudly") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    val base = "/root/repo/target/test-sink/incagg_catchup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val v0 = Seq((1, Some("a"), 1.0), (2, Some("a"), 2.0), (3, Some("b"), 3.0))
+    val v1 = Seq((1, Some("a"), 1.0), (3, Some("b"), 9.0), (4, Some("c"), 4.0))
+    val v2 = Seq((1, Some("b"), 1.5), (3, Some("b"), 9.0), (4, Some("c"), 4.0))
+    val v3 = Seq((3, Some("b"), 9.0), (4, Some("c"), 5.0), (5, Some("a"), 7.0))
+    val chain = Seq(v0, v1, v2, v3)
+    def df(rows: Seq[(Int, Option[String], Double)]) = rows.toDF("id", "g", "x")
+    val feeds = chain.sliding(2).zipWithIndex.map { case (pair, i) =>
+      i.toLong -> ChangeFeed.diff(df(pair.head), df(pair.last), Seq("id"))
+    }.toSeq
+    // store A: batch-by-batch; store B: one catch-up round
+    val (ra, rb) = (s"$base/one_by_one", s"$base/composed")
+    for (r <- Seq(ra, rb))
+      IncrementalAgg.publishInitial(spark, r, df(v0), grp, sums)
+    feeds.foreach { case (id, f) =>
+      assert(IncrementalAgg.applyOnce(spark, ra, f, id, grp, sums))
+    }
+    assert(IncrementalAgg.applyComposed(spark, rb, feeds, Seq("id"),
+      grp, sums) === 3)
+    assert(snap(IncrementalAgg.readState(spark, rb)) ===
+      snap(IncrementalAgg.readState(spark, ra)))
+    assert(snap(IncrementalAgg.readState(spark, rb)) === snap(state(v3)))
+    // ONE version committed for all three batches on the catch-up store
+    assert(AtomicPublish.currentVersion(spark, rb) === Some(1L))
+    // exactly-once across regroupings: every individual batch now
+    // no-ops on the catch-up store, and the whole chain re-offered is 0
+    feeds.foreach { case (id, f) =>
+      assert(!IncrementalAgg.applyOnce(spark, rb, f, id, grp, sums))
+    }
+    assert(IncrementalAgg.applyComposed(spark, rb, feeds, Seq("id"),
+      grp, sums) === 0)
+    // the checkpoint-replay shape: an applied PREFIX is skipped, the
+    // rest applies — seed a third store, apply batch 0 alone, then
+    // offer the full chain
+    val rc = s"$base/prefix"
+    IncrementalAgg.publishInitial(spark, rc, df(v0), grp, sums)
+    assert(IncrementalAgg.applyOnce(spark, rc, feeds.head._2, 0L, grp, sums))
+    assert(IncrementalAgg.applyComposed(spark, rc, feeds, Seq("id"),
+      grp, sums) === 2)
+    assert(snap(IncrementalAgg.readState(spark, rc)) === snap(state(v3)))
+    // chain inconsistency: batch 2 applied but 1 not — offering the
+    // chain must fail loudly, not re-apply or silently skip
+    val rd = s"$base/stray"
+    IncrementalAgg.publishInitial(spark, rd, df(v0), grp, sums)
+    assert(IncrementalAgg.applyOnce(spark, rd, feeds.head._2, 0L, grp, sums))
+    assert(IncrementalAgg.applyOnce(spark, rd, feeds(2)._2, 2L, grp, sums))
+    assert(intercept[IllegalArgumentException] {
+      IncrementalAgg.applyComposed(spark, rd, feeds, Seq("id"), grp, sums)
+    }.getMessage.contains("chain inconsistency"))
+  }
+
   test("the ZERO-COUNT face of feed corruption surfaces too: n = 0 with a " +
     "nonzero residual sum stays visible instead of vanishing") {
     import graft.etl.{ChangeFeed, IncrementalAgg}
