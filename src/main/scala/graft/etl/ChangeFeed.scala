@@ -190,6 +190,70 @@ object ChangeFeed {
       .select(col("_r.*"))
   }
 
+  /** APPLY a feed: replay the row-level changes onto the snapshot they
+    * were diffed FROM, reconstructing the snapshot they lead TO — the
+    * inverse leg of the CDC algebra ([[diff]] produces a feed,
+    * [[compose]] folds feeds, [[IncrementalAgg.maintain]] consumes one
+    * into an aggregate; `applyTo` consumes one into the TABLE itself).
+    * Identity (differential-tested on random version chains):
+    * `applyTo(a, diff(a, b, k), k)` is row-for-row `b`, and composing
+    * before applying changes nothing:
+    * `applyTo(a, compose(f1, f2, k), k) ≡ applyTo(applyTo(a, f1, k), f2, k)`.
+    *
+    * This is the primitive behind feed-based table REPLICATION: a
+    * replica site holding version N needs only the (delta-sized) feed
+    * to reach N+1, never the snapshot — see
+    * [[IncrementalAgg.ReplicaSpec]] for the published, exactly-once,
+    * bucketed-write form. It is also point-in-time RECONSTRUCTION: an
+    * old snapshot plus its retained feeds replays any later version,
+    * so a retention policy may vacuum intermediate snapshots and keep
+    * the (much smaller) feeds.
+    *
+    * Deletes and update preimages remove their key; inserts and update
+    * postimages add their row. Keys match null-safely (`<=>`), so the
+    * delete+insert pair [[diff]] emits for a NULL-keyed row replays
+    * correctly. Under diff's unique-key contract the anti join removes
+    * exactly the feed's preimage rows.
+    *
+    * A feed applied to a base it was NOT diffed from silently merges
+    * (a delete for an absent key no-ops — SQL anti-join semantics);
+    * callers that cannot trust the pairing pass `strict = true` to
+    * fail loudly on the first preimage key absent from the base (one
+    * extra feed-vs-base anti join, the same opt-in-verification
+    * posture as [[diff]]'s `requireUniqueKey`).
+    *
+    * Scale: the feed side of the anti join is delta-sized — under AQE
+    * it broadcasts and the BASE NEVER SHUFFLES; the postimage union is
+    * map-side. Work ∝ base scan + delta, the replication floor. */
+  def applyTo(base: DataFrame, feed: DataFrame, key: Seq[String],
+              strict: Boolean = false): DataFrame = {
+    require(feed.columns.contains("_change_type"),
+      "applyTo feed must be a ChangeFeed.diff output (missing _change_type)")
+    val cols = feed.columns.toSeq.filterNot(_ == "_change_type")
+    require(base.columns.sorted.sameElements(cols.sorted),
+      s"schema mismatch: base=${base.columns.sorted.mkString(",")} " +
+        s"feed=${cols.sorted.mkString(",")}")
+    val missing = key.filterNot(cols.contains)
+    require(missing.isEmpty, s"key columns absent from feed: ${missing.mkString(",")}")
+    val removes = feed
+      .filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(key.map(col): _*)
+    val b = base.as("b")
+    val r = removes.as("r")
+    val joinCond = key.map(k => col(s"b.$k") <=> col(s"r.$k")).reduce(_ && _)
+    if (strict) {
+      val orphan = r.join(b, joinCond, "left_anti").limit(1).collect()
+      require(orphan.isEmpty,
+        s"feed does not correspond to this base: preimage key " +
+          s"(${orphan.headOption.map(_.toSeq.mkString(",")).getOrElse("")}) " +
+          "is absent from the base")
+    }
+    val adds = feed
+      .filter(col("_change_type").isin("insert", "update_postimage"))
+      .select(base.columns.toSeq.map(col): _*)
+    b.join(r, joinCond, "left_anti").unionByName(adds)
+  }
+
   /** [[diff]] between two RETAINED versions of a published table, read
     * through [[AtomicPublish.snapshotAt]] — throws if either version was
     * vacuumed or never committed. `fromVersion` is the older side. */

@@ -144,20 +144,77 @@ object IncrementalAgg {
   // view B at batch N−1. The single-view API is the one-element case.
   // ------------------------------------------------------------------
 
-  /** One maintained view of the feed: a name (its manifest table is
-    * `<name>_manifest`), its grouping, its sums, and its bucket count
-    * (fixed at seeding; B sizes WRITE granularity — SCALE.md's
-    * f ≈ gΔ/B rule — not group capacity). */
+  /** One maintained TARGET of the feed: how to seed its state from a
+    * base snapshot, how to advance it under one feed, and which columns
+    * hash a row into its bucket. Two shapes exist — the additive
+    * aggregate view ([[ViewSpec]]) and the row-level table replica
+    * ([[ReplicaSpec]]) — and they share everything else: the bucketed
+    * segment layout, the delta-proportional touched-bucket writes, the
+    * exactly-once ledger, and atomic co-advancement (a store may
+    * maintain a replica NEXT TO its aggregate views, and one batch
+    * commits all of them together — a reader can never observe the
+    * table at batch N beside an index or MV at batch N−1). */
+  sealed trait TargetSpec {
+    def name: String
+    def numBuckets: Int
+    /** Columns whose hash picks a state row's bucket. For a view the
+      * group key (a feed row's ± contribution lands in its group's
+      * bucket); for a replica the primary key (a changed row lands in
+      * its own bucket) — either way the buckets a feed TOUCHES are
+      * computable from the feed alone. */
+    private[etl] def bucketCols: Seq[String]
+    private[etl] def seed(rows: DataFrame): DataFrame
+    private[etl] def step(prev: DataFrame, feed: DataFrame): DataFrame
+    private[IncrementalAgg] final def manifestT: String = s"${name}_manifest"
+    protected final def validateCommon(): Unit = {
+      require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+        s"target name must be [A-Za-z0-9_]+: '$name'")
+      require(name != "applied", "'applied' is reserved for the ledger")
+      require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+      require(!bucketCols.contains(BucketCol),
+        s"'$BucketCol' is reserved for the state store's bucket layout")
+    }
+  }
+
+  /** One maintained aggregate view of the feed: a name (its manifest
+    * table is `<name>_manifest`), its grouping, its sums, and its
+    * bucket count (fixed at seeding; B sizes WRITE granularity —
+    * SCALE.md's f ≈ gΔ/B rule — not group capacity). */
   final case class ViewSpec(name: String, groupCols: Seq[String],
                             sumCols: Seq[(String, String)],
-                            numBuckets: Int = 64) {
-    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
-      s"view name must be [A-Za-z0-9_]+: '$name'")
-    require(name != "applied", "'applied' is reserved for the ledger")
-    require(numBuckets > 0, s"numBuckets must be positive: $numBuckets")
+                            numBuckets: Int = 64) extends TargetSpec {
     require(!(groupCols ++ sumCols.map(_._1)).contains(BucketCol),
       s"'$BucketCol' is reserved for the state store's bucket layout")
-    private[IncrementalAgg] def manifestT: String = s"${name}_manifest"
+    validateCommon()
+    private[etl] def bucketCols: Seq[String] = groupCols
+    private[etl] def seed(rows: DataFrame): DataFrame =
+      aggregate(rows, groupCols, sumCols)
+    private[etl] def step(prev: DataFrame, feed: DataFrame): DataFrame =
+      maintain(prev, feed, groupCols, sumCols)
+  }
+
+  /** A maintained row-level REPLICA of the feed's table: the state IS
+    * the table (seeded from the base snapshot verbatim), advanced by
+    * [[ChangeFeed.applyTo]] — feed-based replication with
+    * delta-proportional writes: a batch rewrites only the buckets its
+    * changed KEYS hash into, and because preimage keys live in exactly
+    * those buckets, applying against the touched subset is exact.
+    * `strict` forwards to `applyTo`: fail loudly if a feed's preimage
+    * key is absent from the replica (a feed applied out of order or
+    * against the wrong site). */
+  final case class ReplicaSpec(name: String, key: Seq[String],
+                               numBuckets: Int = 64,
+                               strict: Boolean = false) extends TargetSpec {
+    require(key.nonEmpty, "replica key must name at least one column")
+    validateCommon()
+    private[etl] def bucketCols: Seq[String] = key
+    private[etl] def seed(rows: DataFrame): DataFrame = {
+      require(!rows.columns.contains(BucketCol),
+        s"'$BucketCol' is reserved for the state store's bucket layout")
+      rows
+    }
+    private[etl] def step(prev: DataFrame, feed: DataFrame): DataFrame =
+      ChangeFeed.applyTo(prev, feed, key, strict)
   }
 
   /** Table names of the default single-view store (see [[applyOnce]]). */
@@ -244,15 +301,16 @@ object IncrementalAgg {
                 version: Option[Long] = None): DataFrame =
     readView(spark, root, DefaultView, version)
 
-  /** Maintain ONE view against the feed under `snap`, returning its new
-    * manifest table (name -> rows). The delta-proportional core: only
-    * the buckets the feed's groups hash into are read, maintained, and
-    * rewritten; every other bucket's ref is carried verbatim. */
+  /** Advance ONE target against the feed under `snap`, returning its
+    * new manifest table (name -> rows). The delta-proportional core:
+    * only the buckets the feed's rows hash into (by the target's
+    * bucket columns) are read, stepped, and rewritten; every other
+    * bucket's ref is carried verbatim. */
   private def maintainView(spark: SparkSession, snap: AtomicPublish.Snapshot,
-                           feed: DataFrame, view: ViewSpec): (String, DataFrame) = {
-    val (numBuckets, refs, schemaDDL) = readManifest(spark, snap, view.manifestT)
+                           feed: DataFrame, target: TargetSpec): (String, DataFrame) = {
+    val (numBuckets, refs, schemaDDL) = readManifest(spark, snap, target.manifestT)
     // the buckets this delta touches — a feed-sized distinct, ≤ B ints
-    val touched = feed.select(bucketExpr(view.groupCols, numBuckets).as("b"))
+    val touched = feed.select(bucketExpr(target.bucketCols, numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val prevTouched = {
       val paths = touched.toSeq.sorted.flatMap(refs.get).distinct
@@ -261,9 +319,9 @@ object IncrementalAgg {
       else spark.read.parquet(paths: _*)
     }
     val newRefs = writeSegment(spark, snap.root,
-      maintain(prevTouched, feed, view.groupCols, view.sumCols),
-      view.groupCols, numBuckets)
-    view.manifestT -> manifestDF(spark, numBuckets,
+      target.step(prevTouched, feed),
+      target.bucketCols, numBuckets)
+    target.manifestT -> manifestDF(spark, numBuckets,
       (refs -- touched) ++ newRefs, schemaDDL)
   }
 
@@ -296,7 +354,7 @@ object IncrementalAgg {
     * `views` must be the seeded set (same names). Call
     * [[publishInitialMulti]] once to seed the store. */
   def applyOnceMulti(spark: SparkSession, root: String, feed: DataFrame,
-                     batchId: Long, views: Seq[ViewSpec]): Boolean = {
+                     batchId: Long, views: Seq[TargetSpec]): Boolean = {
     import spark.implicits._
     require(views.nonEmpty, "no views")
     require(views.map(_.name).distinct.size == views.size,
@@ -345,7 +403,7 @@ object IncrementalAgg {
     * compaction a woken-up consumer's ops schedule wants. */
   def applyComposedMulti(spark: SparkSession, root: String,
                          feeds: Seq[(Long, DataFrame)], key: Seq[String],
-                         views: Seq[ViewSpec]): Int = {
+                         views: Seq[TargetSpec]): Int = {
     import spark.implicits._
     require(feeds.nonEmpty, "no feeds")
     require(feeds.map(_._1).distinct.size == feeds.size,
@@ -390,15 +448,15 @@ object IncrementalAgg {
     * comfortably in one task (10⁸ groups / 1024 buckets ≈ 10⁵ rows per
     * bucket file). */
   def publishInitialMulti(spark: SparkSession, root: String, rows: DataFrame,
-                          views: Seq[ViewSpec]): Long = {
+                          views: Seq[TargetSpec]): Long = {
     import spark.implicits._
     require(views.nonEmpty, "no views")
     require(views.map(_.name).distinct.size == views.size,
       s"duplicate view names: ${views.map(_.name).mkString(",")}")
     AtomicPublish.publish(spark, root,
       views.map { v =>
-        val state = aggregate(rows, v.groupCols, v.sumCols)
-        val refs = writeSegment(spark, root, state, v.groupCols, v.numBuckets)
+        val state = v.seed(rows)
+        val refs = writeSegment(spark, root, state, v.bucketCols, v.numBuckets)
         v.manifestT -> manifestDF(spark, v.numBuckets, refs, state.schema.toDDL)
       } :+ (AppliedT -> Seq.empty[Long].toDF("batch_id")))
   }

@@ -319,6 +319,45 @@ object Etl {
         .orderBy("o_orderkey", "_change_type")
     }),
 
+    // o14 — feed-based table REPLICATION [extension; the inverse leg of
+    // the CDC algebra: diff produces a feed, compose folds feeds,
+    // maintain consumes one into an aggregate — applyTo consumes one
+    // into the TABLE]: a replica site holding v1 of the orders slice
+    // reaches v3 by applying the two delta-sized feeds alone, never a
+    // snapshot, through the bucketed replica store (ReplicaSpec —
+    // exactly-once ledger, strict preimage verification, and writes
+    // proportional to the delta's touched buckets). The oracle computes
+    // the v3 slice directly from the base table — the feeds, applyTo,
+    // and the store never appear in it, so the hash match proves
+    // replica ≡ primary row-for-row.
+    "o14_feed_replicate" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, IncrementalAgg}
+      import graft.etl.IncrementalAgg.ReplicaSpec
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+      val reclass = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_orderpriority",
+          when(col("o_orderkey") % 10 === 4, lit("9-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority")))
+      val v1 = rows.filter(col("o_orderkey") % 10 =!= 7)
+      val v2 = reclass(rows.filter(col("o_orderkey") % 10 =!= 3))
+      val v3 = reclass(rows.filter(col("o_orderkey") % 10 =!= 3 &&
+        col("o_orderkey") % 10 =!= 1))
+      val key = Seq("o_orderkey")
+      val root = s"/root/repo/target/sink/o14_replica_${Tables.dirSlug(dir)}"
+      // a fresh replica site per run: the replication state IS the
+      // query's subject, so it must not accrete across invocations
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      if (fc.util.exists(rp)) fc.delete(rp, true)
+      val site = Seq(ReplicaSpec("replica", key, numBuckets = 16, strict = true))
+      IncrementalAgg.publishInitialMulti(s, root, v1, site)
+      IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v1, v2, key), 1L, site)
+      IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v2, v3, key), 2L, site)
+      IncrementalAgg.readView(s, root, "replica").orderBy("o_orderkey")
+    }),
+
     // o9 — schema evolution [extension]: a partitioned table whose later
     // batches added a column (the constant lake migration — no rewrite
     // of old data). Old files lack `channel`; a mergeSchema read unions
@@ -447,6 +486,17 @@ object Etl {
         |  WHERE f_k IS NOT NULL AND t_k IS NOT NULL
         |    AND (f_p IS DISTINCT FROM t_p OR f_t IS DISTINCT FROM t_t))
         |ORDER BY o_orderkey, _change_type""".stripMargin,
+
+    // The v3 slice computed directly from the base table — the feeds,
+    // applyTo, and the replica store never appear here, so the hash
+    // match proves the feed-replicated site ≡ the primary row-for-row.
+    "o14_feed_replicate" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 4 THEN '9-RECLASSIFIED'
+        |       ELSE o_orderpriority END AS o_orderpriority,
+        |  o_totalprice
+        |FROM orders WHERE o_orderkey % 10 NOT IN (3, 1)
+        |ORDER BY o_orderkey""".stripMargin,
 
     // Both fan-out branches recomputed from scratch on the v2 slice —
     // neither the feed nor the incremental path appears here.

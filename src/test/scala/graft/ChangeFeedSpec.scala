@@ -139,6 +139,78 @@ class ChangeFeedSpec extends SparkSuite {
     }.getMessage.contains("reserved change-feed column"))
   }
 
+  test("applyTo replays a feed exactly: apply(a, diff(a,b)) ≡ b, and " +
+    "composing before applying changes nothing") {
+    val v1 = Seq((1, Some("a"), Some(10L)), (2, Some("b"), Some(20L)),
+      (3, Some("c"), Some(30L)))
+    val v2 = Seq((1, Some("a!"), Some(11L)), (3, Some("c"), Some(30L)),
+      (4, Some("d"), Some(40L)))
+    val v3 = Seq((1, Some("a!"), Some(11L)), (4, Some("d!"), Some(41L)),
+      (5, Some("e"), Some(50L)))
+    def df(rows: Seq[(Int, Option[String], Option[Long])]) =
+      rows.toDF("id", "name", "score")
+    def set(d: org.apache.spark.sql.DataFrame) =
+      d.as[(Int, Option[String], Option[Long])].collect().toSet
+    val f12 = feed(v1, v2)
+    val f23 = feed(v2, v3)
+    // the replay identity
+    assert(set(ChangeFeed.applyTo(df(v1), f12, Seq("id"))) === v2.toSet)
+    // sequential apply walks the chain…
+    val stepped = ChangeFeed.applyTo(
+      ChangeFeed.applyTo(df(v1), f12, Seq("id")), f23, Seq("id"))
+    assert(set(stepped) === v3.toSet)
+    // …and applying the COMPOSED feed lands on the same rows
+    val composed = ChangeFeed.applyTo(df(v1),
+      ChangeFeed.compose(f12, f23, Seq("id")), Seq("id"))
+    assert(set(composed) === v3.toSet)
+    // an empty feed is the identity
+    assert(set(ChangeFeed.applyTo(df(v1), feed(v1, v1), Seq("id"))) === v1.toSet)
+  }
+
+  test("applyTo matches keys null-safely: a NULL-keyed row's " +
+    "delete+insert pair replays correctly") {
+    val from = Seq((Some(1), "a"), (None, "b")).toDF("id", "name")
+    val to = Seq((Some(1), "a"), (None, "b2")).toDF("id", "name")
+    val f = ChangeFeed.diff(from, to, Seq("id"))
+    val out = ChangeFeed.applyTo(from, f, Seq("id"))
+      .as[(Option[Int], String)].collect().toSet
+    assert(out === Set((Some(1), "a"), (None, "b2")))
+  }
+
+  test("applyTo strict mode fails loudly on a feed that does not " +
+    "correspond to the base; lenient mode silently merges") {
+    val right = Seq((1, "a"), (2, "b")).toDF("id", "name")
+    val wrong = Seq((9, "z")).toDF("id", "name") // never saw key 1 or 2
+    val f = ChangeFeed.diff(right,
+      Seq((1, "a!"), (2, "b")).toDF("id", "name"), Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeed.applyTo(wrong, f, Seq("id"), strict = true)
+    }
+    assert(e.getMessage.contains("does not correspond"))
+    // lenient: the preimage delete no-ops, the postimage still lands
+    val merged = ChangeFeed.applyTo(wrong, f, Seq("id"))
+      .as[(Int, String)].collect().toSet
+    assert(merged === Set((9, "z"), (1, "a!")))
+    // and strict passes on the base the feed was actually diffed from
+    assert(ChangeFeed.applyTo(right, f, Seq("id"), strict = true)
+      .count() === 2L)
+  }
+
+  test("applyTo preconditions fail fast: non-feed input, schema " +
+    "mismatch, missing key") {
+    val base = Seq((1, "a")).toDF("id", "name")
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.applyTo(base, base, Seq("id"))
+    }.getMessage.contains("_change_type"))
+    val f = ChangeFeed.diff(base, Seq((1, "b")).toDF("id", "name"), Seq("id"))
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.applyTo(base.withColumnRenamed("name", "label"), f, Seq("id"))
+    }.getMessage.contains("schema mismatch"))
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.applyTo(base, f, Seq("nope"))
+    }.getMessage.contains("absent"))
+  }
+
   test("between() reads the two RETAINED versions through snapshotAt") {
     val root = "/root/repo/target/test-sink/changefeed_between"
     new java.io.File(root).getParentFile.mkdirs()

@@ -683,6 +683,24 @@ class DifferentialSpec extends SparkSuite {
       assert(viaComposed === IncrementalAgg.aggregate(df(v3, 2), grp, sums)
         .as[(Option[String], Long, BigDecimal)].collect().toSet,
         "maintain over composed feed != recompute at chain end")
+      // applyTo differential: replaying the feed onto its base
+      // reconstructs the target version row-for-row — per step, and
+      // composed-then-applied across the chain (table replication)
+      def rows(m: Map[Long, (Option[String], Option[Double])]) =
+        m.toSeq.map { case (k, (g, x)) => (k, g, x) }.toSet
+      val applied = ChangeFeed.applyTo(df(v1, 4),
+        ChangeFeed.diff(df(v1, 3), df(v2, 6), Seq("id")), Seq("id"),
+        strict = true)
+        .as[(Long, Option[String], Option[Double])].collect().toSet
+      assert(applied === rows(v2), "applyTo(v1, diff(v1,v2)) != v2")
+      val replayed = ChangeFeed.applyTo(df(v1, 2),
+        ChangeFeed.compose(
+          ChangeFeed.diff(df(v1, 2), df(v2, 6), Seq("id")),
+          ChangeFeed.diff(df(v2, 4), df(v3, 3), Seq("id")), Seq("id")),
+        Seq("id"), strict = true)
+        .as[(Long, Option[String], Option[Double])].collect().toSet
+      assert(replayed === rows(v3),
+        "applyTo over composed feed != chain-end snapshot")
     }
   }
 

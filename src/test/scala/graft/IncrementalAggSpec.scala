@@ -246,6 +246,74 @@ class IncrementalAggSpec extends SparkSuite {
         views :+ views.head))
   }
 
+  test("replica store: a row-level replica advances under feeds with " +
+    "touched-bucket writes, co-advances atomically beside an aggregate " +
+    "view, and strict mode rejects a mispaired feed") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
+    val root = "/root/repo/target/test-sink/incagg_replica"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // many keys over 8 buckets; batch 0's delta touches ONE key
+    val v0 = (0 until 64).map(i => (i, Some(s"g${i % 4}"), i * 1.0))
+    val v1 = v0.map { case (i, g, x) => if (i == 7) (i, g, 100.0) else (i, g, x) }
+    def df(rows: Seq[(Int, Option[String], Double)]) = rows.toDF("id", "g", "x")
+    val targets = Seq(
+      ReplicaSpec("replica", Seq("id"), numBuckets = 8, strict = true),
+      ViewSpec("by_g", Seq("g"), Seq("total" -> "x"), numBuckets = 4))
+    IncrementalAgg.publishInitialMulti(spark, root, df(v0), targets)
+    def replicaSnap(version: Option[Long] = None) =
+      IncrementalAgg.readView(spark, root, "replica", version)
+        .as[(Int, Option[String], Double)].collect().toSet
+    def manifest(): Map[Int, String] =
+      AtomicPublish.snapshot(spark, root)
+        .table(spark, "replica_manifest")
+        .collect().filter(r => r.getInt(0) >= 0 && !r.isNullAt(1))
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(replicaSnap() === v0.toSet)
+    val refs0 = manifest()
+    assert(refs0.size === 8, s"64 keys should fill all 8 buckets: $refs0")
+    // ONE batch advances replica AND view in ONE committed version
+    val feed = ChangeFeed.diff(df(v0), df(v1), Seq("id"))
+    assert(IncrementalAgg.applyOnceMulti(spark, root, feed, 0L, targets))
+    assert(AtomicPublish.currentVersion(spark, root) === Some(1L))
+    assert(replicaSnap() === v1.toSet)
+    assert(IncrementalAgg.readView(spark, root, "by_g")
+      .collect().map(_.toSeq).toSet ===
+      IncrementalAgg.aggregate(df(v1), Seq("g"), Seq("total" -> "x"))
+        .collect().map(_.toSeq).toSet)
+    // the one-key delta rewrote exactly one replica bucket
+    val refs1 = manifest()
+    val changed = refs1.filter { case (b, r) => refs0(b) != r }
+    assert(changed.size === 1,
+      s"a one-key delta must rewrite exactly one bucket, rewrote: ${changed.keys}")
+    assert((refs1 -- changed.keySet) === (refs0 -- changed.keySet))
+    // exactly-once: the replayed batch id refuses for replica and view
+    assert(!IncrementalAgg.applyOnceMulti(spark, root, feed, 0L, targets))
+    assert(replicaSnap() === v1.toSet)
+    // time travel serves the seed verbatim
+    assert(replicaSnap(Some(0L)) === v0.toSet)
+    // strict replica SURFACES a mispaired feed (preimage key absent):
+    // key 7 was already updated, so re-diffing v0→v1 yields a preimage
+    // the replica no longer holds only if values differ — construct an
+    // unambiguous orphan instead: a feed deleting a key never present
+    val orphan = ChangeFeed.diff(
+      Seq((999, Some("zz"), 1.0)).toDF("id", "g", "x"),
+      Seq.empty[(Int, Option[String], Double)].toDF("id", "g", "x"),
+      Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.applyOnceMulti(spark, root, orphan, 1L, targets)
+    }
+    assert(e.getMessage.contains("does not correspond"))
+    // the failed batch burned no version and mutated nothing
+    assert(AtomicPublish.currentVersion(spark, root) === Some(1L))
+    assert(replicaSnap() === v1.toSet)
+    // spec hygiene: reserved names and the bucket column fail fast
+    assertThrows[IllegalArgumentException](ReplicaSpec("applied", Seq("id")))
+    assertThrows[IllegalArgumentException](ReplicaSpec("r", Nil))
+    assertThrows[IllegalArgumentException](
+      ReplicaSpec("r", Seq(IncrementalAgg.BucketCol)))
+  }
+
   test("catch-up apply: missed batches compose into ONE maintenance round; " +
     "exactly-once survives regrouping; inconsistent chains fail loudly") {
     import graft.etl.{AtomicPublish, IncrementalAgg}
