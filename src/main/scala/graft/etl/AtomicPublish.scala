@@ -393,12 +393,18 @@ object AtomicPublish {
             interruptOnCancel = true)
           try {
             // a sibling already failed → don't even submit this write
-            // (cancelJobGroup only reaches jobs that are RUNNING)
             if (err.get() == null)
               df.write.mode("overwrite").parquet(s"$root/$tx/$name")
           } catch {
             case e: Throwable =>
-              if (err.compareAndSet(null, e)) sc.cancelJobGroup(group)
+              // AndFutureJobs: a sibling whose job submission RACES this
+              // cancel (queued but not yet an active job, or submitted a
+              // beat later) is still cancelled — plain cancelJobGroup
+              // only reaches running jobs and would let that sibling run
+              // to completion. The group id is tx-unique, so marking it
+              // permanently cancelled poisons nothing else.
+              if (err.compareAndSet(null, e))
+                sc.cancelJobGroupAndFutureJobs(group)
           } finally sc.clearJobGroup()
         })
         t.setDaemon(true)

@@ -60,6 +60,31 @@ class AtomicPublishSpec extends SparkSuite {
     assert(AtomicPublish.readTable(spark, root, "b").count() === 2)
   }
 
+  test("the cancel covers jobs submitted AFTER it fires: a sibling whose " +
+    "submission races the cancellation is still stopped") {
+    // the window the fail-fast test can't pin deterministically: thread
+    // A fails and cancels the group BEFORE thread B's write job becomes
+    // an active job. Plain cancelJobGroup only reaches running jobs and
+    // would let B run to completion; stage() uses
+    // cancelJobGroupAndFutureJobs, whose semantic — a job submitted
+    // into an already-cancelled group is refused — is pinned here by
+    // cancelling FIRST, then submitting.
+    val sc = spark.sparkContext
+    val group = s"graft-race-pin-${java.util.UUID.randomUUID}"
+    sc.setJobGroup(group, "race pin", interruptOnCancel = true)
+    try {
+      sc.cancelJobGroupAndFutureJobs(group)
+      val e = intercept[Throwable] { spark.range(8).count() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.toLowerCase.contains("cancel")),
+        s"late-submitted job was not cancelled: $e")
+    } finally sc.clearJobGroup()
+    // the session is unharmed outside the poisoned group id
+    assert(spark.range(8).count() === 8L)
+  }
+
   test("stage is fail-fast: a failing output cancels its siblings and " +
     "rethrows the ORIGINAL error, not the cancellations") {
     // the r14 advisory: the concurrent writer threads joined ALL
