@@ -366,10 +366,21 @@ object IncrementalAgg {
     val applied = snap.table(spark, AppliedT)
     if (!applied.filter(col("batch_id") === batchId).isEmpty) false
     else {
-      AtomicPublish.publish(spark, root,
-        views.map(maintainView(spark, snap, feed, _)) :+
-          (AppliedT -> applied.unionByName(Seq(batchId).toDF("batch_id"))),
-        expectedBase = Some(Some(snap.version)))
+      // The feed is delta-sized by contract but its PLAN need not be
+      // delta-cheap (ChangeFeed.diff is a keyed full-outer join over
+      // both snapshots), and one maintenance round evaluates it up to
+      // three times PER TARGET: the touched-bucket probe, the step,
+      // and a strict replica's preimage probe. Materialize it once for
+      // the round — a CDC batch is exactly the thing production
+      // pins in memory — instead of re-running the caller's plan each
+      // time.
+      val f = feed.persist()
+      try {
+        AtomicPublish.publish(spark, root,
+          views.map(maintainView(spark, snap, f, _)) :+
+            (AppliedT -> applied.unionByName(Seq(batchId).toDF("batch_id"))),
+          expectedBase = Some(Some(snap.version)))
+      } finally { f.unpersist(); () }
       true
     }
   }
@@ -423,12 +434,17 @@ object IncrementalAgg {
         "chain does not match the ledger")
     if (todo.isEmpty) 0
     else {
+      // materialized once for the round, same as applyOnceMulti — the
+      // composed plan is a CHAIN of keyed merges, the worst case for
+      // re-evaluation
       val netFeed = todo.map(_._2)
-        .reduce((a, b) => ChangeFeed.compose(a, b, key))
-      AtomicPublish.publish(spark, root,
-        views.map(maintainView(spark, snap, netFeed, _)) :+
-          (AppliedT -> applied.unionByName(todo.map(_._1).toDF("batch_id"))),
-        expectedBase = Some(Some(snap.version)))
+        .reduce((a, b) => ChangeFeed.compose(a, b, key)).persist()
+      try {
+        AtomicPublish.publish(spark, root,
+          views.map(maintainView(spark, snap, netFeed, _)) :+
+            (AppliedT -> applied.unionByName(todo.map(_._1).toDF("batch_id"))),
+          expectedBase = Some(Some(snap.version)))
+      } finally { netFeed.unpersist(); () }
       todo.size
     }
   }

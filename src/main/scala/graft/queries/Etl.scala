@@ -333,8 +333,13 @@ object Etl {
     "o14_feed_replicate" -> ((s, dir) => {
       import graft.etl.{ChangeFeed, IncrementalAgg}
       import graft.etl.IncrementalAgg.ReplicaSpec
+      // pinned for the build: v1/v2/v3 are synthetic slices of ONE scan
+      // (an artifact of the gate — production's versions already exist
+      // on disk), and each diff reads two of them. The store build is
+      // eager, so the pin is released before the result is returned.
       val rows = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .persist()
       val reclass = (df: org.apache.spark.sql.DataFrame) =>
         df.withColumn("o_orderpriority",
           when(col("o_orderkey") % 10 === 4, lit("9-RECLASSIFIED"))
@@ -352,9 +357,11 @@ object Etl {
       val rp = new org.apache.hadoop.fs.Path(root)
       if (fc.util.exists(rp)) fc.delete(rp, true)
       val site = Seq(ReplicaSpec("replica", key, numBuckets = 16, strict = true))
-      IncrementalAgg.publishInitialMulti(s, root, v1, site)
-      IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v1, v2, key), 1L, site)
-      IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v2, v3, key), 2L, site)
+      try {
+        IncrementalAgg.publishInitialMulti(s, root, v1, site)
+        IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v1, v2, key), 1L, site)
+        IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v2, v3, key), 2L, site)
+      } finally { rows.unpersist(); () }
       IncrementalAgg.readView(s, root, "replica").orderBy("o_orderkey")
     }),
 
