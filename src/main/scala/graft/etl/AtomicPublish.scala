@@ -61,6 +61,21 @@ object AtomicPublish {
   private def fc(spark: SparkSession): FileContext =
     FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
 
+  /** Read a tiny pointer/metadata file to EOF. `InputStream.read` may
+    * legally return fewer bytes than available; a single read that came
+    * up short here would TRUNCATE the version digits and PARSE A WRONG
+    * VERSION (not a safe failure) — the pointer is the one place
+    * correctness must not lean on "a 60-byte file never splits in
+    * practice". Loops until EOF or `cap` (pointer payloads are well
+    * under it either way). */
+  private[graft] def readToEof(in: java.io.InputStream, cap: Int = 256): String = {
+    val buf = new Array[Byte](cap)
+    var off = 0
+    var n = 0
+    while (off < cap && { n = in.read(buf, off, cap - off); n > 0 }) off += n
+    new String(buf, 0, off, "UTF-8")
+  }
+
   /** The pluggable pointer-commit primitive — the ONE place the
     * publish protocol touches mutable shared state. Everything else
     * (staging dirs, claim renames, immutable version dirs) is
@@ -96,11 +111,7 @@ object AtomicPublish {
       if (!ctx.util.exists(p)) None
       else {
         val in = ctx.open(p)
-        try {
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim.toLong)
-        } finally in.close()
+        try Some(readToEof(in).trim.toLong) finally in.close()
       }
     }
     def compareAndSwap(ctx: FileContext, root: String,
@@ -201,10 +212,7 @@ object AtomicPublish {
                            g: Long): (Long, String) = {
       val in = genCtx(ctx, root).open(new Path(new Path(root, Dir), gname(g)))
       try {
-        val buf = new Array[Byte](128)
-        val n = in.read(buf)
-        val parts = new String(buf, 0, math.max(n, 0), "UTF-8").trim
-          .split(' ')
+        val parts = readToEof(in).trim.split(' ')
         (parts(0).toLong, if (parts.length > 1) parts(1) else "")
       } finally in.close()
     }

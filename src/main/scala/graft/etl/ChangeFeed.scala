@@ -136,15 +136,31 @@ object ChangeFeed {
     *
     * Preconditions: both inputs are [[diff]] outputs over the same
     * schema and key, and CONSECUTIVE (`ab`'s `to` side is `bc`'s
-    * `from` side — violations surface as impossible rows downstream,
-    * the same contract as maintain's corrupted-feed surfacing). Rows
-    * with NULL key columns group as one key here (SQL GROUP BY
-    * semantics), matching their delete+insert surfacing in [[diff]].
+    * `from` side). By default violations surface as impossible rows
+    * downstream (the same contract as maintain's corrupted-feed
+    * surfacing); callers that cannot trust the chain pass
+    * `strict = true` to fail loudly instead: for every key present in
+    * both folds, `ab`'s post-state must null-safely equal `bc`'s
+    * pre-state, and the NULL-keyed passthrough (below) must cancel
+    * exactly — one extra feed-sized filter per input, the family's
+    * opt-in-verification posture ([[diff]]'s `requireUniqueKey`,
+    * [[applyTo]]'s `strict`).
+    *
+    * Rows with NULL key columns never match across [[diff]]'s join, so
+    * a feed carries each of them as its own delete/insert row; the
+    * keyed fold below would collapse them all into ONE pair (SQL GROUP
+    * BY treats NULL as one group), so they route AROUND it: the net
+    * A→C feed's NULL-keyed portion is exactly `ab`'s deletes (A's
+    * NULL-keyed rows) plus `bc`'s inserts (C's NULL-keyed rows), while
+    * `ab`'s inserts and `bc`'s deletes — both multisets of B's
+    * NULL-keyed rows — cancel. This keeps the row-for-row
+    * `diff(a, c)` identity on NULL-keyed rows too.
     *
     * Scale: one key-shuffle per feed (each folded to at most one
     * (preimage, postimage) pair per key — map-side partial agg), then
     * one keyed full-outer merge; work ∝ the feeds, never a snapshot. */
-  def compose(ab: DataFrame, bc: DataFrame, key: Seq[String]): DataFrame = {
+  def compose(ab: DataFrame, bc: DataFrame, key: Seq[String],
+              strict: Boolean = false): DataFrame = {
     Seq(ab, bc).foreach(f => require(f.columns.contains("_change_type"),
       "compose inputs must be ChangeFeed.diff outputs (missing _change_type)"))
     require(ab.columns.sorted.sameElements(bc.columns.sorted),
@@ -153,12 +169,41 @@ object ChangeFeed {
     val cols = bc.columns.toSeq.filterNot(_ == "_change_type")
     val missing = key.filterNot(cols.contains)
     require(missing.isEmpty, s"key columns absent from feed: ${missing.mkString(",")}")
+    // NULL-keyed rows bypass the keyed fold entirely (Scaladoc above):
+    // ab's deletes and bc's inserts pass through verbatim; ab's inserts
+    // and bc's deletes (both = B's NULL-keyed rows) cancel by dropping.
+    // The passthrough references each input feed a second time (the
+    // one plan shape that can't be expressed single-pass: cancellation
+    // is a multiset match between ab's inserts and bc's deletes), so
+    // it is built ONLY when some key column is schema-nullable —
+    // provably NULL-free keys keep the single-reference plan
+    // (PlanShapeSpec's snapshot guard watches the join count).
+    val keysNullable = key.exists(k =>
+      ab.schema(ab.schema.fieldIndex(k)).nullable ||
+        bc.schema(bc.schema.fieldIndex(k)).nullable)
+    val nullKeyed = key.map(col(_).isNull).reduce(_ || _)
+    if (strict && keysNullable) {
+      // the NULL-keyed cancellation is exact only on a consecutive
+      // chain: ab's inserted NULL-keyed rows must BE bc's deleted ones
+      // (same multiset). Feed-sized: NULL-keyed rows only.
+      val abIns = ab.filter(nullKeyed &&
+        col("_change_type").isin("insert", "update_postimage")).drop("_change_type")
+      val bcDel = bc.filter(nullKeyed &&
+        col("_change_type").isin("delete", "update_preimage")).drop("_change_type")
+      val odd = abIns.exceptAll(bcDel).limit(1).collect() ++
+        bcDel.exceptAll(abIns).limit(1).collect()
+      require(odd.isEmpty,
+        s"feeds are not consecutive: NULL-keyed row " +
+          s"(${odd.head.toSeq.mkString(",")}) appears in only one feed's " +
+          "B-side — ab's to-side is not bc's from-side")
+    }
     // fold each feed to one (from-image, to-image) pair per key: the
     // preimage/delete row is the key's state BEFORE the feed, the
     // postimage/insert row its state AFTER; max() picks the single
     // non-null struct (a valid feed has at most one of each per key)
     def fold(feed: DataFrame): DataFrame =
-      feed.groupBy(key.map(col): _*).agg(
+      (if (keysNullable) feed.filter(!nullKeyed) else feed)
+        .groupBy(key.map(col): _*).agg(
         max(when(col("_change_type").isin("delete", "update_preimage"),
           struct(cols.map(col): _*))).as("from_img"),
         max(when(col("_change_type").isin("insert", "update_postimage"),
@@ -167,6 +212,19 @@ object ChangeFeed {
     val a = fold(ab).as("a")
     val c = fold(bc).as("c")
     val joinCond = key.map(k => col(s"a.$k") <=> col(s"c.$k")).reduce(_ && _)
+    if (strict) {
+      // consecutiveness on keyed rows: for every key in BOTH folds,
+      // ab's post-state must null-safely equal bc's pre-state (a key
+      // in only one fold asserts nothing about the other feed's B
+      // side). One extra fold-sized inner join, opt-in only.
+      val mis = a.join(c, joinCond, "inner")
+        .filter(!(col("a.to_img") <=> col("c.from_img")))
+        .select(key.map(k => col(s"a.$k")): _*).limit(1).collect()
+      require(mis.isEmpty,
+        s"feeds are not consecutive: key " +
+          s"(${mis.headOption.map(_.toSeq.mkString(",")).getOrElse("")}) " +
+          "leaves ab in a state bc does not start from")
+    }
     val aPresent = col("a._cf_present").isNotNull
     val cPresent = col("c._cf_present").isNotNull
     // net from-image: the key's state before A→B if the key appears
@@ -177,7 +235,7 @@ object ChangeFeed {
     def row(img: Column, changeType: String): Column =
       struct(cols.map(n => img.getField(n).as(n)) :+
         lit(changeType).as("_change_type"): _*)
-    a.join(c, joinCond, "full_outer")
+    val keyed = a.join(c, joinCond, "full_outer")
       .select(fromNet.as("f"), toNet.as("t"))
       // born-then-died (both null) and changed-then-reverted (equal)
       // produce NO net change — exactly diff(a, c)'s verdict
@@ -188,6 +246,56 @@ object ChangeFeed {
           .otherwise(array(row(col("f"), "update_preimage"),
             row(col("t"), "update_postimage")))).as("_r"))
       .select(col("_r.*"))
+    if (!keysNullable) keyed
+    // the NULL-keyed passthrough (see Scaladoc): A's NULL-keyed rows
+    // stay deletes, C's stay inserts, B's cancel
+    else keyed
+      .unionByName(ab.filter(nullKeyed &&
+        col("_change_type").isin("delete", "update_preimage")))
+      .unionByName(bc.filter(nullKeyed &&
+        col("_change_type").isin("insert", "update_postimage")))
+  }
+
+  /** Fold a CHAIN of consecutive feeds into the net feed — [[compose]]
+    * applied as a LOG-DEPTH TREE rather than a left-nested reduce. A
+    * left fold of N feeds builds an N-deep plan (each compose is two
+    * keyed folds + a full-outer merge), and Catalyst's analysis time
+    * and driver memory grow superlinearly with plan depth — a consumer
+    * catching up after thousands of batches would compile a
+    * multi-thousand-stage lineage before running anything. The tree
+    * keeps depth at ⌈log₂ N⌉, and every `checkpointEvery` levels each
+    * intermediate is materialized via `localCheckpoint` (lineage
+    * truncated to a block-manager scan), so the ANALYZED plan between
+    * materializations stays ≤ 2^checkpointEvery leaves regardless of N.
+    *
+    * `strict` forwards to every pairwise [[compose]]: each tree seam is
+    * verified where verification is possible — a key is checked at a
+    * seam iff it carries net changes on BOTH sides (a key silent on
+    * either side asserts nothing about that side's B-state; this
+    * partial coverage is inherent to any feed-only check, left fold or
+    * tree alike). A violated seam fails loudly at the level that joins
+    * it. */
+  def composeAll(feeds: Seq[DataFrame], key: Seq[String],
+                 strict: Boolean = false,
+                 checkpointEvery: Int = 4): DataFrame = {
+    require(feeds.nonEmpty, "no feeds")
+    require(checkpointEvery > 0, s"checkpointEvery must be positive: $checkpointEvery")
+    var level = feeds.toVector
+    var depth = 0
+    while (level.size > 1) {
+      level = level.grouped(2).map {
+        case Vector(x, y) => compose(x, y, key, strict)
+        case Vector(x) => x
+        case _ => throw new IllegalStateException("grouped(2) invariant")
+      }.toVector
+      depth += 1
+      // truncate lineage while more levels remain; the LAST level is
+      // left lazy so the caller controls its materialization (persist,
+      // write, further composition)
+      if (depth % checkpointEvery == 0 && level.size > 1)
+        level = level.map(_.localCheckpoint(true))
+    }
+    level.head
   }
 
   /** APPLY a feed: replay the row-level changes onto the snapshot they
@@ -224,7 +332,10 @@ object ChangeFeed {
     *
     * Scale: the feed side of the anti join is delta-sized — under AQE
     * it broadcasts and the BASE NEVER SHUFFLES; the postimage union is
-    * map-side. Work ∝ base scan + delta, the replication floor. */
+    * map-side. Work ∝ base scan + delta, the replication floor.
+    * Plan-PINNED, not just asserted: PlanShapeSpec's "applyTo
+    * broadcasts the feed side" gate fails on any SMJ or key Exchange
+    * in a representative parquet-base apply. */
   def applyTo(base: DataFrame, feed: DataFrame, key: Seq[String],
               strict: Boolean = false): DataFrame = {
     require(feed.columns.contains("_change_type"),

@@ -19,9 +19,11 @@ import org.apache.spark.sql.types.DecimalType
   *      `delete`/`update_preimage` row contributes (−1, −x). A row
   *      whose GROUP migrated between versions decrements its old group
   *      via the preimage and increments the new one via the postimage —
-  *      no special case. (Non-additive aggregates — min/max, distinct
-  *      counts — cannot be maintained this way and are out of scope;
-  *      they need the base scan or a sketch.)
+  *      no special case. (Non-additive aggregates cannot be maintained
+  *      this way: MIN/MAX are covered by [[ExtremaViewSpec]]'s
+  *      recompute-on-invalidation against a co-maintained replica;
+  *      distinct counts remain out of scope — they need a full base
+  *      scan or a sketch.)
   *   2. EXACT ARITHMETIC — sums are carried as DECIMAL(38,6) (the
   *      engine-wide [[graft.queries.Det]] discipline), so
   *      maintained state is BIT-IDENTICAL to a from-scratch recompute,
@@ -146,14 +148,31 @@ object IncrementalAgg {
 
   /** One maintained TARGET of the feed: how to seed its state from a
     * base snapshot, how to advance it under one feed, and which columns
-    * hash a row into its bucket. Two shapes exist — the additive
-    * aggregate view ([[ViewSpec]]) and the row-level table replica
-    * ([[ReplicaSpec]]) — and they share everything else: the bucketed
+    * hash a row into its bucket. Three shapes exist — the additive
+    * aggregate view ([[ViewSpec]]), the row-level table replica
+    * ([[ReplicaSpec]]), and the non-additive min/max view
+    * ([[ExtremaViewSpec]], which rescans invalidated groups from a
+    * co-maintained replica) — and they share everything else: the bucketed
     * segment layout, the delta-proportional touched-bucket writes, the
     * exactly-once ledger, and atomic co-advancement (a store may
     * maintain a replica NEXT TO its aggregate views, and one batch
     * commits all of them together — a reader can never observe the
     * table at batch N beside an index or MV at batch N−1). */
+  /** What a target's [[TargetSpec.step]] may reach beyond its own
+    * previous state: the POST-BATCH full state of targets maintained
+    * earlier in the same round. Non-additive views use it to rescan
+    * invalidated groups from a co-maintained replica; additive targets
+    * ignore it. */
+  private[etl] final class StepContext(
+      stepped: scala.collection.Map[String, () => DataFrame]) {
+    /** Post-batch full state of an already-maintained sibling target;
+      * throws if `name` was not maintained before the caller. */
+    def baseAfter(name: String): DataFrame =
+      stepped.getOrElse(name, throw new IllegalStateException(
+        s"target '$name' is not maintained before this one in the round " +
+          "(order targets so a rescan base precedes its dependents)"))()
+  }
+
   sealed trait TargetSpec {
     def name: String
     def numBuckets: Int
@@ -163,8 +182,12 @@ object IncrementalAgg {
       * its own bucket) — either way the buckets a feed TOUCHES are
       * computable from the feed alone. */
     private[etl] def bucketCols: Seq[String]
+    /** Names of sibling targets this one's step reads post-batch (via
+      * [[StepContext.baseAfter]]); they must be maintained first. */
+    private[etl] def dependsOn: Seq[String] = Nil
     private[etl] def seed(rows: DataFrame): DataFrame
-    private[etl] def step(prev: DataFrame, feed: DataFrame): DataFrame
+    private[etl] def step(prev: DataFrame, feed: DataFrame,
+                          ctx: StepContext): DataFrame
     private[IncrementalAgg] final def manifestT: String = s"${name}_manifest"
     protected final def validateCommon(): Unit = {
       require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
@@ -189,7 +212,8 @@ object IncrementalAgg {
     private[etl] def bucketCols: Seq[String] = groupCols
     private[etl] def seed(rows: DataFrame): DataFrame =
       aggregate(rows, groupCols, sumCols)
-    private[etl] def step(prev: DataFrame, feed: DataFrame): DataFrame =
+    private[etl] def step(prev: DataFrame, feed: DataFrame,
+                          ctx: StepContext): DataFrame =
       maintain(prev, feed, groupCols, sumCols)
   }
 
@@ -213,8 +237,139 @@ object IncrementalAgg {
         s"'$BucketCol' is reserved for the state store's bucket layout")
       rows
     }
-    private[etl] def step(prev: DataFrame, feed: DataFrame): DataFrame =
+    private[etl] def step(prev: DataFrame, feed: DataFrame,
+                          ctx: StepContext): DataFrame =
       ChangeFeed.applyTo(prev, feed, key, strict)
+  }
+
+  /** A maintained NON-ADDITIVE view: per-group MIN/MAX under a
+    * [[ChangeFeed]], via RECOMPUTE-ON-INVALIDATION. Min and max are
+    * not group-invertible (deleting a value gives no way to "subtract"
+    * it from the extremum), so pure feed-only maintenance is
+    * impossible — the standard rung beyond additive MVs:
+    *
+    *   - INSERTS merge in O(delta): `min' = least(min, delta-min)`,
+    *     `max' = greatest(max, delta-max)` — no base access.
+    *   - A DELETE (preimage) INVALIDATES its group only if the removed
+    *     value ties or beats the group's current extremum (removing a
+    *     non-extremal value cannot move min/max). Invalidated groups —
+    *     and only they — are RE-AGGREGATED from the post-batch base.
+    *
+    * The rescan base is a [[ReplicaSpec]] co-maintained IN THE SAME
+    * STORE (`baseReplica` names it; it must be listed BEFORE this view
+    * so its post-batch state exists when this step runs) — the replica
+    * is exactly the base table at the feed's `to` version, so the
+    * rescan is self-contained: no external snapshot, and the whole
+    * bundle (replica + extrema + any additive views) still commits as
+    * ONE atomic version with ONE exactly-once decision.
+    *
+    * COST MODEL, stated honestly: the fast path is feed-sized like the
+    * additive views. The rescan path aggregates the replica's rows for
+    * the invalidated groups — a semi-joined SCAN of the replica (no
+    * pruning beyond what the scan's layout provides), so a batch that
+    * deletes the extremum of g groups costs one replica pass
+    * regardless of g (all invalidated groups share it). Worst case —
+    * an adversarial feed deleting every group's minimum — degrades to
+    * the full re-aggregate this construction exists to avoid; typical
+    * CDC (uniform deletes) invalidates ~1/|group| of deletes for a
+    * distinct-valued column. Groups counts are maintained additively
+    * (`n`), so group death needs no special case: an emptied group's
+    * rescan finds no rows and the group leaves the state.
+    *
+    * A rescan LAUNDERS feed inconsistencies for the groups it touches
+    * (the replica is ground truth there) — the additive views'
+    * negative-count surfacing applies only on the fast path. The
+    * replica itself still surfaces mispairing via `strict`. */
+  final case class ExtremaViewSpec(name: String, groupCols: Seq[String],
+                                   minCols: Seq[(String, String)],
+                                   maxCols: Seq[(String, String)],
+                                   baseReplica: String,
+                                   numBuckets: Int = 64) extends TargetSpec {
+    require(minCols.nonEmpty || maxCols.nonEmpty,
+      "extrema view must track at least one min or max column")
+    require((groupCols ++ minCols.map(_._1) ++ maxCols.map(_._1))
+      .distinct.size == groupCols.size + minCols.size + maxCols.size,
+      "group/min/max output names must be distinct")
+    require(!(minCols.map(_._1) ++ maxCols.map(_._1)).contains("n"),
+      "'n' is reserved for the maintained group count")
+    require(!(groupCols ++ minCols.map(_._1) ++ maxCols.map(_._1))
+      .contains(BucketCol),
+      s"'$BucketCol' is reserved for the state store's bucket layout")
+    validateCommon()
+    private[etl] def bucketCols: Seq[String] = groupCols
+    private[etl] override def dependsOn: Seq[String] = Seq(baseReplica)
+
+    private def outCols: Seq[(String, String, Boolean)] =
+      minCols.map { case (o, s) => (o, s, true) } ++
+        maxCols.map { case (o, s) => (o, s, false) }
+
+    private[etl] def seed(rows: DataFrame): DataFrame =
+      rows.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n"),
+          outCols.map { case (out, src, isMin) =>
+            (if (isMin) min(col(src)) else max(col(src))).as(out) }: _*)
+
+    private[etl] def step(prev: DataFrame, feed: DataFrame,
+                          ctx: StepContext): DataFrame = {
+      val expected = groupCols ++ ("n" +: outCols.map(_._1))
+      require(prev.columns.toSeq == expected,
+        s"prev is not an extrema state: have ${prev.columns.mkString(",")}, " +
+          s"expected ${expected.mkString(",")}")
+      require(feed.columns.contains("_change_type"),
+        "feed must be a ChangeFeed.diff output (missing _change_type)")
+      val isPost = col("_change_type").isin("insert", "update_postimage")
+      val sign = when(isPost, lit(1L)).otherwise(lit(-1L))
+      // one feed pass: per group, the count delta, the insert-side
+      // extrema (merge candidates) and the delete-side extrema
+      // (invalidation witnesses)
+      val delta = feed.groupBy(groupCols.map(col): _*)
+        .agg(sum(sign).as("_d_n"),
+          outCols.flatMap { case (out, src, isMin) => Seq(
+            (if (isMin) min(when(isPost, col(src)))
+             else max(when(isPost, col(src)))).as(s"_ins_$out"),
+            (if (isMin) min(when(!isPost, col(src)))
+             else max(when(!isPost, col(src)))).as(s"_del_$out")) }: _*)
+      val p = prev.as("p")
+      val d = delta.as("d")
+      val joinCond = groupCols.map(g => col(s"p.$g") <=> col(s"d.$g"))
+        .reduce(_ && _)
+      // a group needs a rescan iff some delete could have moved an
+      // extremum: the deleted-side witness ties-or-beats the current
+      // one, OR the group has deletes but no previous state (a feed
+      // the state never saw — the replica is ground truth there)
+      val invalidated = outCols.map { case (out, _, isMin) =>
+        col(s"d._del_$out").isNotNull &&
+          (col("p.n").isNull ||
+            (if (isMin) col(s"d._del_$out") <= col(s"p.$out")
+             else col(s"d._del_$out") >= col(s"p.$out")))
+      }.reduce(_ || _)
+      val joined = p.join(d, joinCond, "full_outer")
+        .select(
+          groupCols.map(g => coalesce(col(s"p.$g"), col(s"d.$g")).as(g)) ++
+            Seq((coalesce(col("p.n"), lit(0L)) +
+              coalesce(col("d._d_n"), lit(0L))).as("n"),
+              coalesce(invalidated, lit(false)).as("_rescan")) ++
+            outCols.map { case (out, _, isMin) =>
+              (if (isMin) least(col(s"p.$out"), col(s"d._ins_$out"))
+               else greatest(col(s"p.$out"), col(s"d._ins_$out"))).as(out) }: _*)
+      val kept = joined.filter(!col("_rescan"))
+        .drop("_rescan")
+        .filter(col("n") =!= 0L)
+        .select(expected.map(col): _*)
+      // the rescan: re-aggregate ONLY the invalidated groups from the
+      // co-maintained replica's post-batch state (a semi-joined scan —
+      // the honest cost, see Scaladoc). An emptied group yields no
+      // rows and thereby leaves the state.
+      val invalidGroups = joined.filter(col("_rescan"))
+        .select(groupCols.map(col): _*)
+      val base = ctx.baseAfter(baseReplica).as("b")
+      val ig = invalidGroups.as("ig")
+      val rescanCond = groupCols.map(g => col(s"b.$g") <=> col(s"ig.$g"))
+        .reduce(_ && _)
+      val rescanned = seed(base.join(ig, rescanCond, "left_semi"))
+        .select(expected.map(col): _*)
+      kept.unionByName(rescanned)
+    }
   }
 
   /** Table names of the default single-view store (see [[applyOnce]]). */
@@ -230,6 +385,16 @@ object IncrementalAgg {
 
   private val SchemaBucket = -1
 
+  /** Manifest FORMAT VERSION row (bucket −2): names the layout this
+    * manifest was written under, so a future layout change fails with
+    * "written by a newer engine — upgrade" instead of a confusing read
+    * error (the lesson [[graft.ops.AnnIndexStore]] paid for post-hoc
+    * with its legacy-layout detector; here it is pre-paid). Manifests
+    * WITHOUT the row are format 1 — the r15 layout, identical to this
+    * one — so pre-existing stores read unchanged. */
+  private val FormatBucket = -2
+  private val StateFormat = 1
+
   private def bucketExpr(groupCols: Seq[String], numBuckets: Int) =
     pmod(hash(groupCols.map(col): _*), lit(numBuckets))
 
@@ -238,6 +403,12 @@ object IncrementalAgg {
   private def readManifest(spark: SparkSession, snap: AtomicPublish.Snapshot,
                            table: String): (Int, Map[Int, String], String) = {
     val rows = snap.table(spark, table).collect()
+    rows.find(_.getInt(0) == FormatBucket).map(_.getString(1)).foreach { f =>
+      require(f.toIntOption.exists(_ <= StateFormat),
+        s"state manifest '$table' at ${snap.root} v${snap.version} has " +
+          s"format $f but this engine supports ≤ $StateFormat — written " +
+          "by a newer engine; upgrade, or re-seed the store")
+    }
     val schema = rows.find(_.getInt(0) == SchemaBucket).map(_.getString(1))
       .getOrElse(throw new IllegalStateException(
         s"corrupt state manifest '$table' at ${snap.root} v${snap.version}: no schema row"))
@@ -249,7 +420,8 @@ object IncrementalAgg {
   private def manifestDF(spark: SparkSession, numBuckets: Int,
                          refs: Map[Int, String], schemaDDL: String): DataFrame = {
     import spark.implicits._
-    ((SchemaBucket, Option(schemaDDL)) +:
+    ((FormatBucket, Option(StateFormat.toString)) +:
+      (SchemaBucket, Option(schemaDDL)) +:
       (0 until numBuckets).map(b => (b, refs.get(b))))
       .toDF("bucket", "ref")
   }
@@ -301,17 +473,35 @@ object IncrementalAgg {
                 version: Option[Long] = None): DataFrame =
     readView(spark, root, DefaultView, version)
 
+  /** Every target's touched-bucket set in ONE Spark job over the
+    * (persisted) feed: a single global aggregate whose map side folds
+    * each partition to ≤ B ints per target — no shuffle of feed rows,
+    * and the job doubles as the action that materializes the feed's
+    * persist. The r15 layout ran one feed-scanning
+    * `distinct().collect()` per target per batch BEFORE the
+    * maintenance job — pure fixed latency at micro-batch cadence; this
+    * folds all of them into the materialization the round pays anyway. */
+  private def touchedBuckets(feed: DataFrame,
+                             targets: Seq[(TargetSpec, Int)]): Map[String, Set[Int]] = {
+    val exprs = targets.map { case (t, nb) =>
+      collect_set(bucketExpr(t.bucketCols, nb)).as(t.name) }
+    val row = feed.agg(exprs.head, exprs.tail: _*).collect()(0)
+    targets.zipWithIndex.map { case ((t, _), i) =>
+      t.name -> row.getSeq[Int](i).toSet }.toMap
+  }
+
   /** Advance ONE target against the feed under `snap`, returning its
     * new manifest table (name -> rows). The delta-proportional core:
     * only the buckets the feed's rows hash into (by the target's
-    * bucket columns) are read, stepped, and rewritten; every other
+    * bucket columns — `touched`, precomputed for ALL targets by
+    * [[touchedBuckets]]) are read, stepped, and rewritten; every other
     * bucket's ref is carried verbatim. */
   private def maintainView(spark: SparkSession, snap: AtomicPublish.Snapshot,
-                           feed: DataFrame, target: TargetSpec): (String, DataFrame) = {
-    val (numBuckets, refs, schemaDDL) = readManifest(spark, snap, target.manifestT)
-    // the buckets this delta touches — a feed-sized distinct, ≤ B ints
-    val touched = feed.select(bucketExpr(target.bucketCols, numBuckets).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+                           feed: DataFrame, target: TargetSpec,
+                           manifest: (Int, Map[Int, String], String),
+                           touched: Set[Int],
+                           ctx: StepContext): (String, DataFrame, () => DataFrame) = {
+    val (numBuckets, refs, schemaDDL) = manifest
     val prevTouched = {
       val paths = touched.toSeq.sorted.flatMap(refs.get).distinct
         .map(r => s"${snap.root}/state_segments/$r")
@@ -319,10 +509,48 @@ object IncrementalAgg {
       else spark.read.parquet(paths: _*)
     }
     val newRefs = writeSegment(spark, snap.root,
-      target.step(prevTouched, feed),
+      target.step(prevTouched, feed, ctx),
       target.bucketCols, numBuckets)
-    target.manifestT -> manifestDF(spark, numBuckets,
-      (refs -- touched) ++ newRefs, schemaDDL)
+    val allRefs = (refs -- touched) ++ newRefs
+    val postBatch = () =>
+      if (allRefs.isEmpty) emptyState(spark, schemaDDL)
+      else spark.read.parquet(allRefs.values.toSeq.distinct.sorted
+        .map(r => s"${snap.root}/state_segments/$r"): _*)
+    (target.manifestT, manifestDF(spark, numBuckets, allRefs, schemaDDL),
+      postBatch)
+  }
+
+  /** The shared maintenance round: read every target's manifest, probe
+    * all touched buckets in one job, advance every target in
+    * dependency order (a target's `dependsOn` siblings must be LISTED
+    * before it — their post-batch state is what its step may rescan),
+    * and commit all new manifests + the ledger delta as ONE atomic
+    * publish. */
+  private def maintainRound(spark: SparkSession, root: String,
+                            snap: AtomicPublish.Snapshot, feed: DataFrame,
+                            views: Seq[TargetSpec], ledger: DataFrame): Unit = {
+    val idx = views.map(_.name).zipWithIndex.toMap
+    views.zipWithIndex.foreach { case (v, i) =>
+      v.dependsOn.foreach { dep =>
+        require(idx.get(dep).exists(_ < i),
+          s"target '${v.name}' depends on '$dep', which must be listed " +
+            "before it in the store's target sequence")
+      }
+    }
+    val manifests = views.map(v => readManifest(spark, snap, v.manifestT))
+    val touched = touchedBuckets(feed,
+      views.zip(manifests).map { case (v, m) => (v, m._1) })
+    val stepped = scala.collection.mutable.Map.empty[String, () => DataFrame]
+    val ctx = new StepContext(stepped)
+    val outs = views.zip(manifests).map { case (v, m) =>
+      val (table, mdf, postBatch) =
+        maintainView(spark, snap, feed, v, m, touched(v.name), ctx)
+      stepped(v.name) = postBatch
+      table -> mdf
+    }
+    AtomicPublish.publish(spark, root, outs :+ (AppliedT -> ledger),
+      expectedBase = Some(Some(snap.version)))
+    ()
   }
 
   /** EXACTLY-ONCE application of one CDC batch to EVERY maintained view
@@ -368,19 +596,15 @@ object IncrementalAgg {
     else {
       // The feed is delta-sized by contract but its PLAN need not be
       // delta-cheap (ChangeFeed.diff is a keyed full-outer join over
-      // both snapshots), and one maintenance round evaluates it up to
-      // three times PER TARGET: the touched-bucket probe, the step,
-      // and a strict replica's preimage probe. Materialize it once for
-      // the round — a CDC batch is exactly the thing production
-      // pins in memory — instead of re-running the caller's plan each
-      // time.
+      // both snapshots), and one maintenance round evaluates it once
+      // per target's step (plus a strict replica's preimage probe).
+      // Materialize it once for the round — a CDC batch is exactly the
+      // thing production pins in memory — with the all-targets
+      // touched-bucket probe as the materializing action.
       val f = feed.persist()
-      try {
-        AtomicPublish.publish(spark, root,
-          views.map(maintainView(spark, snap, f, _)) :+
-            (AppliedT -> applied.unionByName(Seq(batchId).toDF("batch_id"))),
-          expectedBase = Some(Some(snap.version)))
-      } finally { f.unpersist(); () }
+      try maintainRound(spark, root, snap, f, views,
+        applied.unionByName(Seq(batchId).toDF("batch_id")))
+      finally { f.unpersist(); () }
       true
     }
   }
@@ -411,10 +635,15 @@ object IncrementalAgg {
     *
     * Cost: N−1 feed-sized folds + ONE maintenance round, versus N
     * maintenance rounds and N publishes batch-by-batch — the
-    * compaction a woken-up consumer's ops schedule wants. */
+    * compaction a woken-up consumer's ops schedule wants. The fold is
+    * [[ChangeFeed.composeAll]]'s log-depth tree with periodic lineage
+    * truncation, so a catch-up after thousands of batches compiles
+    * bounded plans rather than an N-deep lineage; `strict` forwards to
+    * every pairwise compose (fail loudly on a broken chain seam). */
   def applyComposedMulti(spark: SparkSession, root: String,
                          feeds: Seq[(Long, DataFrame)], key: Seq[String],
-                         views: Seq[TargetSpec]): Int = {
+                         views: Seq[TargetSpec],
+                         strict: Boolean = false): Int = {
     import spark.implicits._
     require(feeds.nonEmpty, "no feeds")
     require(feeds.map(_._1).distinct.size == feeds.size,
@@ -435,16 +664,14 @@ object IncrementalAgg {
     if (todo.isEmpty) 0
     else {
       // materialized once for the round, same as applyOnceMulti — the
-      // composed plan is a CHAIN of keyed merges, the worst case for
+      // composed plan is a TREE of keyed merges (log-depth, lineage
+      // truncated every few levels), still the worst case for
       // re-evaluation
-      val netFeed = todo.map(_._2)
-        .reduce((a, b) => ChangeFeed.compose(a, b, key)).persist()
-      try {
-        AtomicPublish.publish(spark, root,
-          views.map(maintainView(spark, snap, netFeed, _)) :+
-            (AppliedT -> applied.unionByName(todo.map(_._1).toDF("batch_id"))),
-          expectedBase = Some(Some(snap.version)))
-      } finally { netFeed.unpersist(); () }
+      val netFeed = ChangeFeed.composeAll(todo.map(_._2), key, strict)
+        .persist()
+      try maintainRound(spark, root, snap, netFeed, views,
+        applied.unionByName(todo.map(_._1).toDF("batch_id")))
+      finally { netFeed.unpersist(); () }
       todo.size
     }
   }
@@ -503,6 +730,19 @@ object IncrementalAgg {
     }
     val versions = ls(rootPath).filter(_.isDirectory).map(_.getPath.getName)
       .filter(_.startsWith("v")).flatMap(_.drop(1).toLongOption)
+    // Read the pointer ONCE: versions at or below it are COMMITTED —
+    // their manifests are immutable and complete, so an unreadable one
+    // is a transient failure (or a concurrent vacuum), NEVER a torn
+    // write. Treating it as "references nothing" would drop the
+    // CURRENT state's long-carried segments from the live set and
+    // delete them (untouched-bucket refs are typically far older than
+    // minAgeMs, so the age guard does not save them). Versions ABOVE
+    // the pointer are claims — possibly half-written by a crashed or
+    // in-flight publisher — and keeping nothing from an unreadable one
+    // is the correct conservative-in-the-other-direction call: its
+    // segments stay protected by the age guard until the claim is
+    // either committed or itself vacuumed.
+    val committedAtOrBelow = AtomicPublish.currentVersion(spark, root)
     val live: Set[String] = versions.flatMap { v =>
       val snap = AtomicPublish.Snapshot(root, v)
       // every view's manifest in this version — discovered from the
@@ -513,7 +753,22 @@ object IncrementalAgg {
       catch { case _: java.io.FileNotFoundException => Nil }
       manifests.flatMap { t =>
         try readManifest(spark, snap, t)._2.values.map(_.split('/').head).toSeq
-        catch { case _: Exception => Nil } // half-written claim: keep nothing from it
+        catch {
+          case _: Exception if !committedAtOrBelow.exists(v <= _) =>
+            Nil // above-pointer claim: possibly half-written, keep nothing
+          case e: Exception =>
+            // committed version: tolerate only "the version dir itself
+            // vanished" (a concurrent AtomicPublish.vacuum reclaimed it
+            // mid-scan — its references genuinely no longer pin
+            // anything); anything else aborts the pass rather than
+            // risking deletion of segments the current state references
+            if (!fc.util.exists(new org.apache.hadoop.fs.Path(s"$root/v$v"))) Nil
+            else throw new IllegalStateException(
+              s"vacuumSegments aborted: manifest '$t' of COMMITTED " +
+                s"version v$v under $root is unreadable — refusing to " +
+                "treat it as empty (that would delete live segments); " +
+                s"retry after the transient failure clears", e)
+        }
       }
     }.toSet
     val now = System.currentTimeMillis()

@@ -298,6 +298,11 @@ object Etl {
     // back (decile 4 is reclassified in batch 1 and the classification
     // survives batch 2 — but decile 1 rows UPDATED in batch 1 are
     // DELETED by batch 2, collapsing to plain deletes) net out exactly.
+    // The feeds are MATERIALIZED once (o12's convention — the shape a
+    // ledger consumer actually holds): compose references each input
+    // twice when the key is schema-nullable (its NULL-keyed
+    // passthrough), so its inputs should be stored feeds, not lazy
+    // diff plans that would re-run their joins per reference.
     // The oracle computes the direct v1↔v3 classification relationally
     // — the composition path never appears in it, so the hash match
     // proves compose ≡ direct diff on real data.
@@ -313,9 +318,16 @@ object Etl {
       val v2 = reclass(rows.filter(col("o_orderkey") % 10 =!= 3))
       val v3 = reclass(rows.filter(col("o_orderkey") % 10 =!= 3 &&
         col("o_orderkey") % 10 =!= 1))
+      val feedDir = s"/root/repo/target/sink/o13_feeds_${Tables.dirSlug(dir)}"
+      Shared.setupOnce(s, dir, "o13_feeds") {
+        ChangeFeed.diff(v1, v2, Seq("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$feedDir/f0")
+        ChangeFeed.diff(v2, v3, Seq("o_orderkey"))
+          .write.mode("overwrite").parquet(s"$feedDir/f1")
+      }
       ChangeFeed.compose(
-        ChangeFeed.diff(v1, v2, Seq("o_orderkey")),
-        ChangeFeed.diff(v2, v3, Seq("o_orderkey")), Seq("o_orderkey"))
+        s.read.parquet(s"$feedDir/f0"),
+        s.read.parquet(s"$feedDir/f1"), Seq("o_orderkey"))
         .orderBy("o_orderkey", "_change_type")
     }),
 
@@ -363,6 +375,56 @@ object Etl {
         IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v2, v3, key), 2L, site)
       } finally { rows.unpersist(); () }
       IncrementalAgg.readView(s, root, "replica").orderBy("o_orderkey")
+    }),
+
+    // o15 — NON-ADDITIVE maintenance [extension; recompute-on-
+    // invalidation]: per-priority MIN/MAX maintained under a feed chain
+    // in the same bucketed exactly-once store as a co-maintained
+    // replica (ExtremaViewSpec → rescans only invalidated groups from
+    // the replica's post-batch state; ReplicaSpec listed first). The
+    // chain FORCES the rescan path deterministically: batch 1 deletes
+    // EVERY decile-0 row — every group's minimum over the decile
+    // column — and batch 2 deletes every decile-9 row (the maxima);
+    // batch 1 also migrates decile 4 into a brand-new group (the
+    // insert-only fast path). The oracle recomputes count/min/max from
+    // the v3 slice directly — the feeds, the invalidation logic, and
+    // the rescan never appear in it, so the hash match proves
+    // maintained extrema ≡ full recompute on both paths.
+    "o15_extrema_maintain" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, IncrementalAgg}
+      import graft.etl.IncrementalAgg.{ExtremaViewSpec, ReplicaSpec}
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          (col("o_orderkey") % 10).as("dec"))
+        .persist()
+      val reclass = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_orderpriority",
+          when(col("o_orderkey") % 10 === 4, lit("9-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority")))
+      val v1 = rows
+      val v2 = reclass(rows.filter(col("dec") =!= 0))
+      val v3 = reclass(rows.filter(col("dec") =!= 0 && col("dec") =!= 9))
+      val key = Seq("o_orderkey")
+      val root = s"/root/repo/target/sink/o15_extrema_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      if (fc.util.exists(rp)) fc.delete(rp, true)
+      val targets = Seq(
+        ReplicaSpec("replica", key, numBuckets = 16, strict = true),
+        ExtremaViewSpec("extrema", Seq("o_orderpriority"),
+          minCols = Seq("min_dec" -> "dec", "min_price" -> "o_totalprice"),
+          maxCols = Seq("max_dec" -> "dec", "max_price" -> "o_totalprice"),
+          baseReplica = "replica", numBuckets = 8))
+      try {
+        IncrementalAgg.publishInitialMulti(s, root, v1, targets)
+        IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v1, v2, key), 1L, targets)
+        IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v2, v3, key), 2L, targets)
+      } finally { rows.unpersist(); () }
+      IncrementalAgg.readView(s, root, "extrema")
+        .select(col("o_orderpriority"), col("n"),
+          col("min_dec"), col("max_dec"), col("min_price"), col("max_price"))
+        .orderBy("o_orderpriority")
     }),
 
     // o9 — schema evolution [extension]: a partitioned table whose later
@@ -504,6 +566,20 @@ object Etl {
         |  o_totalprice
         |FROM orders WHERE o_orderkey % 10 NOT IN (3, 1)
         |ORDER BY o_orderkey""".stripMargin,
+
+    // count/min/max recomputed from the v3 slice directly — the feeds,
+    // the invalidation predicate, and the replica rescan never appear
+    // here, so the hash match proves maintained extrema ≡ recompute.
+    "o15_extrema_maintain" ->
+      """WITH v3 AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 4 THEN '9-RECLASSIFIED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_totalprice, o_orderkey % 10 AS dec
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (0, 9))
+        |SELECT o_orderpriority, COUNT(*) AS n,
+        |  MIN(dec) AS min_dec, MAX(dec) AS max_dec,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Both fan-out branches recomputed from scratch on the v2 slice —
     // neither the feed nor the incremental path appears here.

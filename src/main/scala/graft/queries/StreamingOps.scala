@@ -312,14 +312,16 @@ object StreamingOps {
             IncrementalAgg.applyOnce(s, root, batch, batchId, grp, sums))
           AtomicPublish.vacuum(s, root, keep = 2): Unit
       }
-      // segment GC at the OPS cadence (st13 runs compaction the same
-      // way — every Nth batch, not every batch: each pass costs one
-      // manifest read per retained version, so per-batch GC would
-      // double the read half of a batch's work). Without it a
-      // long-running consumer accretes one superseded segment per
-      // touched bucket per batch forever. minAgeMs=0 is safe here
-      // because the consumer is the only publisher (nothing can be
-      // in flight between its own batches).
+      // segment GC: in THIS harness query it runs exactly once, after
+      // the bounded stream has drained (the feed set is finite). A
+      // long-running production consumer must instead call it at an
+      // OPS cadence — inside the foreachBatch body gated on
+      // batchId % N == 0, the way st13 schedules compaction — or it
+      // accretes one superseded segment per touched bucket per batch
+      // until shutdown; per-batch GC overshoots the other way (each
+      // pass costs one manifest read per retained version). minAgeMs=0
+      // is safe here because the consumer is the only publisher
+      // (nothing can be in flight between its own batches).
       IncrementalAgg.vacuumSegments(s, root, minAgeMs = 0)
       IncrementalAgg.readState(s, root)
         .select(col("o_orderpriority"), col("n"),

@@ -121,6 +121,170 @@ class ChangeFeedSpec extends SparkSuite {
     }.getMessage.contains("absent"))
   }
 
+  test("compose preserves EVERY NULL-keyed change: two NULL-keyed rows " +
+    "do not collapse into one pair, and unchanged NULL-keyed rows still " +
+    "match diff's delete+insert surfacing") {
+    // diff carries each NULL-keyed row as its own delete/insert (no
+    // join match); a keyed GROUP BY would fold them all into ONE key.
+    // Three NULL-keyed rows in a, two different ones in c — the
+    // composed feed must carry all five, exactly as diff(a, c) does.
+    val a = Seq((Some(1), "k"), (None, "x"), (None, "y"), (None, "z"))
+      .toDF("id", "name")
+    val b = Seq((Some(1), "k"), (None, "x"), (None, "w")).toDF("id", "name")
+    val c = Seq((Some(1), "k!"), (None, "w"), (None, "v")).toDF("id", "name")
+    val composed = ChangeFeed.compose(
+      ChangeFeed.diff(a, b, Seq("id")),
+      ChangeFeed.diff(b, c, Seq("id")), Seq("id"))
+      .as[(Option[Int], String, String)].collect()
+      .groupBy(_._3).view.mapValues(_.map(r => (r._1, r._2)).toSet).toMap
+    val direct = ChangeFeed.diff(a, c, Seq("id"))
+      .as[(Option[Int], String, String)].collect()
+      .groupBy(_._3).view.mapValues(_.map(r => (r._1, r._2)).toSet).toMap
+    assert(composed === direct, "compose must be row-for-row diff(a,c)")
+    // and the NULL-keyed portion is a's rows as deletes, c's as inserts
+    assert(composed("delete").filter(_._1.isEmpty) ===
+      Set((None, "x"), (None, "y"), (None, "z")))
+    assert(composed("insert").filter(_._1.isEmpty) ===
+      Set((None, "w"), (None, "v")))
+    // applying the composed feed still reconstructs c exactly
+    val replayed = ChangeFeed.applyTo(a,
+      ChangeFeed.compose(ChangeFeed.diff(a, b, Seq("id")),
+        ChangeFeed.diff(b, c, Seq("id")), Seq("id")), Seq("id"))
+      .as[(Option[Int], String)].collect().toSet
+    assert(replayed === Set((Some(1), "k!"), (None, "w"), (None, "v")))
+  }
+
+  test("compose strict mode verifies consecutiveness: a broken keyed " +
+    "seam and a broken NULL-keyed seam both fail loudly; a valid chain " +
+    "passes") {
+    val v1 = Seq((Some(1), "a"), (Some(2), "b"), (None, "n1")).toDF("id", "name")
+    val v2 = Seq((Some(1), "a!"), (Some(2), "b"), (None, "n2")).toDF("id", "name")
+    val v3 = Seq((Some(1), "a!!"), (None, "n2")).toDF("id", "name")
+    val f12 = ChangeFeed.diff(v1, v2, Seq("id"))
+    val f23 = ChangeFeed.diff(v2, v3, Seq("id"))
+    // the valid chain passes strict and still equals the direct diff
+    assert(ChangeFeed.compose(f12, f23, Seq("id"), strict = true)
+      .as[(Option[Int], String, String)].collect().toSet ===
+      ChangeFeed.diff(v1, v3, Seq("id"))
+        .as[(Option[Int], String, String)].collect().toSet)
+    // keyed seam violation: key 1 leaves f12 at "a!" but a mispaired
+    // second feed starts it from "A?" — strict catches what lenient
+    // lets corrupt silently
+    val wrong = ChangeFeed.diff(
+      Seq((Some(1), "A?"), (Some(2), "b")).toDF("id", "name"),
+      Seq((Some(1), "zz"), (Some(2), "b")).toDF("id", "name"), Seq("id"))
+    val e1 = intercept[IllegalArgumentException] {
+      ChangeFeed.compose(f12, wrong, Seq("id"), strict = true)
+    }
+    assert(e1.getMessage.contains("not consecutive"))
+    // NULL-keyed seam violation: f12 inserts (None,"n2") into B, but
+    // the mispaired feed deletes a DIFFERENT NULL-keyed row
+    val wrongNull = ChangeFeed.diff(
+      Seq((Some(1), "a!"), (Some(2), "b"), (None, "other")).toDF("id", "name"),
+      Seq((Some(1), "a!"), (Some(2), "b")).toDF("id", "name"), Seq("id"))
+    val e2 = intercept[IllegalArgumentException] {
+      ChangeFeed.compose(f12, wrongNull, Seq("id"), strict = true)
+    }
+    assert(e2.getMessage.contains("not consecutive"))
+  }
+
+  test("composeAll tree-folds a 64-feed chain to the direct diff, " +
+    "strict passes on the valid chain and names the broken seam on a " +
+    "shuffled one") {
+    // a deterministic 65-version chain over 40 keys: key 0 is a
+    // counter EVERY version bumps (so every adjacent-feed seam shares
+    // a key — a swapped chain is detectable; strict's coverage is
+    // inherently limited to keys changed on both sides of a seam);
+    // version j additionally renames key j%40, inserts key 1000+j and
+    // deletes key 1000+j-3 (transients later net out)
+    def version(i: Int): Seq[(Int, String, Long)] = {
+      val baseKeys = (0 until 40).map { k =>
+        if (k == 0) (0, s"counter-v$i", 0L)
+        else {
+          val lastTouched = (0 to i).filter(_ % 40 == k).lastOption.getOrElse(-1)
+          (k, s"name-$k-v$lastTouched", k.toLong * 7)
+        }
+      }
+      val transient = (math.max(0, i - 2) to i).map(j => (1000 + j, s"t-$j", j.toLong))
+      baseKeys ++ transient
+    }
+    def df(i: Int) = version(i).toDF("id", "name", "score")
+    val feeds = (0 until 64).map(i =>
+      ChangeFeed.diff(df(i), df(i + 1), Seq("id")))
+    val net = ChangeFeed.composeAll(feeds, Seq("id"), strict = true)
+    val direct = ChangeFeed.diff(df(0), df(64), Seq("id"))
+    assert(net.as[(Int, String, Long, String)].collect().toSet ===
+      direct.as[(Int, String, Long, String)].collect().toSet)
+    // a shuffled chain (two adjacent feeds swapped) breaks a seam —
+    // strict fails loudly instead of composing garbage
+    val shuffled = feeds.updated(10, feeds(11)).updated(11, feeds(10))
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeed.composeAll(shuffled, Seq("id"), strict = true)
+        .count()
+    }
+    assert(e.getMessage.contains("not consecutive"))
+    // singleton chain is the identity, checkpointEvery must be positive
+    assert(ChangeFeed.composeAll(Seq(feeds.head), Seq("id")) eq feeds.head)
+    assert(intercept[IllegalArgumentException] {
+      ChangeFeed.composeAll(feeds, Seq("id"), checkpointEvery = 0)
+    }.getMessage.contains("checkpointEvery"))
+  }
+
+  test("point-in-time reconstruction: an old snapshot plus retained " +
+    "feeds replays any later version after the intermediate snapshots " +
+    "are vacuumed") {
+    // The retention policy ChangeFeed documents (keep feeds, vacuum
+    // snapshots) as a gate: 5 published versions; a site retains v1's
+    // rows plus the four feeds; vacuum reclaims v1..v3; every later
+    // version is then reconstructible from the retained base by an
+    // applyTo CHAIN and by ONE composed feed — both equal to the
+    // direct snapshots read before vacuum.
+    val root = "/root/repo/target/test-sink/changefeed_pit"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def v(i: Int): Seq[(Int, String, Long)] =
+      (0 until 30).filter(k => k % 5 != i % 5)
+        .map(k => (k, s"r$k-${(0 to i).count(j => j % 3 == k % 3)}", k.toLong + i))
+    val versions = (0 to 4).map { i =>
+      AtomicPublish.publish(spark, root, Seq("t" -> v(i).toDF("id", "name", "score")))
+    }
+    val expected = versions.map(ver =>
+      AtomicPublish.snapshotAt(spark, root, ver).table(spark, "t")
+        .as[(Int, String, Long)].collect().toSet)
+    // the retained artifacts: base rows + the four feeds, materialized
+    // OUTSIDE the version store (what a replica site actually holds)
+    val side = s"$root-retained"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(side))
+    AtomicPublish.snapshotAt(spark, root, versions.head).table(spark, "t")
+      .write.parquet(s"$side/base")
+    versions.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      ChangeFeed.between(spark, root, "t", a, b, Seq("id"))
+        .write.parquet(s"$side/f$i")
+    }
+    // vacuum everything but the newest (keep = 1, age guard off — no
+    // publisher is in flight in the test)
+    val reclaimed = AtomicPublish.vacuum(spark, root, keep = 1, minAgeMs = 0)
+    assert(reclaimed === versions.init.toSeq,
+      s"expected v1..v3 reclaimed, got $reclaimed")
+    versions.init.foreach { ver =>
+      assert(intercept[IllegalArgumentException] {
+        AtomicPublish.snapshotAt(spark, root, ver)
+      }.getMessage.contains("not present"))
+    }
+    val base = spark.read.parquet(s"$side/base")
+    val feeds = (0 until 4).map(i => spark.read.parquet(s"$side/f$i"))
+    // applyTo chain reaches every intermediate AND the head…
+    (1 to 4).foreach { k =>
+      val replayed = feeds.take(k).foldLeft(base)(
+        (acc, f) => ChangeFeed.applyTo(acc, f, Seq("id")))
+      assert(replayed.as[(Int, String, Long)].collect().toSet === expected(k),
+        s"applyTo chain diverged at version index $k")
+    }
+    // …and ONE composed feed jumps straight to the head
+    val jumped = ChangeFeed.applyTo(base,
+      ChangeFeed.composeAll(feeds, Seq("id"), strict = true), Seq("id"))
+    assert(jumped.as[(Int, String, Long)].collect().toSet === expected(4))
+  }
+
   test("preconditions fail fast: schema mismatch, missing key, empty key") {
     val a = Seq((1, "x")).toDF("id", "name")
     val b = Seq((1, "x", 2L)).toDF("id", "name", "extra")

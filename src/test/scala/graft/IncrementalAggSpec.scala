@@ -369,6 +369,98 @@ class IncrementalAggSpec extends SparkSuite {
     }.getMessage.contains("chain inconsistency"))
   }
 
+  test("catch-up at N = 64: the tree-composed round equals 64 batch-level " +
+    "states, commits ONE version, and a misordered chain fails loudly " +
+    "under strict") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    import graft.etl.IncrementalAgg.ViewSpec
+    val base = "/root/repo/target/test-sink/incagg_catchup64"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    // 65 deterministic versions over 20 keys: key 0 is a counter every
+    // version bumps (seam-checkable), version j also bumps key j%20
+    def v(i: Int): Seq[(Int, Option[String], Double)] =
+      (0 until 20).map { k =>
+        if (k == 0) (0, Some("ctr"), i.toDouble)
+        else (k, Some(s"g${k % 3}"), k.toDouble + 10.0 * (1 to i).count(_ % 20 == k))
+      }
+    def df(rows: Seq[(Int, Option[String], Double)]) = rows.toDF("id", "g", "x")
+    val feeds = (0 until 64).map(i =>
+      i.toLong -> ChangeFeed.diff(df(v(i)), df(v(i + 1)), Seq("id")))
+    val views = Seq(ViewSpec("state", grp, sums, numBuckets = 4))
+    val root = s"$base/main"
+    IncrementalAgg.publishInitialMulti(spark, root, df(v(0)), views)
+    // the whole backlog lands as ONE maintenance round, ONE version —
+    // and the left-nested-reduce pathology this construction replaces
+    // would have compiled a 64-deep compose lineage here
+    assert(IncrementalAgg.applyComposedMulti(spark, root, feeds, Seq("id"),
+      views) === 64)
+    assert(AtomicPublish.currentVersion(spark, root) === Some(1L))
+    assert(snap(IncrementalAgg.readState(spark, root)) === snap(state(v(64))))
+    // every individual batch id is in the ledger: all replays refuse
+    assert(IncrementalAgg.applyComposedMulti(spark, root, feeds, Seq("id"),
+      views) === 0)
+    assert(!IncrementalAgg.applyOnce(spark, root, feeds(17)._2, 17L, grp, sums))
+    // a MISORDERED chain (two adjacent batches swapped) fails loudly
+    // under strict instead of composing garbage into the store
+    val root2 = s"$base/misordered"
+    IncrementalAgg.publishInitialMulti(spark, root2, df(v(0)), views)
+    val swapped = feeds.updated(30, feeds(31)).updated(31, feeds(30))
+    assert(intercept[IllegalArgumentException] {
+      IncrementalAgg.applyComposedMulti(spark, root2, swapped, Seq("id"),
+        views, strict = true)
+    }.getMessage.contains("not consecutive"))
+    // nothing committed on the failed store
+    assert(AtomicPublish.currentVersion(spark, root2) === Some(0L))
+    assert(snap(IncrementalAgg.readState(spark, root2)) === snap(state(v(0))))
+  }
+
+  test("state manifest format versioning: current stores carry the format " +
+    "row, r15-layout manifests (no row) still read, a FUTURE format fails " +
+    "with an upgrade error instead of a confusing read failure") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    val root = "/root/repo/target/test-sink/incagg_format"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val v0 = Seq((1, Some("a"), 1.0), (2, Some("b"), 2.0))
+    IncrementalAgg.publishInitial(spark, root, v0.toDF("id", "g", "x"), grp, sums)
+    val manifestPath = s"$root/v0/${IncrementalAgg.ManifestT}"
+    val rows = spark.read.parquet(manifestPath)
+    assert(rows.filter(col("bucket") === -2 && col("ref") === "1").count() === 1L,
+      "seeded manifest must carry format row (-2, \"1\")")
+    // simulate an r15 store: rewrite the manifest WITHOUT the format row
+    val legacy = rows.filter(col("bucket") =!= -2).collect()
+    val tmp = s"$root-legacy-manifest"
+    spark.createDataFrame(java.util.Arrays.asList(legacy: _*), rows.schema)
+      .repartition(1).write.mode("overwrite").parquet(tmp)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(manifestPath))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmp), new java.io.File(manifestPath))
+    assert(snap(IncrementalAgg.readState(spark, root)) === snap(state(v0)),
+      "format-row-free (pre-r16) manifest must read unchanged")
+    // and maintenance over the legacy manifest REWRITES it at the
+    // current format (the upgrade is per-write, not a migration pass)
+    val v1 = v0 :+ (3, Some("a"), 3.0)
+    val feed = ChangeFeed.diff(v0.toDF("id", "g", "x"),
+      v1.toDF("id", "g", "x"), Seq("id"))
+    assert(IncrementalAgg.applyOnce(spark, root, feed, 0L, grp, sums))
+    assert(spark.read.parquet(s"$root/v1/${IncrementalAgg.ManifestT}")
+      .filter(col("bucket") === -2).count() === 1L)
+    // a manifest claiming a NEWER format fails loudly and names the cure
+    val cur = spark.read.parquet(s"$root/v1/${IncrementalAgg.ManifestT}")
+      .withColumn("ref", when(col("bucket") === -2, lit("99"))
+        .otherwise(col("ref"))).collect()
+    val tmp2 = s"$root-future-manifest"
+    spark.createDataFrame(java.util.Arrays.asList(cur: _*), rows.schema)
+      .repartition(1).write.mode("overwrite").parquet(tmp2)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$root/v1/${IncrementalAgg.ManifestT}"))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(tmp2), new java.io.File(s"$root/v1/${IncrementalAgg.ManifestT}"))
+    val e = intercept[IllegalArgumentException] {
+      IncrementalAgg.readState(spark, root).collect()
+    }
+    assert(e.getMessage.contains("newer engine"))
+  }
+
   test("the ZERO-COUNT face of feed corruption surfaces too: n = 0 with a " +
     "nonzero residual sum stays visible instead of vanishing") {
     import graft.etl.{ChangeFeed, IncrementalAgg}
@@ -387,6 +479,120 @@ class IncrementalAggSpec extends SparkSuite {
       Seq((1, Some("a"), 2.0)).toDF("id", "g", "x"),
       Seq.empty[(Int, Option[String], Double)].toDF("id", "g", "x"), Seq("id"))
     assert(IncrementalAgg.maintain(prev, cleanFeed, grp, sums).count() === 0L)
+  }
+
+  test("extrema view: min/max maintain by recompute-on-invalidation — " +
+    "exact across extremum deletion, duplicate extrema, migration, " +
+    "group death, and NULL values") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    import graft.etl.IncrementalAgg.{ExtremaViewSpec, ReplicaSpec}
+    val root = "/root/repo/target/test-sink/incagg_extrema"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def df(rows: Seq[(Int, Option[String], Option[Double])]) =
+      rows.toDF("id", "g", "x")
+    val targets = Seq(
+      ReplicaSpec("replica", Seq("id"), numBuckets = 8),
+      ExtremaViewSpec("ext", Seq("g"),
+        minCols = Seq("min_x" -> "x"), maxCols = Seq("max_x" -> "x"),
+        baseReplica = "replica", numBuckets = 4))
+    val v0 = Seq(
+      (1, Some("a"), Some(1.0)), (2, Some("a"), Some(5.0)),
+      (3, Some("a"), Some(5.0)),                    // duplicated max
+      (4, Some("b"), Some(2.0)), (5, Some("b"), Some(7.0)),
+      (6, None, Some(3.0)),                         // NULL group
+      (7, Some("nn"), None), (8, Some("nn"), None)) // all-NULL group
+    // batch 0: delete ONE copy of a's duplicated max (rescan must keep
+    // 5.0 via the survivor) and b's minimum (rescan to 7.0)
+    val v1 = Seq(
+      (1, Some("a"), Some(1.0)), (3, Some("a"), Some(5.0)),
+      (5, Some("b"), Some(7.0)),
+      (6, None, Some(3.0)), (7, Some("nn"), None), (8, Some("nn"), None))
+    // batch 1: fast paths — insert a new a-minimum, migrate id 5 b→a
+    // (b dies by rescan, a's max rises by merge), fill one nn NULL
+    val v2 = Seq(
+      (1, Some("a"), Some(1.0)), (3, Some("a"), Some(5.0)),
+      (9, Some("a"), Some(0.5)), (5, Some("a"), Some(7.0)),
+      (6, None, Some(3.0)), (7, Some("nn"), Some(2.0)), (8, Some("nn"), None))
+    // batch 2: the NULL group dies; a loses BOTH 5.0 and its max 7.0
+    // in one batch (one rescan covers both deletions)
+    val v3 = Seq(
+      (1, Some("a"), Some(1.0)), (9, Some("a"), Some(0.5)),
+      (7, Some("nn"), Some(2.0)), (8, Some("nn"), None))
+    val chain = Seq(v0, v1, v2, v3)
+    IncrementalAgg.publishInitialMulti(spark, root, df(v0), targets)
+    def expected(rows: Seq[(Int, Option[String], Option[Double])]) =
+      df(rows).groupBy("g").agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"))
+        .collect().map(_.toSeq).toSet
+    def actual() = IncrementalAgg.readView(spark, root, "ext")
+      .collect().map(_.toSeq).toSet
+    assert(actual() === expected(v0))
+    chain.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      assert(IncrementalAgg.applyOnceMulti(spark, root,
+        ChangeFeed.diff(df(a), df(b), Seq("id")), i.toLong, targets))
+      assert(actual() === expected(b), s"extrema diverged after batch $i")
+      assert(IncrementalAgg.readView(spark, root, "replica")
+        .as[(Int, Option[String], Option[Double])].collect().toSet === b.toSet,
+        s"replica diverged after batch $i")
+    }
+    // exactly-once holds for the bundle
+    assert(!IncrementalAgg.applyOnceMulti(spark, root,
+      ChangeFeed.diff(df(v0), df(v1), Seq("id")), 0L, targets))
+    // dependency order is enforced: the rescan base must be listed first
+    assert(intercept[IllegalArgumentException] {
+      IncrementalAgg.applyOnceMulti(spark, root,
+        ChangeFeed.diff(df(v3), df(v0), Seq("id")), 99L, targets.reverse)
+    }.getMessage.contains("listed before"))
+    // spec hygiene
+    assertThrows[IllegalArgumentException](
+      ExtremaViewSpec("e", Seq("g"), Nil, Nil, "replica"))
+    assertThrows[IllegalArgumentException](
+      ExtremaViewSpec("e", Seq("g"), Seq("n" -> "x"), Nil, "replica"))
+    assertThrows[IllegalArgumentException](
+      ExtremaViewSpec("e", Seq("g"), Seq("y" -> "x"), Seq("y" -> "x"), "replica"))
+  }
+
+  test("vacuumSegments: an unreadable manifest on a COMMITTED version " +
+    "ABORTS the pass (live segments survive a transient read failure); " +
+    "an unreadable claim above the pointer is tolerated") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    val root = "/root/repo/target/test-sink/incagg_vacuum_guard"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    val v0 = (0 until 32).map(i => (i, Some(s"g$i"), i * 1.0))
+    val v1 = v0.map { case (i, g, x) => if (i == 3) (i, g, 99.0) else (i, g, x) }
+    IncrementalAgg.publishInitial(spark, root, v0.toDF("id", "g", "x"),
+      grp, sums, numBuckets = 8)
+    val feed = ChangeFeed.diff(v0.toDF("id", "g", "x"),
+      v1.toDF("id", "g", "x"), Seq("id"))
+    assert(IncrementalAgg.applyOnce(spark, root, feed, 0L, grp, sums))
+    // corrupt v0's manifest in place (a stand-in for a transient read
+    // failure — the r15 advisory: treating this as "references nothing"
+    // deleted segments v1 still carries by reference)
+    val m0 = new java.io.File(s"$root/v0/${IncrementalAgg.ManifestT}")
+    val backup = new java.io.File(s"$root/manifest-backup")
+    org.apache.commons.io.FileUtils.copyDirectory(m0, backup)
+    m0.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      java.nio.file.Files.write(f.toPath, "not a parquet file".getBytes)
+    }
+    val e = intercept[IllegalStateException] {
+      IncrementalAgg.vacuumSegments(spark, root, minAgeMs = 0)
+    }
+    assert(e.getMessage.contains("COMMITTED") && e.getMessage.contains("unreadable"))
+    // the abort deleted NOTHING: current state reads exactly
+    assert(snap(IncrementalAgg.readState(spark, root)) === snap(state(v1)))
+    // restore v0, then plant a half-written CLAIM above the pointer —
+    // garbage there is the torn-write case and must be tolerated
+    org.apache.commons.io.FileUtils.deleteDirectory(m0)
+    org.apache.commons.io.FileUtils.moveDirectory(backup, m0)
+    val claimManifest = new java.io.File(
+      s"$root/v7/junk_manifest")
+    claimManifest.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(claimManifest, "part-00000.parquet").toPath,
+      "torn".getBytes)
+    assert(IncrementalAgg.vacuumSegments(spark, root, minAgeMs = 0) === Nil,
+      "claim garbage must not abort the pass, and both live segments stay")
+    assert(snap(IncrementalAgg.readState(spark, root)) === snap(state(v1)))
   }
 
   test("preconditions fail fast: wrong state shape, non-feed input") {

@@ -102,6 +102,41 @@ class PlanShapeSpec extends SparkSuite {
       s"unexpected feed: $counts")
   }
 
+  test("applyTo broadcasts the feed side: the base never shuffles " +
+    "(replication's no-base-shuffle claim, plan-pinned)") {
+    // the r15 verdict's ask: ChangeFeed.applyTo documents "the feed
+    // side of the anti join is delta-sized — it broadcasts and the
+    // BASE NEVER SHUFFLES"; same promotion the bucketed diff got.
+    // Representative shapes: a parquet base, a delta-sized feed read
+    // from parquet (what a replica site receives), the default session
+    // confs (AQE on).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = "/root/repo/target/sink/applyto_plan"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val v0 = (1L to 50000L).map(k => (k, s"n$k", (k % 997).toDouble))
+      .toDF("id", "name", "score")
+    v0.write.mode("overwrite").parquet(s"$dir/base")
+    val v1 = v0.filter(col("id") % 1000 =!= 7)
+      .withColumn("score", when(col("id") % 1000 === 8, col("score") + 0.5)
+        .otherwise(col("score")))
+    graft.etl.ChangeFeed.diff(v0, v1, Seq("id"))
+      .write.mode("overwrite").parquet(s"$dir/feed")
+    val base = spark.read.parquet(s"$dir/base")
+    val feed = spark.read.parquet(s"$dir/feed")
+    val applied = graft.etl.ChangeFeed.applyTo(base, feed, Seq("id"))
+    // collect() (not count(), which builds its OWN query execution)
+    // drives THIS plan's AdaptiveSparkPlanExec to its final form
+    assert(applied.collect().length === 49950)
+    val p = applied.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"feed preimages must broadcast into the base anti join:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"anti join must not sort-merge (that shuffles the base):\n$p")
+    assert(!p.contains("Exchange hashpartitioning(id"),
+      s"the base must never shuffle on the key:\n$p")
+  }
+
   test("optimizer rewrites a self-dot into a squared norm (SelfDotToNorm rule)") {
     graft.functions.NativeVectorExpressions.register(spark)
     val df = Tables.embeddings(spark, sf)

@@ -154,6 +154,32 @@ class PointerStoreSpec extends SparkSuite {
     }
   }
 
+  test("pointer reads survive short reads: readToEof drains a stream " +
+    "that returns ONE byte per read call") {
+    // the r15 advisory: a single in.read(buf) may legally return fewer
+    // bytes than available, and a truncated pointer read would PARSE A
+    // WRONG VERSION (RenamePointerStore) or misreport a committed CAS
+    // as lost (CasPointerStore's nonce read-back). readToEof must
+    // drain to EOF regardless of how the stream chunks.
+    val payload = "1234567 3f2a9c1e-nonce"
+    val oneByteAtATime = new java.io.InputStream {
+      private val bytes = payload.getBytes("UTF-8")
+      private var i = 0
+      override def read(): Int =
+        if (i >= bytes.length) -1 else { val b = bytes(i); i += 1; b & 0xff }
+      // the adversarial part: even a buffered read yields ONE byte
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (i >= bytes.length) -1
+        else if (len == 0) 0
+        else { b(off) = bytes(i); i += 1; 1 }
+      }
+    }
+    assert(AtomicPublish.readToEof(oneByteAtATime) === payload)
+    // and the cap bounds a runaway stream without mangling short ones
+    assert(AtomicPublish.readToEof(
+      new java.io.ByteArrayInputStream("42".getBytes("UTF-8"))) === "42")
+  }
+
   test("cas-file: generation pruning keeps reads correct across many commits") {
     val ctx = FileContext.getFileContext(spark.sparkContext.hadoopConfiguration)
     val store = AtomicPublish.CasPointerStore
