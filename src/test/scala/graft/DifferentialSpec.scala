@@ -701,6 +701,31 @@ class DifferentialSpec extends SparkSuite {
         .as[(Long, Option[String], Option[Double])].collect().toSet
       assert(replayed === rows(v3),
         "applyTo over composed feed != chain-end snapshot")
+      // extrema differential: min/max maintained by recompute-on-
+      // invalidation over a co-maintained replica ≡ a from-scratch
+      // recompute at the chain's end — the random mutate() deletes hit
+      // group extrema by chance, so both the merge fast path and the
+      // invalidation rescan are exercised across the cases
+      val eroot = s"/root/repo/target/test-sink/diff_extrema_$salt"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(eroot))
+      val targets = Seq(
+        IncrementalAgg.ReplicaSpec("replica", Seq("id"), numBuckets = 4),
+        IncrementalAgg.ExtremaViewSpec("ext", Seq("g"),
+          minCols = Seq("min_x" -> "x"), maxCols = Seq("max_x" -> "x"),
+          baseReplica = "replica", numBuckets = 4))
+      IncrementalAgg.publishInitialMulti(spark, eroot, df(v1, 3), targets)
+      assert(IncrementalAgg.applyOnceMulti(spark, eroot,
+        ChangeFeed.diff(df(v1, 2), df(v2, 5), Seq("id")), 0L, targets))
+      assert(IncrementalAgg.applyOnceMulti(spark, eroot,
+        ChangeFeed.diff(df(v2, 3), df(v3, 4), Seq("id")), 1L, targets))
+      val extGot = IncrementalAgg.readView(spark, eroot, "ext")
+        .as[(Option[String], Long, Option[Double], Option[Double])]
+        .collect().toSet
+      val extWant = df(v3, 2).groupBy("g").agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"))
+        .as[(Option[String], Long, Option[Double], Option[Double])]
+        .collect().toSet
+      assert(extGot === extWant, "extrema maintained != recompute at chain end")
     }
   }
 
