@@ -44,9 +44,33 @@ import graft.ops.VectorSearch.{IvfModel, IvfPqModel}
   *   - `root/seg/<seg-id>/` — immutable coded segments
   *     ([[VectorSearch.ivfPqEncode]] outputs); appends add one, never
   *     copy old ones.
+  *   - `root/ts/<ts-id>/` — immutable TOMBSTONES (one `vec_id` column):
+  *     the ids a [[applyDeletes]] batch removed from the corpus. The
+  *     index mirrors a corpus that training pipelines DELETE from
+  *     (takedowns, licence withdrawals, dedup verdicts) — the same
+  *     CDC feeds that maintain the warehouse's views must reach the
+  *     serving index, and re-encoding the corpus per deletion is the
+  *     exact rewrite this store exists to avoid. Lucene's
+  *     deletes-applied-on-merge and Delta's deletion vectors, reduced
+  *     to plain parquet.
   *   - `root/v<N>/ann_manifest` — one table of (seq, kind, ref) rows:
-  *     exactly one `model` row, the ordered `seg` list the version
-  *     serves, and the `applied` ledger (below).
+  *     exactly one `model` row, the ordered seg/ts TIMELINE the
+  *     version serves, the `applied` ledger (below), and a `format`
+  *     row (2 once tombstones appear; absent/1 before — old manifests
+  *     read unchanged, a FUTURE format fails with an upgrade error
+  *     instead of silently serving deleted rows).
+  *
+  * DELETION SEMANTICS: a tombstone hides its ids in segments that
+  * PRECEDE it in the manifest timeline. Appends land at the end, so a
+  * document re-added after its deletion serves again (its new segment
+  * follows the tombstone) — order-correct replication of the corpus,
+  * not a global ban list. [[serve]] applies tombstones as ONE
+  * broadcast anti join per timeline block (delta-sized — tombstones
+  * are changed ids, never the corpus); [[compactSegments]] APPLIES a
+  * merged segment's later tombstones physically (the merged output
+  * moves to the end of the timeline, already clean), and drops
+  * tombstones no segment precedes — repeated compaction converges the
+  * store back to tombstone-free.
   *
   * INCREMENTAL GROWTH: [[appendEncode]] encodes ONLY the new batch and
   * publishes a manifest of (old segments :+ new segment): at 100 TB,
@@ -102,9 +126,20 @@ object AnnIndexStore {
     StructField("kind", StringType, nullable = false),
     StructField("ref", StringType, nullable = false)))
 
-  /** A version's decoded manifest. */
-  private final case class Manifest(modelId: String, segs: Seq[String],
-                                    applied: Seq[String])
+  /** Highest manifest format this build reads/writes: 1 = segments
+    * only (pre-tombstone), 2 = seg/ts timeline. Written as 2 only when
+    * a manifest actually carries tombstones, so tombstone-free stores
+    * stay byte-compatible with format-1 readers. */
+  private val CurrentFormat = 2
+
+  /** A version's decoded manifest: the model, the ORDERED seg/ts
+    * timeline, and the applied ledger. */
+  private final case class Manifest(modelId: String,
+                                    entries: Seq[(String, String)],
+                                    applied: Seq[String]) {
+    def segs: Seq[String] = entries.collect { case ("seg", r) => r }
+    def tombstones: Seq[String] = entries.collect { case ("ts", r) => r }
+  }
 
   private def readManifest(spark: SparkSession,
                            snap: AtomicPublish.Snapshot): Manifest = {
@@ -139,10 +174,19 @@ object AnnIndexStore {
       .orderBy("seq").collect()
     def refs(kind: String): Seq[String] = rows.toSeq
       .filter(_.getAs[String]("kind") == kind).map(_.getAs[String]("ref"))
+    refs("format").headOption.foreach { f =>
+      require(f.toIntOption.exists(_ <= CurrentFormat),
+        s"ANN manifest at ${snap.root} v${snap.version} has format $f " +
+          s"but this engine reads ≤ $CurrentFormat — written by a newer " +
+          "engine; upgrade, or rebuild the index with AnnIndexStore.publish")
+    }
     val model = refs("model")
     require(model.size == 1,
       s"corrupt manifest at ${snap.root} v${snap.version}: ${model.size} model rows")
-    Manifest(model.head, refs("seg"), refs("applied"))
+    val entries = rows.toSeq
+      .map(r => r.getAs[String]("kind") -> r.getAs[String]("ref"))
+      .filter { case (k, _) => k == "seg" || k == "ts" }
+    Manifest(model.head, entries, refs("applied"))
   }
 
   /** Write one immutable coded segment; returns its id. Segment dirs
@@ -242,8 +286,11 @@ object AnnIndexStore {
     * the stale manifest silently drop the other writer's segment. */
   private def publishVersion(spark: SparkSession, root: String, m: Manifest,
                              expectedBase: Option[Option[Long]] = None): Long = {
-    val rows = (Seq("model" -> m.modelId) ++
-      m.segs.map("seg" -> _) ++ m.applied.map("applied" -> _))
+    val format =
+      if (m.tombstones.nonEmpty) Seq("format" -> CurrentFormat.toString)
+      else Nil
+    val rows = (format ++ Seq("model" -> m.modelId) ++
+      m.entries ++ m.applied.map("applied" -> _))
       .zipWithIndex.map { case ((kind, ref), i) => Row(i, kind, ref) }
     val manifest = spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), manifestSchema)
@@ -261,7 +308,7 @@ object AnnIndexStore {
               encoded: DataFrame): Long = {
     val modelId = writeModel(spark, root, model)
     val seg = writeSegment(spark, root, encoded)
-    publishVersion(spark, root, Manifest(modelId, Seq(seg), Seq(seg)))
+    publishVersion(spark, root, Manifest(modelId, Seq("seg" -> seg), Seq(seg)))
   }
 
   /** INCREMENTAL growth: encode ONLY `batch` under the lineage's frozen
@@ -303,8 +350,72 @@ object AnnIndexStore {
     val seg = writeSegment(spark, root,
       VectorSearch.ivfPqEncode(model, batch, idCol, vecCol), segmentId)
     publishVersion(spark, root,
-      Manifest(m.modelId, m.segs :+ seg, m.applied :+ seg),
+      Manifest(m.modelId, m.entries :+ ("seg" -> seg), m.applied :+ seg),
       expectedBase = Some(Some(snap.version)))
+  }
+
+  /** CDC-shaped DELETION: commit a tombstone hiding `deletes`' ids in
+    * every segment published SO FAR — cost ∝ the delete batch (one
+    * tiny parquet write + a manifest commit), never the corpus. The
+    * feed a training pipeline already computes ([[graft.etl.ChangeFeed]]'s
+    * delete/update_preimage rows) routes here unchanged: diff feeds
+    * maintain the warehouse's aggregates, replicas — and now the
+    * serving index. A later [[appendEncode]] of the same id serves
+    * again (timeline semantics, header above), so update = delete the
+    * preimage + append the postimage.
+    *
+    * Exactly-once under replay via the same applied ledger as appends:
+    * a caller-named `tombstoneId` whose commit already landed
+    * short-circuits to a no-op (the streaming-batch-retry contract).
+    * The publish is conditional on the entry snapshot, like every
+    * other writer of this store. Physical reclamation happens at
+    * compaction ([[compactSegments]] applies tombstones while
+    * merging); until then deleted rows cost their anti-join probe. */
+  def applyDeletes(spark: SparkSession, root: String, deletes: DataFrame,
+                   idCol: String, tombstoneId: Option[String] = None,
+                   asOf: Option[Long] = None): Long = {
+    val snap = asOf.fold(AtomicPublish.snapshot(spark, root))(
+      AtomicPublish.snapshotAt(spark, root, _))
+    val m = readManifest(spark, snap)
+    if (tombstoneId.exists(m.applied.contains)) return snap.version
+    val id = tombstoneId.getOrElse(s"ts-${java.util.UUID.randomUUID}")
+    deletes.select(org.apache.spark.sql.functions.col(idCol).as("vec_id"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$root/ts/$id")
+    publishVersion(spark, root,
+      Manifest(m.modelId, m.entries :+ ("ts" -> id), m.applied :+ id),
+      expectedBase = Some(Some(snap.version)))
+  }
+
+  /** The version's served index: the manifest's segments with every
+    * tombstone APPLIED — consecutive segments sharing the same set of
+    * later tombstones read as one union with ONE broadcast anti join
+    * (tombstone-free manifests reduce to the plain segment union). */
+  private def indexFrame(spark: SparkSession, root: String,
+                         m: Manifest): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    // each segment paired with the tombstones AFTER it in the timeline
+    val segWithTs: Seq[(String, List[String])] = {
+      var tsAfter = List.empty[String]
+      m.entries.reverse.flatMap {
+        case ("ts", r) => tsAfter = r :: tsAfter; None
+        case ("seg", r) => Some(r -> tsAfter)
+        case _ => None
+      }.reverse
+    }
+    val blocks = segWithTs.foldLeft(Vector.empty[(Vector[String], List[String])]) {
+      case (acc, (seg, ts)) if acc.nonEmpty && acc.last._2 == ts =>
+        acc.init :+ ((acc.last._1 :+ seg, ts))
+      case (acc, (seg, ts)) => acc :+ ((Vector(seg), ts))
+    }
+    blocks.map { case (segs, ts) =>
+      val df = spark.read.parquet(segs.map(s => s"$root/seg/$s"): _*)
+      if (ts.isEmpty) df
+      else df.join(
+        broadcast(spark.read.parquet(ts.map(t => s"$root/ts/$t"): _*)
+          .select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+    }.reduce(_.unionByName(_))
   }
 
   /** Load the serving state back from a committed snapshot (the current
@@ -318,8 +429,7 @@ object AnnIndexStore {
     val snap = version.fold(AtomicPublish.snapshot(spark, root))(
       AtomicPublish.snapshotAt(spark, root, _))
     val m = readManifest(spark, snap)
-    val paths = m.segs.map(s => s"$root/seg/$s")
-    (loadModel(spark, root, m.modelId), spark.read.parquet(paths: _*))
+    (loadModel(spark, root, m.modelId), indexFrame(spark, root, m))
   }
 
   /** Convenience: load (optionally pinned) state and serve one query
@@ -386,19 +496,40 @@ object AnnIndexStore {
     val doomedSet = doomed.toSet
     val total = sizes.collect { case (id, n) if doomedSet(id) => n }.sum
     val nOut = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val merged = spark.read.parquet(doomed.map(s => s"$root/seg/$s"): _*)
-      .coalesce(nOut)
-    val newSeg = writeSegment(spark, root, merged)
-    // manifest: the merged segment takes the earliest doomed slot;
-    // survivors keep their relative order (segment order is cosmetic —
-    // serving is order-independent — but determinism is free here)
-    val firstDoomed = m.segs.indexWhere(doomedSet)
-    val newSegs = m.segs.zipWithIndex.flatMap { case (s, i) =>
-      if (i == firstDoomed) Some(newSeg)
-      else if (doomedSet(s)) None
-      else Some(s)
+    // read each doomed segment with its LATER tombstones applied: the
+    // merged output lands at the END of the timeline, so it must be
+    // physically clean (Lucene's deletes-applied-on-merge). With no
+    // tombstones this reduces to the plain narrow byte-copy.
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val segWithTs: Seq[(String, List[String])] = {
+      var tsAfter = List.empty[String]
+      m.entries.reverse.flatMap {
+        case ("ts", r) => tsAfter = r :: tsAfter; None
+        case ("seg", r) => Some(r -> tsAfter)
+        case _ => None
+      }.reverse
     }
-    publishVersion(spark, root, Manifest(m.modelId, newSegs, m.applied),
+    val merged = segWithTs.collect { case (s, ts) if doomedSet(s) =>
+      val df = spark.read.parquet(s"$root/seg/$s")
+      if (ts.isEmpty) df
+      else df.join(
+        broadcast(spark.read.parquet(ts.map(t => s"$root/ts/$t"): _*)
+          .select(col("vec_id")).distinct()),
+        Seq("vec_id"), "left_anti")
+    }.reduce(_.unionByName(_)).coalesce(nOut)
+    val newSeg = writeSegment(spark, root, merged)
+    // survivors keep their timeline positions (their tombstone
+    // relationships are positional); the merged segment appends at the
+    // end; tombstones that no remaining segment precedes are DROPPED —
+    // repeated compaction converges the store back to tombstone-free
+    val kept = m.entries.filterNot { case (k, r) => k == "seg" && doomedSet(r) }
+    var segSeen = false
+    val newEntries = (kept :+ ("seg" -> newSeg)).flatMap {
+      case e @ ("seg", _) => segSeen = true; Some(e)
+      case e @ ("ts", _) => if (segSeen) Some(e) else None
+      case e => Some(e)
+    }
+    publishVersion(spark, root, Manifest(m.modelId, newEntries, m.applied),
       expectedBase = Some(Some(snap.version)))
   }
 
@@ -429,6 +560,7 @@ object AnnIndexStore {
     }
     val refSegs = manifests.flatMap(_.segs).toSet
     val refModels = manifests.map(_.modelId).toSet
+    val refTs = manifests.flatMap(_.tombstones).toSet
     val now = System.currentTimeMillis()
     def orphansUnder(sub: Path, referenced: Set[String]): Seq[String] =
       if (!fs.exists(sub)) Nil
@@ -441,6 +573,9 @@ object AnnIndexStore {
     val modelRoot = new Path(root, "model")
     orphansUnder(modelRoot, refModels)
       .foreach(id => fs.delete(new Path(modelRoot, id), true))
+    val tsRoot = new Path(root, "ts")
+    orphansUnder(tsRoot, refTs)
+      .foreach(id => fs.delete(new Path(tsRoot, id), true))
     doomedSegs
   }
 }

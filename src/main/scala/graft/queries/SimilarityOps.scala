@@ -276,6 +276,44 @@ object SimilarityOps {
           corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
           k = TOPK, nprobe = KM_NPROBE)
         .orderBy("query_id", "rank")
+    }),
+
+    // sim14 — CDC-shaped DELETION reaching the SERVING index
+    // [extension; Lucene deletes-on-merge / Delta deletion vectors on
+    // plain parquet]: the corpus a training pipeline serves ANN from
+    // is also a corpus it DELETES from (takedowns, licence
+    // withdrawals, dedup verdicts), and the change feed that maintains
+    // the warehouse's views must reach the index without a corpus
+    // re-encode. A fresh sim13-shaped store is published, every
+    // vec_id ≡ 3 (mod 7) is tombstoned (one delta-sized parquet write
+    // + a manifest commit), then ONE deleted doc (vec_id 10) is
+    // RE-ADDED by appending after the tombstone — the manifest's
+    // timeline semantics must serve it again (a tombstone hides only
+    // segments that precede it). The oracle is sim12's full exact-ADC
+    // replay with the deleted ids filtered from the candidate side —
+    // tombstones, the timeline, and the re-add never appear in it.
+    "sim14_tombstone_serve" -> ((s, dir) => {
+      val corpus = Tables.embeddings(s, dir)
+      val model = sharedPqModel(s, dir)
+      val index = Shared.frame(s, dir, "ivfpq_index")(
+        graft.ops.VectorSearch.ivfPqEncode(model, corpus, "vec_id", "embedding"))
+      val root = s"/root/repo/target/sink/sim14_ann_${Tables.dirSlug(dir)}"
+      // a fresh store per run: the deletion state IS the subject
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      if (fc.util.exists(rp)) fc.delete(rp, true)
+      graft.ops.AnnIndexStore.publish(s, root, model, index)
+      graft.ops.AnnIndexStore.applyDeletes(s, root,
+        corpus.filter(col("vec_id") % 7 === 3).select("vec_id"),
+        "vec_id", tombstoneId = Some("ts-takedown-1"))
+      graft.ops.AnnIndexStore.appendEncode(s, root,
+        corpus.filter(col("vec_id") === 10), "vec_id", "embedding",
+        segmentId = Some("seg-readd-10"))
+      graft.ops.AnnIndexStore.serve(s, root,
+          corpus.filter(col("vec_id") < NQUERIES), "vec_id", "embedding",
+          k = TOPK, nprobe = KM_NPROBE)
+        .orderBy("query_id", "rank")
     }))
 
   /** The session-shared trained coarse quantizer behind sim11 AND sim12
@@ -664,9 +702,20 @@ object SimilarityOps {
   /** sim13 serves sim12's ranking through the published-table
     * round-trip; the stored state is exact (integers + the exact amax
     * double), so its oracle IS sim12's — hash-matching both proves the
-    * persisted path loses nothing vs the in-session model. */
-  val oracles: Map[String, String] =
-    baseOracles + ("sim13_persisted_serve" -> baseOracles("sim12_ivf_pq"))
+    * persisted path loses nothing vs the in-session model. sim14's
+    * oracle is the same replay with the tombstoned ids removed from
+    * the CANDIDATE side only (the re-added vec_id 10 stays): the
+    * timeline, the anti joins, and the store never appear in it. */
+  val oracles: Map[String, String] = {
+    val sim12 = baseOracles("sim12_ivf_pq")
+    val anchor = "WHERE l.query_id <> en.vec_id"
+    require(sim12.contains(anchor),
+      "sim12 oracle shape changed; update sim14's candidate filter")
+    baseOracles +
+      ("sim13_persisted_serve" -> sim12) +
+      ("sim14_tombstone_serve" -> sim12.replace(anchor,
+        anchor + "\n    AND (en.vec_id % 7 <> 3 OR en.vec_id = 10)"))
+  }
 
   /** sim11's learned-centroid chain as a CTE list: quantize (sim4's
     * text), k-lowest-id init, KM_ITERS unrolled Lloyd iterations

@@ -133,6 +133,15 @@ class IncrementalIndexSpec extends SparkSuite {
           // disturb convergence
           if (batches == 2)
             AnnIndexStore.compactSegments(spark, root, targetBytes = 1L << 30): Unit
+          // a DELETE interleaved with live ingest (the CDC consumer's
+          // shape: appends and takedowns share the stream). Fired in
+          // the batch that carried vec_id 5, so the tombstone lands
+          // AFTER that id's segment in the timeline — deterministic
+          // hide regardless of how the files split into triggers
+          if (!batch.filter(col("vec_id") === 5).isEmpty)
+            AnnIndexStore.applyDeletes(spark, root,
+              emb.filter(col("vec_id") === 5).select("vec_id"),
+              "vec_id", Some("ts-mid-stream")): Unit
         }
     }
     assert(batches >= 2, s"expected a real multi-batch split, got $batches batch(es)")
@@ -140,10 +149,12 @@ class IncrementalIndexSpec extends SparkSuite {
     val streamed = norm(graft.ops.AnnIndexStore.serve(spark, root, queries,
       "vec_id", "embedding", k = topK, nprobe = nprobe))
     val oneShot = norm(VectorSearch.ivfPqServe(model,
-      VectorSearch.ivfPqEncode(model, emb, "vec_id", "embedding"),
+      VectorSearch.ivfPqEncode(model,
+        emb.filter(col("vec_id") =!= 5), "vec_id", "embedding"),
       queries, "vec_id", "embedding", topK, nprobe))
     assert(streamed == oneShot,
-      "multi-batch streamed index serve diverged from the one-shot batch encode")
+      "multi-batch streamed index serve diverged from the one-shot batch " +
+        "encode of the corpus minus the mid-stream takedown")
   }
 
   test("a publish landing inside an append's encode window fails that append instead of dropping the segment") {
@@ -320,6 +331,73 @@ class IncrementalIndexSpec extends SparkSuite {
       queries, "vec_id", "embedding", topK, nprobe))
     assert(grown == full,
       "append-compact-append index diverged from the one-shot encode")
+  }
+
+  test("tombstones: applyDeletes hides ids until re-added; compaction " +
+    "applies deletes physically and drops dead tombstones; replay is a " +
+    "no-op; GC reclaims orphaned tombstone dirs") {
+    val root = freshRoot()
+    val (emb, model, queries) = train()
+    AnnIndexStore.publish(spark, root, model,
+      VectorSearch.ivfPqEncode(model, emb, "vec_id", "embedding"))
+    val deadRule = col("vec_id") % 7 === 3
+    def served() = norm(AnnIndexStore.serve(spark, root, queries,
+      "vec_id", "embedding", k = topK, nprobe = nprobe))
+    // the reference: a one-shot encode of the corpus the tombstones
+    // should leave visible — the store's timeline never appears in it
+    def reference(corpus: DataFrame) = norm(VectorSearch.ivfPqServe(model,
+      VectorSearch.ivfPqEncode(model, corpus, "vec_id", "embedding"),
+      queries, "vec_id", "embedding", topK, nprobe))
+    val v1 = AnnIndexStore.applyDeletes(spark, root,
+      emb.filter(deadRule).select("vec_id"), "vec_id",
+      tombstoneId = Some("ts-b1"))
+    // exactly-once: the replayed named tombstone is a pure no-op
+    assert(AnnIndexStore.applyDeletes(spark, root,
+      emb.filter(deadRule).select("vec_id"), "vec_id",
+      tombstoneId = Some("ts-b1")) == v1)
+    assert(served() == reference(emb.filter(col("vec_id") % 7 =!= 3)),
+      "tombstoned ids still served")
+    // RE-ADD one deleted id: its new segment follows the tombstone in
+    // the timeline, so it serves again
+    AnnIndexStore.appendEncode(spark, root,
+      emb.filter(col("vec_id") === 10), "vec_id", "embedding",
+      segmentId = Some("seg-readd"))
+    assert(served() == reference(
+      emb.filter(col("vec_id") % 7 =!= 3 || col("vec_id") === 10)),
+      "re-added id must serve again")
+    // delete it AGAIN — the second tombstone follows the re-add segment
+    AnnIndexStore.applyDeletes(spark, root,
+      emb.filter(col("vec_id") === 10).select("vec_id"), "vec_id",
+      tombstoneId = Some("ts-b2"))
+    val expect = reference(emb.filter(col("vec_id") % 7 =!= 3))
+    assert(served() == expect, "re-deleted id must hide again")
+    // compaction applies every tombstone physically and the ranking is
+    // bit-identical; with all segments merged, every tombstone becomes
+    // dead (no preceding segment) and drops from the manifest
+    val vPre = graft.etl.AtomicPublish.currentVersion(spark, root).get
+    val vc = AnnIndexStore.compactSegments(spark, root, targetBytes = 1L << 30)
+    assert(vc == vPre + 1)
+    assert(served() == expect, "compaction changed the served ranking")
+    val manifest = spark.read.parquet(s"$root/v$vc/ann_manifest")
+    assert(manifest.filter(col("kind") === "ts").count() == 0,
+      "full compaction must drop all (now dead) tombstones")
+    import spark.implicits._
+    val segIds = manifest.filter(col("kind") === "seg")
+      .select("ref").as[String].collect().toSeq
+    val physical = spark.read.parquet(segIds.map(s => s"$root/seg/$s"): _*)
+    assert(physical.filter(deadRule).count() == 0,
+      "compaction left physically dead rows")
+    // time travel: the pre-compaction (tombstone-bearing) version still
+    // serves identically
+    assert(norm(AnnIndexStore.serve(spark, root, queries, "vec_id",
+      "embedding", k = topK, nprobe = nprobe, version = Some(vPre))) == expect)
+    // vacuum the old versions → the orphaned tombstone dirs reclaim
+    graft.etl.AtomicPublish.vacuum(spark, root, keep = 1)
+    AnnIndexStore.vacuumSegments(spark, root, minAgeMs = 0)
+    assert(Option(new java.io.File(s"$root/ts").listFiles())
+      .getOrElse(Array.empty).isEmpty,
+      "orphaned tombstone dirs must be reclaimed")
+    assert(served() == expect, "serve changed after GC")
   }
 
   test("vacuumSegments reclaims only unreferenced segments; the current serve is unaffected") {
