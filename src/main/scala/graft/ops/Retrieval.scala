@@ -358,4 +358,161 @@ object Retrieval {
        |  CAST(row_number() OVER (ORDER BY rrf_score DESC, $idCol ASC) AS INT) AS rank
        |FROM f ORDER BY rrf_score DESC, $idCol ASC LIMIT $k""".stripMargin
   }
+
+  // ── maintained inverted index: feed-driven BM25 ───────────────────
+  //
+  // ir1-ir4 compute their postings per query run — correct, but a
+  // corpus-sized tokenize per query batch. At 100 TB the index is a
+  // MAINTAINED artifact: built once, advanced per CDC batch in work
+  // ∝ the changed documents, served from state. The store primitives
+  // already exist (graft.etl.IncrementalAgg's bucketed exactly-once
+  // targets); retrieval contributes the postings SHAPE — a document
+  // change feed transforms into a postings change feed, and three
+  // co-committed targets (postings replica, document-frequency view,
+  // doc-length view) are everything BM25 needs at serve time. One doc
+  // feed now maintains aggregates, replicas, extrema, the ANN index
+  // (tombstones), and keyword retrieval — atomically.
+
+  /** Full-vocabulary postings of a document set: one row per
+    * (term, doc_id) with the in-doc term count and the doc's token
+    * length — the INDEX shape, vs [[postingsFor]]'s query-term slice.
+    * Tokenization matches [[duckBm25TopK]]'s replay exactly
+    * (whitespace split of the trimmed text; NULL text yields no
+    * postings; empty text yields the single empty token). */
+  def indexPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("__t"))
+      .select(col("doc_id"), size(col("__t")).cast("long").as("dl"),
+        explode(col("__t")).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .select("term", "doc_id", "tf", "dl")
+
+  /** Transform a DOCUMENT change feed ([[graft.etl.ChangeFeed.diff]]
+    * output keyed by `idCol`) into the POSTINGS change feed that
+    * maintains the index: the pre- and post-image document sets —
+    * delta-sized by the feed contract — expand to postings and
+    * keyed-diff on (term, doc_id). An updated document emits only the
+    * postings its edit actually changed (unchanged terms diff away).
+    * Work ∝ the changed documents' tokens, never the corpus. */
+  def postingsDelta(docFeed: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    require(docFeed.columns.contains("_change_type"),
+      "postingsDelta input must be a ChangeFeed.diff output (missing _change_type)")
+    def side(types: Seq[String]) = docFeed
+      .filter(col("_change_type").isin(types: _*))
+      .select(col(idCol), col(textCol))
+    graft.etl.ChangeFeed.diff(
+      indexPostings(side(Seq("delete", "update_preimage")), idCol, textCol),
+      indexPostings(side(Seq("insert", "update_postimage")), idCol, textCol),
+      Seq("term", "doc_id"))
+  }
+
+  /** The maintained-index target bundle for one
+    * [[graft.etl.IncrementalAgg]] store, all advanced by ONE postings
+    * feed in ONE atomic exactly-once commit:
+    *   - `postings` — row-level replica keyed (term, doc_id): the
+    *     inverted index itself (tf + dl per posting);
+    *   - `df`       — per-term document frequency (each (term, doc)
+    *     posting row contributes one count — additive);
+    *   - `bydoc`    — per-doc token length (sum of tf — additive; also
+    *     the corpus N and Σdl the scorer derives stats from).
+    * A reader can never observe postings at batch N beside df at
+    * batch N−1 — the idf can never disagree with the postings. */
+  def indexTargets(numBuckets: Int = 64): Seq[graft.etl.IncrementalAgg.TargetSpec] = {
+    import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
+    Seq(
+      ReplicaSpec("postings", Seq("term", "doc_id"), numBuckets),
+      ViewSpec("df", Seq("term"), Nil, numBuckets),
+      ViewSpec("bydoc", Seq("doc_id"), Seq("dl" -> "tf"), numBuckets))
+  }
+
+  /** BM25 top-k served purely from the MAINTAINED index — no document
+    * is tokenized at query time: postings and df read only the query
+    * terms' rows, corpus stats (N, avgdl) aggregate the |docs|-sized
+    * `bydoc` view. Scoring is [[bm25TopK]]'s fixed-order fold
+    * verbatim, except avgdl derives from the view's DECIMAL-exact dl
+    * sum in one double division (order-independent, replayed verbatim
+    * by [[duckBm25FromDocs]] — tighter than the IEEE running average).
+    * Output: (rank, doc_id, n_matched), the exact-integer ranking
+    * shape of [[bm25RankedTopK]]. */
+  def bm25FromIndex(spark: SparkSession, root: String, terms: Seq[String],
+                    k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct == terms,
+      s"terms must be non-empty and distinct: $terms")
+    import graft.etl.IncrementalAgg
+    val postings = IncrementalAgg.readView(spark, root, "postings")
+      .filter(col("term").isin(terms: _*))
+    val dfv = IncrementalAgg.readView(spark, root, "df")
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("n").cast("double").as("__df"))
+    val stats = IncrementalAgg.readView(spark, root, "bydoc")
+      .agg(count(lit(1)).cast("double").as("__n"), sum(col("dl")).as("__sumdl"))
+      .select(col("__n"),
+        (col("__sumdl").cast("double") / col("__n")).as("__avgdl"))
+    val idf = dfv.crossJoin(broadcast(stats))
+      .select(col("term"), col("__avgdl"),
+        log((col("__n") - col("__df") + 0.5) / (col("__df") + 0.5) + 1.0).as("__idf"))
+    val tfNorm = col("tf").cast("double") * lit(k1 + 1.0) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("__avgdl")))
+    val contrib = col("__idf") * tfNorm
+    // same fixed-order fold as bm25TopK; term identity by name
+    val score = terms
+      .map(t => coalesce(sum(when(col("term") === t, contrib)), lit(0.0)))
+      .reduce(_ + _)
+    import org.apache.spark.sql.expressions.Window
+    postings.join(broadcast(idf), Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_matched"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id").asc)).cast("int"))
+      .select(col("rank"), col("doc_id"), col("n_matched"))
+  }
+
+  /** DuckDB replay of [[bm25FromIndex]] over a docs relation (`table`
+    * may be an aliased derived table): [[duckBm25TopK]]'s chain with
+    * avgdl as the decimal-exact sum divide, matching the maintained
+    * store's arithmetic. The index, the feeds, and the store never
+    * appear in it. */
+  def duckBm25FromDocs(terms: Seq[String], k: Int = 20,
+                       k1: Double = 1.2, b: Double = 0.75,
+                       idCol: String = "doc_id", table: String = "documents",
+                       textCol: String = "text"): String = {
+    val termList = terms.map(t => "'" + t.replace("'", "''") + "'").mkString(", ")
+    val scoreChain = terms.map { t =>
+      val lit = "'" + t.replace("'", "''") + "'"
+      s"COALESCE(SUM(CASE WHEN term = $lit THEN contrib END), 0.0)"
+    }.mkString("(", " + ", ")")
+    s"""WITH toks AS (SELECT $idCol, str_split_regex(trim($textCol), '\\s+') AS t
+       |              FROM $table),
+       |post AS (
+       |  SELECT $idCol, w AS term, CAST(COUNT(*) AS BIGINT) AS tf,
+       |         any_value(dl) AS dl
+       |  FROM (SELECT $idCol, len(t) AS dl, unnest(t) AS w FROM toks)
+       |  WHERE w IN ($termList) GROUP BY 1, 2),
+       |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |            CAST(CAST(SUM(CAST(len(t) AS DECIMAL(38,6))) AS VARCHAR)
+       |              AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |          FROM toks WHERE t IS NOT NULL),
+       |idf AS (SELECT term,
+       |          ln((n - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf,
+       |          any_value(avgdl) AS avgdl
+       |        FROM post, stats GROUP BY term, n),
+       |co AS (
+       |  SELECT $idCol, term,
+       |    idf * (CAST(tf AS DOUBLE) * ${k1 + 1.0} /
+       |      (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE) / avgdl)))
+       |      AS contrib
+       |  FROM post JOIN idf USING (term)),
+       |sc AS (
+       |  SELECT $idCol, CAST(COUNT(*) AS INT) AS n_matched,
+       |         $scoreChain AS score
+       |  FROM co GROUP BY $idCol)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, $idCol ASC) AS INT) AS rank,
+       |       $idCol, n_matched
+       |FROM sc ORDER BY score DESC, $idCol ASC LIMIT $k""".stripMargin
+  }
 }

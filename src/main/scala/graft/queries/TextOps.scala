@@ -22,6 +22,10 @@ object TextOps {
 
   /** ir1's query terms — one rare (df≈5% of docs), two common. */
   private val ir1Terms = Seq("dup", "vector", "batch")
+
+  /** ir5's query mix: ir1's spectrum plus the marker term the chain's
+    * EDIT batch introduces (postings born mid-chain must rank). */
+  private val ir5Terms = Seq("dup", "vector", "batch", "graftindexmark")
   /** ir4's probe phrase — present in the fixture with multi-occurrence
     * docs (8 occurrences across 5 docs at sf0.01). */
   private val ir4Phrase = Seq("slow", "hash", "batch")
@@ -135,6 +139,52 @@ object TextOps {
     "ir3_rrf_fusion" -> ((s, dir) =>
       graft.ops.Retrieval.hybridTopK(Tables.documents(s, dir), "doc_id", "text",
         ir1Terms, k = 20, poolK = 50)),
+
+    // ir5 — MAINTAINED inverted index [extension; feed-driven BM25]:
+    // ir1-ir4 tokenize the corpus per query run; at scale the index is
+    // a maintained artifact advanced per CDC batch. The document
+    // change feed transforms into a POSTINGS feed
+    // (Retrieval.postingsDelta — work ∝ the changed docs' tokens,
+    // unchanged terms of an edited doc diff away), and ONE atomic
+    // exactly-once store commit advances the postings replica, the
+    // document-frequency view, and the doc-length view together
+    // (Retrieval.indexTargets over IncrementalAgg): the idf can never
+    // disagree with the postings. The chain deletes a decile, edits a
+    // decile (appending a marker term — new postings born mid-chain),
+    // then deletes another decile; BM25 serves PURELY from maintained
+    // state (no document is tokenized at query time). The oracle
+    // recomputes BM25 from the final slice relationally — the feeds,
+    // the store, and the maintenance never appear in it.
+    "ir5_maintained_bm25" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, IncrementalAgg}
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val mark = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("text",
+          when(col("doc_id") % 10 === 4,
+            concat(col("text"), lit(" graftindexmark")))
+            .otherwise(col("text")))
+      val v1 = docs.filter(col("doc_id") % 10 =!= 7)
+      val v2 = mark(docs.filter(col("doc_id") % 10 =!= 3))
+      val v3 = mark(docs.filter(col("doc_id") % 10 =!= 3 &&
+        col("doc_id") % 10 =!= 1))
+      val root = s"/root/repo/target/sink/ir5_index_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      if (fc.util.exists(rp)) fc.delete(rp, true)
+      val targets = graft.ops.Retrieval.indexTargets(numBuckets = 16)
+      IncrementalAgg.publishInitialMulti(s, root,
+        graft.ops.Retrieval.indexPostings(v1, "doc_id", "text"), targets)
+      IncrementalAgg.applyOnceMulti(s, root,
+        graft.ops.Retrieval.postingsDelta(
+          ChangeFeed.diff(v1, v2, Seq("doc_id")), "doc_id", "text"),
+        1L, targets)
+      IncrementalAgg.applyOnceMulti(s, root,
+        graft.ops.Retrieval.postingsDelta(
+          ChangeFeed.diff(v2, v3, Seq("doc_id")), "doc_id", "text"),
+        2L, targets)
+      graft.ops.Retrieval.bm25FromIndex(s, root, ir5Terms, k = 20)
+    }),
 
     // ir4 — exact phrase search [extension]: every doc containing the
     // exact 3-token phrase, with occurrence count and first position —
@@ -455,6 +505,15 @@ object TextOps {
       graft.ops.Retrieval.duckHybridTopK(ir1Terms, k = 20, poolK = 50),
 
     "ir4_phrase_search" -> graft.ops.Retrieval.duckPhraseSearch(ir4Phrase),
+
+    // BM25 recomputed from the final (v3) slice directly — the feeds,
+    // the maintained store, and the maintenance never appear in it.
+    "ir5_maintained_bm25" -> graft.ops.Retrieval.duckBm25FromDocs(
+      ir5Terms, k = 20,
+      table = """(SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 4 THEN text || ' graftindexmark'
+        |       ELSE text END AS text
+        |FROM documents WHERE doc_id % 10 NOT IN (3, 1)) v3""".stripMargin),
 
     "f13_word_count" ->
       s"""SELECT word, COUNT(*) AS n

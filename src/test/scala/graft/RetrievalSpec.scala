@@ -100,6 +100,83 @@ class RetrievalSpec extends SparkSuite {
     assert(math.abs(got(1).getDouble(2) - s(1, 4)) < 1e-12)
   }
 
+  test("maintained index: the postings feed is MINIMAL (an edit's " +
+    "unchanged terms diff away), the three targets track a from-scratch " +
+    "rebuild through deletes/edits/inserts, replay is exactly-once, and " +
+    "the served BM25 ranking equals the per-query scorer") {
+    import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg}
+    val root = "/root/repo/target/test-sink/ir_maintained_index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val v0 = Seq(
+      1L -> "alpha beta beta gamma",
+      2L -> "beta delta",
+      3L -> "alpha alpha epsilon",
+      4L -> "zeta")
+    // doc 2 deleted; doc 3 edited (one term swapped — alpha and the
+    // second alpha stay; epsilon → beta); doc 5 inserted
+    val v1 = Seq(
+      1L -> "alpha beta beta gamma",
+      3L -> "alpha alpha beta",
+      4L -> "zeta",
+      5L -> "epsilon beta")
+    // doc 4 deleted: term 'zeta' dies entirely
+    val v2 = Seq(
+      1L -> "alpha beta beta gamma",
+      3L -> "alpha alpha beta",
+      5L -> "epsilon beta")
+    val targets = graft.ops.Retrieval.indexTargets(numBuckets = 4)
+    IncrementalAgg.publishInitialMulti(spark, root,
+      graft.ops.Retrieval.indexPostings(df(v0), "doc_id", "text"), targets)
+    // MINIMALITY: doc 3's edit keeps 'alpha' tf=2, so the postings
+    // feed must carry only the epsilon delete, the beta insert, and
+    // the dl-changing update pairs — never an (alpha, 3) row pair with
+    // identical content... dl changes though: alpha's dl 3→3 stays, so
+    // (alpha,3) truly diffs away
+    val feed01 = graft.ops.Retrieval.postingsDelta(
+      ChangeFeed.diff(df(v0), df(v1), Seq("doc_id")), "doc_id", "text")
+    val f01 = feed01.as[(String, Long, Long, Long, String)].collect().toSet
+    assert(!f01.exists(r => r._1 == "alpha" && r._2 == 3L),
+      s"unchanged posting (alpha, doc 3) leaked into the feed: $f01")
+    assert(f01.exists(r => r._1 == "epsilon" && r._2 == 3L && r._5 == "delete"))
+    assert(f01.exists(r => r._1 == "beta" && r._2 == 3L && r._5 == "insert"))
+    // advance two batches; after each, every target equals a rebuild
+    def postingsOf(rows: Seq[(Long, String)]) =
+      graft.ops.Retrieval.indexPostings(df(rows), "doc_id", "text")
+        .as[(String, Long, Long, Long)].collect().toSet
+    def viewRows(view: String) = IncrementalAgg.readView(spark, root, view)
+      .collect().map(_.toSeq).toSet
+    assert(IncrementalAgg.applyOnceMulti(spark, root, feed01, 0L, targets))
+    assert(IncrementalAgg.readView(spark, root, "postings")
+      .as[(String, Long, Long, Long)].collect().toSet === postingsOf(v1))
+    val feed12 = graft.ops.Retrieval.postingsDelta(
+      ChangeFeed.diff(df(v1), df(v2), Seq("doc_id")), "doc_id", "text")
+    assert(IncrementalAgg.applyOnceMulti(spark, root, feed12, 1L, targets))
+    assert(IncrementalAgg.readView(spark, root, "postings")
+      .as[(String, Long, Long, Long)].collect().toSet === postingsOf(v2))
+    // df view equals a recount; the died term 'zeta' LEFT the state
+    val dfView = IncrementalAgg.readView(spark, root, "df")
+      .select("term", "n").as[(String, Long)].collect().toMap
+    assert(dfView === Map("alpha" -> 2L, "beta" -> 3L, "gamma" -> 1L,
+      "epsilon" -> 1L))
+    // bydoc equals token lengths
+    assert(IncrementalAgg.readView(spark, root, "bydoc")
+      .select(col("doc_id"), col("dl").cast("long"))
+      .as[(Long, Long)].collect().toMap === Map(1L -> 4L, 3L -> 3L, 5L -> 2L))
+    // exactly-once: both batches refuse replay, one version per batch
+    assert(!IncrementalAgg.applyOnceMulti(spark, root, feed01, 0L, targets))
+    assert(AtomicPublish.currentVersion(spark, root) === Some(2L))
+    // the served ranking equals the per-query scorer over the same docs
+    val terms = Seq("beta", "epsilon", "zeta")
+    val served = graft.ops.Retrieval.bm25FromIndex(spark, root, terms, k = 10)
+      .as[(Int, Long, Int)].collect().toSeq
+    val direct = graft.ops.Retrieval.bm25RankedTopK(df(v2), "doc_id", "text",
+      terms, k = 10).as[(Int, Long, Int)].collect().toSeq
+    assert(served === direct,
+      s"maintained-index BM25 diverged from the per-query scorer: " +
+        s"$served vs $direct")
+  }
+
   test("centroidOutliers: planted outlier first, distances exact, ties by id") {
     import graft.ops.VectorSearch
     // 9 unit vectors + one far point → centroid = 2.0 per dim;
