@@ -696,12 +696,18 @@ object IncrementalAgg {
     require(views.nonEmpty, "no views")
     require(views.map(_.name).distinct.size == views.size,
       s"duplicate view names: ${views.map(_.name).mkString(",")}")
-    AtomicPublish.publish(spark, root,
+    // materialize the base once for the seeding round: every target's
+    // seed reads `rows`, and the caller's plan need not be cheap (ir5
+    // seeds three targets from a corpus-wide tokenize+aggregate) —
+    // the same convention as applyOnceMulti's feed persist
+    val r = rows.persist()
+    try AtomicPublish.publish(spark, root,
       views.map { v =>
-        val state = v.seed(rows)
+        val state = v.seed(r)
         val refs = writeSegment(spark, root, state, v.bucketCols, v.numBuckets)
         v.manifestT -> manifestDF(spark, v.numBuckets, refs, state.schema.toDDL)
       } :+ (AppliedT -> Seq.empty[Long].toDF("batch_id")))
+    finally { r.unpersist(); () }
   }
 
   /** Single-view [[publishInitialMulti]] under the default view name. */

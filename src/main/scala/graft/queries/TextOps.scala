@@ -175,14 +175,16 @@ object TextOps {
       val targets = graft.ops.Retrieval.indexTargets(numBuckets = 16)
       IncrementalAgg.publishInitialMulti(s, root,
         graft.ops.Retrieval.indexPostings(v1, "doc_id", "text"), targets)
-      IncrementalAgg.applyOnceMulti(s, root,
-        graft.ops.Retrieval.postingsDelta(
-          ChangeFeed.diff(v1, v2, Seq("doc_id")), "doc_id", "text"),
-        1L, targets)
-      IncrementalAgg.applyOnceMulti(s, root,
-        graft.ops.Retrieval.postingsDelta(
-          ChangeFeed.diff(v2, v3, Seq("doc_id")), "doc_id", "text"),
-        2L, targets)
+      // each DOC feed pins for its batch: postingsDelta reads it twice
+      // (pre and post image sides), and production feeds are FILES —
+      // the o12/o13 materialize-once convention, in-memory form
+      for (((a, b), i) <- Seq((v1, v2), (v2, v3)).zipWithIndex) {
+        val docFeed = ChangeFeed.diff(a, b, Seq("doc_id")).persist()
+        try IncrementalAgg.applyOnceMulti(s, root,
+          graft.ops.Retrieval.postingsDelta(docFeed, "doc_id", "text"),
+          (i + 1).toLong, targets)
+        finally { docFeed.unpersist(); () }
+      }
       graft.ops.Retrieval.bm25FromIndex(s, root, ir5Terms, k = 20)
     }),
 
