@@ -437,16 +437,20 @@ object Retrieval {
     * Output: (rank, doc_id, n_matched), the exact-integer ranking
     * shape of [[bm25RankedTopK]]. */
   def bm25FromIndex(spark: SparkSession, root: String, terms: Seq[String],
-                    k: Int = 20, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                    k: Int = 20, k1: Double = 1.2, b: Double = 0.75,
+                    version: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       s"terms must be non-empty and distinct: $terms")
     import graft.etl.IncrementalAgg
-    val postings = IncrementalAgg.readView(spark, root, "postings")
+    // `version` time-travels the WHOLE index (o8's shape): postings,
+    // df, and doc stats all resolve from ONE retained store version,
+    // so a historical ranking is as consistent as the current one
+    val postings = IncrementalAgg.readView(spark, root, "postings", version)
       .filter(col("term").isin(terms: _*))
-    val dfv = IncrementalAgg.readView(spark, root, "df")
+    val dfv = IncrementalAgg.readView(spark, root, "df", version)
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("n").cast("double").as("__df"))
-    val stats = IncrementalAgg.readView(spark, root, "bydoc")
+    val stats = IncrementalAgg.readView(spark, root, "bydoc", version)
       .agg(count(lit(1)).cast("double").as("__n"), sum(col("dl")).as("__sumdl"))
       .select(col("__n"),
         (col("__sumdl").cast("double") / col("__n")).as("__avgdl"))

@@ -175,6 +175,31 @@ class RetrievalSpec extends SparkSuite {
     assert(served === direct,
       s"maintained-index BM25 diverged from the per-query scorer: " +
         s"$served vs $direct")
+    // TIME TRAVEL: a retained version serves ITS corpus's ranking —
+    // postings, df, and doc stats all resolve from one version (a
+    // historical ranking can never mix epochs)
+    val travel = graft.ops.Retrieval.bm25FromIndex(spark, root, terms,
+      k = 10, version = Some(1L)).as[(Int, Long, Int)].collect().toSeq
+    assert(travel === graft.ops.Retrieval.bm25RankedTopK(df(v1), "doc_id",
+      "text", terms, k = 10).as[(Int, Long, Int)].collect().toSeq,
+      "time-traveled ranking diverged from its version's corpus")
+    // CATCH-UP COMPOSITION over the index (the algebra's interaction
+    // case): a store seeded at v0 that missed BOTH batches applies the
+    // composed postings feed as ONE exactly-once round and reaches the
+    // same index — compose's keyed fold operates on (term, doc_id)
+    // postings rows exactly as it does on table rows
+    val root2 = "/root/repo/target/test-sink/ir_maintained_index_catchup"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root2))
+    IncrementalAgg.publishInitialMulti(spark, root2,
+      graft.ops.Retrieval.indexPostings(df(v0), "doc_id", "text"), targets)
+    assert(IncrementalAgg.applyComposedMulti(spark, root2,
+      Seq(0L -> feed01, 1L -> feed12), Seq("term", "doc_id"),
+      targets, strict = true) === 2)
+    assert(IncrementalAgg.readView(spark, root2, "postings")
+      .as[(String, Long, Long, Long)].collect().toSet === postingsOf(v2))
+    assert(graft.ops.Retrieval.bm25FromIndex(spark, root2, terms, k = 10)
+      .as[(Int, Long, Int)].collect().toSeq === direct,
+      "catch-up-composed index serves a different ranking")
   }
 
   test("centroidOutliers: planted outlier first, distances exact, ties by id") {
