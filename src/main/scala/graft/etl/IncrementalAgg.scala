@@ -20,10 +20,15 @@ import org.apache.spark.sql.types.DecimalType
   *      whose GROUP migrated between versions decrements its old group
   *      via the preimage and increments the new one via the postimage —
   *      no special case. (Non-additive aggregates cannot be maintained
-  *      this way: MIN/MAX are covered by [[ExtremaViewSpec]]'s
+  *      this way directly: MIN/MAX are covered by [[ExtremaViewSpec]]'s
   *      recompute-on-invalidation against a co-maintained replica;
-  *      distinct counts remain out of scope — they need a full base
-  *      scan or a sketch.)
+  *      DISTINCT counts are maintainable BY COMPOSITION — an additive
+  *      view grouped by (group, value) tracks each pair's live count,
+  *      a pair leaves the state exactly when its count reaches zero,
+  *      so the per-group row count of that state IS the group's
+  *      distinct-value count: one read-time aggregate over the
+  *      |live pairs|-sized state, no base scan, no sketch — the o16
+  *      gate pins it against a direct COUNT(DISTINCT).)
   *   2. EXACT ARITHMETIC — sums are carried as DECIMAL(38,6) (the
   *      engine-wide [[graft.queries.Det]] discipline), so
   *      maintained state is BIT-IDENTICAL to a from-scratch recompute,
@@ -127,9 +132,11 @@ object IncrementalAgg {
   //     the buckets one batch wrote (partitionBy output)
   //   root/v<N>/state_manifest  (bucket, ref) rows: bucket -1 carries
   //     the state schema as a DDL string (so an EMPTY state is still
-  //     readable); buckets 0..B-1 carry the relative segment ref of
-  //     that bucket's current rows, or NULL for an empty bucket. B is
-  //     fixed at seeding (row count of the non-schema rows).
+  //     readable), -2 the manifest format version, -3 the bucket
+  //     columns (so serving reads can prune — readViewPruned); buckets
+  //     0..B-1 carry the relative segment ref of that bucket's current
+  //     rows, or NULL for an empty bucket. B is fixed at seeding (row
+  //     count of the non-negative rows).
   //   root/v<N>/applied         the exactly-once ledger (batch_id)
   //
   // Readers union the referenced bucket dirs ([[readState]]); the
@@ -158,19 +165,54 @@ object IncrementalAgg {
     * maintain a replica NEXT TO its aggregate views, and one batch
     * commits all of them together — a reader can never observe the
     * table at batch N beside an index or MV at batch N−1). */
+  /** The post-batch state of one already-maintained target, held as its
+    * BUCKET LAYOUT (refs, not a pre-unioned DataFrame) so dependents can
+    * read a pruned subset of it — the device behind the extrema rescan
+    * reading only the invalidated groups' buckets. */
+  private[etl] final case class SteppedState(root: String,
+      bucketCols: Seq[String], numBuckets: Int,
+      refs: Map[Int, String], schemaDDL: String) {
+    def read(spark: SparkSession, buckets: Option[Set[Int]]): DataFrame = {
+      val keep = buckets.fold(refs)(bs => refs.view.filterKeys(bs).toMap)
+      if (keep.isEmpty) emptyState(spark, schemaDDL)
+      else spark.read.parquet(keep.values.toSeq.distinct.sorted
+        .map(r => s"$root/state_segments/$r"): _*)
+    }
+  }
+
   /** What a target's [[TargetSpec.step]] may reach beyond its own
     * previous state: the POST-BATCH full state of targets maintained
     * earlier in the same round. Non-additive views use it to rescan
     * invalidated groups from a co-maintained replica; additive targets
     * ignore it. */
-  private[etl] final class StepContext(
-      stepped: scala.collection.Map[String, () => DataFrame]) {
-    /** Post-batch full state of an already-maintained sibling target;
-      * throws if `name` was not maintained before the caller. */
-    def baseAfter(name: String): DataFrame =
+  private[etl] final class StepContext(spark: SparkSession,
+      stepped: scala.collection.Map[String, SteppedState]) {
+    private def state(name: String): SteppedState =
       stepped.getOrElse(name, throw new IllegalStateException(
         s"target '$name' is not maintained before this one in the round " +
-          "(order targets so a rescan base precedes its dependents)"))()
+          "(order targets so a rescan base precedes its dependents)"))
+    /** Post-batch full state of an already-maintained sibling target;
+      * throws if `name` was not maintained before the caller. */
+    def baseAfter(name: String): DataFrame = state(name).read(spark, None)
+    /** Post-batch state of sibling `name`, PRUNED to the buckets the
+      * rows of `groups` (columns = `cols`) hash into — exact iff the
+      * sibling is bucketed on exactly `cols` (all rows sharing those
+      * column values share a bucket). When the sibling's bucket layout
+      * is anything else the full state returns instead, so callers get
+      * a correct superset either way; pruning is an optimization, never
+      * a semantics change. Cost of the pruned path: one tiny job over
+      * `groups` folding to ≤ B bucket ints. */
+    def baseAfterForGroups(name: String, groups: DataFrame,
+                           cols: Seq[String]): DataFrame = {
+      val st = state(name)
+      if (st.bucketCols != cols || cols.isEmpty) st.read(spark, None)
+      else {
+        val bs = groups
+          .agg(collect_set(bucketExpr(cols, st.numBuckets)).as("b"))
+          .collect()(0).getSeq[Int](0).toSet
+        st.read(spark, Some(bs))
+      }
+    }
   }
 
   sealed trait TargetSpec {
@@ -225,16 +267,37 @@ object IncrementalAgg {
     * those buckets, applying against the touched subset is exact.
     * `strict` forwards to `applyTo`: fail loudly if a feed's preimage
     * key is absent from the replica (a feed applied out of order or
-    * against the wrong site). */
+    * against the wrong site).
+    *
+    * `bucketOn` (default: the key) picks the replica's bucket layout —
+    * ANY column subset of the table, not just the key, because a change
+    * feed carries FULL rows: a preimage row IS the state row it
+    * removes, so it hashes into the same bucket that row lives in, and
+    * a postimage hashes into the bucket it must land in — the touched
+    * buckets stay feed-computable and delta-proportional writes
+    * survive. This is what makes a SERVING read prunable: bucket the
+    * postings replica on `term` alone and a query's
+    * [[readViewPruned]] opens only the buckets its terms hash into,
+    * instead of the whole index (the r16 verdict's one
+    * weak-at-100×-scale plan). An update whose bucket columns changed
+    * touches both its old and new bucket (both images are in the
+    * feed); pick LOW-CARDINALITY bucket columns only when their value
+    * distribution is not too skewed — every row of one bucket-column
+    * value shares a bucket, the same trade as any partition key. */
   final case class ReplicaSpec(name: String, key: Seq[String],
                                numBuckets: Int = 64,
-                               strict: Boolean = false) extends TargetSpec {
+                               strict: Boolean = false,
+                               bucketOn: Seq[String] = Nil) extends TargetSpec {
     require(key.nonEmpty, "replica key must name at least one column")
     validateCommon()
-    private[etl] def bucketCols: Seq[String] = key
+    private[etl] def bucketCols: Seq[String] =
+      if (bucketOn.nonEmpty) bucketOn else key
     private[etl] def seed(rows: DataFrame): DataFrame = {
       require(!rows.columns.contains(BucketCol),
         s"'$BucketCol' is reserved for the state store's bucket layout")
+      val absent = bucketOn.filterNot(rows.columns.contains)
+      require(absent.isEmpty,
+        s"bucketOn columns absent from the replicated table: ${absent.mkString(",")}")
       rows
     }
     private[etl] def step(prev: DataFrame, feed: DataFrame,
@@ -357,12 +420,17 @@ object IncrementalAgg {
         .filter(col("n") =!= 0L)
         .select(expected.map(col): _*)
       // the rescan: re-aggregate ONLY the invalidated groups from the
-      // co-maintained replica's post-batch state (a semi-joined scan —
-      // the honest cost, see Scaladoc). An emptied group yields no
-      // rows and thereby leaves the state.
+      // co-maintained replica's post-batch state. If the replica is
+      // bucketed on exactly this view's groupCols (ReplicaSpec.bucketOn
+      // — every row of a group then shares its bucket), the scan PRUNES
+      // to the invalidated groups' buckets; any other replica layout
+      // falls back to the full semi-joined pass (the honest cost, see
+      // Scaladoc). An emptied group yields no rows and thereby leaves
+      // the state.
       val invalidGroups = joined.filter(col("_rescan"))
         .select(groupCols.map(col): _*)
-      val base = ctx.baseAfter(baseReplica).as("b")
+      val base = ctx.baseAfterForGroups(baseReplica, invalidGroups, groupCols)
+        .as("b")
       val ig = invalidGroups.as("ig")
       val rescanCond = groupCols.map(g => col(s"b.$g") <=> col(s"ig.$g"))
         .reduce(_ && _)
@@ -370,6 +438,38 @@ object IncrementalAgg {
         .select(expected.map(col): _*)
       kept.unionByName(rescanned)
     }
+  }
+
+  /** A DERIVED target: a (small) state recomputed each round from a
+    * sibling target's POST-BATCH state and committed WITH it in the
+    * same atomic version — the store's answer to aggregates that are
+    * not feed-maintainable but are cheap once per batch. The canonical
+    * use is the retrieval index's corpus stats: BM25 needs (N, Σdl),
+    * N is a live-group count (the distinct-count shape — not additive,
+    * a group dies only when its count reaches zero), but deriving it
+    * from the maintained `bydoc` view once per MAINTENANCE round turns
+    * a per-QUERY |docs|-sized aggregate into a per-BATCH one, amortized
+    * across every query the version serves. Because the derived table
+    * rides in the same publish as the state it was computed from, a
+    * reader can never observe stats from batch N beside postings from
+    * batch N−1.
+    *
+    * `base` must be LISTED BEFORE this target in the store's sequence
+    * (same rule as the extrema rescan); `derive` maps its full
+    * post-batch state to this target's state. The state is rewritten
+    * whole each round — size `derive`'s output accordingly (a handful
+    * of rows; numBuckets is fixed at 1). Seeding derives from the
+    * base's own seed of the initial rows. */
+  final case class DerivedSpec(name: String, base: TargetSpec,
+                               derive: DataFrame => DataFrame) extends TargetSpec {
+    validateCommon()
+    def numBuckets: Int = 1
+    private[etl] def bucketCols: Seq[String] = Nil
+    private[etl] override def dependsOn: Seq[String] = Seq(base.name)
+    private[etl] def seed(rows: DataFrame): DataFrame = derive(base.seed(rows))
+    private[etl] def step(prev: DataFrame, feed: DataFrame,
+                          ctx: StepContext): DataFrame =
+      derive(ctx.baseAfter(base.name))
   }
 
   /** Table names of the default single-view store (see [[applyOnce]]). */
@@ -395,13 +495,29 @@ object IncrementalAgg {
   private val FormatBucket = -2
   private val StateFormat = 1
 
+  /** Manifest BUCKET-LAYOUT row (bucket −3): the comma-joined bucket
+    * columns the state's segments are hashed on, so READERS can prune
+    * ([[readViewPruned]] recomputes the hash for a predicate's values
+    * and opens only those buckets' refs). Purely additive metadata —
+    * pre-r17 readers ignore unknown negative buckets, and manifests
+    * WITHOUT the row (pre-r17 stores, or bucket columns containing a
+    * comma) simply serve unpruned — so the format version stays 1.
+    * Absent for bucket-column-less targets ([[DerivedSpec]]). */
+  private val BucketColsBucket = -3
+
   private def bucketExpr(groupCols: Seq[String], numBuckets: Int) =
     pmod(hash(groupCols.map(col): _*), lit(numBuckets))
 
-  /** Decoded manifest: (numBuckets, bucket → relative segment ref,
-    * state schema DDL). */
+  /** Decoded manifest of one target's state. `bucketCols` is present
+    * only when the writing spec recorded its layout (see
+    * [[BucketColsBucket]]); readers must treat None as "pruning
+    * unavailable", never as an error. */
+  private[etl] final case class StateManifest(numBuckets: Int,
+      refs: Map[Int, String], schemaDDL: String,
+      bucketCols: Option[Seq[String]])
+
   private def readManifest(spark: SparkSession, snap: AtomicPublish.Snapshot,
-                           table: String): (Int, Map[Int, String], String) = {
+                           table: String): StateManifest = {
     val rows = snap.table(spark, table).collect()
     rows.find(_.getInt(0) == FormatBucket).map(_.getString(1)).foreach { f =>
       require(f.toIntOption.exists(_ <= StateFormat),
@@ -412,16 +528,27 @@ object IncrementalAgg {
     val schema = rows.find(_.getInt(0) == SchemaBucket).map(_.getString(1))
       .getOrElse(throw new IllegalStateException(
         s"corrupt state manifest '$table' at ${snap.root} v${snap.version}: no schema row"))
+    val bucketCols = rows.find(r => r.getInt(0) == BucketColsBucket && !r.isNullAt(1))
+      .map(_.getString(1).split(',').toSeq)
     val refs = rows.filter(r => r.getInt(0) >= 0 && !r.isNullAt(1))
       .map(r => r.getInt(0) -> r.getString(1)).toMap
-    (rows.count(_.getInt(0) >= 0), refs, schema)
+    StateManifest(rows.count(_.getInt(0) >= 0), refs, schema, bucketCols)
   }
 
   private def manifestDF(spark: SparkSession, numBuckets: Int,
-                         refs: Map[Int, String], schemaDDL: String): DataFrame = {
+                         refs: Map[Int, String], schemaDDL: String,
+                         bucketCols: Seq[String]): DataFrame = {
     import spark.implicits._
-    ((FormatBucket, Option(StateFormat.toString)) +:
-      (SchemaBucket, Option(schemaDDL)) +:
+    // layout row only when faithfully representable (no empty layout,
+    // no comma-bearing column names — the join character); a skipped
+    // row degrades readers to unpruned, never to wrong
+    val layout =
+      if (bucketCols.nonEmpty && !bucketCols.exists(_.contains(",")))
+        Seq((BucketColsBucket, Option(bucketCols.mkString(","))))
+      else Nil
+    (layout ++
+      Seq((FormatBucket, Option(StateFormat.toString)),
+        (SchemaBucket, Option(schemaDDL))) ++
       (0 until numBuckets).map(b => (b, refs.get(b))))
       .toDF("bucket", "ref")
   }
@@ -432,7 +559,10 @@ object IncrementalAgg {
   private def writeSegment(spark: SparkSession, root: String, state: DataFrame,
                            groupCols: Seq[String], numBuckets: Int): Map[Int, String] = {
     val seg = s"seg-${java.util.UUID.randomUUID}"
-    state.withColumn(BucketCol, bucketExpr(groupCols, numBuckets))
+    // bucket-column-less targets (DerivedSpec) live whole in bucket 0
+    val bexpr = if (groupCols.isEmpty) lit(0)
+                else bucketExpr(groupCols, numBuckets)
+    state.withColumn(BucketCol, bexpr)
       // one write task per bucket: the shuffle is |touched state|-sized
       // and each partition dir stays one file
       .repartition(numBuckets, col(BucketCol))
@@ -462,10 +592,62 @@ object IncrementalAgg {
                version: Option[Long] = None): DataFrame = {
     val snap = version.fold(AtomicPublish.snapshot(spark, root))(
       AtomicPublish.snapshotAt(spark, root, _))
-    val (_, refs, schemaDDL) = readManifest(spark, snap, s"${view}_manifest")
-    if (refs.isEmpty) emptyState(spark, schemaDDL)
-    else spark.read.parquet(
-      refs.values.toSeq.distinct.sorted.map(r => s"${snap.root}/state_segments/$r"): _*)
+    val m = readManifest(spark, snap, s"${view}_manifest")
+    if (m.refs.isEmpty) emptyState(spark, m.schemaDDL)
+    else spark.read.parquet(m.refs.values.toSeq.distinct.sorted
+      .map(r => s"${snap.root}/state_segments/$r"): _*)
+  }
+
+  /** BUCKET-PRUNED serving read — the point of bucketing the state in
+    * the first place: a reader whose predicate pins the view's bucket
+    * columns to a value list opens ONLY the buckets those values hash
+    * into, not the whole state. For the `term`-bucketed postings
+    * replica this turns a BM25 query's index read from "every postings
+    * file, filter pushed" into "the query terms' buckets" — serve cost
+    * ∝ the queried values' share of the state, independent of |state|.
+    *
+    * CONTRACT — superset, not filter: returns every row of the buckets
+    * that the `values` tuples (one per row of `forCols`, typed exactly
+    * as the state columns) hash into, which contains all rows whose
+    * `forCols` equal any tuple PLUS hash-cohabitants; the caller still
+    * applies its own filter. Pruning engages only when the manifest
+    * records that this view is bucketed on exactly `forCols` (order
+    * included — the hash is order-sensitive); any other or unrecorded
+    * layout returns the FULL view, so the superset contract holds on
+    * every store, including pre-layout-metadata ones. The bucket ids
+    * are computed DRIVER-SIDE over a local relation (no job): the same
+    * `pmod(hash(...))` expression the writer used, over rows typed by
+    * the state's own schema — a wrongly-typed value fails loudly at
+    * row construction rather than pruning to the wrong bucket. */
+  def readViewPruned(spark: SparkSession, root: String, view: String,
+                     forCols: Seq[String], values: Seq[Seq[Any]],
+                     version: Option[Long] = None): DataFrame = {
+    require(forCols.nonEmpty, "forCols must name at least one column")
+    require(values.forall(_.size == forCols.size),
+      s"every values tuple must have ${forCols.size} element(s) (one per forCols)")
+    val snap = version.fold(AtomicPublish.snapshot(spark, root))(
+      AtomicPublish.snapshotAt(spark, root, _))
+    val m = readManifest(spark, snap, s"${view}_manifest")
+    val pruned: Option[Map[Int, String]] =
+      if (!m.bucketCols.contains(forCols) || values.isEmpty) None
+      else {
+        val schema = org.apache.spark.sql.types.StructType(
+          forCols.map(org.apache.spark.sql.types.StructType
+            .fromDDL(m.schemaDDL).apply))
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(values.map(
+            v => org.apache.spark.sql.Row(v: _*)): _*), schema)
+        // local relation → Project folds to LocalTableScan: collect is
+        // driver-side, no job
+        val buckets = local
+          .select(bucketExpr(forCols, m.numBuckets).as("b"))
+          .collect().map(_.getInt(0)).toSet
+        Some(m.refs.view.filterKeys(buckets).toMap)
+      }
+    val refs = pruned.getOrElse(m.refs)
+    if (refs.isEmpty) emptyState(spark, m.schemaDDL)
+    else spark.read.parquet(refs.values.toSeq.distinct.sorted
+      .map(r => s"${snap.root}/state_segments/$r"): _*)
   }
 
   /** [[readView]] of the single-view store's default view. */
@@ -483,11 +665,19 @@ object IncrementalAgg {
     * folds all of them into the materialization the round pays anyway. */
   private def touchedBuckets(feed: DataFrame,
                              targets: Seq[(TargetSpec, Int)]): Map[String, Set[Int]] = {
-    val exprs = targets.map { case (t, nb) =>
-      collect_set(bucketExpr(t.bucketCols, nb)).as(t.name) }
-    val row = feed.agg(exprs.head, exprs.tail: _*).collect()(0)
-    targets.zipWithIndex.map { case ((t, _), i) =>
-      t.name -> row.getSeq[Int](i).toSet }.toMap
+    // bucket-column-less targets (DerivedSpec) are rewritten whole each
+    // round: touched = every bucket, no probe needed
+    val (derived, probed) = targets.partition(_._1.bucketCols.isEmpty)
+    val all = derived.map { case (t, nb) =>
+      t.name -> (0 until nb).toSet }.toMap
+    if (probed.isEmpty) { feed.count(); all } // still the feed's materializer
+    else {
+      val exprs = probed.map { case (t, nb) =>
+        collect_set(bucketExpr(t.bucketCols, nb)).as(t.name) }
+      val row = feed.agg(exprs.head, exprs.tail: _*).collect()(0)
+      all ++ probed.zipWithIndex.map { case ((t, _), i) =>
+        t.name -> row.getSeq[Int](i).toSet }
+    }
   }
 
   /** Advance ONE target against the feed under `snap`, returning its
@@ -498,10 +688,10 @@ object IncrementalAgg {
     * bucket's ref is carried verbatim. */
   private def maintainView(spark: SparkSession, snap: AtomicPublish.Snapshot,
                            feed: DataFrame, target: TargetSpec,
-                           manifest: (Int, Map[Int, String], String),
+                           manifest: StateManifest,
                            touched: Set[Int],
-                           ctx: StepContext): (String, DataFrame, () => DataFrame) = {
-    val (numBuckets, refs, schemaDDL) = manifest
+                           ctx: StepContext): (String, DataFrame, SteppedState) = {
+    val StateManifest(numBuckets, refs, schemaDDL, _) = manifest
     val prevTouched = {
       val paths = touched.toSeq.sorted.flatMap(refs.get).distinct
         .map(r => s"${snap.root}/state_segments/$r")
@@ -512,12 +702,9 @@ object IncrementalAgg {
       target.step(prevTouched, feed, ctx),
       target.bucketCols, numBuckets)
     val allRefs = (refs -- touched) ++ newRefs
-    val postBatch = () =>
-      if (allRefs.isEmpty) emptyState(spark, schemaDDL)
-      else spark.read.parquet(allRefs.values.toSeq.distinct.sorted
-        .map(r => s"${snap.root}/state_segments/$r"): _*)
-    (target.manifestT, manifestDF(spark, numBuckets, allRefs, schemaDDL),
-      postBatch)
+    (target.manifestT,
+      manifestDF(spark, numBuckets, allRefs, schemaDDL, target.bucketCols),
+      SteppedState(snap.root, target.bucketCols, numBuckets, allRefs, schemaDDL))
   }
 
   /** The shared maintenance round: read every target's manifest, probe
@@ -539,9 +726,9 @@ object IncrementalAgg {
     }
     val manifests = views.map(v => readManifest(spark, snap, v.manifestT))
     val touched = touchedBuckets(feed,
-      views.zip(manifests).map { case (v, m) => (v, m._1) })
-    val stepped = scala.collection.mutable.Map.empty[String, () => DataFrame]
-    val ctx = new StepContext(stepped)
+      views.zip(manifests).map { case (v, m) => (v, m.numBuckets) })
+    val stepped = scala.collection.mutable.Map.empty[String, SteppedState]
+    val ctx = new StepContext(spark, stepped)
     val outs = views.zip(manifests).map { case (v, m) =>
       val (table, mdf, postBatch) =
         maintainView(spark, snap, feed, v, m, touched(v.name), ctx)
@@ -705,7 +892,8 @@ object IncrementalAgg {
       views.map { v =>
         val state = v.seed(r)
         val refs = writeSegment(spark, root, state, v.bucketCols, v.numBuckets)
-        v.manifestT -> manifestDF(spark, v.numBuckets, refs, state.schema.toDDL)
+        v.manifestT -> manifestDF(spark, v.numBuckets, refs, state.schema.toDDL,
+          v.bucketCols)
       } :+ (AppliedT -> Seq.empty[Long].toDF("batch_id")))
     finally { r.unpersist(); () }
   }
@@ -758,7 +946,7 @@ object IncrementalAgg {
         .filter(_.endsWith("_manifest"))
       catch { case _: java.io.FileNotFoundException => Nil }
       manifests.flatMap { t =>
-        try readManifest(spark, snap, t)._2.values.map(_.split('/').head).toSeq
+        try readManifest(spark, snap, t).refs.values.map(_.split('/').head).toSeq
         catch {
           case _: Exception if !committedAtOrBelow.exists(v <= _) =>
             Nil // above-pointer claim: possibly half-written, keep nothing

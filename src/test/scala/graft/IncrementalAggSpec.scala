@@ -605,4 +605,226 @@ class IncrementalAggSpec extends SparkSuite {
       IncrementalAgg.maintain(st, notFeed, grp, sums)
     }.getMessage.contains("_change_type"))
   }
+
+  /** Bucket dirs a DataFrame's parquet input actually opens — the
+    * listing-level evidence the pruned-read gates assert on. */
+  private def bucketsOpened(df: DataFrame): Set[Int] =
+    df.inputFiles.flatMap { f =>
+      f.split('/').find(_.startsWith(s"${IncrementalAgg.BucketCol}="))
+        .map(_.stripPrefix(s"${IncrementalAgg.BucketCol}=").toInt)
+    }.toSet
+
+  test("subset-bucketed replica (bucketOn): maintenance stays exact when " +
+    "the bucket column is NOT the key — including a bucket-migrating " +
+    "update — and readViewPruned opens ONLY the asked values' buckets") {
+    import graft.etl.IncrementalAgg
+    import graft.etl.IncrementalAgg.ReplicaSpec
+    val root = "/root/repo/target/test-sink/incagg_bucketon"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def df(rows: Seq[(Int, String, Double)]) = rows.toDF("id", "g", "x")
+    // 64 keys over 8 g-values; replica keyed by id, BUCKETED on g
+    val v0 = (0 until 64).map(i => (i, s"g${i % 8}", i * 1.0))
+    // batch 0: in-place value update (bucket unchanged) + an insert
+    val v1 = v0.map { case (i, g, x) => if (i == 7) (i, g, 700.0) else (i, g, x) } :+
+      ((64, "g1", 64.0))
+    // batch 1: id 12 MIGRATES g4 → g0 (touches both buckets), id 3 dies
+    val v2 = v1.map { case (i, g, x) => if (i == 12) (i, "g0", x) else (i, g, x) }
+      .filterNot(_._1 == 3)
+    val targets = Seq(ReplicaSpec("replica", Seq("id"), numBuckets = 8,
+      strict = true, bucketOn = Seq("g")))
+    IncrementalAgg.publishInitialMulti(spark, root, df(v0), targets)
+    def replicaSnap(version: Option[Long] = None) =
+      IncrementalAgg.readView(spark, root, "replica", version)
+        .as[(Int, String, Double)].collect().toSet
+    Seq((v0, v1), (v1, v2)).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(IncrementalAgg.applyOnceMulti(spark, root,
+        ChangeFeed.diff(df(a), df(b), Seq("id")), i.toLong, targets))
+      assert(replicaSnap() === b.toSet, s"replica diverged after batch $i")
+    }
+    assert(replicaSnap(Some(0L)) === v0.toSet, "time travel reads the seed")
+    // THE PRUNED READ: ask for g3's rows — only g3's bucket dir opens
+    val pruned = IncrementalAgg.readViewPruned(spark, root, "replica",
+      Seq("g"), Seq(Seq[Any]("g3")))
+    val opened = bucketsOpened(pruned)
+    assert(opened.size === 1,
+      s"a one-value pruned read must open one bucket dir, opened $opened")
+    val allOpened = bucketsOpened(IncrementalAgg.readView(spark, root, "replica"))
+    assert(allOpened.size > 1 && opened.subsetOf(allOpened),
+      s"the unpruned read opens every populated bucket ($allOpened), the " +
+        s"pruned one a strict subset ($opened)")
+    // superset contract: the bucket holds g3's rows (plus cohabitants);
+    // the caller's own filter lands exactly
+    assert(pruned.filter(col("g") === "g3").as[(Int, String, Double)]
+      .collect().toSet === v2.filter(_._2 == "g3").toSet)
+    // two values still open at most two buckets
+    assert(bucketsOpened(IncrementalAgg.readViewPruned(spark, root, "replica",
+      Seq("g"), Seq(Seq[Any]("g3"), Seq[Any]("g5")))).size <= 2)
+    // a forCols that is NOT the recorded layout falls back to the FULL
+    // view — superset contract on any store, pruning never wrong
+    assert(IncrementalAgg.readViewPruned(spark, root, "replica",
+      Seq("id"), Seq(Seq[Any](3))).count() === v2.size.toLong)
+    // a wrongly-TYPED value fails loudly instead of pruning wrong
+    assertThrows[Exception](IncrementalAgg.readViewPruned(spark, root,
+      "replica", Seq("g"), Seq(Seq[Any](42))).count())
+    // hygiene: bucketOn must name replica columns
+    assertThrows[IllegalArgumentException](
+      IncrementalAgg.publishInitialMulti(spark, root, df(v0),
+        Seq(ReplicaSpec("r2", Seq("id"), bucketOn = Seq("nope")))))
+  }
+
+  test("derived target: recomputed from its sibling's post-batch state " +
+    "and committed in the SAME version — stats equal a recompute at every " +
+    "version, including through catch-up composition") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    import graft.etl.IncrementalAgg.{DerivedSpec, ViewSpec}
+    val root = "/root/repo/target/test-sink/incagg_derived"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def df(rows: Seq[(Int, Option[String], Double)]) = rows.toDF("id", "g", "x")
+    val byG = ViewSpec("by_g", Seq("g"), Seq("total" -> "x"), numBuckets = 4)
+    val targets = Seq(byG,
+      DerivedSpec("stats", byG, st =>
+        st.agg(count(lit(1)).as("n_groups"), sum(col("total")).as("grand"))))
+    val v0 = Seq((1, Some("a"), 1.0), (2, Some("a"), 2.0), (3, Some("b"), 3.0))
+    val v1 = Seq((1, Some("a"), 1.0), (3, Some("b"), 9.0), (4, Some("c"), 4.0))
+    val v2 = Seq((3, Some("b"), 9.0), (4, Some("c"), 5.0), (5, None, 1.0))
+    val v3 = Seq((4, Some("c"), 5.0), (5, None, 2.0))
+    val chain = Seq(v0, v1, v2, v3)
+    IncrementalAgg.publishInitialMulti(spark, root, df(v0), targets)
+    assert(IncrementalAgg.applyOnceMulti(spark, root,
+      ChangeFeed.diff(df(v0), df(v1), Seq("id")), 0L, targets))
+    // catch-up: two missed batches compose into ONE round; the derived
+    // target recomputes from the composed post-batch sibling state
+    assert(IncrementalAgg.applyComposedMulti(spark, root,
+      Seq(1L -> ChangeFeed.diff(df(v1), df(v2), Seq("id")),
+        2L -> ChangeFeed.diff(df(v2), df(v3), Seq("id"))),
+      Seq("id"), targets, strict = true) === 2)
+    // at EVERY retained version: stats ≡ recompute over that version's
+    // sibling state (versions 0, 1, 2 — catch-up committed ONE version)
+    assert(AtomicPublish.currentVersion(spark, root) === Some(2L))
+    Seq(0L, 1L, 2L).foreach { v =>
+      val fromView = IncrementalAgg.readView(spark, root, "by_g", Some(v))
+        .agg(count(lit(1)).as("n_groups"), sum(col("total")).as("grand"))
+        .collect().map(_.toSeq).toSeq
+      val stats = IncrementalAgg.readView(spark, root, "stats", Some(v))
+        .collect().map(_.toSeq).toSeq
+      assert(stats === fromView, s"derived stats diverged at version $v")
+    }
+    // replay refuses for the whole bundle
+    assert(!IncrementalAgg.applyOnceMulti(spark, root,
+      ChangeFeed.diff(df(v0), df(v1), Seq("id")), 0L, targets))
+    // dependency order enforced, like the extrema rescan
+    assert(intercept[IllegalArgumentException] {
+      IncrementalAgg.applyOnceMulti(spark, root,
+        ChangeFeed.diff(df(v3), df(v0), Seq("id")), 99L, targets.reverse)
+    }.getMessage.contains("listed before"))
+  }
+
+  test("extrema rescan PRUNES to the invalidated groups' buckets when the " +
+    "replica is co-bucketed on the group columns — same answers, a " +
+    "fraction of the replica read") {
+    import graft.etl.IncrementalAgg
+    import graft.etl.IncrementalAgg.{ExtremaViewSpec, ReplicaSpec}
+    def df(rows: Seq[(Int, String, Double)]) = rows.toDF("id", "g", "x")
+    // 64 groups × 16 rows over 32 replica buckets; ONE group loses its
+    // minimum → exactly one group rescans
+    val v0 = (0 until 1024).map(i => (i, s"g${i % 64}", (i / 64) + (i % 64) * 0.01))
+    val v1 = v0.filterNot { case (_, g, x) => g == "g7" && x < 1.0 }
+    def run(bucketOn: Seq[String], tag: String): (Set[Seq[Any]], Long) = {
+      val root = s"/root/repo/target/test-sink/incagg_extprune_$tag"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      val targets = Seq(
+        ReplicaSpec("replica", Seq("id"), numBuckets = 32, bucketOn = bucketOn),
+        ExtremaViewSpec("ext", Seq("g"),
+          minCols = Seq("min_x" -> "x"), maxCols = Seq("max_x" -> "x"),
+          baseReplica = "replica", numBuckets = 8))
+      IncrementalAgg.publishInitialMulti(spark, root, df(v0), targets)
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) bytes.addAndGet(m.inputMetrics.bytesRead): Unit
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        assert(IncrementalAgg.applyOnceMulti(spark, root,
+          ChangeFeed.diff(df(v0), df(v1), Seq("id")), 0L, targets))
+        // listener delivery is async: poll until the counter stabilizes
+        var last = -1L
+        var settle = 0
+        while (settle < 3) {
+          Thread.sleep(150)
+          val now = bytes.get()
+          if (now == last) settle += 1 else { settle = 0; last = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
+      (IncrementalAgg.readView(spark, root, "ext")
+        .collect().map(_.toSeq).toSet, bytes.get())
+    }
+    val (keyed, keyedBytes) = run(Nil, "keyed")       // rescan = full replica
+    val (grouped, groupedBytes) = run(Seq("g"), "grp") // rescan = 1 bucket
+    val expected = df(v1).groupBy("g").agg(count(lit(1)).as("n"),
+      min("x").as("min_x"), max("x").as("max_x"))
+      .collect().map(_.toSeq).toSet
+    assert(keyed === expected && grouped === expected,
+      "both replica layouts must maintain identical extrema")
+    assert(groupedBytes < keyedBytes,
+      s"co-bucketed rescan must read less: $groupedBytes vs $keyedBytes")
+    info(s"rescan batch bytesRead: keyed layout $keyedBytes, " +
+      s"group-bucketed $groupedBytes " +
+      f"(${groupedBytes.toDouble / keyedBytes}%.2fx)")
+  }
+
+  test("mid-stream segment GC: vacuuming every Nth batch of a LIVE " +
+    "stream keeps the state exact and the segment count bounded") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    import graft.streaming.Streams
+    val root = "/root/repo/target/test-sink/incagg_gc_stream"
+    val feedDir = "/root/repo/target/test-sink/incagg_gc_feeds"
+    Seq(root, feedDir).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+    def df(rows: Seq[(Int, Option[String], Double)]) = rows.toDF("id", "g", "x")
+    // 7 versions → 6 feed files, one admitted per trigger
+    val versions = (0 to 6).map(v =>
+      (0 until 48).map(i => (i, Some(s"g${i % 6}"),
+        if (i % 7 == v % 7) i * 10.0 + v else i * 1.0)))
+    versions.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      ChangeFeed.diff(df(a), df(b), Seq("id"))
+        .repartition(1).write.mode("overwrite").parquet(f"$feedDir/f$i%02d")
+    }
+    IncrementalAgg.publishInitial(spark, root, df(versions.head), grp, sums,
+      numBuckets = 8)
+    def segCount(): Int = Option(new java.io.File(s"$root/state_segments")
+      .listFiles()).map(_.count(_.isDirectory)).getOrElse(0)
+    val feedSchema = df(versions.head).schema
+      .add("_change_type", "string", nullable = false)
+    val stream = spark.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$feedDir/*")
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    Streams.runIngest(spark, stream,
+      s"${Streams.ephemeralChkRoot}/incagg_gc_stream") { (batch, batchId) =>
+      if (!batch.isEmpty &&
+          IncrementalAgg.applyOnce(spark, root, batch, batchId, grp, sums) &&
+          batchId % 2 == 1) {
+        // the ops cadence the StreamingOps template documents: GC runs
+        // INSIDE the live stream, every Nth batch. minAgeMs = 0 is safe
+        // because this consumer is the store's only publisher.
+        AtomicPublish.vacuum(spark, root, keep = 2, minAgeMs = 0)
+        IncrementalAgg.vacuumSegments(spark, root, minAgeMs = 0): Unit
+      }
+      counts += ((batchId, segCount()))
+    }
+    assert(counts.size === 6, s"expected 6 micro-batches, saw $counts")
+    // state is exact after GC-interleaved ingest
+    assert(snap(IncrementalAgg.readState(spark, root))
+      === snap(state(versions.last)))
+    // and bounded: each batch adds ONE segment; GC at keep=2 holds the
+    // retained set near (2 versions × ≤8 buckets referenced) — without
+    // mid-stream GC the count would grow monotonically to 7
+    val finalCount = counts.last._2
+    assert(finalCount <= 5,
+      s"segment count must stay bounded under mid-stream GC: $counts")
+    assert(counts.map(_._2).max <= 7, s"unbounded growth mid-stream: $counts")
+  }
 }
