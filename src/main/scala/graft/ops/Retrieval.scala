@@ -367,11 +367,18 @@ object Retrieval {
   // ∝ the changed documents, served from state. The store primitives
   // already exist (graft.etl.IncrementalAgg's bucketed exactly-once
   // targets); retrieval contributes the postings SHAPE — a document
-  // change feed transforms into a postings change feed, and three
+  // change feed transforms into a postings change feed, and four
   // co-committed targets (postings replica, document-frequency view,
-  // doc-length view) are everything BM25 needs at serve time. One doc
-  // feed now maintains aggregates, replicas, extrema, the ANN index
-  // (tombstones), and keyword retrieval — atomically.
+  // doc-length view, 1-row corpus stats) are everything BM25 needs at
+  // serve time. One doc feed now maintains aggregates, replicas,
+  // extrema, the ANN index (tombstones), and keyword retrieval — each
+  // STORE advancing atomically and exactly-once. (Atomicity is
+  // PER-STORE: the ANN index lives under its own AtomicPublish root
+  // with its own ledger, so a reader can observe the warehouse store
+  // at batch N beside the ANN store at batch N−1 until the latter's
+  // consumer catches up — cross-store lag, the same contract as any
+  // pair of independently-committing downstream systems. WITHIN the
+  // retrieval store, postings/df/stats can never disagree.)
 
   /** Full-vocabulary postings of a document set: one row per
     * (term, doc_id) with the in-doc term count and the doc's token
@@ -411,29 +418,54 @@ object Retrieval {
   /** The maintained-index target bundle for one
     * [[graft.etl.IncrementalAgg]] store, all advanced by ONE postings
     * feed in ONE atomic exactly-once commit:
-    *   - `postings` — row-level replica keyed (term, doc_id): the
-    *     inverted index itself (tf + dl per posting);
+    *   - `postings` — row-level replica keyed (term, doc_id), BUCKETED
+    *     ON `term` alone: every posting of a term shares its bucket, so
+    *     a query's serve read ([[bm25FromIndex]] via
+    *     [[graft.etl.IncrementalAgg.readViewPruned]]) opens only the
+    *     query terms' buckets — serve cost ∝ the queried terms'
+    *     postings, not the index — while writes stay delta-proportional
+    *     (the bucket function is feed-computable; ReplicaSpec.bucketOn);
     *   - `df`       — per-term document frequency (each (term, doc)
-    *     posting row contributes one count — additive);
-    *   - `bydoc`    — per-doc token length (sum of tf — additive; also
-    *     the corpus N and Σdl the scorer derives stats from).
-    * A reader can never observe postings at batch N beside df at
-    * batch N−1 — the idf can never disagree with the postings. */
+    *     posting row contributes one count — additive; term-bucketed by
+    *     construction, so the idf read prunes the same way);
+    *   - `bydoc`    — per-doc token length (sum of tf — additive);
+    *   - `stats`    — ONE ROW (n_docs, sum_dl) DERIVED from `bydoc`'s
+    *     post-batch state once per maintenance round
+    *     ([[graft.etl.IncrementalAgg.DerivedSpec]]): the corpus-size
+    *     aggregate moves from every QUERY to every BATCH, amortized
+    *     across all queries the version serves.
+    * All four ride one publish: a reader can never observe postings at
+    * batch N beside df or stats at batch N−1 — the idf can never
+    * disagree with the postings. */
   def indexTargets(numBuckets: Int = 64): Seq[graft.etl.IncrementalAgg.TargetSpec] = {
-    import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
+    import graft.etl.IncrementalAgg.{DerivedSpec, ReplicaSpec, ViewSpec}
+    val bydoc = ViewSpec("bydoc", Seq("doc_id"), Seq("dl" -> "tf"), numBuckets)
     Seq(
-      ReplicaSpec("postings", Seq("term", "doc_id"), numBuckets),
+      ReplicaSpec("postings", Seq("term", "doc_id"), numBuckets,
+        bucketOn = Seq("term")),
       ViewSpec("df", Seq("term"), Nil, numBuckets),
-      ViewSpec("bydoc", Seq("doc_id"), Seq("dl" -> "tf"), numBuckets))
+      bydoc,
+      // same arithmetic the serve path used to run per query: an exact
+      // row count and the DECIMAL-exact dl sum (bydoc's `dl` is the
+      // decimal-typed maintained sum of tf)
+      DerivedSpec("stats", bydoc, st =>
+        st.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))))
   }
 
   /** BM25 top-k served purely from the MAINTAINED index — no document
-    * is tokenized at query time: postings and df read only the query
-    * terms' rows, corpus stats (N, avgdl) aggregate the |docs|-sized
-    * `bydoc` view. Scoring is [[bm25TopK]]'s fixed-order fold
-    * verbatim, except avgdl derives from the view's DECIMAL-exact dl
-    * sum in one double division (order-independent, replayed verbatim
-    * by [[duckBm25FromDocs]] — tighter than the IEEE running average).
+    * is tokenized at query time, and nothing index-sized is read:
+    * postings and df open ONLY the buckets the query terms hash into
+    * ([[graft.etl.IncrementalAgg.readViewPruned]]; the replica is
+    * term-bucketed — see [[indexTargets]]), and corpus stats (N, Σdl)
+    * come from the maintained 1-row `stats` table instead of an
+    * aggregate over the |docs|-sized `bydoc` view. Serve cost is
+    * therefore ∝ the query terms' postings — independent of corpus
+    * size. Stores seeded before the term-bucketed layout (no layout
+    * metadata / no stats target) serve IDENTICAL results through the
+    * unpruned fallbacks. Scoring is [[bm25TopK]]'s fixed-order fold
+    * verbatim, except avgdl derives from the DECIMAL-exact dl sum in
+    * one double division (order-independent, replayed verbatim by
+    * [[duckBm25FromDocs]] — tighter than the IEEE running average).
     * Output: (rank, doc_id, n_matched), the exact-integer ranking
     * shape of [[bm25RankedTopK]]. */
   def bm25FromIndex(spark: SparkSession, root: String, terms: Seq[String],
@@ -441,17 +473,36 @@ object Retrieval {
                     version: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       s"terms must be non-empty and distinct: $terms")
-    import graft.etl.IncrementalAgg
-    // `version` time-travels the WHOLE index (o8's shape): postings,
-    // df, and doc stats all resolve from ONE retained store version,
-    // so a historical ranking is as consistent as the current one
-    val postings = IncrementalAgg.readView(spark, root, "postings", version)
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    // `version` time-travels the WHOLE index (o8's shape) — and the
+    // pointer is resolved ONCE even for version=None: the three view
+    // reads below must see the SAME store version, or a maintenance
+    // commit landing between them would serve idf/stats from batch N+1
+    // against postings from batch N (the r16 ADVICE race)
+    val v = Some(version.getOrElse(AtomicPublish.snapshot(spark, root).version))
+    val termVals = terms.map(t => Seq[Any](t))
+    val postings = IncrementalAgg.readViewPruned(spark, root, "postings",
+      Seq("term"), termVals, v)
       .filter(col("term").isin(terms: _*))
-    val dfv = IncrementalAgg.readView(spark, root, "df", version)
+    val dfv = IncrementalAgg.readViewPruned(spark, root, "df",
+      Seq("term"), termVals, v)
       .filter(col("term").isin(terms: _*))
       .select(col("term"), col("n").cast("double").as("__df"))
-    val stats = IncrementalAgg.readView(spark, root, "bydoc", version)
-      .agg(count(lit(1)).cast("double").as("__n"), sum(col("dl")).as("__sumdl"))
+    // pre-stats stores (seeded before the stats target existed) fall
+    // back to the per-query bydoc aggregate — same values, old cost
+    val hasStats = org.apache.hadoop.fs.FileContext.getFileContext(
+      spark.sparkContext.hadoopConfiguration)
+      .util.exists(new org.apache.hadoop.fs.Path(
+        s"$root/v${v.get}/stats_manifest"))
+    val stats =
+      (if (hasStats)
+        IncrementalAgg.readView(spark, root, "stats", v)
+          .select(col("n_docs").cast("double").as("__n"),
+            col("sum_dl").as("__sumdl"))
+      else
+        IncrementalAgg.readView(spark, root, "bydoc", v)
+          .agg(count(lit(1)).cast("double").as("__n"),
+            sum(col("dl")).as("__sumdl")))
       .select(col("__n"),
         (col("__sumdl").cast("double") / col("__n")).as("__avgdl"))
     val idf = dfv.crossJoin(broadcast(stats))

@@ -202,6 +202,61 @@ class RetrievalSpec extends SparkSuite {
       "catch-up-composed index serves a different ranking")
   }
 
+  test("maintained-index SERVE is bucket-pruned and stats-backed: a " +
+    "query opens only its terms' postings buckets, and the 1-row stats " +
+    "table equals a bydoc recompute at every version") {
+    import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg}
+    val root = "/root/repo/target/test-sink/ir_pruned_serve"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    // a vocabulary wide enough that 2 query terms cannot cover the
+    // bucket space: 64 terms over 16 buckets
+    val vocab = (0 until 64).map(i => s"term$i")
+    val v0 = (1L to 80L).map(d =>
+      d -> (0 until 6).map(j => vocab(((d + j * 11) % 64).toInt)).mkString(" "))
+    val v1 = v0.filterNot(_._1 % 10 == 3)
+    val targets = graft.ops.Retrieval.indexTargets(numBuckets = 16)
+    IncrementalAgg.publishInitialMulti(spark, root,
+      graft.ops.Retrieval.indexPostings(df(v0), "doc_id", "text"), targets)
+    assert(IncrementalAgg.applyOnceMulti(spark, root,
+      graft.ops.Retrieval.postingsDelta(
+        ChangeFeed.diff(df(v0), df(v1), Seq("doc_id")), "doc_id", "text"),
+      0L, targets))
+    val terms = Seq("term3", "term17")
+    def opened(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.inputFiles.flatMap(_.split('/')
+        .find(_.startsWith(s"${IncrementalAgg.BucketCol}="))).toSet
+    // the postings read inside the serve path (same call bm25FromIndex
+    // makes): ≤ |terms| bucket dirs of the 16, never the index
+    val prunedPostings = IncrementalAgg.readViewPruned(spark, root,
+      "postings", Seq("term"), terms.map(t => Seq[Any](t)))
+    assert(opened(prunedPostings).size <= terms.size,
+      s"serve must open at most ${terms.size} postings buckets, " +
+        s"opened ${opened(prunedPostings)}")
+    assert(opened(IncrementalAgg.readView(spark, root, "postings")).size >= 10,
+      "the corpus fills (nearly) all 16 buckets — pruning is what spares them")
+    // df prunes identically (term IS its group key)
+    assert(opened(IncrementalAgg.readViewPruned(spark, root, "df",
+      Seq("term"), terms.map(t => Seq[Any](t)))).size <= terms.size)
+    // and the pruned serve still ranks exactly like the per-query scorer
+    val served = graft.ops.Retrieval.bm25FromIndex(spark, root, terms, k = 10)
+      .as[(Int, Long, Int)].collect().toSeq
+    assert(served === graft.ops.Retrieval.bm25RankedTopK(df(v1), "doc_id",
+      "text", terms, k = 10).as[(Int, Long, Int)].collect().toSeq,
+      "pruned serve diverged from the per-query scorer")
+    // MAINTAINED CORPUS STATS: the 1-row table equals the |docs|-sized
+    // aggregate it replaces, at every version (the per-query scan is
+    // gone; the per-batch derivation must be exact)
+    Seq(0L, 1L).foreach { v =>
+      val recompute = IncrementalAgg.readView(spark, root, "bydoc", Some(v))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .collect().map(_.toSeq).toSeq
+      assert(IncrementalAgg.readView(spark, root, "stats", Some(v))
+        .collect().map(_.toSeq).toSeq === recompute,
+        s"stats table diverged from the bydoc recompute at version $v")
+    }
+  }
+
   test("centroidOutliers: planted outlier first, distances exact, ties by id") {
     import graft.ops.VectorSearch
     // 9 unit vectors + one far point → centroid = 2.0 per dim;
