@@ -156,6 +156,16 @@ object ChangeFeed {
     * NULL-keyed rows — cancel. This keeps the row-for-row
     * `diff(a, c)` identity on NULL-keyed rows too.
     *
+    * CAVEAT — the lenient-mode surfacing contract has a NULL-keyed
+    * exception: on a MISPAIRED (non-consecutive) chain, keyed
+    * violations surface as impossible rows downstream, but the
+    * NULL-keyed cancellation above drops `ab`'s NULL-keyed inserts and
+    * `bc`'s NULL-keyed deletes UNCONDITIONALLY — an unmatched residue
+    * between them (possible only on a broken chain) vanishes silently
+    * rather than surfacing. Chains whose tables carry NULL-keyed rows
+    * and whose pairing is untrusted should pass `strict = true`, which
+    * verifies exactly this multiset match.
+    *
     * Scale: one key-shuffle per feed (each folded to at most one
     * (preimage, postimage) pair per key — map-side partial agg), then
     * one keyed full-outer merge; work ∝ the feeds, never a snapshot. */
@@ -274,10 +284,22 @@ object ChangeFeed {
     * either side asserts nothing about that side's B-state; this
     * partial coverage is inherent to any feed-only check, left fold or
     * tree alike). A violated seam fails loudly at the level that joins
-    * it. */
+    * it.
+    *
+    * `materialize` is the lineage-truncation primitive. The default,
+    * `localCheckpoint(true)`, stores blocks in EXECUTOR memory/disk
+    * with NO recompute path — right for a single-JVM or
+    * static-allocation run, but on a cluster with executor loss or
+    * dynamic deallocation a lost block permanently fails the catch-up
+    * mid-tree (the r16 ADVICE hazard). Cluster runs should pass a
+    * RELIABLE materializer instead — `_.checkpoint(true)` with a
+    * checkpoint dir set, or a write-then-read through the job's
+    * scratch storage; any identity-preserving function works. */
   def composeAll(feeds: Seq[DataFrame], key: Seq[String],
                  strict: Boolean = false,
-                 checkpointEvery: Int = 4): DataFrame = {
+                 checkpointEvery: Int = 4,
+                 materialize: DataFrame => DataFrame =
+                   _.localCheckpoint(true)): DataFrame = {
     require(feeds.nonEmpty, "no feeds")
     require(checkpointEvery > 0, s"checkpointEvery must be positive: $checkpointEvery")
     var level = feeds.toVector
@@ -293,7 +315,7 @@ object ChangeFeed {
       // left lazy so the caller controls its materialization (persist,
       // write, further composition)
       if (depth % checkpointEvery == 0 && level.size > 1)
-        level = level.map(_.localCheckpoint(true))
+        level = level.map(materialize)
     }
     level.head
   }

@@ -180,7 +180,10 @@ object AnnIndexStore {
           s"but this engine reads ≤ $CurrentFormat — written by a newer " +
           "engine; upgrade, or rebuild the index with AnnIndexStore.publish")
     }
-    val model = refs("model")
+    // the DOWNGRADE poison is known to this reader and filtered out;
+    // see [[DowngradePoison]] for why tombstone-bearing manifests
+    // carry it
+    val model = refs("model").filterNot(_.startsWith("poison-"))
     require(model.size == 1,
       s"corrupt manifest at ${snap.root} v${snap.version}: ${model.size} model rows")
     val entries = rows.toSeq
@@ -284,10 +287,27 @@ object AnnIndexStore {
     * encode/merge, so a publish that commits inside that window must
     * fail this one (ConcurrentModificationException) rather than let
     * the stale manifest silently drop the other writer's segment. */
+  /** Downgrade poison for tombstone-bearing manifests. The `format`
+    * row gates FORWARD (this reader rejects newer formats) but a
+    * PRE-format reader ignores unknown kinds — it would read a
+    * format-2 manifest's `seg` rows, skip the `ts` rows it doesn't
+    * know, and silently RESURRECT tombstoned documents during a
+    * mixed-version rollout (the r16 ADVICE hazard: takedown/licence
+    * deletes un-happening in the downgrade direction). So a manifest
+    * that carries tombstones also carries this second `model`-kind
+    * row: every pre-format reader requires EXACTLY ONE model row, so
+    * it fails loudly at manifest decode (a "corrupt manifest: 2 model
+    * rows" error whose ref names the remedy) instead of serving
+    * deleted rows; this reader filters it back out. Tombstone-free
+    * manifests stay byte-identical to format 1. */
+  private val DowngradePoison =
+    "poison-format2-tombstones-UPGRADE-READER-pre-r16-readers-would-resurrect-deleted-rows"
+
   private def publishVersion(spark: SparkSession, root: String, m: Manifest,
                              expectedBase: Option[Option[Long]] = None): Long = {
     val format =
-      if (m.tombstones.nonEmpty) Seq("format" -> CurrentFormat.toString)
+      if (m.tombstones.nonEmpty)
+        Seq("format" -> CurrentFormat.toString, "model" -> DowngradePoison)
       else Nil
     val rows = (format ++ Seq("model" -> m.modelId) ++
       m.entries ++ m.applied.map("applied" -> _))

@@ -228,6 +228,22 @@ class ChangeFeedSpec extends SparkSuite {
     assert(intercept[IllegalArgumentException] {
       ChangeFeed.composeAll(feeds, Seq("id"), checkpointEvery = 0)
     }.getMessage.contains("checkpointEvery"))
+    // a caller-supplied RELIABLE materializer (the cluster-safe
+    // alternative to localCheckpoint — the r16 ADVICE: executor-held
+    // blocks have no recompute path under executor loss) plugs into
+    // every truncation level and preserves the identity. 64 leaves at
+    // checkpointEvery=2: truncation at depth 2 (16 nodes) and depth 4
+    // (4 nodes) — the last level (depth 6) and singleton levels stay
+    // lazy by contract.
+    val materialized = new java.util.concurrent.atomic.AtomicInteger
+    val reliable = ChangeFeed.composeAll(feeds, Seq("id"), strict = false,
+      checkpointEvery = 2,
+      materialize = df => { materialized.incrementAndGet(); df.localCheckpoint(true) })
+    assert(materialized.get === 20,
+      s"expected 16 + 4 truncations, saw ${materialized.get}")
+    assert(reliable.as[(Int, String, Long, String)].collect().toSet ===
+      direct.as[(Int, String, Long, String)].collect().toSet,
+      "a custom materializer must not change the composed feed")
   }
 
   test("point-in-time reconstruction: an old snapshot plus retained " +

@@ -348,6 +348,12 @@ class IncrementalIndexSpec extends SparkSuite {
     def reference(corpus: DataFrame) = norm(VectorSearch.ivfPqServe(model,
       VectorSearch.ivfPqEncode(model, corpus, "vec_id", "embedding"),
       queries, "vec_id", "embedding", topK, nprobe))
+    // the pre-tombstone manifest carries exactly ONE model-kind row —
+    // byte-compatible with format-1 readers
+    def modelRows(v: Long) = spark.read.parquet(s"$root/v$v/ann_manifest")
+      .filter(col("kind") === "model").select("ref")
+      .collect().map(_.getString(0)).toSeq
+    assert(modelRows(0L).size == 1 && !modelRows(0L).head.startsWith("poison-"))
     val v1 = AnnIndexStore.applyDeletes(spark, root,
       emb.filter(deadRule).select("vec_id"), "vec_id",
       tombstoneId = Some("ts-b1"))
@@ -355,6 +361,17 @@ class IncrementalIndexSpec extends SparkSuite {
     assert(AnnIndexStore.applyDeletes(spark, root,
       emb.filter(deadRule).select("vec_id"), "vec_id",
       tombstoneId = Some("ts-b1")) == v1)
+    // DOWNGRADE POISON (r16 ADVICE): a tombstone-BEARING manifest
+    // carries a second model-kind row, so a pre-format-2 reader (which
+    // requires exactly one and ignores the ts rows it can't apply)
+    // fails loudly at decode instead of silently RESURRECTING the
+    // tombstoned ids; this build's reader filters it back out (served()
+    // below stays correct)
+    val poisoned = modelRows(v1)
+    assert(poisoned.size == 2 && poisoned.count(_.startsWith("poison-")) == 1,
+      s"tombstone-bearing manifest must carry the downgrade poison: $poisoned")
+    assert(poisoned.exists(r => r.startsWith("poison-") && r.contains("UPGRADE")),
+      "the poison ref must name the remedy for the operator who hits it")
     assert(served() == reference(emb.filter(col("vec_id") % 7 =!= 3)),
       "tombstoned ids still served")
     // RE-ADD one deleted id: its new segment follows the tombstone in
@@ -381,6 +398,9 @@ class IncrementalIndexSpec extends SparkSuite {
     val manifest = spark.read.parquet(s"$root/v$vc/ann_manifest")
     assert(manifest.filter(col("kind") === "ts").count() == 0,
       "full compaction must drop all (now dead) tombstones")
+    // converging tombstone-free also sheds the downgrade poison: the
+    // compacted manifest is format-1-readable again, byte-for-byte
+    assert(modelRows(vc).size == 1 && !modelRows(vc).head.startsWith("poison-"))
     import spark.implicits._
     val segIds = manifest.filter(col("kind") === "seg")
       .select("ref").as[String].collect().toSeq
