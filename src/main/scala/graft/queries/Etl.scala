@@ -411,7 +411,12 @@ object Etl {
       val rp = new org.apache.hadoop.fs.Path(root)
       if (fc.util.exists(rp)) fc.delete(rp, true)
       val targets = Seq(
-        ReplicaSpec("replica", key, numBuckets = 16, strict = true),
+        // the rescan replica is co-bucketed on the extrema's GROUP
+        // column (ReplicaSpec.bucketOn — sound because feeds carry full
+        // rows), so the invalidation rescan reads only the invalidated
+        // groups' buckets instead of the whole replica
+        ReplicaSpec("replica", key, numBuckets = 16, strict = true,
+          bucketOn = Seq("o_orderpriority")),
         ExtremaViewSpec("extrema", Seq("o_orderpriority"),
           minCols = Seq("min_dec" -> "dec", "min_price" -> "o_totalprice"),
           maxCols = Seq("max_dec" -> "dec", "max_price" -> "o_totalprice"),
@@ -424,6 +429,55 @@ object Etl {
       IncrementalAgg.readView(s, root, "extrema")
         .select(col("o_orderpriority"), col("n"),
           col("min_dec"), col("max_dec"), col("min_price"), col("max_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // o16 — MAINTAINED DISTINCT COUNTS [extension; by composition]:
+    // COUNT(DISTINCT) is not additive (a value's death is only knowable
+    // when its LAST row leaves), so it cannot ride the ± fold directly —
+    // but it composes out of machinery the store already has: an
+    // additive view grouped by (group, value) maintains each pair's
+    // live-row count, a pair leaves the state exactly at count zero,
+    // and the per-group ROW COUNT of that state IS the distinct count.
+    // The chain is delete-heavy on purpose (two decile deletions kill
+    // pairs whose custkey had its only order there) and migrates a
+    // decile into a brand-new group. The oracle recomputes
+    // COUNT(DISTINCT) from the v3 slice directly — the pairs view and
+    // the feeds never appear in it.
+    "o16_distinct_maintain" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, IncrementalAgg}
+      import graft.etl.IncrementalAgg.ViewSpec
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_custkey"))
+        .persist()
+      val reclass = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_orderpriority",
+          when(col("o_orderkey") % 10 === 4, lit("9-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority")))
+      val v1 = rows.filter(col("o_orderkey") % 10 =!= 7)
+      val v2 = reclass(rows.filter(col("o_orderkey") % 10 =!= 7 &&
+        col("o_orderkey") % 10 =!= 3))
+      val v3 = reclass(rows.filter(col("o_orderkey") % 10 =!= 7 &&
+        col("o_orderkey") % 10 =!= 3 && col("o_orderkey") % 10 =!= 1))
+      val key = Seq("o_orderkey")
+      val root = s"/root/repo/target/sink/o16_distinct_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      if (fc.util.exists(rp)) fc.delete(rp, true)
+      val targets = Seq(
+        ViewSpec("pairs", Seq("o_orderpriority", "o_custkey"), Nil,
+          numBuckets = 16))
+      try {
+        IncrementalAgg.publishInitialMulti(s, root, v1, targets)
+        IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v1, v2, key), 1L, targets)
+        IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v2, v3, key), 2L, targets)
+      } finally { rows.unpersist(); () }
+      // the derived read: live pairs → per-group distinct-value count
+      // (one aggregate over the |live pairs|-sized state, never the base)
+      IncrementalAgg.readView(s, root, "pairs")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_distinct"))
         .orderBy("o_orderpriority")
     }),
 
@@ -579,6 +633,19 @@ object Etl {
         |SELECT o_orderpriority, COUNT(*) AS n,
         |  MIN(dec) AS min_dec, MAX(dec) AS max_dec,
         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // COUNT(DISTINCT) recomputed from the v3 slice directly — the
+    // pairs view, its live-count semantics, and the feeds never appear
+    // here, so the hash match proves composed distinct maintenance ≡
+    // direct distinct recompute.
+    "o16_distinct_maintain" ->
+      """WITH v3 AS (
+        |  SELECT CASE WHEN o_orderkey % 10 = 4 THEN '9-RECLASSIFIED'
+        |              ELSE o_orderpriority END AS o_orderpriority,
+        |         o_custkey
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (7, 3, 1))
+        |SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_distinct
         |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Both fan-out branches recomputed from scratch on the v2 slice —
