@@ -244,14 +244,28 @@ object IncrementalAgg {
   /** One maintained aggregate view of the feed: a name (its manifest
     * table is `<name>_manifest`), its grouping, its sums, and its
     * bucket count (fixed at seeding; B sizes WRITE granularity —
-    * SCALE.md's f ≈ gΔ/B rule — not group capacity). */
+    * SCALE.md's f ≈ gΔ/B rule — not group capacity).
+    *
+    * `bucketOn` (default: the full group key) may name a SUBSET of
+    * `groupCols` — the same serving-read lever as
+    * [[ReplicaSpec.bucketOn]]: every group sharing the subset's values
+    * shares a bucket, so a point read of one dimension's aggregates
+    * ([[readViewPruned]] — "this customer's running totals") opens one
+    * bucket instead of the view. Sound for the same reason: feed rows
+    * carry the group columns, so a delta group's bucket is always
+    * touched and delta-proportional writes survive. */
   final case class ViewSpec(name: String, groupCols: Seq[String],
                             sumCols: Seq[(String, String)],
-                            numBuckets: Int = 64) extends TargetSpec {
+                            numBuckets: Int = 64,
+                            bucketOn: Seq[String] = Nil) extends TargetSpec {
     require(!(groupCols ++ sumCols.map(_._1)).contains(BucketCol),
       s"'$BucketCol' is reserved for the state store's bucket layout")
+    require(bucketOn.forall(groupCols.contains),
+      s"bucketOn must be a subset of groupCols: " +
+        s"${bucketOn.filterNot(groupCols.contains).mkString(",")}")
     validateCommon()
-    private[etl] def bucketCols: Seq[String] = groupCols
+    private[etl] def bucketCols: Seq[String] =
+      if (bucketOn.nonEmpty) bucketOn else groupCols
     private[etl] def seed(rows: DataFrame): DataFrame =
       aggregate(rows, groupCols, sumCols)
     private[etl] def step(prev: DataFrame, feed: DataFrame,

@@ -708,8 +708,14 @@ class DifferentialSpec extends SparkSuite {
       // invalidation rescan are exercised across the cases
       val eroot = s"/root/repo/target/test-sink/diff_extrema_$salt"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(eroot))
+      // alternate the replica's bucket layout across cases: keyed
+      // (full-replica rescan) vs group-bucketed (pruned rescan) — the
+      // two paths must be indistinguishable in the maintained result,
+      // on random data whose bucket column is nullable (hash-of-NULL
+      // bucketing exercised)
       val targets = Seq(
-        IncrementalAgg.ReplicaSpec("replica", Seq("id"), numBuckets = 4),
+        IncrementalAgg.ReplicaSpec("replica", Seq("id"), numBuckets = 4,
+          bucketOn = if (salt % 2 == 0) Seq("g") else Nil),
         IncrementalAgg.ExtremaViewSpec("ext", Seq("g"),
           minCols = Seq("min_x" -> "x"), maxCols = Seq("max_x" -> "x"),
           baseReplica = "replica", numBuckets = 4))

@@ -672,6 +672,44 @@ class IncrementalAggSpec extends SparkSuite {
         Seq(ReplicaSpec("r2", Seq("id"), bucketOn = Seq("nope")))))
   }
 
+  test("subset-bucketed aggregate view (ViewSpec.bucketOn): a (g, h) view " +
+    "bucketed on g alone maintains exactly and point-reads one g's " +
+    "aggregates from one bucket") {
+    import graft.etl.IncrementalAgg
+    import graft.etl.IncrementalAgg.ViewSpec
+    val root = "/root/repo/target/test-sink/incagg_view_bucketon"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def df(rows: Seq[(Int, String, String, Double)]) =
+      rows.toDF("id", "g", "h", "x")
+    val v0 = (0 until 96).map(i => (i, s"g${i % 8}", s"h${i % 3}", i * 1.0))
+    // batch: one value update, one (g,h) group death, one group birth
+    // in a brand-new g
+    val v1 = v0.map { case (i, g, h, x) => if (i == 5) (i, g, h, 500.0) else (i, g, h, x) }
+      .filterNot { case (i, _, _, _) => i % 24 == 1 } :+ ((96, "g8", "h0", 9.0))
+    val targets = Seq(ViewSpec("by_gh", Seq("g", "h"),
+      Seq("total" -> "x"), numBuckets = 8, bucketOn = Seq("g")))
+    IncrementalAgg.publishInitialMulti(spark, root, df(v0), targets)
+    assert(IncrementalAgg.applyOnceMulti(spark, root,
+      ChangeFeed.diff(df(v0), df(v1), Seq("id")), 0L, targets))
+    def recompute(rows: Seq[(Int, String, String, Double)]) =
+      IncrementalAgg.aggregate(df(rows), Seq("g", "h"), Seq("total" -> "x"))
+        .collect().map(_.toSeq).toSet
+    assert(IncrementalAgg.readView(spark, root, "by_gh")
+      .collect().map(_.toSeq).toSet === recompute(v1))
+    assert(IncrementalAgg.readView(spark, root, "by_gh", Some(0L))
+      .collect().map(_.toSeq).toSet === recompute(v0))
+    // the point read: one g's (g, h) aggregate rows from ONE bucket
+    val pruned = IncrementalAgg.readViewPruned(spark, root, "by_gh",
+      Seq("g"), Seq(Seq[Any]("g2")))
+    assert(bucketsOpened(pruned).size === 1,
+      s"one g must read one bucket, read ${bucketsOpened(pruned)}")
+    assert(pruned.filter(col("g") === "g2").collect().map(_.toSeq).toSet ===
+      recompute(v1).filter(_.head == "g2"))
+    // hygiene: bucketOn outside groupCols fails at construction
+    assertThrows[IllegalArgumentException](
+      ViewSpec("v", Seq("g"), Nil, bucketOn = Seq("x")))
+  }
+
   test("derived target: recomputed from its sibling's post-batch state " +
     "and committed in the SAME version — stats equal a recompute at every " +
     "version, including through catch-up composition") {
