@@ -257,6 +257,35 @@ class RetrievalSpec extends SparkSuite {
     }
   }
 
+  test("pre-r17 index compatibility: a 3-target store (no stats table, " +
+    "key-bucketed postings) serves the identical ranking through the " +
+    "documented fallbacks") {
+    import graft.etl.IncrementalAgg
+    import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
+    val root = "/root/repo/target/test-sink/ir_prestats_store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val docs = (1L to 30L).map(d =>
+      d -> (0 until 4).map(j => s"w${(d + j * 5) % 12}").mkString(" "))
+    // the r16 bundle: postings bucketed on its FULL key, no stats —
+    // the shape every store seeded before this round has on disk
+    val oldTargets = Seq(
+      ReplicaSpec("postings", Seq("term", "doc_id"), 4),
+      ViewSpec("df", Seq("term"), Nil, 4),
+      ViewSpec("bydoc", Seq("doc_id"), Seq("dl" -> "tf"), 4))
+    IncrementalAgg.publishInitialMulti(spark, root,
+      graft.ops.Retrieval.indexPostings(df(docs), "doc_id", "text"), oldTargets)
+    val terms = Seq("w3", "w7")
+    // term-pruning cannot engage (the recorded layout is the full key)
+    // and stats falls back to the per-query bydoc aggregate — results
+    // must be indistinguishable from the new-layout serve
+    assert(graft.ops.Retrieval.bm25FromIndex(spark, root, terms, k = 10)
+      .as[(Int, Long, Int)].collect().toSeq ===
+      graft.ops.Retrieval.bm25RankedTopK(df(docs), "doc_id", "text",
+        terms, k = 10).as[(Int, Long, Int)].collect().toSeq,
+      "fallback serve diverged on a pre-stats store")
+  }
+
   test("centroidOutliers: planted outlier first, distances exact, ties by id") {
     import graft.ops.VectorSearch
     // 9 unit vectors + one far point → centroid = 2.0 per dim;
