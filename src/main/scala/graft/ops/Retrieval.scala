@@ -374,11 +374,15 @@ object Retrieval {
   // extrema, the ANN index (tombstones), and keyword retrieval — each
   // STORE advancing atomically and exactly-once. (Atomicity is
   // PER-STORE: the ANN index lives under its own AtomicPublish root
-  // with its own ledger, so a reader can observe the warehouse store
-  // at batch N beside the ANN store at batch N−1 until the latter's
-  // consumer catches up — cross-store lag, the same contract as any
-  // pair of independently-committing downstream systems. WITHIN the
-  // retrieval store, postings/df/stats can never disagree.)
+  // with its own ledger, so a reader resolving the two roots
+  // independently can observe the warehouse store at batch N beside
+  // the ANN store at batch N−1 — cross-store lag, the same contract
+  // as any pair of independently-committing downstream systems.
+  // Deployments that need a cross-store-consistent read resolve both
+  // through a [[graft.etl.Coordinator]] cut instead — one committed
+  // (store → version) pairing per batch, half-committed batches
+  // invisible rather than mixed. WITHIN the retrieval store,
+  // postings/df/stats can never disagree.)
 
   /** Full-vocabulary postings of a document set: one row per
     * (term, doc_id) with the in-doc term count and the doc's token
