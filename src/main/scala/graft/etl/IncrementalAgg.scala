@@ -454,6 +454,147 @@ object IncrementalAgg {
     }
   }
 
+  /** A maintained PER-GROUP TOP-K view — the general form of
+    * [[ExtremaViewSpec]] (which is k = 1 over the sort value alone):
+    * per group, the k best ROWS under a total order, maintained under a
+    * [[ChangeFeed]] by the same merge/invalidate split:
+    *
+    *   - INSERTS merge in O(delta + touched state): the new top-k of
+    *     (current members ∪ inserted rows) — a window over a set whose
+    *     size is k·|touched groups| + |delta|, never the base. Sound
+    *     because any live non-member row is strictly worse than the
+    *     group's BOUNDARY (the k-th member) under the total order, so
+    *     it can never re-enter on an insert.
+    *   - A DELETE invalidates its group only if the removed row could
+    *     have been a member: its sort value ties-or-beats the boundary
+    *     (value-level compare — ties are conservatively dangerous, so
+    *     tie-breaking never needs to be re-derived from state), the
+    *     group's membership is not full (every live row is then a
+    *     member), or NULL values make the compare unsable. Invalidated
+    *     groups — and only they — re-rank from the co-maintained
+    *     replica, PRUNED to their buckets when the replica is
+    *     co-bucketed on the group columns (the extrema rescan's
+    *     machinery, verbatim).
+    *
+    * TOTAL ORDER: `sortCol` descending (`ascending = false`, a
+    * leaderboard) or ascending, NULLS LAST either way (pinned
+    * explicitly — Spark's and DuckDB's defaults differ), ties broken
+    * by `keyCols` ascending. Both the seed and every maintenance path
+    * use the same order, so maintained state is row-identical to a
+    * recompute. State schema: `groupCols ++ keyCols ++ sortCol` — the
+    * members themselves, rank-free (ranks shift under merge; readers
+    * derive them with one window over the k·|groups|-sized state).
+    * `keyCols` must be the replica's unique key restricted to these
+    * columns — member identity under replay. */
+  final case class TopKViewSpec(name: String, groupCols: Seq[String],
+                                sortCol: String, ascending: Boolean, k: Int,
+                                keyCols: Seq[String], baseReplica: String,
+                                numBuckets: Int = 64) extends TargetSpec {
+    require(k > 0, s"k must be positive: $k")
+    require(keyCols.nonEmpty, "keyCols must name at least one column")
+    require((groupCols ++ keyCols :+ sortCol).distinct.size ==
+      groupCols.size + keyCols.size + 1,
+      "group/key/sort columns must be distinct")
+    require(!(groupCols ++ keyCols :+ sortCol).contains(BucketCol),
+      s"'$BucketCol' is reserved for the state store's bucket layout")
+    validateCommon()
+    private[etl] def bucketCols: Seq[String] = groupCols
+    private[etl] override def dependsOn: Seq[String] = Seq(baseReplica)
+
+    private def expected: Seq[String] = groupCols ++ keyCols :+ sortCol
+
+    private def orderExprs = {
+      val s = if (ascending) col(sortCol).asc_nulls_last
+              else col(sortCol).desc_nulls_last
+      s +: keyCols.map(col(_).asc)
+    }
+
+    /** Top-k of `rows` per group under the pinned total order. */
+    private def topK(rows: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      rows.select(expected.map(col): _*)
+        .withColumn("_rk", row_number().over(
+          Window.partitionBy(groupCols.map(col): _*).orderBy(orderExprs: _*)))
+        .filter(col("_rk") <= k).drop("_rk")
+    }
+
+    private[etl] def seed(rows: DataFrame): DataFrame = topK(rows)
+
+    private[etl] def step(prev: DataFrame, feed: DataFrame,
+                          ctx: StepContext): DataFrame = {
+      require(prev.columns.toSeq == expected,
+        s"prev is not a top-k state: have ${prev.columns.mkString(",")}, " +
+          s"expected ${expected.mkString(",")}")
+      require(feed.columns.contains("_change_type"),
+        "feed must be a ChangeFeed.diff output (missing _change_type)")
+      val isPost = col("_change_type").isin("insert", "update_postimage")
+      // per-group invalidation witnesses from ONE feed pass: how many
+      // deletes, their most-dangerous sort value, whether any deleted
+      // value is NULL (NULLS LAST can still be a member of a not-full
+      // group — conservatively dangerous)
+      val delBest = if (ascending) min(when(!isPost, col(sortCol)))
+                    else max(when(!isPost, col(sortCol)))
+      val delta = feed.groupBy(groupCols.map(col): _*)
+        .agg(sum(when(!isPost, lit(1L)).otherwise(lit(0L))).as("_del_n"),
+          delBest.as("_del_best"),
+          max(when(!isPost && col(sortCol).isNull, lit(1L))
+            .otherwise(lit(0L))).as("_del_null"))
+      // per-group boundary from the touched state: the worst member's
+      // value, membership count, and whether a member's value is NULL
+      val bound = if (ascending) max(col(sortCol)) else min(col(sortCol))
+      val prevAgg = prev.groupBy(groupCols.map(col): _*)
+        .agg(bound.as("_bound"), count(lit(1)).as("_m"),
+          max(when(col(sortCol).isNull, lit(1L)).otherwise(lit(0L)))
+            .as("_null_member"))
+      val p = prevAgg.as("p")
+      val d = delta.as("d")
+      val joinCond = groupCols.map(g => col(s"p.$g") <=> col(s"d.$g"))
+        .reduce(_ && _)
+      // dangerous delete: the group could have lost a member — the
+      // deleted value ties-or-beats the boundary under the order
+      // (ties conservative), membership is below k (every live row is
+      // a member), the state never saw the group, or NULLs make the
+      // value compare unusable
+      val beatsBound =
+        if (ascending) col("d._del_best") <= col("p._bound")
+        else col("d._del_best") >= col("p._bound")
+      val invalidated = col("d._del_n") > 0L && (
+        col("p._m").isNull || col("p._m") < k ||
+          col("p._null_member") === 1L || col("d._del_null") === 1L ||
+          coalesce(beatsBound, lit(true)))
+      val flags = p.join(d, joinCond, "full_outer")
+        .select(
+          groupCols.map(g => coalesce(col(s"p.$g"), col(s"d.$g")).as(g)) :+
+            coalesce(invalidated, lit(false)).as("_rescan"): _*)
+      def withFlag(rows: DataFrame, alias: String): DataFrame = {
+        val r = rows.as(alias)
+        val f = flags.as("f")
+        val cond = groupCols.map(g => col(s"$alias.$g") <=> col(s"f.$g"))
+          .reduce(_ && _)
+        r.join(f, cond, "left")
+          .select(expected.map(c => col(s"$alias.$c")) :+
+            coalesce(col("f._rescan"), lit(false)).as("_rescan"): _*)
+      }
+      // kept path: members of non-invalidated groups merge with those
+      // groups' inserted rows, re-ranked — O(touched state + delta)
+      val keptPool = withFlag(prev, "m").filter(!col("_rescan")).drop("_rescan")
+        .unionByName(withFlag(feed.filter(isPost), "i")
+          .filter(!col("_rescan")).drop("_rescan"))
+      val kept = topK(keptPool)
+      // rescan path: invalidated groups re-rank from the co-maintained
+      // replica's post-batch state, bucket-pruned when co-bucketed
+      val invalidGroups = flags.filter(col("_rescan"))
+        .select(groupCols.map(col): _*)
+      val base = ctx.baseAfterForGroups(baseReplica, invalidGroups, groupCols)
+        .as("b")
+      val ig = invalidGroups.as("ig")
+      val rescanCond = groupCols.map(g => col(s"b.$g") <=> col(s"ig.$g"))
+        .reduce(_ && _)
+      val rescanned = topK(base.join(ig, rescanCond, "left_semi"))
+      kept.unionByName(rescanned)
+    }
+  }
+
   /** A DERIVED target: a (small) state recomputed each round from a
     * sibling target's POST-BATCH state and committed WITH it in the
     * same atomic version — the store's answer to aggregates that are
@@ -659,6 +800,49 @@ object IncrementalAgg {
         Some(m.refs.view.filterKeys(buckets).toMap)
       }
     val refs = pruned.getOrElse(m.refs)
+    if (refs.isEmpty) emptyState(spark, m.schemaDDL)
+    else spark.read.parquet(refs.values.toSeq.distinct.sorted
+      .map(r => s"${snap.root}/state_segments/$r"): _*)
+  }
+
+  /** [[readViewPruned]] driven by a DATAFRAME of values instead of a
+    * driver-side literal list — for readers whose pruning values are
+    * themselves data (a change feed's join keys, an invalidated-group
+    * set). One tiny job folds `keys` map-side to ≤ B bucket ints
+    * (collect_set of the bucket hash — the [[applyOnceMulti]] probe's
+    * shape), then only those buckets' refs open. `keys` must expose
+    * the view's bucket columns under the same names and types; rows
+    * beyond `forCols` are ignored. Same SUPERSET contract and full-view
+    * fallback as the literal form. */
+  def readViewPrunedBy(spark: SparkSession, root: String, view: String,
+                       forCols: Seq[String], keys: DataFrame,
+                       version: Option[Long] = None): DataFrame = {
+    require(forCols.nonEmpty, "forCols must name at least one column")
+    val missing = forCols.filterNot(keys.columns.contains)
+    require(missing.isEmpty,
+      s"keys is missing bucket column(s): ${missing.mkString(",")}")
+    val snap = version.fold(AtomicPublish.snapshot(spark, root))(
+      AtomicPublish.snapshotAt(spark, root, _))
+    val m = readManifest(spark, snap, s"${view}_manifest")
+    val refs =
+      if (!m.bucketCols.contains(forCols)) m.refs
+      else {
+        // hash(int) ≠ hash(long): a silently mistyped key column would
+        // prune to the WRONG buckets — fail loudly instead
+        val stateSchema = org.apache.spark.sql.types.StructType
+          .fromDDL(m.schemaDDL)
+        forCols.foreach { c =>
+          val want = stateSchema(c).dataType
+          val got = keys.schema(keys.schema.fieldIndex(c)).dataType
+          require(got == want,
+            s"keys column '$c' is $got but the view's bucket column is " +
+              s"$want — the bucket hash is type-sensitive; cast first")
+        }
+        val buckets = keys
+          .agg(collect_set(bucketExpr(forCols, m.numBuckets)).as("b"))
+          .collect()(0).getSeq[Int](0).toSet
+        m.refs.view.filterKeys(buckets).toMap
+      }
     if (refs.isEmpty) emptyState(spark, m.schemaDDL)
     else spark.read.parquet(refs.values.toSeq.distinct.sorted
       .map(r => s"${snap.root}/state_segments/$r"): _*)

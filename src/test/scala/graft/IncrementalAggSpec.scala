@@ -814,6 +814,110 @@ class IncrementalAggSpec extends SparkSuite {
       f"(${groupedBytes.toDouble / keyedBytes}%.2fx)")
   }
 
+  test("top-k view: per-group leaderboards maintain by merge-on-insert / " +
+    "rescan-on-dangerous-delete — exact across member deletion, " +
+    "non-member deletion, ties, NULL sort values, under-k groups, " +
+    "migration, and group death") {
+    import graft.etl.IncrementalAgg
+    import graft.etl.IncrementalAgg.{ReplicaSpec, TopKViewSpec}
+    val root = "/root/repo/target/test-sink/incagg_topk"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    def df(rows: Seq[(Int, Option[String], Option[Double])]) =
+      rows.toDF("id", "g", "x")
+    val targets = Seq(
+      // co-bucketed on the group column: the dangerous-delete rescans
+      // below run bucket-pruned
+      ReplicaSpec("replica", Seq("id"), numBuckets = 8, bucketOn = Seq("g")),
+      TopKViewSpec("top", Seq("g"), sortCol = "x", ascending = false, k = 2,
+        keyCols = Seq("id"), baseReplica = "replica", numBuckets = 4))
+    val v0 = Seq(
+      (1, Some("a"), Some(9.0)), (2, Some("a"), Some(7.0)),
+      (3, Some("a"), Some(5.0)), (4, Some("a"), Some(7.0)), // tie with id 2
+      (5, Some("b"), Some(3.0)),                            // under-k group
+      (6, None, Some(4.0)), (7, None, Some(2.0)),           // NULL group
+      (8, Some("n"), None), (9, Some("n"), Some(1.0)))      // NULL sort value
+    // batch 0: delete a NON-member of a (id 3, worse than the boundary
+    // — fast path); insert a new best into b (merge); delete the NULL
+    // group's member id 6 (dangerous — rescan)
+    val v1 = Seq(
+      (1, Some("a"), Some(9.0)), (2, Some("a"), Some(7.0)),
+      (4, Some("a"), Some(7.0)),
+      (5, Some("b"), Some(3.0)), (10, Some("b"), Some(8.0)),
+      (7, None, Some(2.0)),
+      (8, Some("n"), None), (9, Some("n"), Some(1.0)))
+    // batch 1: delete a's CURRENT BEST (rescan — id 4 must re-enter by
+    // tiebreak order); migrate b's best to group a (both groups
+    // change); group n loses its NULL-valued row
+    val v2 = Seq(
+      (2, Some("a"), Some(7.0)), (4, Some("a"), Some(7.0)),
+      (10, Some("a"), Some(8.0)),
+      (5, Some("b"), Some(3.0)),
+      (7, None, Some(2.0)),
+      (9, Some("n"), Some(1.0)))
+    // batch 2: group b DIES; an update lifts a non-member past the
+    // boundary (id 9 group n is sole member — trivial); empty a of all
+    // but one
+    val v3 = Seq(
+      (2, Some("a"), Some(7.0)),
+      (7, None, Some(2.0)),
+      (9, Some("n"), Some(6.0)))
+    val chain = Seq(v0, v1, v2, v3)
+    def recompute(rows: Seq[(Int, Option[String], Option[Double])]) = {
+      import org.apache.spark.sql.expressions.Window
+      df(rows).withColumn("_rk", row_number().over(
+          Window.partitionBy("g")
+            .orderBy(col("x").desc_nulls_last, col("id").asc)))
+        .filter(col("_rk") <= 2)
+        .select(col("g"), col("id"), col("x"))
+        .collect().map(_.toSeq).toSet
+    }
+    def actual() = IncrementalAgg.readView(spark, root, "top")
+      .collect().map(_.toSeq).toSet
+    IncrementalAgg.publishInitialMulti(spark, root, df(v0), targets)
+    assert(actual() === recompute(v0))
+    chain.sliding(2).zipWithIndex.foreach { case (Seq(a, b), i) =>
+      assert(IncrementalAgg.applyOnceMulti(spark, root,
+        ChangeFeed.diff(df(a), df(b), Seq("id")), i.toLong, targets))
+      assert(actual() === recompute(b), s"top-k diverged after batch $i")
+    }
+    // time travel reads each version's own leaderboard
+    assert(IncrementalAgg.readView(spark, root, "top", Some(0L))
+      .collect().map(_.toSeq).toSet === recompute(v0))
+    // randomized differential: 60 rows over 4 groups, 3 random-ish
+    // mutation batches (value churn, deletes, inserts), maintained ≡
+    // recomputed after every batch
+    val rnd = new scala.util.Random(17)
+    var cur = (0 until 60).map(i =>
+      (i, Some(s"g${i % 4}"): Option[String],
+        if (i % 13 == 0) None: Option[Double] else Some(rnd.nextInt(50) * 1.0)))
+    val root2 = "/root/repo/target/test-sink/incagg_topk_rand"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root2))
+    IncrementalAgg.publishInitialMulti(spark, root2, df(cur), targets)
+    (0 until 3).foreach { b =>
+      val next = cur
+        .filterNot(_._1 % 7 == b % 7)
+        .map { case (i, g, x) =>
+          if (i % 5 == b % 5) (i, Some(s"g${(i + 1) % 4}"): Option[String],
+            x.map(_ + rnd.nextInt(20) - 10))
+          else (i, g, x)
+        } ++ (0 until 4).map(j => (100 + b * 10 + j,
+          Some(s"g$j"): Option[String], Some(rnd.nextInt(60) * 1.0): Option[Double]))
+      assert(IncrementalAgg.applyOnceMulti(spark, root2,
+        ChangeFeed.diff(df(cur), df(next), Seq("id")), b.toLong, targets))
+      assert(IncrementalAgg.readView(spark, root2, "top")
+        .collect().map(_.toSeq).toSet === recompute(next),
+        s"random top-k diverged after batch $b")
+      cur = next
+    }
+    // hygiene
+    assertThrows[IllegalArgumentException](
+      TopKViewSpec("t", Seq("g"), "x", ascending = false, k = 0,
+        Seq("id"), "replica"))
+    assertThrows[IllegalArgumentException](
+      TopKViewSpec("t", Seq("g"), "x", ascending = false, k = 2,
+        Nil, "replica"))
+  }
+
   test("mid-stream segment GC: vacuuming every Nth batch of a LIVE " +
     "stream keeps the state exact and the segment count bounded") {
     import graft.etl.{AtomicPublish, IncrementalAgg}
