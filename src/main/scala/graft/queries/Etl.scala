@@ -432,6 +432,144 @@ object Etl {
         .orderBy("o_orderpriority")
     }),
 
+    // o18 — MAINTAINED JOIN VIEW [extension; classical IVM]: a
+    // materialized orders ⋈ customer enrichment kept current under
+    // BOTH tables' change feeds without re-joining the bases.
+    // JoinView.joinDeltaFromStores computes the view's six-term change
+    // feed with each side's pre-state read BUCKET-PRUNED by the
+    // opposite delta's join keys (orders' replica is bucketed on its
+    // JOIN column o_custkey — the round's subset bucketing — and
+    // customer's key IS its join column), so every term is
+    // delta × matching-buckets, never a base scan. Three stores
+    // (orders, customer, view) each advance exactly-once; one
+    // Coordinator cut per batch pins the consistent triple. The chain
+    // exercises both sides: an orders delete + price update batch
+    // beside a customer segment-update batch, then a customer
+    // deletion (cascading pair death) beside an orders re-insertion.
+    // The oracle joins the two final slices directly — the feeds, the
+    // six terms, and the cut never appear in it.
+    "o18_join_maintain" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
+      import graft.etl.IncrementalAgg.ReplicaSpec
+      val ordBase = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val custBase = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      val bump = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 4, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val reseg = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("c_mktsegment",
+          when(col("c_custkey") % 5 === 0, lit("GRAFTSEG"))
+            .otherwise(col("c_mktsegment")))
+      // the bump touches only decile 4, so the decile-7 re-insertion in
+      // the last step rides through it unchanged
+      val aChain = Seq(
+        ordBase.filter(col("o_orderkey") % 10 =!= 7),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 7 &&
+          col("o_orderkey") % 10 =!= 3)),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 3)))
+      val bChain = Seq(custBase, reseg(custBase),
+        reseg(custBase).filter(col("c_custkey") % 7 =!= 3))
+      val base = s"/root/repo/target/sink/o18_join_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      if (fc.util.exists(bp)) fc.delete(bp, true)
+      val aRoot = s"$base/a"; val bRoot = s"$base/b"
+      val vRoot = s"$base/v"; val cutRoot = s"$base/cut"
+      val aT = Seq(ReplicaSpec("replica", Seq("o_orderkey"), numBuckets = 16,
+        bucketOn = Seq("o_custkey")))
+      val bT = Seq(ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16))
+      val vT = Seq(ReplicaSpec("view", Seq("o_orderkey", "c_custkey"),
+        numBuckets = 16))
+      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
+      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
+      IncrementalAgg.publishInitialMulti(s, vRoot,
+        aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "inner"), vT)
+      Coordinator.commitCut(s, cutRoot, Map("a" -> 0L, "b" -> 0L, "v" -> 0L))
+      aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
+        case (Seq((a0, b0), (a1, b1)), i) =>
+          val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
+          val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
+          val cut = Coordinator.currentCut(s, cutRoot)
+          val viewFeed = JoinView.joinDeltaFromStores(s,
+            JoinView.Side(aRoot, "replica", Seq("o_custkey"), cut("a")),
+            JoinView.Side(bRoot, "replica", Seq("c_custkey"), cut("b")),
+            feedA, feedB)
+          try {
+            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
+            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
+            IncrementalAgg.applyOnceMulti(s, vRoot, viewFeed, i.toLong, vT)
+          } finally { feedA.unpersist(); feedB.unpersist(); () }
+          Coordinator.commitCut(s, cutRoot, Map(
+            "a" -> AtomicPublish.currentVersion(s, aRoot).get,
+            "b" -> AtomicPublish.currentVersion(s, bRoot).get,
+            "v" -> AtomicPublish.currentVersion(s, vRoot).get))
+      }
+      val cut = Coordinator.currentCut(s, cutRoot)
+      IncrementalAgg.readView(s, vRoot, "view", Some(cut("v")))
+        .orderBy("o_orderkey")
+    }),
+
+    // o17 — MAINTAINED TOP-K [extension; leaderboard maintenance]:
+    // the general form of o15's extrema (k = 1): per group, the k best
+    // ROWS under a pinned total order, maintained by merge-on-insert /
+    // rescan-on-dangerous-delete against the co-maintained (and
+    // group-co-bucketed, so the rescan prunes) replica. The chain
+    // forces both paths deterministically: sorting by the decile
+    // column, batch 1 deletes decile 0 — every deleted value is
+    // strictly below every boundary (fast path) — while the decile-4
+    // reclassification births a new group built purely by merge;
+    // batch 2 deletes decile 9, every group's ENTIRE top set, forcing
+    // a full re-rank from the replica with the tiebreak deciding among
+    // the dec-8 tie cohort. The oracle is a direct window ROW_NUMBER
+    // over the final slice — the feeds, the boundary compare, and the
+    // rescan never appear in it.
+    "o17_topk_maintain" -> ((s, dir) => {
+      import graft.etl.{ChangeFeed, IncrementalAgg}
+      import graft.etl.IncrementalAgg.{ReplicaSpec, TopKViewSpec}
+      val rows = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_orderkey") % 10).as("dec"))
+        .persist()
+      val reclass = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_orderpriority",
+          when(col("o_orderkey") % 10 === 4, lit("9-RECLASSIFIED"))
+            .otherwise(col("o_orderpriority")))
+      val v1 = rows
+      val v2 = reclass(rows.filter(col("dec") =!= 0))
+      val v3 = reclass(rows.filter(col("dec") =!= 0 && col("dec") =!= 9))
+      val key = Seq("o_orderkey")
+      val root = s"/root/repo/target/sink/o17_topk_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val rp = new org.apache.hadoop.fs.Path(root)
+      if (fc.util.exists(rp)) fc.delete(rp, true)
+      val targets = Seq(
+        ReplicaSpec("replica", key, numBuckets = 16, strict = true,
+          bucketOn = Seq("o_orderpriority")),
+        TopKViewSpec("top", Seq("o_orderpriority"), sortCol = "dec",
+          ascending = false, k = 3, keyCols = key,
+          baseReplica = "replica", numBuckets = 8))
+      try {
+        IncrementalAgg.publishInitialMulti(s, root, v1, targets)
+        IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v1, v2, key), 1L, targets)
+        IncrementalAgg.applyOnceMulti(s, root, ChangeFeed.diff(v2, v3, key), 2L, targets)
+      } finally { rows.unpersist(); () }
+      // readers derive ranks with one window over the k·|groups| state
+      import org.apache.spark.sql.expressions.Window
+      IncrementalAgg.readView(s, root, "top")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("o_orderpriority")
+            .orderBy(col("dec").desc_nulls_last, col("o_orderkey").asc))
+          .cast("int"))
+        .select(col("o_orderpriority"), col("rank"), col("o_orderkey"), col("dec"))
+        .orderBy("o_orderpriority", "rank")
+    }),
+
     // o16 — MAINTAINED DISTINCT COUNTS [extension; by composition]:
     // COUNT(DISTINCT) is not additive (a value's death is only knowable
     // when its LAST row leaves), so it cannot ride the ± fold directly —
@@ -634,6 +772,45 @@ object Etl {
         |  MIN(dec) AS min_dec, MAX(dec) AS max_dec,
         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
         |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The final-slice join recomputed directly — the feeds, the
+    // six-term delta algebra, the three stores, and the cut never
+    // appear here, so the hash match proves the maintained join view ≡
+    // a from-scratch join of the final tables.
+    "o18_join_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |c AS (
+        |  SELECT c_custkey, c_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'GRAFTSEG'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 <> 3)
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |       c_custkey, c_name, c_mktsegment
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // The leaderboard recomputed by a direct window over the v3 slice
+    // — the feeds, the boundary compare, and the replica rescan never
+    // appear here, so the hash match proves maintained top-k ≡ direct
+    // re-rank (same NULLS LAST + key-ascending total order).
+    "o17_topk_maintain" ->
+      """WITH v3 AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN '9-RECLASSIFIED'
+        |         ELSE o_orderpriority END AS o_orderpriority,
+        |    o_orderkey % 10 AS dec
+        |  FROM orders WHERE o_orderkey % 10 NOT IN (0, 9)),
+        |r AS (
+        |  SELECT o_orderpriority, o_orderkey, dec,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY dec DESC NULLS LAST, o_orderkey ASC) AS rank
+        |  FROM v3)
+        |SELECT o_orderpriority, CAST(rank AS INT) AS rank, o_orderkey, dec
+        |FROM r WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
 
     // COUNT(DISTINCT) recomputed from the v3 slice directly — the
     // pairs view, its live-count semantics, and the feeds never appear

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
+
+/** [[graft.etl.JoinView]] — incremental equi-join maintenance. The
+  * six-term delta algebra is pinned on constructed edges (every term
+  * populated, including the both-sides-changed cell), then end-to-end
+  * across three coordinated stores with bucket-pruned base reads, then
+  * differentially on random chains. */
+class JoinMaintenanceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def dfA(rows: Seq[(Int, Option[Int], String)]): DataFrame =
+    rows.toDF("aid", "cust", "av")
+  private def dfB(rows: Seq[(Int, String)]): DataFrame =
+    rows.toDF("bid", "bval")
+  private def direct(a: Seq[(Int, Option[Int], String)],
+                     b: Seq[(Int, String)]): Set[Seq[Any]] =
+    dfA(a).join(dfB(b), col("cust") === col("bid"), "inner")
+      .collect().map(_.toSeq).toSet
+
+  test("joinDelta: every term of the six-term algebra lands once — " +
+    "applying the view feed to the pre-view reconstructs the post join") {
+    val a0 = Seq((1, Some(10), "x"), (2, Some(10), "y"), (3, Some(20), "z"),
+      (4, Some(30), "w"), (5, None, "n"))
+    val b0 = Seq((10, "ten"), (20, "twenty"), (40, "forty"))
+    // ΔA: delete a3 (pairs with deleted b20 — the ΔA⁻⋈ΔB⁻ cell),
+    // update a1 (pairs with updated b10 — ΔA±⋈ΔB±), insert a6→b40
+    // (ΔA⁺⋈B_keep), insert a7→b50 (ΔA⁺⋈ΔB⁺)
+    val a1 = Seq((1, Some(10), "X!"), (2, Some(10), "y"),
+      (4, Some(30), "w"), (5, None, "n"), (6, Some(40), "q"),
+      (7, Some(50), "r"))
+    // ΔB: update b10 (a2's pair rides A_keep⋈ΔB±), delete b20,
+    // insert b50
+    val b1 = Seq((10, "TEN!"), (40, "forty"), (50, "fifty"))
+    val feedA = ChangeFeed.diff(dfA(a0), dfA(a1), Seq("aid"))
+    val feedB = ChangeFeed.diff(dfB(b0), dfB(b1), Seq("bid"))
+    val viewFeed = JoinView.joinDelta(spark, dfA(a0), dfB(b0),
+      feedA, feedB, Seq("cust" -> "bid"))
+    // disjointness: no (pair, change_type) lands twice
+    val dup = viewFeed.groupBy("aid", "bid", "_change_type")
+      .count().filter(col("count") > 1).collect()
+    assert(dup.isEmpty, s"a pair landed in two terms: ${dup.mkString(",")}")
+    val viewPre = dfA(a0).join(dfB(b0), col("cust") === col("bid"), "inner")
+    val replayed = ChangeFeed.applyTo(viewPre, viewFeed, Seq("aid", "bid"),
+      strict = true)
+      .collect().map(_.toSeq).toSet
+    assert(replayed === direct(a1, b1),
+      "view feed applied to the pre-view must equal the post join")
+    // empty one side: a B-only batch still maintains
+    val b2 = Seq((10, "TEN!"), (40, "FORTY!"), (50, "fifty"))
+    val emptyA = ChangeFeed.diff(dfA(a1), dfA(a1), Seq("aid"))
+    val f2 = JoinView.joinDelta(spark, dfA(a1), dfB(b1),
+      emptyA, ChangeFeed.diff(dfB(b1), dfB(b2), Seq("bid")),
+      Seq("cust" -> "bid"))
+    assert(ChangeFeed.applyTo(
+      dfA(a1).join(dfB(b1), col("cust") === col("bid"), "inner"),
+      f2, Seq("aid", "bid"), strict = true)
+      .collect().map(_.toSeq).toSet === direct(a1, b2))
+    // hygiene: clashing side columns, non-feed input
+    assertThrows[IllegalArgumentException](JoinView.joinDelta(spark,
+      dfA(a0), dfA(a1), feedA, feedA, Seq("cust" -> "cust")))
+    assertThrows[IllegalArgumentException](JoinView.joinDelta(spark,
+      dfA(a0), dfB(b0), dfA(a0), feedB, Seq("cust" -> "bid")))
+  }
+
+  test("maintained join view across three coordinated stores: " +
+    "bucket-pruned base reads, exactly-once per store, one cut per " +
+    "batch, random chains equal the direct join") {
+    val base = "/root/repo/target/test-sink/joinview"
+    Seq("a", "b", "v", "cut").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"
+    val vRoot = s"$base/v"; val cutRoot = s"$base/cut"
+    // A bucketed on its JOIN column (not its key) — the round's
+    // subset-bucketing is what makes the A_keep ⋈ ΔB read pruned;
+    // B's key IS its join column, so its default layout already prunes
+    val aT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("aid"),
+      numBuckets = 8, bucketOn = Seq("cust")))
+    val bT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("bid"),
+      numBuckets = 8))
+    val vT = Seq(IncrementalAgg.ReplicaSpec("view", Seq("aid", "bid"),
+      numBuckets = 8))
+    val rnd = new scala.util.Random(23)
+    var aCur = (0 until 80).map(i => (i,
+      if (i % 11 == 3) None: Option[Int] else Some(rnd.nextInt(12)),
+      s"a$i"))
+    var bCur = (0 until 12).map(j => (j, s"b$j"))
+    IncrementalAgg.publishInitialMulti(spark, aRoot, dfA(aCur), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB(bCur), bT)
+    IncrementalAgg.publishInitialMulti(spark, vRoot,
+      dfA(aCur).join(dfB(bCur), col("cust") === col("bid"), "inner"), vT)
+    Coordinator.commitCut(spark, cutRoot,
+      Map("a" -> 0L, "b" -> 0L, "v" -> 0L))
+    (0 until 3).foreach { batch =>
+      val aNext = aCur.filterNot(_._1 % 9 == batch % 9)
+        .map { case (i, c, v) =>
+          if (i % 6 == batch % 6) (i, c.map(x => (x + 1) % 12), v + "!")
+          else (i, c, v) } ++
+        Seq((200 + batch, Some(rnd.nextInt(14)), s"new$batch"))
+      val bNext = bCur.filterNot(_._1 == 11 - batch)
+        .map { case (j, v) => if (j % 4 == batch % 4) (j, v + "!") else (j, v) } ++
+        Seq((12 + batch, s"bnew$batch"))
+      val feedA = ChangeFeed.diff(dfA(aCur), dfA(aNext), Seq("aid"))
+      val feedB = ChangeFeed.diff(dfB(bCur), dfB(bNext), Seq("bid"))
+      val cut = Coordinator.currentCut(spark, cutRoot)
+      // the view feed reads BOTH pre-states pinned to the cut, so
+      // store-advance order can't race it
+      val viewFeed = JoinView.joinDeltaFromStores(spark,
+        JoinView.Side(aRoot, "replica", Seq("cust"), cut("a")),
+        JoinView.Side(bRoot, "replica", Seq("bid"), cut("b")),
+        feedA, feedB).persist()
+      assert(IncrementalAgg.applyOnceMulti(spark, aRoot, feedA, batch, aT))
+      assert(IncrementalAgg.applyOnceMulti(spark, bRoot, feedB, batch, bT))
+      assert(IncrementalAgg.applyOnceMulti(spark, vRoot, viewFeed, batch, vT))
+      viewFeed.unpersist()
+      Coordinator.commitCut(spark, cutRoot, Map(
+        "a" -> AtomicPublish.currentVersion(spark, aRoot).get,
+        "b" -> AtomicPublish.currentVersion(spark, bRoot).get,
+        "v" -> AtomicPublish.currentVersion(spark, vRoot).get))
+      val nowCut = Coordinator.currentCut(spark, cutRoot)
+      assert(IncrementalAgg.readView(spark, vRoot, "view", Some(nowCut("v")))
+        .collect().map(_.toSeq).toSet === direct(aNext, bNext),
+        s"maintained join view diverged after batch $batch")
+      aCur = aNext; bCur = bNext
+    }
+    // the pruned base read really prunes: ΔB touches a few join keys,
+    // A's replica is cust-bucketed — fewer buckets open than the view
+    val someKeys = Seq(3, 7).toDF("cust")
+      .select(col("cust").cast("int").as("cust"))
+    val pruned = IncrementalAgg.readViewPrunedBy(spark, aRoot, "replica",
+      Seq("cust"), someKeys)
+    def buckets(d: DataFrame): Set[String] =
+      d.inputFiles.flatMap(_.split('/')
+        .find(_.startsWith(s"${IncrementalAgg.BucketCol}="))).toSet
+    assert(buckets(pruned).size <= 2)
+    assert(buckets(IncrementalAgg.readView(spark, aRoot, "replica")).size > 2,
+      "the unpruned replica spans more buckets than the pruned read")
+    // a mistyped prune key fails loudly instead of pruning wrong
+    assertThrows[IllegalArgumentException](
+      IncrementalAgg.readViewPrunedBy(spark, aRoot, "replica", Seq("cust"),
+        Seq(3L, 7L).toDF("cust")))
+  }
+}
