@@ -143,4 +143,61 @@ class JoinMaintenanceSpec extends SparkSuite {
       IncrementalAgg.readViewPrunedBy(spark, aRoot, "replica", Seq("cust"),
         Seq(3L, 7L).toDF("cust")))
   }
+
+  test("aggregate-over-join WITHOUT materializing the join: the view " +
+    "feed directly maintains an additive view grouped by the other " +
+    "side's column") {
+    // The join view's change feed is a ChangeFeed.diff-shaped stream
+    // over the PAIR rows, so IncrementalAgg's additive maintenance
+    // consumes it as-is: `SELECT bval, count(*), sum-ish FROM A⋈B
+    // GROUP BY bval` stays current under both tables' feeds while the
+    // join itself is never stored — the composition costs zero new
+    // machinery, which is the point of one shared feed algebra.
+    val base = "/root/repo/target/test-sink/joinagg"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    val aT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("aid"),
+      numBuckets = 4, bucketOn = Seq("cust")))
+    val bT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("bid"),
+      numBuckets = 4))
+    // the DOWNSTREAM store holds ONLY the aggregate — no join replica
+    val aggT = Seq(IncrementalAgg.ViewSpec("by_bval", Seq("bval"),
+      Seq("n_chars" -> "alen"), numBuckets = 4))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"; val gRoot = s"$base/g"
+    var aCur = (0 until 40).map(i => (i, Some(i % 6): Option[Int], s"a$i"))
+    var bCur = (0 until 6).map(j => (j, s"b${j % 3}"))
+    def withLen(df: DataFrame): DataFrame =
+      df.withColumn("alen", length(col("av")).cast("long"))
+    def joined(a: Seq[(Int, Option[Int], String)], b: Seq[(Int, String)]) =
+      withLen(dfA(a)).join(dfB(b), col("cust") === col("bid"), "inner")
+    def expected(a: Seq[(Int, Option[Int], String)], b: Seq[(Int, String)]) =
+      IncrementalAgg.aggregate(joined(a, b), Seq("bval"),
+        Seq("n_chars" -> "alen")).collect().map(_.toSeq).toSet
+    IncrementalAgg.publishInitialMulti(spark, aRoot, withLen(dfA(aCur)), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB(bCur), bT)
+    IncrementalAgg.publishInitialMulti(spark, gRoot, joined(aCur, bCur), aggT)
+    (0 until 3).foreach { batch =>
+      val aNext = aCur.filterNot(_._1 % 8 == batch)
+        .map { case (i, c, v) =>
+          if (i % 5 == batch) (i, c.map(x => (x + 2) % 6), v + "+") else (i, c, v) }
+      val bNext = bCur.map { case (j, v) =>
+        if (j == batch) (j, s"b${(j + 1) % 3}") else (j, v) }
+      val feedA = ChangeFeed.diff(withLen(dfA(aCur)), withLen(dfA(aNext)),
+        Seq("aid"))
+      val feedB = ChangeFeed.diff(dfB(bCur), dfB(bNext), Seq("bid"))
+      val viewFeed = JoinView.joinDeltaFromStores(spark,
+        JoinView.Side(aRoot, "replica", Seq("cust"),
+          AtomicPublish.currentVersion(spark, aRoot).get),
+        JoinView.Side(bRoot, "replica", Seq("bid"),
+          AtomicPublish.currentVersion(spark, bRoot).get),
+        feedA, feedB).persist()
+      assert(IncrementalAgg.applyOnceMulti(spark, aRoot, feedA, batch, aT))
+      assert(IncrementalAgg.applyOnceMulti(spark, bRoot, feedB, batch, bT))
+      assert(IncrementalAgg.applyOnceMulti(spark, gRoot, viewFeed, batch, aggT))
+      viewFeed.unpersist()
+      assert(IncrementalAgg.readView(spark, gRoot, "by_bval")
+        .collect().map(_.toSeq).toSet === expected(aNext, bNext),
+        s"join-aggregate diverged after batch $batch")
+      aCur = aNext; bCur = bNext
+    }
+  }
 }
