@@ -108,6 +108,111 @@ object JoinView {
     removals.unionByName(additions)
   }
 
+  /** LEFT-OUTER join maintenance — the fiddly IVM case: beyond the
+    * inner pairs, the view holds a NULL-EXTENDED row for every A row
+    * with no match, and those rows appear/disappear on FIRST-MATCH
+    * TRANSITIONS (an A row gains its first match → its null-extension
+    * row dies; loses its last → one is born) that no inner term sees.
+    *
+    * The outer feed = [[joinDelta]]'s inner feed ∪ corrections, and
+    * every correction is decidable from per-join-key MATCH COUNTS:
+    *
+    *   - ΔA⁻ row whose key had NO pre-batch matches (or a NULL join
+    *     key, which never matches): delete its null-extension row;
+    *   - ΔA⁺ row whose key has NO post-batch matches (or NULL key):
+    *     insert one;
+    *   - an UNTOUCHED A row whose key transitioned >0 → 0: insert one
+    *     (the inner feed already deleted its pairs);
+    *   - transitioned 0 → >0: delete one (the inner feed adds pairs).
+    *
+    * Pre-batch counts come from a co-maintained ADDITIVE count view of
+    * B grouped by its join columns (`bCountView` — the ir5 `df` view's
+    * pattern; maintain it in B's store so it can never disagree with
+    * the replica), read BUCKET-PRUNED by the keys that matter; the
+    * post-batch count is pre + the feed's ±1 fold per key, computed
+    * feed-side. Transition keys exist only inside ΔB, untouched-A
+    * lookups prune by exactly those keys, so every correction term is
+    * delta-bounded like the inner six. The null-extension row's pair
+    * key is (aKey, NULL bKey) — [[ChangeFeed.applyTo]] matches keys
+    * null-safely, so the replica replays it exactly. */
+  def leftOuterDelta(spark: SparkSession, a: Side, b: Side,
+                     bCountView: String, aFeed: DataFrame,
+                     bFeed: DataFrame): DataFrame = {
+    require(a.joinCols.size == b.joinCols.size,
+      "joinCols of the two sides must pair up")
+    val inner = joinDeltaFromStores(spark, a, b, aFeed, bFeed)
+    // b-side columns = the inner feed's columns minus the a-feed's
+    val aTable = aFeed.columns.toSeq.filterNot(_ == "_change_type")
+    val bTable = inner.columns.toSeq
+      .filterNot(c => aTable.contains(c) || c == "_change_type")
+    val aJoin = a.joinCols
+    val nullKeyed = aJoin.map(col(_).isNull).reduce(_ || _)
+    // per-key count delta from ΔB, and the pre-batch count view pruned
+    // to the keys in play (ΔA's and ΔB's) — renamed to a-side names so
+    // one frame serves every lookup
+    val isPost = col("_change_type").isin("insert", "update_postimage")
+    val keyAs = b.joinCols.zip(aJoin).map { case (bc, ac) => col(bc).as(ac) }
+    val dCnt = bFeed
+      .select(keyAs :+ when(isPost, lit(1L)).otherwise(lit(-1L)).as("_d"): _*)
+      .filter(!nullKeyed) // NULL-keyed B rows never match anything
+      .groupBy(aJoin.map(col): _*).agg(sum(col("_d")).as("_d"))
+    val keysInPlay = aFeed.select(aJoin.map(col): _*)
+      .unionByName(dCnt.select(aJoin.map(col): _*))
+    val preCnt = IncrementalAgg.readViewPrunedBy(spark, b.root, bCountView,
+      b.joinCols, keysInPlay.select(aJoin.zip(b.joinCols).map {
+        case (ac, bc) => col(ac).as(bc) }: _*), Some(b.version))
+      .select(b.joinCols.zip(aJoin).map { case (bc, ac) => col(bc).as(ac) } :+
+        col("n").as("_pre"): _*)
+    val counts = preCnt.as("p").join(dCnt.as("d"),
+        aJoin.map(k => col(s"p.$k") <=> col(s"d.$k")).reduce(_ && _),
+        "full_outer")
+      .select(aJoin.map(k => coalesce(col(s"p.$k"), col(s"d.$k")).as(k)) :+
+        coalesce(col("p._pre"), lit(0L)).as("_pre") :+
+        (coalesce(col("p._pre"), lit(0L)) + coalesce(col("d._d"), lit(0L)))
+          .as("_post"): _*)
+    def nullExt(aRows: DataFrame, changeType: String): DataFrame =
+      aRows.select(aTable.map(col) ++
+        bTable.map(c => lit(null).cast(inner.schema(c).dataType).as(c)) :+
+        lit(changeType).as("_change_type"): _*)
+    def lookup(aRows: DataFrame, pred: Column): DataFrame = {
+      val r = aRows.as("r")
+      val c = counts.as("c")
+      val cond = aJoin.map(k => col(s"r.$k") <=> col(s"c.$k")).reduce(_ && _)
+      r.join(c, cond, "left")
+        .filter(pred || aJoin.map(k => col(s"r.$k").isNull).reduce(_ || _))
+        .select(aTable.map(c0 => col(s"r.$c0")): _*)
+    }
+    val noPre = coalesce(col("c._pre"), lit(0L)) === 0L
+    val noPost = coalesce(col("c._post"), lit(0L)) === 0L
+    val aDel = aFeed.filter(col("_change_type")
+      .isin("delete", "update_preimage")).drop("_change_type")
+    val aIns = aFeed.filter(isPost).drop("_change_type")
+    // untouched A rows for TRANSITION keys only: pruned read of A minus
+    // the batch's preimages (joinDelta's keep logic)
+    val transitions = counts.filter(
+      (col("_pre") === 0L) =!= (col("_post") === 0L))
+    val aPreForTrans = IncrementalAgg.readViewPrunedBy(spark, a.root,
+      a.replica, aJoin, transitions.select(aJoin.map(col): _*),
+      Some(a.version))
+    val aKeepT = aPreForTrans.as("ak").join(
+        aFeed.filter(col("_change_type").isin("delete", "update_preimage"))
+          .drop("_change_type").as("ad"),
+        aTable.map(c => col(s"ak.$c") <=> col(s"ad.$c")).reduce(_ && _),
+        "left_anti")
+      .as("kt").join(transitions.as("t"),
+        aJoin.map(k => col(s"kt.$k") <=> col(s"t.$k")).reduce(_ && _),
+        "inner")
+    val lostAll = aKeepT.filter(col("t._pre") > 0L && col("t._post") === 0L)
+      .select(aTable.map(c => col(s"kt.$c")): _*)
+    val gainedFirst = aKeepT.filter(col("t._pre") === 0L && col("t._post") > 0L)
+      .select(aTable.map(c => col(s"kt.$c")): _*)
+    inner
+      .unionByName(nullExt(lookup(aDel, noPre), "delete"))
+      .unionByName(nullExt(lookup(aIns, noPost), "insert"))
+      .unionByName(nullExt(lostAll, "insert"))
+      .unionByName(nullExt(gainedFirst, "delete"))
+  }
+
   /** [[joinDelta]] with each side's pre-state read from its maintained
     * store, BUCKET-PRUNED by the opposite feed's join keys (rename the
     * opposite columns to this side's names so the hash is computed over

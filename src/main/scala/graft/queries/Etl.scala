@@ -514,6 +514,80 @@ object Etl {
         .orderBy("o_orderkey")
     }),
 
+    // o19 — MAINTAINED LEFT-OUTER JOIN [extension; the fiddly IVM
+    // case]: beyond o18's inner pairs, the view holds a NULL-EXTENDED
+    // row per unmatched order, and those rows are born/die on
+    // FIRST-MATCH TRANSITIONS no inner term sees. The corrections are
+    // decided from a per-join-key match-count view CO-MAINTAINED in
+    // the customer store (the ir5 df-view pattern — count and replica
+    // can never disagree), read bucket-pruned by the keys in play.
+    // The chain forces every transition: a third of customers are
+    // absent at seed (extensions from birth), batch 1 deletes a
+    // customer slice (last-match losses — extensions born for
+    // UNTOUCHED orders), batch 2 inserts back part of the absent
+    // third (first matches — extensions die) while orders churn
+    // underneath. The oracle is a direct LEFT JOIN of the final
+    // slices.
+    "o19_leftouter_maintain" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
+      val ordBase = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val custBase = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bump = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 4, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val aChain = Seq(
+        ordBase,
+        ordBase.filter(col("o_orderkey") % 10 =!= 3),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 3)))
+      val bChain = Seq(
+        custBase.filter(col("c_custkey") % 3 =!= 1),
+        custBase.filter(col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2),
+        custBase.filter((col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2) ||
+          (col("c_custkey") % 3 === 1 && col("c_custkey") % 7 === 0)))
+      val base = s"/root/repo/target/sink/o19_lo_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      if (fc.util.exists(bp)) fc.delete(bp, true)
+      val aRoot = s"$base/a"; val bRoot = s"$base/b"; val vRoot = s"$base/v"
+      val aT = Seq(ReplicaSpec("replica", Seq("o_orderkey"), numBuckets = 16,
+        bucketOn = Seq("o_custkey")))
+      val bT = Seq(
+        ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16),
+        ViewSpec("bcnt", Seq("c_custkey"), Nil, numBuckets = 16))
+      val vT = Seq(ReplicaSpec("view", Seq("o_orderkey", "c_custkey"),
+        numBuckets = 16))
+      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
+      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
+      IncrementalAgg.publishInitialMulti(s, vRoot,
+        aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "left_outer"), vT)
+      aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
+        case (Seq((a0, b0), (a1, b1)), i) =>
+          val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
+          val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
+          val outer = JoinView.leftOuterDelta(s,
+            JoinView.Side(aRoot, "replica", Seq("o_custkey"),
+              AtomicPublish.currentVersion(s, aRoot).get),
+            JoinView.Side(bRoot, "replica", Seq("c_custkey"),
+              AtomicPublish.currentVersion(s, bRoot).get),
+            "bcnt", feedA, feedB)
+          try {
+            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
+            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
+            IncrementalAgg.applyOnceMulti(s, vRoot, outer, i.toLong, vT)
+          } finally { feedA.unpersist(); feedB.unpersist(); () }
+      }
+      IncrementalAgg.readView(s, vRoot, "view")
+        .orderBy("o_orderkey")
+    }),
+
     // o17 — MAINTAINED TOP-K [extension; leaderboard maintenance]:
     // the general form of o15's extrema (k = 1): per group, the k best
     // ROWS under a pinned total order, maintained by merge-on-insert /
@@ -772,6 +846,24 @@ object Etl {
         |  MIN(dec) AS min_dec, MAX(dec) AS max_dec,
         |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
         |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The final slices LEFT-joined directly — the match-count view,
+    // the transition corrections, and the feeds never appear here, so
+    // the hash match proves the maintained outer view ≡ a from-scratch
+    // LEFT JOIN (null extensions included).
+    "o19_leftouter_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE (c_custkey % 3 <> 1 AND c_custkey % 5 <> 2)
+        |     OR (c_custkey % 3 = 1 AND c_custkey % 7 = 0))
+        |SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
+        |FROM o LEFT JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     // The final-slice join recomputed directly — the feeds, the
     // six-term delta algebra, the three stores, and the cut never

@@ -144,6 +144,110 @@ class JoinMaintenanceSpec extends SparkSuite {
         Seq(3L, 7L).toDF("cust")))
   }
 
+  test("left-outer join maintenance: null-extension rows are born and " +
+    "die on first-match transitions — constructed edges plus random " +
+    "chains against a direct LEFT JOIN recompute") {
+    val base = "/root/repo/target/test-sink/joinlo"
+    Seq("a", "b", "v").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"; val vRoot = s"$base/v"
+    val aT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("aid"),
+      numBuckets = 8, bucketOn = Seq("cust")))
+    // B's store co-maintains the per-join-key match COUNT view the
+    // outer corrections read — the ir5 df-view pattern, so count and
+    // replica can never disagree
+    val bT = Seq(
+      IncrementalAgg.ReplicaSpec("replica", Seq("bid"), numBuckets = 8),
+      IncrementalAgg.ViewSpec("bcnt", Seq("bid"), Nil, numBuckets = 8))
+    val vT = Seq(IncrementalAgg.ReplicaSpec("view", Seq("aid", "bid"),
+      numBuckets = 8))
+    def directLO(a: Seq[(Int, Option[Int], String)],
+                 b: Seq[(Int, String)]): Set[Seq[Any]] =
+      dfA(a).join(dfB(b), col("cust") === col("bid"), "left_outer")
+        .collect().map(_.toSeq).toSet
+    // constructed chain: a2 has no match (bid 99 absent — extension
+    // row from birth); a5 has a NULL key (extension forever); batch 0
+    // deletes b20 while a3 is UNTOUCHED (last-match loss → extension
+    // born) and inserts b99 (a2's FIRST match → extension dies);
+    // batch 1 re-deletes b99 (a2's extension returns), updates a3's
+    // value while it is extended, inserts a6 with no match
+    val a0 = Seq((1, Some(10), "x"), (2, Some(99), "nomatch"),
+      (3, Some(20), "z"), (5, None, "nullkey"))
+    val b0 = Seq((10, "ten"), (20, "twenty"))
+    val chains = Seq(
+      (a0, b0),
+      (a0, Seq((10, "ten"), (99, "ninetynine"))),
+      (Seq((1, Some(10), "x"), (2, Some(99), "nomatch"),
+        (3, Some(20), "z!"), (5, None, "nullkey"), (6, Some(77), "new")),
+        Seq((10, "ten"))))
+    var (aCur, bCur) = chains.head
+    IncrementalAgg.publishInitialMulti(spark, aRoot, dfA(aCur), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB(bCur), bT)
+    IncrementalAgg.publishInitialMulti(spark, vRoot,
+      dfA(aCur).join(dfB(bCur), col("cust") === col("bid"), "left_outer"), vT)
+    chains.sliding(2).zipWithIndex.foreach { case (Seq((a1, b1), (a2, b2)), i) =>
+      val feedA = ChangeFeed.diff(dfA(a1), dfA(a2), Seq("aid"))
+      val feedB = ChangeFeed.diff(dfB(b1), dfB(b2), Seq("bid"))
+      val outer = JoinView.leftOuterDelta(spark,
+        JoinView.Side(aRoot, "replica", Seq("cust"),
+          AtomicPublish.currentVersion(spark, aRoot).get),
+        JoinView.Side(bRoot, "replica", Seq("bid"),
+          AtomicPublish.currentVersion(spark, bRoot).get),
+        "bcnt", feedA, feedB).persist()
+      assert(IncrementalAgg.applyOnceMulti(spark, aRoot, feedA, i.toLong, aT))
+      assert(IncrementalAgg.applyOnceMulti(spark, bRoot, feedB, i.toLong, bT))
+      assert(IncrementalAgg.applyOnceMulti(spark, vRoot, outer, i.toLong, vT))
+      outer.unpersist()
+      assert(IncrementalAgg.readView(spark, vRoot, "view")
+        .collect().map(_.toSeq).toSet === directLO(a2, b2),
+        s"left-outer view diverged after constructed batch $i")
+      aCur = a2; bCur = b2
+    }
+    // random chains: keys land on few join values so first/last-match
+    // transitions happen constantly; every batch's maintained view must
+    // equal the direct LEFT JOIN
+    val rnd = new scala.util.Random(41)
+    var aR = (0 until 50).map(i => (i,
+      if (i % 9 == 4) None: Option[Int] else Some(rnd.nextInt(8)), s"a$i"))
+    var bR = (0 until 5).map(j => (j, s"b$j")) // keys 5..7 unmatched
+    Seq("a2", "b2", "v2").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot2 = s"$base/a2"; val bRoot2 = s"$base/b2"; val vRoot2 = s"$base/v2"
+    IncrementalAgg.publishInitialMulti(spark, aRoot2, dfA(aR), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot2, dfB(bR), bT)
+    IncrementalAgg.publishInitialMulti(spark, vRoot2,
+      dfA(aR).join(dfB(bR), col("cust") === col("bid"), "left_outer"), vT)
+    (0 until 4).foreach { batch =>
+      val aNext = aR.filterNot(_._1 % 11 == batch)
+        .map { case (i, c, v) =>
+          if (i % 6 == batch % 6) (i, c.map(x => (x + 3) % 8), v + "!")
+          else (i, c, v) } ++
+        Seq((300 + batch, Some(rnd.nextInt(8)), s"n$batch"))
+      // B churns its whole key space: inserts/deletes cross the 0-count
+      // boundary both ways
+      val bNext = bR.filterNot(_._1 == batch % 8)
+        .map { case (j, v) => if (j % 3 == batch % 3) (j, v + "!") else (j, v) } ++
+        Seq((5 + (batch % 3), s"born$batch"))
+      val bn = bNext.groupBy(_._1).map(_._2.head).toIndexedSeq // keys unique
+      val feedA = ChangeFeed.diff(dfA(aR), dfA(aNext), Seq("aid"))
+      val feedB = ChangeFeed.diff(dfB(bR), dfB(bn), Seq("bid"))
+      val outer = JoinView.leftOuterDelta(spark,
+        JoinView.Side(aRoot2, "replica", Seq("cust"),
+          AtomicPublish.currentVersion(spark, aRoot2).get),
+        JoinView.Side(bRoot2, "replica", Seq("bid"),
+          AtomicPublish.currentVersion(spark, bRoot2).get),
+        "bcnt", feedA, feedB).persist()
+      assert(IncrementalAgg.applyOnceMulti(spark, aRoot2, feedA, batch, aT))
+      assert(IncrementalAgg.applyOnceMulti(spark, bRoot2, feedB, batch, bT))
+      assert(IncrementalAgg.applyOnceMulti(spark, vRoot2, outer, batch, vT))
+      outer.unpersist()
+      assert(IncrementalAgg.readView(spark, vRoot2, "view")
+        .collect().map(_.toSeq).toSet === directLO(aNext, bn),
+        s"left-outer view diverged after random batch $batch")
+      aR = aNext; bR = bn
+    }
+  }
+
   test("aggregate-over-join WITHOUT materializing the join: the view " +
     "feed directly maintains an additive view grouped by the other " +
     "side's column") {
