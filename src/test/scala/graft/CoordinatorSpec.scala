@@ -89,4 +89,61 @@ class CoordinatorSpec extends SparkSuite {
     assertThrows[IllegalArgumentException](
       Coordinator.commitCut(spark, cutRoot, Map.empty))
   }
+
+  test("a REAL ANN index store rides the cut beside the warehouse: one " +
+    "doc feed deletes from both, and a reader through the cut can never " +
+    "see the warehouse post-delete beside the index pre-delete") {
+    import graft.ops.{AnnIndexStore, VectorSearch}
+    val base = "/root/repo/target/test-sink/coord_ann"
+    Seq("wh", "ann", "cut").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val whRoot = s"$base/wh"; val annRoot = s"$base/ann"; val cutRoot = s"$base/cut"
+    val emb = Tables.embeddings(spark, sf)
+    val docs = emb.select(col("vec_id"), col("label"))
+    // warehouse: a replica of the doc metadata; ANN: the served index
+    val whT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("vec_id"),
+      numBuckets = 4))
+    IncrementalAgg.publishInitialMulti(spark, whRoot, docs, whT)
+    val ivf = VectorSearch.ivfTrain(spark, emb, "vec_id", "embedding", 8, 2)
+    val model = VectorSearch.ivfPqTrain(spark, ivf,
+      emb.filter(col("vec_id") >= 40 && col("vec_id") < 72),
+      "vec_id", "embedding", nSub = 16)
+    AnnIndexStore.publish(spark, annRoot, model,
+      VectorSearch.ivfPqEncode(model, emb, "vec_id", "embedding"))
+    Coordinator.commitCut(spark, cutRoot, Map(
+      "wh" -> AtomicPublish.currentVersion(spark, whRoot).get,
+      "ann" -> AtomicPublish.currentVersion(spark, annRoot).get))
+    val deadRule = col("vec_id") % 7 === 3
+    def servedIds(version: Long): Set[Long] = {
+      val (m, index) = AnnIndexStore.load(spark, annRoot, Some(version))
+      VectorSearch.ivfPqServe(m, index, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nprobe = 3)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    // THE BATCH: one doc feed (deletions) reaches warehouse AND index
+    val feed = graft.etl.ChangeFeed.diff(docs, docs.filter(!deadRule),
+      Seq("vec_id"))
+    assert(IncrementalAgg.applyOnceMulti(spark, whRoot, feed, 0L, whT))
+    // crash window: warehouse advanced, index/cut did not — a cut
+    // reader still serves the PRE-delete pair (deleted ids visible in
+    // BOTH the metadata replica and the index — consistent)
+    val cutPre = Coordinator.currentCut(spark, cutRoot)
+    assert(IncrementalAgg.readView(spark, whRoot, "replica",
+      Some(cutPre("wh"))).filter(deadRule).count() > 0,
+      "the cut must still serve the pre-delete warehouse")
+    assert(servedIds(cutPre("ann")).exists(_ % 7 == 3),
+      "the cut must still serve the pre-delete index")
+    // recovery completes the batch: tombstone the index, land the cut
+    AnnIndexStore.applyDeletes(spark, annRoot,
+      feed.filter(col("_change_type") === "delete").select("vec_id"),
+      "vec_id", tombstoneId = Some("ts-cut-0"))
+    Coordinator.commitCut(spark, cutRoot, Map(
+      "wh" -> AtomicPublish.currentVersion(spark, whRoot).get,
+      "ann" -> AtomicPublish.currentVersion(spark, annRoot).get))
+    val cut = Coordinator.currentCut(spark, cutRoot)
+    assert(IncrementalAgg.readView(spark, whRoot, "replica",
+      Some(cut("wh"))).filter(deadRule).count() === 0L)
+    assert(!servedIds(cut("ann")).exists(_ % 7 == 3),
+      "post-cut, the index must hide exactly what the warehouse dropped")
+  }
 }
