@@ -248,6 +248,70 @@ class JoinMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("left-outer maintenance with MANY matches per key: counts cross " +
+    "2→1→0 and back — only the zero boundary births/kills extensions") {
+    // B's join column is NOT its key: several b rows share a join
+    // value, so match counts exceed 1 and most B churn must produce NO
+    // correction (2→1 keeps the pairs' group matched) — the regime
+    // where a naive per-row correction would over-fire
+    def dfB3(rows: Seq[(Int, Int, String)]) = rows.toDF("bid", "bjoin", "bval")
+    def directLO(a: Seq[(Int, Option[Int], String)],
+                 b: Seq[(Int, Int, String)]): Set[Seq[Any]] =
+      dfA(a).join(dfB3(b), col("cust") === col("bjoin"), "left_outer")
+        .collect().map(_.toSeq).toSet
+    val base = "/root/repo/target/test-sink/joinlo_mm"
+    Seq("a", "b", "v").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"; val vRoot = s"$base/v"
+    val aT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("aid"),
+      numBuckets = 4, bucketOn = Seq("cust")))
+    val bT = Seq(
+      IncrementalAgg.ReplicaSpec("replica", Seq("bid"), numBuckets = 4,
+        bucketOn = Seq("bjoin")),
+      IncrementalAgg.ViewSpec("bcnt", Seq("bjoin"), Nil, numBuckets = 4))
+    val vT = Seq(IncrementalAgg.ReplicaSpec("view", Seq("aid", "bid"),
+      numBuckets = 4))
+    val rnd = new scala.util.Random(53)
+    var aCur = (0 until 30).map(i => (i,
+      if (i % 7 == 2) None: Option[Int] else Some(rnd.nextInt(5)), s"a$i"))
+    // join values 0..4, each initially matched by 0-3 b rows
+    var bCur = (0 until 8).map(j => (j, j % 5, s"b$j"))
+      .filterNot(_._2 == 3) // join value 3 starts UNMATCHED
+    IncrementalAgg.publishInitialMulti(spark, aRoot, dfA(aCur), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB3(bCur), bT)
+    IncrementalAgg.publishInitialMulti(spark, vRoot,
+      dfA(aCur).join(dfB3(bCur), col("cust") === col("bjoin"), "left_outer"),
+      vT)
+    (0 until 4).foreach { batch =>
+      // churn B hard: delete one b row per batch (sometimes the LAST of
+      // its join value, sometimes not), move another's join value, and
+      // insert one (sometimes into an unmatched value — a first match)
+      val bNext = bCur.filterNot(_._1 == batch * 2 % 8)
+        .map { case (j, g, v) =>
+          if (j == (batch * 3 + 1) % 8) (j, (g + 2) % 5, v) else (j, g, v) } ++
+        Seq((20 + batch, (batch + 3) % 5, s"nb$batch"))
+      val bn = bNext.groupBy(_._1).map(_._2.head).toIndexedSeq
+      val aNext = aCur.map { case (i, c, v) =>
+        if (i % 8 == batch) (i, c.map(x => (x + 1) % 5), v) else (i, c, v) }
+      val feedA = ChangeFeed.diff(dfA(aCur), dfA(aNext), Seq("aid"))
+      val feedB = ChangeFeed.diff(dfB3(bCur), dfB3(bn), Seq("bid"))
+      val outer = JoinView.leftOuterDelta(spark,
+        JoinView.Side(aRoot, "replica", Seq("cust"),
+          AtomicPublish.currentVersion(spark, aRoot).get),
+        JoinView.Side(bRoot, "replica", Seq("bjoin"),
+          AtomicPublish.currentVersion(spark, bRoot).get),
+        "bcnt", feedA, feedB).persist()
+      assert(IncrementalAgg.applyOnceMulti(spark, aRoot, feedA, batch, aT))
+      assert(IncrementalAgg.applyOnceMulti(spark, bRoot, feedB, batch, bT))
+      assert(IncrementalAgg.applyOnceMulti(spark, vRoot, outer, batch, vT))
+      outer.unpersist()
+      assert(IncrementalAgg.readView(spark, vRoot, "view")
+        .collect().map(_.toSeq).toSet === directLO(aNext, bn),
+        s"many-match outer view diverged after batch $batch")
+      aCur = aNext; bCur = bn
+    }
+  }
+
   test("aggregate-over-join WITHOUT materializing the join: the view " +
     "feed directly maintains an additive view grouped by the other " +
     "side's column") {
