@@ -40,6 +40,15 @@ import org.apache.spark.sql.functions._
   * same exactly-once ledger as any replica; cross-store consistency
   * (A, B, and the view observed at one batch) is a
   * [[Coordinator]] cut over the three roots.
+  *
+  * The full join-type algebra on the same substrate: [[leftOuterDelta]]
+  * (inner + A-side null extensions; RIGHT outer is the same call with
+  * the sides swapped), [[fullOuterDelta]] (extensions on both sides),
+  * [[semiDelta]] / [[antiDelta]] (A ⋉ B and its complement — pure
+  * functions of the per-key match count, no inner terms at all). All
+  * outer/semi/anti decisions come from per-join-key MATCH-COUNT views
+  * co-maintained in the base stores, so a count can never disagree with
+  * the replica it summarizes.
   */
 object JoinView {
 
@@ -138,79 +147,183 @@ object JoinView {
   def leftOuterDelta(spark: SparkSession, a: Side, b: Side,
                      bCountView: String, aFeed: DataFrame,
                      bFeed: DataFrame): DataFrame = {
+    val inner = joinDeltaFromStores(spark, a, b, aFeed, bFeed)
+    val cx = new Corrections(spark, a, b, bCountView, aFeed, bFeed)
+    // b-side columns = the inner feed's columns minus the a-feed's
+    val bTable = inner.columns.toSeq
+      .filterNot(c => cx.aTable.contains(c) || c == "_change_type")
+    def nullExt(aRows: DataFrame, changeType: String): DataFrame =
+      aRows.select(cx.aTable.map(col) ++
+        bTable.map(c => lit(null).cast(inner.schema(c).dataType).as(c)) :+
+        lit(changeType).as("_change_type"): _*)
+    inner
+      .unionByName(nullExt(cx.lookup(cx.aDel, cx.noPre, nullKeyedIn = true),
+        "delete"))
+      .unionByName(nullExt(cx.lookup(cx.aIns, cx.noPost, nullKeyedIn = true),
+        "insert"))
+      .unionByName(nullExt(cx.lostAll, "insert"))
+      .unionByName(nullExt(cx.gainedFirst, "delete"))
+  }
+
+  /** The four correction classes every outer/semi/anti form decides
+    * from per-join-key MATCH COUNTS (see [[leftOuterDelta]]'s Scaladoc
+    * for the algebra): the batch's own A deletes/inserts judged against
+    * pre/post counts, and the UNTOUCHED A rows whose key's match count
+    * crossed zero either way. All lookups are bucket-pruned to the keys
+    * in play; everything here is a lazy plan — constructing the class
+    * costs nothing until a returned frame is evaluated. */
+  private final class Corrections(spark: SparkSession, a: Side, b: Side,
+                                  bCountView: String, aFeed: DataFrame,
+                                  bFeed: DataFrame) {
     require(a.joinCols.size == b.joinCols.size,
       "joinCols of the two sides must pair up")
-    val inner = joinDeltaFromStores(spark, a, b, aFeed, bFeed)
-    // b-side columns = the inner feed's columns minus the a-feed's
-    val aTable = aFeed.columns.toSeq.filterNot(_ == "_change_type")
-    val bTable = inner.columns.toSeq
-      .filterNot(c => aTable.contains(c) || c == "_change_type")
-    val aJoin = a.joinCols
-    val nullKeyed = aJoin.map(col(_).isNull).reduce(_ || _)
+    val aTable: Seq[String] = aFeed.columns.toSeq.filterNot(_ == "_change_type")
+    private val aJoin = a.joinCols
+    private val nullKeyed = aJoin.map(col(_).isNull).reduce(_ || _)
     // per-key count delta from ΔB, and the pre-batch count view pruned
     // to the keys in play (ΔA's and ΔB's) — renamed to a-side names so
     // one frame serves every lookup
-    val isPost = col("_change_type").isin("insert", "update_postimage")
-    val keyAs = b.joinCols.zip(aJoin).map { case (bc, ac) => col(bc).as(ac) }
-    val dCnt = bFeed
+    private val isPost = col("_change_type").isin("insert", "update_postimage")
+    private val keyAs = b.joinCols.zip(aJoin).map { case (bc, ac) => col(bc).as(ac) }
+    private val dCnt = bFeed
       .select(keyAs :+ when(isPost, lit(1L)).otherwise(lit(-1L)).as("_d"): _*)
       .filter(!nullKeyed) // NULL-keyed B rows never match anything
       .groupBy(aJoin.map(col): _*).agg(sum(col("_d")).as("_d"))
-    val keysInPlay = aFeed.select(aJoin.map(col): _*)
+    private val keysInPlay = aFeed.select(aJoin.map(col): _*)
       .unionByName(dCnt.select(aJoin.map(col): _*))
-    val preCnt = IncrementalAgg.readViewPrunedBy(spark, b.root, bCountView,
-      b.joinCols, keysInPlay.select(aJoin.zip(b.joinCols).map {
+    private val preCnt = IncrementalAgg.readViewPrunedBy(spark, b.root,
+      bCountView, b.joinCols, keysInPlay.select(aJoin.zip(b.joinCols).map {
         case (ac, bc) => col(ac).as(bc) }: _*), Some(b.version))
       .select(b.joinCols.zip(aJoin).map { case (bc, ac) => col(bc).as(ac) } :+
         col("n").as("_pre"): _*)
-    val counts = preCnt.as("p").join(dCnt.as("d"),
+    private val counts = preCnt.as("p").join(dCnt.as("d"),
         aJoin.map(k => col(s"p.$k") <=> col(s"d.$k")).reduce(_ && _),
         "full_outer")
       .select(aJoin.map(k => coalesce(col(s"p.$k"), col(s"d.$k")).as(k)) :+
         coalesce(col("p._pre"), lit(0L)).as("_pre") :+
         (coalesce(col("p._pre"), lit(0L)) + coalesce(col("d._d"), lit(0L)))
           .as("_post"): _*)
-    def nullExt(aRows: DataFrame, changeType: String): DataFrame =
-      aRows.select(aTable.map(col) ++
-        bTable.map(c => lit(null).cast(inner.schema(c).dataType).as(c)) :+
-        lit(changeType).as("_change_type"): _*)
-    def lookup(aRows: DataFrame, pred: Column): DataFrame = {
+    val noPre: Column = coalesce(col("c._pre"), lit(0L)) === 0L
+    val noPost: Column = coalesce(col("c._post"), lit(0L)) === 0L
+    val aDel: DataFrame = aFeed.filter(col("_change_type")
+      .isin("delete", "update_preimage")).drop("_change_type")
+    val aIns: DataFrame = aFeed.filter(isPost).drop("_change_type")
+
+    /** `aRows` whose count row (joined null-safely as alias `c`)
+      * satisfies `pred`. NULL-keyed rows never match anything, but a
+      * NULL join key <=>-matches a NULL-keyed count group (a count view
+      * built over NULL-keyed B rows carries one), so they are decided
+      * EXPLICITLY: included iff `nullKeyedIn` — true for the outer/anti
+      * forms (an unmatchable row is unmatched), false for semi. */
+    def lookup(aRows: DataFrame, pred: Column, nullKeyedIn: Boolean): DataFrame = {
       val r = aRows.as("r")
       val c = counts.as("c")
       val cond = aJoin.map(k => col(s"r.$k") <=> col(s"c.$k")).reduce(_ && _)
+      val rNull = aJoin.map(k => col(s"r.$k").isNull).reduce(_ || _)
       r.join(c, cond, "left")
-        .filter(pred || aJoin.map(k => col(s"r.$k").isNull).reduce(_ || _))
+        .filter(if (nullKeyedIn) (pred && !rNull) || rNull else pred && !rNull)
         .select(aTable.map(c0 => col(s"r.$c0")): _*)
     }
-    val noPre = coalesce(col("c._pre"), lit(0L)) === 0L
-    val noPost = coalesce(col("c._post"), lit(0L)) === 0L
-    val aDel = aFeed.filter(col("_change_type")
-      .isin("delete", "update_preimage")).drop("_change_type")
-    val aIns = aFeed.filter(isPost).drop("_change_type")
+
     // untouched A rows for TRANSITION keys only: pruned read of A minus
     // the batch's preimages (joinDelta's keep logic)
-    val transitions = counts.filter(
-      (col("_pre") === 0L) =!= (col("_post") === 0L))
-    val aPreForTrans = IncrementalAgg.readViewPrunedBy(spark, a.root,
-      a.replica, aJoin, transitions.select(aJoin.map(col): _*),
-      Some(a.version))
-    val aKeepT = aPreForTrans.as("ak").join(
-        aFeed.filter(col("_change_type").isin("delete", "update_preimage"))
-          .drop("_change_type").as("ad"),
-        aTable.map(c => col(s"ak.$c") <=> col(s"ad.$c")).reduce(_ && _),
-        "left_anti")
-      .as("kt").join(transitions.as("t"),
-        aJoin.map(k => col(s"kt.$k") <=> col(s"t.$k")).reduce(_ && _),
-        "inner")
-    val lostAll = aKeepT.filter(col("t._pre") > 0L && col("t._post") === 0L)
-      .select(aTable.map(c => col(s"kt.$c")): _*)
-    val gainedFirst = aKeepT.filter(col("t._pre") === 0L && col("t._post") > 0L)
-      .select(aTable.map(c => col(s"kt.$c")): _*)
-    inner
-      .unionByName(nullExt(lookup(aDel, noPre), "delete"))
-      .unionByName(nullExt(lookup(aIns, noPost), "insert"))
-      .unionByName(nullExt(lostAll, "insert"))
-      .unionByName(nullExt(gainedFirst, "delete"))
+    private val aKeepT = {
+      val transitions = counts.filter(
+        (col("_pre") === 0L) =!= (col("_post") === 0L))
+      val aPreForTrans = IncrementalAgg.readViewPrunedBy(spark, a.root,
+        a.replica, aJoin, transitions.select(aJoin.map(col): _*),
+        Some(a.version))
+      aPreForTrans.as("ak").join(
+          aFeed.filter(col("_change_type").isin("delete", "update_preimage"))
+            .drop("_change_type").as("ad"),
+          aTable.map(c => col(s"ak.$c") <=> col(s"ad.$c")).reduce(_ && _),
+          "left_anti")
+        .as("kt").join(transitions.as("t"),
+          aJoin.map(k => col(s"kt.$k") <=> col(s"t.$k")).reduce(_ && _),
+          "inner")
+    }
+    /** Untouched A rows whose key lost its LAST match this batch. */
+    val lostAll: DataFrame =
+      aKeepT.filter(col("t._pre") > 0L && col("t._post") === 0L)
+        .select(aTable.map(c => col(s"kt.$c")): _*)
+    /** Untouched A rows whose key gained its FIRST match this batch. */
+    val gainedFirst: DataFrame =
+      aKeepT.filter(col("t._pre") === 0L && col("t._post") > 0L)
+        .select(aTable.map(c => col(s"kt.$c")): _*)
+  }
+
+  /** SEMI-join view maintenance (`A ⋉ B` — the A rows with ≥1 match,
+    * A's columns only, keyed by A's key): membership is a pure function
+    * of the per-key match count, so the feed is exactly the four
+    * correction classes of [[leftOuterDelta]] — no inner terms at all,
+    * B's row VALUES never matter, only its count view. A's own
+    * deletes/inserts enter when their key has matches (pre for the
+    * delete, post for the insert — an updated row replays as
+    * delete+insert so value changes land); an untouched A row enters on
+    * its key's first match and leaves on its last. NULL-keyed A rows
+    * never match, so they never appear. Every term is delta-bounded:
+    * counts come from the co-maintained `bCountView` pruned to the keys
+    * in play, the untouched-row lookup reads only the transition keys'
+    * buckets. */
+  def semiDelta(spark: SparkSession, a: Side, b: Side, bCountView: String,
+                aFeed: DataFrame, bFeed: DataFrame): DataFrame = {
+    val cx = new Corrections(spark, a, b, bCountView, aFeed, bFeed)
+    def tag(rows: DataFrame, t: String): DataFrame =
+      rows.withColumn("_change_type", lit(t))
+    tag(cx.lookup(cx.aDel, !cx.noPre, nullKeyedIn = false), "delete")
+      .unionByName(tag(cx.lookup(cx.aIns, !cx.noPost, nullKeyedIn = false),
+        "insert"))
+      .unionByName(tag(cx.gainedFirst, "insert"))
+      .unionByName(tag(cx.lostAll, "delete"))
+  }
+
+  /** ANTI-join view maintenance (the A rows with NO match — the exact
+    * complement of [[semiDelta]], and row-for-row the A-column
+    * projection of [[leftOuterDelta]]'s null-extension set): same four
+    * correction classes with inverted polarity — a delete of an
+    * unmatched row leaves the view, an insert of an unmatched row (or a
+    * NULL-keyed one, which can never match) enters it, an untouched row
+    * enters when its key loses its last match and leaves on its first.
+    * Same delta bounds as [[semiDelta]]. */
+  def antiDelta(spark: SparkSession, a: Side, b: Side, bCountView: String,
+                aFeed: DataFrame, bFeed: DataFrame): DataFrame = {
+    val cx = new Corrections(spark, a, b, bCountView, aFeed, bFeed)
+    def tag(rows: DataFrame, t: String): DataFrame =
+      rows.withColumn("_change_type", lit(t))
+    tag(cx.lookup(cx.aDel, cx.noPre, nullKeyedIn = true), "delete")
+      .unionByName(tag(cx.lookup(cx.aIns, cx.noPost, nullKeyedIn = true),
+        "insert"))
+      .unionByName(tag(cx.lostAll, "insert"))
+      .unionByName(tag(cx.gainedFirst, "delete"))
+  }
+
+  /** FULL-OUTER join view maintenance: [[leftOuterDelta]]'s feed (inner
+    * pairs + A-side null extensions) plus the SYMMETRIC corrections —
+    * B rows whose A-match count crossed zero get `(NULL a-cols, b-row)`
+    * extension rows, decided from `aCountView`, a count of A rows per
+    * join key co-maintained in A's STORE (so it can never disagree with
+    * A's replica — the same invariant `bCountView` gives the left side).
+    * The B-side corrections are [[Corrections]] verbatim with the roles
+    * swapped; both extension classes key null-safely under the view's
+    * `aKey ++ bKey` replica key ((aKey, NULL) and (NULL, bKey) rows
+    * never collide with inner pairs). Cost: the inner six terms + two
+    * delta-bounded correction sets. */
+  def fullOuterDelta(spark: SparkSession, a: Side, b: Side,
+                     aCountView: String, bCountView: String,
+                     aFeed: DataFrame, bFeed: DataFrame): DataFrame = {
+    val lo = leftOuterDelta(spark, a, b, bCountView, aFeed, bFeed)
+    val cx = new Corrections(spark, b, a, aCountView, bFeed, aFeed)
+    val aTable = aFeed.columns.toSeq.filterNot(_ == "_change_type")
+    def nullExtB(bRows: DataFrame, changeType: String): DataFrame =
+      bRows.select(aTable.map(c => lit(null).cast(lo.schema(c).dataType).as(c))
+        ++ cx.aTable.map(col) :+ lit(changeType).as("_change_type"): _*)
+    lo
+      .unionByName(nullExtB(cx.lookup(cx.aDel, cx.noPre, nullKeyedIn = true),
+        "delete"))
+      .unionByName(nullExtB(cx.lookup(cx.aIns, cx.noPost, nullKeyedIn = true),
+        "insert"))
+      .unionByName(nullExtB(cx.lostAll, "insert"))
+      .unionByName(nullExtB(cx.gainedFirst, "delete"))
   }
 
   /** [[joinDelta]] with each side's pre-state read from its maintained

@@ -588,6 +588,345 @@ object Etl {
         .orderBy("o_orderkey")
     }),
 
+    // o20 — MAINTAINED SEMI/ANTI JOIN [extension; membership views]:
+    // A ⋉ B and its complement, maintained WITHOUT any inner join
+    // terms — membership is a pure function of the per-join-key match
+    // count (the o19 correction algebra with B's row values never
+    // read), so B churn that keeps a key's count positive produces NO
+    // view change at all. Both views ride the same chain as o19
+    // (absent-at-seed customers, a deleted slice, a partial re-insert)
+    // and are returned tagged, so the oracle's EXISTS / NOT EXISTS
+    // recompute pins both the memberships AND their partition of the
+    // live orders.
+    "o20_semi_anti_maintain" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
+      val ordBase = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val custBase = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bump = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 4, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val aChain = Seq(
+        ordBase,
+        ordBase.filter(col("o_orderkey") % 10 =!= 3),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 3)))
+      val bChain = Seq(
+        custBase.filter(col("c_custkey") % 3 =!= 1),
+        custBase.filter(col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2),
+        custBase.filter((col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2) ||
+          (col("c_custkey") % 3 === 1 && col("c_custkey") % 7 === 0)))
+      val base = s"/root/repo/target/sink/o20_sa_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      if (fc.util.exists(bp)) fc.delete(bp, true)
+      val aRoot = s"$base/a"; val bRoot = s"$base/b"
+      val sRoot = s"$base/s"; val nRoot = s"$base/n"
+      val aT = Seq(ReplicaSpec("replica", Seq("o_orderkey"), numBuckets = 16,
+        bucketOn = Seq("o_custkey")))
+      val bT = Seq(
+        ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16),
+        ViewSpec("bcnt", Seq("c_custkey"), Nil, numBuckets = 16))
+      val sT = Seq(ReplicaSpec("semi", Seq("o_orderkey"), numBuckets = 16))
+      val nT = Seq(ReplicaSpec("anti", Seq("o_orderkey"), numBuckets = 16))
+      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
+      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
+      IncrementalAgg.publishInitialMulti(s, sRoot,
+        aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "left_semi"), sT)
+      IncrementalAgg.publishInitialMulti(s, nRoot,
+        aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "left_anti"), nT)
+      aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
+        case (Seq((a0, b0), (a1, b1)), i) =>
+          val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
+          val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
+          val aSide = JoinView.Side(aRoot, "replica", Seq("o_custkey"),
+            AtomicPublish.currentVersion(s, aRoot).get)
+          val bSide = JoinView.Side(bRoot, "replica", Seq("c_custkey"),
+            AtomicPublish.currentVersion(s, bRoot).get)
+          val semi = JoinView.semiDelta(s, aSide, bSide, "bcnt", feedA, feedB)
+          val anti = JoinView.antiDelta(s, aSide, bSide, "bcnt", feedA, feedB)
+          try {
+            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
+            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
+            IncrementalAgg.applyOnceMulti(s, sRoot, semi, i.toLong, sT)
+            IncrementalAgg.applyOnceMulti(s, nRoot, anti, i.toLong, nT)
+          } finally { feedA.unpersist(); feedB.unpersist(); () }
+      }
+      IncrementalAgg.readView(s, sRoot, "semi")
+        .withColumn("side", lit("semi"))
+        .unionByName(IncrementalAgg.readView(s, nRoot, "anti")
+          .withColumn("side", lit("anti")))
+        .orderBy("side", "o_orderkey")
+    }),
+
+    // o21 — MAINTAINED FULL-OUTER JOIN [extension; the symmetric
+    // close of o19]: null extensions on BOTH sides, each decided by
+    // the OTHER side's co-maintained match-count view (acnt in the
+    // orders store for customer-side extensions, bcnt in the customer
+    // store for order-side ones). Every testdata customer has orders,
+    // so customer-side extensions are FORCED by the chain: batch 1
+    // deletes every order of an o_custkey slice (count >0→0 for
+    // UNTOUCHED customers — extensions born), batch 2 re-adds part of
+    // it (0→>0 — extensions die). The oracle is a direct FULL JOIN of
+    // the final slices, NULLS LAST on both engines so the row order
+    // pins too.
+    "o21_fullouter_maintain" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
+      val ordBase = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val custBase = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bump = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 4, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val aChain = Seq(
+        ordBase,
+        ordBase.filter(col("o_orderkey") % 10 =!= 3 &&
+          col("o_custkey") % 11 =!= 5),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 3 &&
+          (col("o_custkey") % 11 =!= 5 || col("o_custkey") % 13 === 0))))
+      val bChain = Seq(
+        custBase.filter(col("c_custkey") % 3 =!= 1),
+        custBase.filter(col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2),
+        custBase.filter((col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2) ||
+          (col("c_custkey") % 3 === 1 && col("c_custkey") % 7 === 0)))
+      val base = s"/root/repo/target/sink/o21_fo_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      if (fc.util.exists(bp)) fc.delete(bp, true)
+      val aRoot = s"$base/a"; val bRoot = s"$base/b"; val vRoot = s"$base/v"
+      val aT = Seq(
+        ReplicaSpec("replica", Seq("o_orderkey"), numBuckets = 16,
+          bucketOn = Seq("o_custkey")),
+        ViewSpec("acnt", Seq("o_custkey"), Nil, numBuckets = 16))
+      val bT = Seq(
+        ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16),
+        ViewSpec("bcnt", Seq("c_custkey"), Nil, numBuckets = 16))
+      val vT = Seq(ReplicaSpec("view", Seq("o_orderkey", "c_custkey"),
+        numBuckets = 16))
+      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
+      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
+      IncrementalAgg.publishInitialMulti(s, vRoot,
+        aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "full_outer"), vT)
+      aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
+        case (Seq((a0, b0), (a1, b1)), i) =>
+          val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
+          val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
+          val outer = JoinView.fullOuterDelta(s,
+            JoinView.Side(aRoot, "replica", Seq("o_custkey"),
+              AtomicPublish.currentVersion(s, aRoot).get),
+            JoinView.Side(bRoot, "replica", Seq("c_custkey"),
+              AtomicPublish.currentVersion(s, bRoot).get),
+            "acnt", "bcnt", feedA, feedB)
+          try {
+            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
+            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
+            IncrementalAgg.applyOnceMulti(s, vRoot, outer, i.toLong, vT)
+          } finally { feedA.unpersist(); feedB.unpersist(); () }
+      }
+      IncrementalAgg.readView(s, vRoot, "view")
+        .orderBy(col("o_orderkey").asc_nulls_last,
+          col("c_custkey").asc_nulls_last)
+    }),
+
+    // o22 — MAINTAINED CUBE OVER A JOIN [the reference's own artifact,
+    // closed incrementally: warehouse.py:214-246's denormalizing cube
+    // view is rebuilt by re-running the ETL; here `revenue by
+    // (segment, year)` over orders ⋈ customer stays current under BOTH
+    // tables' change feeds while the JOIN IS NEVER STORED — the
+    // six-term join delta (o18) feeds an additive view (o11) directly,
+    // zero new machinery]. Customer churn is the interesting case: a
+    // segment reclassification MOVES whole groups' rows between cube
+    // cells via A_keep ⋈ ΔB alone, no orders touched. Downstream store
+    // holds ONLY the (segment, year) aggregate — |cube| state, not
+    // |join| state.
+    "o22_cube_maintain" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
+      val ordBase = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"))
+      val custBase = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bump = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 4, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val aChain = Seq(
+        ordBase,
+        ordBase.filter(col("o_orderkey") % 10 =!= 3),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 3)))
+      val reseg = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("c_mktsegment",
+          when(col("c_custkey") % 5 === 0, lit("GRAFTSEG"))
+            .otherwise(col("c_mktsegment")))
+      val bChain = Seq(
+        custBase,
+        custBase.filter(col("c_custkey") % 7 =!= 3),
+        reseg(custBase.filter(col("c_custkey") % 7 =!= 3)))
+      val base = s"/root/repo/target/sink/o22_cube_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      if (fc.util.exists(bp)) fc.delete(bp, true)
+      val aRoot = s"$base/a"; val bRoot = s"$base/b"; val gRoot = s"$base/g"
+      val aT = Seq(ReplicaSpec("replica", Seq("o_orderkey"), numBuckets = 16,
+        bucketOn = Seq("o_custkey")))
+      val bT = Seq(ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16))
+      val gT = Seq(ViewSpec("cube", Seq("c_mktsegment", "o_year"),
+        Seq("sum_price" -> "o_totalprice"), numBuckets = 8))
+      def joined(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame) =
+        a.join(b, col("o_custkey") === col("c_custkey"), "inner")
+      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
+      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
+      IncrementalAgg.publishInitialMulti(s, gRoot,
+        joined(aChain.head, bChain.head), gT)
+      aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
+        case (Seq((a0, b0), (a1, b1)), i) =>
+          val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
+          val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
+          val viewFeed = JoinView.joinDeltaFromStores(s,
+            JoinView.Side(aRoot, "replica", Seq("o_custkey"),
+              AtomicPublish.currentVersion(s, aRoot).get),
+            JoinView.Side(bRoot, "replica", Seq("c_custkey"),
+              AtomicPublish.currentVersion(s, bRoot).get),
+            feedA, feedB)
+          try {
+            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
+            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
+            IncrementalAgg.applyOnceMulti(s, gRoot, viewFeed, i.toLong, gT)
+          } finally { feedA.unpersist(); feedB.unpersist(); () }
+      }
+      IncrementalAgg.readView(s, gRoot, "cube")
+        .select(col("c_mktsegment"), col("o_year"), col("n"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("c_mktsegment", "o_year")
+    }),
+
+    // o23 — MAINTAINED STAR CUBE BY COMPOSED JOIN VIEWS [the
+    // generality proof: a maintained join view is ITSELF a
+    // maintainable base]. The reference's star join (warehouse.py:
+    // 275-283) runs orders ⋈ customer ⋈ nation per rebuild; here the
+    // middle view V1 = orders ⋈ customer is a replica in its own
+    // store BUCKETED ON c_nationkey (the NEXT join's column), its
+    // change feed is the six-term o18 delta, and that feed drives the
+    // SECOND join layer V1 ⋈ nation whose feed in turn drives the
+    // additive cube by (n_name, o_year) — three base stores, one
+    // intermediate view store, one |cube|-sized aggregate store, all
+    // advanced exactly-once per batch. A nation rename relabels whole
+    // cube cells through V1_keep ⋈ ΔN without touching a single order;
+    // a customer's nation move migrates its orders' cells through the
+    // composed feeds alone.
+    "o23_star_cube_maintain" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
+      val ordBase = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          year(col("o_orderdate")).as("o_year"))
+      val custBase = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val natBase = Tables.nation(s, dir)
+        .select(col("n_nationkey"), col("n_name"))
+      val bump = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 4, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val aChain = Seq(
+        ordBase,
+        ordBase.filter(col("o_orderkey") % 10 =!= 3),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 3)))
+      val moveNation = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("c_nationkey",
+          when(col("c_custkey") % 11 === 0, (col("c_nationkey") + 1) % 25)
+            .otherwise(col("c_nationkey")))
+      val bChain = Seq(
+        custBase,
+        custBase.filter(col("c_custkey") % 7 =!= 3),
+        moveNation(custBase.filter(col("c_custkey") % 7 =!= 3)))
+      val renamed = natBase.withColumn("n_name",
+        when(col("n_nationkey") === 7, concat(col("n_name"), lit("-RENAMED")))
+          .otherwise(col("n_name")))
+      val nChain = Seq(natBase, natBase, renamed)
+      val base = s"/root/repo/target/sink/o23_star_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      if (fc.util.exists(bp)) fc.delete(bp, true)
+      val aRoot = s"$base/a"; val bRoot = s"$base/b"; val nRoot = s"$base/n"
+      val v1Root = s"$base/v1"; val gRoot = s"$base/g"
+      val aT = Seq(ReplicaSpec("replica", Seq("o_orderkey"), numBuckets = 16,
+        bucketOn = Seq("o_custkey")))
+      val bT = Seq(ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16))
+      val nT = Seq(ReplicaSpec("replica", Seq("n_nationkey"), numBuckets = 4))
+      // the middle view: keyed by its pair key, BUCKETED on the next
+      // join's column so the second layer's V1_keep ⋈ ΔN term prunes
+      val v1T = Seq(ReplicaSpec("replica", Seq("o_orderkey", "c_custkey"),
+        numBuckets = 16, bucketOn = Seq("c_nationkey")))
+      val gT = Seq(ViewSpec("cube", Seq("n_name", "o_year"),
+        Seq("sum_price" -> "o_totalprice"), numBuckets = 8))
+      def j1(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame) =
+        a.join(b, col("o_custkey") === col("c_custkey"), "inner")
+      def j2(v: org.apache.spark.sql.DataFrame,
+             n: org.apache.spark.sql.DataFrame) =
+        v.join(n, col("c_nationkey") === col("n_nationkey"), "inner")
+      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
+      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
+      IncrementalAgg.publishInitialMulti(s, nRoot, nChain.head, nT)
+      IncrementalAgg.publishInitialMulti(s, v1Root,
+        j1(aChain.head, bChain.head), v1T)
+      IncrementalAgg.publishInitialMulti(s, gRoot,
+        j2(j1(aChain.head, bChain.head), nChain.head), gT)
+      aChain.zip(bChain).zip(nChain).sliding(2).zipWithIndex.foreach {
+        case (Seq(((a0, b0), n0), ((a1, b1), n1)), i) =>
+          val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
+          val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
+          val feedN = ChangeFeed.diff(n0, n1, Seq("n_nationkey")).persist()
+          // both layers' pre-state reads pin to the PRE-batch versions,
+          // so the apply order below cannot race them
+          val feed1 = JoinView.joinDeltaFromStores(s,
+            JoinView.Side(aRoot, "replica", Seq("o_custkey"),
+              AtomicPublish.currentVersion(s, aRoot).get),
+            JoinView.Side(bRoot, "replica", Seq("c_custkey"),
+              AtomicPublish.currentVersion(s, bRoot).get),
+            feedA, feedB).persist()
+          val feed2 = JoinView.joinDeltaFromStores(s,
+            JoinView.Side(v1Root, "replica", Seq("c_nationkey"),
+              AtomicPublish.currentVersion(s, v1Root).get),
+            JoinView.Side(nRoot, "replica", Seq("n_nationkey"),
+              AtomicPublish.currentVersion(s, nRoot).get),
+            feed1, feedN)
+          try {
+            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
+            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
+            IncrementalAgg.applyOnceMulti(s, nRoot, feedN, i.toLong, nT)
+            IncrementalAgg.applyOnceMulti(s, v1Root, feed1, i.toLong, v1T)
+            IncrementalAgg.applyOnceMulti(s, gRoot, feed2, i.toLong, gT)
+          } finally {
+            feedA.unpersist(); feedB.unpersist()
+            feedN.unpersist(); feed1.unpersist(); ()
+          }
+      }
+      IncrementalAgg.readView(s, gRoot, "cube")
+        .select(col("n_name"), col("o_year"), col("n"),
+          col("sum_price").cast("double").as("sum_price"))
+        .orderBy("n_name", "o_year")
+    }),
+
     // o17 — MAINTAINED TOP-K [extension; leaderboard maintenance]:
     // the general form of o15's extrema (k = 1): per group, the k best
     // ROWS under a pinned total order, maintained by merge-on-insert /
@@ -864,6 +1203,99 @@ object Etl {
         |SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
         |FROM o LEFT JOIN c ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // Both memberships recomputed as direct EXISTS / NOT EXISTS over
+    // the final slices — the match-count view, the correction algebra,
+    // and the four stores never appear here, so the match proves
+    // maintained semi/anti ≡ from-scratch semi/anti AND that the two
+    // views partition the live orders (the union is checked row for
+    // row).
+    "o20_semi_anti_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |c AS (
+        |  SELECT c_custkey FROM customer
+        |  WHERE (c_custkey % 3 <> 1 AND c_custkey % 5 <> 2)
+        |     OR (c_custkey % 3 = 1 AND c_custkey % 7 = 0))
+        |SELECT * FROM (
+        |  SELECT 'semi' AS side, o_orderkey, o_custkey, o_totalprice
+        |  FROM o WHERE EXISTS (SELECT 1 FROM c WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'anti' AS side, o_orderkey, o_custkey, o_totalprice
+        |  FROM o WHERE NOT EXISTS (SELECT 1 FROM c WHERE c_custkey = o_custkey))
+        |ORDER BY side, o_orderkey""".stripMargin,
+
+    // The final slices FULL-joined directly — extensions on both sides
+    // included; NULLS LAST pins the same row order as the Spark read.
+    "o21_fullouter_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |    AND (o_custkey % 11 <> 5 OR o_custkey % 13 = 0)),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE (c_custkey % 3 <> 1 AND c_custkey % 5 <> 2)
+        |     OR (c_custkey % 3 = 1 AND c_custkey % 7 = 0))
+        |SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
+        |FROM o FULL JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey NULLS LAST, c_custkey NULLS LAST""".stripMargin,
+
+    // The cube recomputed as a direct join + group-by over the final
+    // slices — the six-term feed, the additive maintenance, and the
+    // three stores never appear here, so the match proves the
+    // incrementally-maintained cube ≡ the reference's re-run-the-ETL
+    // rebuild (warehouse.py:214-246), cell for cell.
+    "o22_cube_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    EXTRACT(year FROM o_orderdate) AS o_year
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'GRAFTSEG'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 <> 3)
+        |SELECT c_mktsegment, o_year, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_price
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // The star cube recomputed as a direct 3-way join + group-by over
+    // the final slices — the two composed view feeds, the five stores,
+    // and the middle view never appear here, so the match proves the
+    // two-layer composition exact: cell counts, decimal sums, the
+    // nation rename's relabel, and the customers' nation migrations.
+    "o23_star_cube_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    EXTRACT(year FROM o_orderdate) AS o_year
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 1) % 25
+        |         ELSE c_nationkey END AS c_nationkey
+        |  FROM customer WHERE c_custkey % 7 <> 3),
+        |n AS (
+        |  SELECT n_nationkey,
+        |    CASE WHEN n_nationkey = 7 THEN n_name || '-RENAMED'
+        |         ELSE n_name END AS n_name
+        |  FROM nation)
+        |SELECT n_name, o_year, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+        |    AS DOUBLE) AS sum_price
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |       JOIN n ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The final-slice join recomputed directly — the feeds, the
     // six-term delta algebra, the three stores, and the cut never

@@ -312,6 +312,335 @@ class JoinMaintenanceSpec extends SparkSuite {
     }
   }
 
+  test("semi/anti join maintenance: complementary membership under " +
+    "match-count transitions — random chains against direct " +
+    "left_semi / left_anti recomputes, plus the partition invariant") {
+    // many matches per key (B's join column is not its key), so counts
+    // cross 2→1→0 and back — membership must flip ONLY at the zero
+    // boundary; NULL-keyed A rows are permanent anti members
+    def dfB3(rows: Seq[(Int, Int, String)]) = rows.toDF("bid", "bjoin", "bval")
+    def directSemi(a: Seq[(Int, Option[Int], String)],
+                   b: Seq[(Int, Int, String)]): Set[Seq[Any]] =
+      dfA(a).join(dfB3(b), col("cust") === col("bjoin"), "left_semi")
+        .collect().map(_.toSeq).toSet
+    def directAnti(a: Seq[(Int, Option[Int], String)],
+                   b: Seq[(Int, Int, String)]): Set[Seq[Any]] =
+      dfA(a).join(dfB3(b), col("cust") === col("bjoin"), "left_anti")
+        .collect().map(_.toSeq).toSet
+    val base = "/root/repo/target/test-sink/joinsemi"
+    Seq("a", "b", "s", "n").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"
+    val sRoot = s"$base/s"; val nRoot = s"$base/n"
+    val aT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("aid"),
+      numBuckets = 4, bucketOn = Seq("cust")))
+    val bT = Seq(
+      IncrementalAgg.ReplicaSpec("replica", Seq("bid"), numBuckets = 4,
+        bucketOn = Seq("bjoin")),
+      IncrementalAgg.ViewSpec("bcnt", Seq("bjoin"), Nil, numBuckets = 4))
+    // both views are A-keyed replicas of A rows — B's VALUES never
+    // appear, only its count view decides membership
+    val sT = Seq(IncrementalAgg.ReplicaSpec("semi", Seq("aid"),
+      numBuckets = 4))
+    val nT = Seq(IncrementalAgg.ReplicaSpec("anti", Seq("aid"),
+      numBuckets = 4))
+    val rnd = new scala.util.Random(67)
+    var aCur = (0 until 40).map(i => (i,
+      if (i % 9 == 4) None: Option[Int] else Some(rnd.nextInt(5)), s"a$i"))
+    var bCur = (0 until 8).map(j => (j, j % 5, s"b$j"))
+      .filterNot(_._2 == 3) // join value 3 starts unmatched
+    IncrementalAgg.publishInitialMulti(spark, aRoot, dfA(aCur), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB3(bCur), bT)
+    IncrementalAgg.publishInitialMulti(spark, sRoot,
+      dfA(aCur).join(dfB3(bCur), col("cust") === col("bjoin"), "left_semi"), sT)
+    IncrementalAgg.publishInitialMulti(spark, nRoot,
+      dfA(aCur).join(dfB3(bCur), col("cust") === col("bjoin"), "left_anti"), nT)
+    (0 until 4).foreach { batch =>
+      val bNext0 = bCur.filterNot(_._1 == batch * 2 % 8)
+        .map { case (j, g, v) =>
+          if (j == (batch * 3 + 1) % 8) (j, (g + 2) % 5, v) else (j, g, v) } ++
+        Seq((20 + batch, (batch + 3) % 5, s"nb$batch"))
+      val bn = bNext0.groupBy(_._1).map(_._2.head).toIndexedSeq
+      val aNext = aCur.filterNot(_._1 % 13 == batch)
+        .map { case (i, c, v) =>
+          if (i % 8 == batch) (i, c.map(x => (x + 1) % 5), v + "!")
+          else (i, c, v) } ++
+        Seq((100 + batch, if (batch == 2) None else Some(rnd.nextInt(6)),
+          s"new$batch"))
+      val feedA = ChangeFeed.diff(dfA(aCur), dfA(aNext), Seq("aid"))
+      val feedB = ChangeFeed.diff(dfB3(bCur), dfB3(bn), Seq("bid"))
+      val aSide = JoinView.Side(aRoot, "replica", Seq("cust"),
+        AtomicPublish.currentVersion(spark, aRoot).get)
+      val bSide = JoinView.Side(bRoot, "replica", Seq("bjoin"),
+        AtomicPublish.currentVersion(spark, bRoot).get)
+      val semi = JoinView.semiDelta(spark, aSide, bSide, "bcnt",
+        feedA, feedB).persist()
+      val anti = JoinView.antiDelta(spark, aSide, bSide, "bcnt",
+        feedA, feedB).persist()
+      assert(IncrementalAgg.applyOnceMulti(spark, aRoot, feedA, batch, aT))
+      assert(IncrementalAgg.applyOnceMulti(spark, bRoot, feedB, batch, bT))
+      assert(IncrementalAgg.applyOnceMulti(spark, sRoot, semi, batch, sT))
+      assert(IncrementalAgg.applyOnceMulti(spark, nRoot, anti, batch, nT))
+      semi.unpersist(); anti.unpersist()
+      val semiNow = IncrementalAgg.readView(spark, sRoot, "semi")
+        .collect().map(_.toSeq).toSet
+      val antiNow = IncrementalAgg.readView(spark, nRoot, "anti")
+        .collect().map(_.toSeq).toSet
+      assert(semiNow === directSemi(aNext, bn),
+        s"semi view diverged after batch $batch")
+      assert(antiNow === directAnti(aNext, bn),
+        s"anti view diverged after batch $batch")
+      // the two views PARTITION the live A rows — complementary by
+      // construction, so their union is A and their intersection empty
+      assert((semiNow ++ antiNow) === dfA(aNext).collect().map(_.toSeq).toSet)
+      assert(semiNow.intersect(antiNow).isEmpty)
+      aCur = aNext; bCur = bn
+    }
+  }
+
+  test("full-outer join maintenance: null extensions born and die on " +
+    "BOTH sides' zero-count transitions — random chains against a " +
+    "direct FULL JOIN recompute") {
+    def dfB3(rows: Seq[(Int, Int, String)]) = rows.toDF("bid", "bjoin", "bval")
+    def directFO(a: Seq[(Int, Option[Int], String)],
+                 b: Seq[(Int, Int, String)]): Set[Seq[Any]] =
+      dfA(a).join(dfB3(b), col("cust") === col("bjoin"), "full_outer")
+        .collect().map(_.toSeq).toSet
+    val base = "/root/repo/target/test-sink/joinfo"
+    Seq("a", "b", "v").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"; val vRoot = s"$base/v"
+    // EACH side co-maintains the count view the OTHER side's
+    // extensions read: acnt (A rows per join key) decides B-side
+    // extensions, bcnt decides A-side ones
+    val aT = Seq(
+      IncrementalAgg.ReplicaSpec("replica", Seq("aid"), numBuckets = 4,
+        bucketOn = Seq("cust")),
+      IncrementalAgg.ViewSpec("acnt", Seq("cust"), Nil, numBuckets = 4))
+    val bT = Seq(
+      IncrementalAgg.ReplicaSpec("replica", Seq("bid"), numBuckets = 4,
+        bucketOn = Seq("bjoin")),
+      IncrementalAgg.ViewSpec("bcnt", Seq("bjoin"), Nil, numBuckets = 4))
+    val vT = Seq(IncrementalAgg.ReplicaSpec("view", Seq("aid", "bid"),
+      numBuckets = 4))
+    val rnd = new scala.util.Random(79)
+    var aCur = (0 until 30).map(i => (i,
+      if (i % 7 == 2) None: Option[Int] else Some(rnd.nextInt(5)), s"a$i"))
+    // join value 3 unmatched on the A side initially; B rows with
+    // join values no A row holds are B-side extensions from birth
+    var bCur = (0 until 9).map(j => (j, j % 6, s"b$j"))
+    IncrementalAgg.publishInitialMulti(spark, aRoot, dfA(aCur), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB3(bCur), bT)
+    IncrementalAgg.publishInitialMulti(spark, vRoot,
+      dfA(aCur).join(dfB3(bCur), col("cust") === col("bjoin"), "full_outer"),
+      vT)
+    (0 until 4).foreach { batch =>
+      val bNext0 = bCur.filterNot(_._1 == batch * 2 % 9)
+        .map { case (j, g, v) =>
+          if (j == (batch * 3 + 1) % 9) (j, (g + 2) % 6, v) else (j, g, v) } ++
+        Seq((20 + batch, (batch + 3) % 6, s"nb$batch"))
+      val bn = bNext0.groupBy(_._1).map(_._2.head).toIndexedSeq
+      val aNext = aCur.filterNot(_._1 % 11 == batch)
+        .map { case (i, c, v) =>
+          if (i % 6 == batch % 6) (i, c.map(x => (x + 1) % 5), v + "!")
+          else (i, c, v) } ++
+        Seq((100 + batch, Some(rnd.nextInt(7)), s"new$batch"))
+      val feedA = ChangeFeed.diff(dfA(aCur), dfA(aNext), Seq("aid"))
+      val feedB = ChangeFeed.diff(dfB3(bCur), dfB3(bn), Seq("bid"))
+      val outer = JoinView.fullOuterDelta(spark,
+        JoinView.Side(aRoot, "replica", Seq("cust"),
+          AtomicPublish.currentVersion(spark, aRoot).get),
+        JoinView.Side(bRoot, "replica", Seq("bjoin"),
+          AtomicPublish.currentVersion(spark, bRoot).get),
+        "acnt", "bcnt", feedA, feedB).persist()
+      assert(IncrementalAgg.applyOnceMulti(spark, aRoot, feedA, batch, aT))
+      assert(IncrementalAgg.applyOnceMulti(spark, bRoot, feedB, batch, bT))
+      assert(IncrementalAgg.applyOnceMulti(spark, vRoot, outer, batch, vT))
+      outer.unpersist()
+      assert(IncrementalAgg.readView(spark, vRoot, "view")
+        .collect().map(_.toSeq).toSet === directFO(aNext, bn),
+        s"full-outer view diverged after batch $batch")
+      aCur = aNext; bCur = bn
+    }
+  }
+
+  test("streaming join maintenance: a multiplexed CDC stream (one " +
+    "topic, two tables, tagged rows) drives three stores and a " +
+    "Coordinator cut per micro-batch — the maintained view tracks the " +
+    "live join through the whole drain") {
+    import graft.etl.Coordinator
+    import graft.streaming.Streams
+    val base = "/root/repo/target/test-sink/joinstream"
+    Seq("a", "b", "v", "cut", "feeds").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"
+    val vRoot = s"$base/v"; val cutRoot = s"$base/cut"
+    val feedDir = s"$base/feeds"
+    val aT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("aid"),
+      numBuckets = 4, bucketOn = Seq("cust")))
+    val bT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("bid"),
+      numBuckets = 4))
+    val vT = Seq(IncrementalAgg.ReplicaSpec("view", Seq("aid", "bid"),
+      numBuckets = 4))
+    // 5 versions of each table → 4 multiplexed feed files, each the
+    // union of both tables' diffs under one super-schema with a _table
+    // tag — the one-topic-many-tables CDC shape a single consumer
+    // demultiplexes per micro-batch
+    def aState(v: Int): Seq[(Int, Option[Int], String)] =
+      (0 until 30).filterNot(_ % 7 == v % 7).map(i => (i,
+        if (i % 9 == 4) None: Option[Int] else Some((i + v) % 6),
+        s"a$i-${(i + v) % 3}"))
+    def bState(v: Int): Seq[(Int, String)] =
+      (0 until 6).filterNot(_ == (v * 2) % 7).map(j => (j, s"b$j-${(j * v) % 2}"))
+    def mux(fa: DataFrame, fb: DataFrame): DataFrame =
+      fa.select(col("aid"), col("cust"), col("av"),
+          lit(null).cast("int").as("bid"), lit(null).cast("string").as("bval"),
+          col("_change_type"), lit("a").as("_table"))
+        .unionByName(fb.select(lit(null).cast("int").as("aid"),
+          lit(null).cast("int").as("cust"), lit(null).cast("string").as("av"),
+          col("bid"), col("bval"), col("_change_type"), lit("b").as("_table")))
+    (0 until 4).foreach { i =>
+      mux(ChangeFeed.diff(dfA(aState(i)), dfA(aState(i + 1)), Seq("aid")),
+          ChangeFeed.diff(dfB(bState(i)), dfB(bState(i + 1)), Seq("bid")))
+        .repartition(1).write.mode("overwrite").parquet(f"$feedDir/f$i%02d")
+    }
+    IncrementalAgg.publishInitialMulti(spark, aRoot, dfA(aState(0)), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB(bState(0)), bT)
+    IncrementalAgg.publishInitialMulti(spark, vRoot,
+      dfA(aState(0)).join(dfB(bState(0)), col("cust") === col("bid"), "inner"),
+      vT)
+    Coordinator.commitCut(spark, cutRoot,
+      Map("a" -> 0L, "b" -> 0L, "v" -> 0L))
+    val muxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "aid INT, cust INT, av STRING, bid INT, bval STRING, " +
+        "_change_type STRING, _table STRING")
+    val stream = spark.readStream.schema(muxSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$feedDir/*")
+    var batches = 0
+    Streams.runIngest(spark, stream,
+      s"${Streams.ephemeralChkRoot}/joinstream") { (batch, batchId) =>
+      if (!batch.isEmpty) {
+        val fA = batch.filter(col("_table") === "a")
+          .select("aid", "cust", "av", "_change_type").persist()
+        val fB = batch.filter(col("_table") === "b")
+          .select("bid", "bval", "_change_type").persist()
+        // the view feed's pre-state reads pin to the LAST cut, so the
+        // store advances below cannot race them; a replayed batch
+        // no-ops every applyOnceMulti and re-commits an identical cut
+        val cut = Coordinator.currentCut(spark, cutRoot)
+        val feed1 = JoinView.joinDeltaFromStores(spark,
+          JoinView.Side(aRoot, "replica", Seq("cust"), cut("a")),
+          JoinView.Side(bRoot, "replica", Seq("bid"), cut("b")),
+          fA, fB).persist()
+        IncrementalAgg.applyOnceMulti(spark, aRoot, fA, batchId, aT)
+        IncrementalAgg.applyOnceMulti(spark, bRoot, fB, batchId, bT)
+        IncrementalAgg.applyOnceMulti(spark, vRoot, feed1, batchId, vT)
+        Coordinator.commitCut(spark, cutRoot, Map(
+          "a" -> AtomicPublish.currentVersion(spark, aRoot).get,
+          "b" -> AtomicPublish.currentVersion(spark, bRoot).get,
+          "v" -> AtomicPublish.currentVersion(spark, vRoot).get))
+        Seq(fA, fB, feed1).foreach(_.unpersist())
+        batches += 1
+      }
+    }
+    assert(batches === 4, s"expected 4 micro-batches, saw $batches")
+    val cut = Coordinator.currentCut(spark, cutRoot)
+    assert(IncrementalAgg.readView(spark, vRoot, "view", Some(cut("v")))
+      .collect().map(_.toSeq).toSet === direct(aState(4), bState(4)),
+      "streamed join view diverged from the direct join of the final state")
+  }
+
+  test("composed join views: a maintained join view is ITSELF a " +
+    "maintainable base — two-layer 3-table chains equal the direct " +
+    "3-way join, including middle-hop key migrations") {
+    // A(aid, cust, av) ⋈ B(bid→nat) ⋈ N(nid, nname): B carries the
+    // middle hop (joins A on bid, N on nat); V1 = A⋈B lives in its own
+    // store bucketed on nat — the SECOND layer's join column — and its
+    // feed (layer 1's six terms) is the aFeed of layer 2
+    def dfB2(rows: Seq[(Int, Int, String)]) = rows.toDF("bid", "nat", "bv")
+    def dfN(rows: Seq[(Int, String)]) = rows.toDF("nid", "nname")
+    def direct3(a: Seq[(Int, Option[Int], String)], b: Seq[(Int, Int, String)],
+                n: Seq[(Int, String)]): Set[Seq[Any]] =
+      dfA(a).join(dfB2(b), col("cust") === col("bid"), "inner")
+        .join(dfN(n), col("nat") === col("nid"), "inner")
+        .collect().map(_.toSeq).toSet
+    val base = "/root/repo/target/test-sink/join3way"
+    Seq("a", "b", "n", "v1", "v2").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"; val nRoot = s"$base/n"
+    val v1Root = s"$base/v1"; val v2Root = s"$base/v2"
+    val aT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("aid"),
+      numBuckets = 4, bucketOn = Seq("cust")))
+    val bT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("bid"),
+      numBuckets = 4))
+    val nT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("nid"),
+      numBuckets = 4))
+    val v1T = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("aid", "bid"),
+      numBuckets = 4, bucketOn = Seq("nat")))
+    val v2T = Seq(IncrementalAgg.ReplicaSpec("view", Seq("aid", "bid", "nid"),
+      numBuckets = 4))
+    val rnd = new scala.util.Random(89)
+    var aCur = (0 until 40).map(i => (i,
+      if (i % 9 == 4) None: Option[Int] else Some(rnd.nextInt(10)), s"a$i"))
+    var bCur = (0 until 10).map(j => (j, j % 4, s"b$j"))
+    var nCur = (0 until 4).map(k => (k, s"n$k"))
+    def j1(a: Seq[(Int, Option[Int], String)], b: Seq[(Int, Int, String)]) =
+      dfA(a).join(dfB2(b), col("cust") === col("bid"), "inner")
+    IncrementalAgg.publishInitialMulti(spark, aRoot, dfA(aCur), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB2(bCur), bT)
+    IncrementalAgg.publishInitialMulti(spark, nRoot, dfN(nCur), nT)
+    IncrementalAgg.publishInitialMulti(spark, v1Root, j1(aCur, bCur), v1T)
+    IncrementalAgg.publishInitialMulti(spark, v2Root,
+      j1(aCur, bCur).join(dfN(nCur), col("nat") === col("nid"), "inner"), v2T)
+    (0 until 3).foreach { batch =>
+      val aNext = aCur.filterNot(_._1 % 9 == batch % 9)
+        .map { case (i, c, v) =>
+          if (i % 6 == batch % 6) (i, c.map(x => (x + 1) % 10), v + "!")
+          else (i, c, v) } ++
+        Seq((200 + batch, Some(rnd.nextInt(11)), s"new$batch"))
+      // the middle hop churns BOTH its keys: bid deletions cascade
+      // pairs out of V1, nat moves migrate V1 rows across layer-2
+      // buckets (the composed analogue of a customer changing nation)
+      val bNext = bCur.filterNot(_._1 == 9 - batch)
+        .map { case (j, g, v) =>
+          if (j % 5 == batch % 5) (j, (g + 1) % 4, v) else (j, g, v) } ++
+        Seq((10 + batch, (batch + 2) % 4, s"bn$batch"))
+      val bn = bNext.groupBy(_._1).map(_._2.head).toIndexedSeq
+      val nNext = nCur.map { case (k, v) =>
+        if (k == batch) (k, v + "-R") else (k, v) }
+      val feedA = ChangeFeed.diff(dfA(aCur), dfA(aNext), Seq("aid")).persist()
+      val feedB = ChangeFeed.diff(dfB2(bCur), dfB2(bn), Seq("bid")).persist()
+      val feedN = ChangeFeed.diff(dfN(nCur), dfN(nNext), Seq("nid")).persist()
+      val feed1 = JoinView.joinDeltaFromStores(spark,
+        JoinView.Side(aRoot, "replica", Seq("cust"),
+          AtomicPublish.currentVersion(spark, aRoot).get),
+        JoinView.Side(bRoot, "replica", Seq("bid"),
+          AtomicPublish.currentVersion(spark, bRoot).get),
+        feedA, feedB).persist()
+      val feed2 = JoinView.joinDeltaFromStores(spark,
+        JoinView.Side(v1Root, "replica", Seq("nat"),
+          AtomicPublish.currentVersion(spark, v1Root).get),
+        JoinView.Side(nRoot, "replica", Seq("nid"),
+          AtomicPublish.currentVersion(spark, nRoot).get),
+        feed1, feedN)
+      assert(IncrementalAgg.applyOnceMulti(spark, aRoot, feedA, batch, aT))
+      assert(IncrementalAgg.applyOnceMulti(spark, bRoot, feedB, batch, bT))
+      assert(IncrementalAgg.applyOnceMulti(spark, nRoot, feedN, batch, nT))
+      assert(IncrementalAgg.applyOnceMulti(spark, v1Root, feed1, batch, v1T))
+      assert(IncrementalAgg.applyOnceMulti(spark, v2Root, feed2, batch, v2T))
+      Seq(feedA, feedB, feedN, feed1).foreach(_.unpersist())
+      // BOTH layers must track their direct recomputes
+      assert(IncrementalAgg.readView(spark, v1Root, "replica")
+        .collect().map(_.toSeq).toSet
+        === j1(aNext, bn).collect().map(_.toSeq).toSet,
+        s"middle view diverged after batch $batch")
+      assert(IncrementalAgg.readView(spark, v2Root, "view")
+        .collect().map(_.toSeq).toSet === direct3(aNext, bn, nNext),
+        s"composed 3-way view diverged after batch $batch")
+      aCur = aNext; bCur = bn; nCur = nNext
+    }
+  }
+
   test("aggregate-over-join WITHOUT materializing the join: the view " +
     "feed directly maintains an additive view grouped by the other " +
     "side's column") {
