@@ -639,6 +639,19 @@ class JoinMaintenanceSpec extends SparkSuite {
         s"composed 3-way view diverged after batch $batch")
       aCur = aNext; bCur = bn; nCur = nNext
     }
+    // the novel claim of composition, pinned: the MIDDLE VIEW is a
+    // prunable base — a ΔN touching one nation key opens only that
+    // key's bucket of V1, not the whole |A⋈B| state
+    def bucketsOf(d: DataFrame): Set[String] =
+      d.inputFiles.flatMap(_.split('/')
+        .find(_.startsWith(s"${IncrementalAgg.BucketCol}="))).toSet
+    val oneNat = Seq(2).toDF("nat").select(col("nat").cast("int").as("nat"))
+    val prunedV1 = IncrementalAgg.readViewPrunedBy(spark, v1Root, "replica",
+      Seq("nat"), oneNat)
+    assert(bucketsOf(prunedV1).size <= 1,
+      "layer-2 read of the middle view must prune to the delta's buckets")
+    assert(bucketsOf(IncrementalAgg.readView(spark, v1Root, "replica")).size > 1,
+      "the unpruned middle view spans more buckets than the pruned read")
   }
 
   test("aggregate-over-join WITHOUT materializing the join: the view " +
