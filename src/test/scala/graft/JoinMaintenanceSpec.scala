@@ -654,6 +654,77 @@ class JoinMaintenanceSpec extends SparkSuite {
       "the unpruned middle view spans more buckets than the pruned read")
   }
 
+  test("join-view catch-up: a consumer that fell behind replays " +
+    "batch-by-batch against version-pinned base reads, or re-seeds " +
+    "from the current replicas — both converge to the live join") {
+    // join-family feeds cannot compose across batches (each batch's six
+    // terms bind to THAT batch's pre-states), so the two catch-up paths
+    // SCALE.md names are gated here: the bases advance 3 batches while
+    // the view store sleeps, then (a) a replay loop recomputes each
+    // batch's view feed from the RETAINED base versions and applies
+    // them in order; (b) an independent stale view re-seeds from the
+    // bases' current replicas in one join
+    val base = "/root/repo/target/test-sink/joincatchup"
+    Seq("a", "b", "v", "v2").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"
+    val vRoot = s"$base/v"; val v2Root = s"$base/v2"
+    val aT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("aid"),
+      numBuckets = 4, bucketOn = Seq("cust")))
+    val bT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("bid"),
+      numBuckets = 4))
+    val vT = Seq(IncrementalAgg.ReplicaSpec("view", Seq("aid", "bid"),
+      numBuckets = 4))
+    def aState(v: Int): Seq[(Int, Option[Int], String)] =
+      (0 until 36).filterNot(_ % 8 == v % 8).map(i => (i,
+        if (i % 9 == 4) None: Option[Int] else Some((i + v) % 7),
+        s"a$i-${(i * v) % 3}"))
+    def bState(v: Int): Seq[(Int, String)] =
+      (0 until 7).filterNot(_ == (v * 3) % 8).map(j => (j, s"b$j-${(j + v) % 2}"))
+    IncrementalAgg.publishInitialMulti(spark, aRoot, dfA(aState(0)), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB(bState(0)), bT)
+    IncrementalAgg.publishInitialMulti(spark, vRoot,
+      dfA(aState(0)).join(dfB(bState(0)), col("cust") === col("bid"), "inner"),
+      vT)
+    // record the base version BEFORE each batch — the replay loop's pin
+    val pins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    (0 until 3).foreach { i =>
+      pins += ((AtomicPublish.currentVersion(spark, aRoot).get,
+        AtomicPublish.currentVersion(spark, bRoot).get))
+      val fA = ChangeFeed.diff(dfA(aState(i)), dfA(aState(i + 1)), Seq("aid"))
+      val fB = ChangeFeed.diff(dfB(bState(i)), dfB(bState(i + 1)), Seq("bid"))
+      assert(IncrementalAgg.applyOnceMulti(spark, aRoot, fA, i.toLong, aT))
+      assert(IncrementalAgg.applyOnceMulti(spark, bRoot, fB, i.toLong, bT))
+      // the view store SLEEPS — it is now 3 batches behind
+    }
+    // (a) replay: each lag batch's view feed from the version-pinned
+    // pre-states (the table feeds are re-derivable between retained
+    // versions — ChangeFeed.between is the production source; the
+    // states here are deterministic so diff regenerates them)
+    (0 until 3).foreach { i =>
+      val (vA, vB) = pins(i)
+      val fA = ChangeFeed.diff(dfA(aState(i)), dfA(aState(i + 1)), Seq("aid"))
+      val fB = ChangeFeed.diff(dfB(bState(i)), dfB(bState(i + 1)), Seq("bid"))
+      val feed = JoinView.joinDeltaFromStores(spark,
+        JoinView.Side(aRoot, "replica", Seq("cust"), vA),
+        JoinView.Side(bRoot, "replica", Seq("bid"), vB),
+        fA, fB)
+      assert(IncrementalAgg.applyOnceMulti(spark, vRoot, feed, i.toLong, vT))
+    }
+    assert(IncrementalAgg.readView(spark, vRoot, "view")
+      .collect().map(_.toSeq).toSet === direct(aState(3), bState(3)),
+      "replay catch-up diverged from the live join")
+    // (b) re-seed: one join of the bases' CURRENT replicas — the same
+    // cost as initial seeding, no history needed
+    IncrementalAgg.publishInitialMulti(spark, v2Root,
+      IncrementalAgg.readView(spark, aRoot, "replica")
+        .join(IncrementalAgg.readView(spark, bRoot, "replica"),
+          col("cust") === col("bid"), "inner"), vT)
+    assert(IncrementalAgg.readView(spark, v2Root, "view")
+      .collect().map(_.toSeq).toSet === direct(aState(3), bState(3)),
+      "re-seed catch-up diverged from the live join")
+  }
+
   test("aggregate-over-join WITHOUT materializing the join: the view " +
     "feed directly maintains an additive view grouped by the other " +
     "side's column") {
