@@ -177,6 +177,8 @@ object JoinView {
                                   bFeed: DataFrame) {
     require(a.joinCols.size == b.joinCols.size,
       "joinCols of the two sides must pair up")
+    Seq(aFeed, bFeed).foreach(f => require(f.columns.contains("_change_type"),
+      "correction feeds must be ChangeFeed.diff outputs (missing _change_type)"))
     val aTable: Seq[String] = aFeed.columns.toSeq.filterNot(_ == "_change_type")
     private val aJoin = a.joinCols
     private val nullKeyed = aJoin.map(col(_).isNull).reduce(_ || _)
