@@ -170,8 +170,12 @@ object JoinView {
     * for the algebra): the batch's own A deletes/inserts judged against
     * pre/post counts, and the UNTOUCHED A rows whose key's match count
     * crossed zero either way. All lookups are bucket-pruned to the keys
-    * in play; everything here is a lazy plan — constructing the class
-    * costs nothing until a returned frame is evaluated. */
+    * in play. NOT free to construct: the two pruned store reads
+    * ([[IncrementalAgg.readViewPrunedBy]] for the count view and the
+    * transition rows) each run one small driver-blocking probe job at
+    * construction — build it once per batch and derive every needed
+    * feed from the same instance ([[semiAntiDeltas]] does exactly
+    * that for the complement pair). */
   private final class Corrections(spark: SparkSession, a: Side, b: Side,
                                   bCountView: String, aFeed: DataFrame,
                                   bFeed: DataFrame) {
@@ -254,6 +258,23 @@ object JoinView {
         .select(aTable.map(c => col(s"kt.$c")): _*)
   }
 
+  private def tag(rows: DataFrame, t: String): DataFrame =
+    rows.withColumn("_change_type", lit(t))
+
+  private def semiFeed(cx: Corrections): DataFrame =
+    tag(cx.lookup(cx.aDel, !cx.noPre, nullKeyedIn = false), "delete")
+      .unionByName(tag(cx.lookup(cx.aIns, !cx.noPost, nullKeyedIn = false),
+        "insert"))
+      .unionByName(tag(cx.gainedFirst, "insert"))
+      .unionByName(tag(cx.lostAll, "delete"))
+
+  private def antiFeed(cx: Corrections): DataFrame =
+    tag(cx.lookup(cx.aDel, cx.noPre, nullKeyedIn = true), "delete")
+      .unionByName(tag(cx.lookup(cx.aIns, cx.noPost, nullKeyedIn = true),
+        "insert"))
+      .unionByName(tag(cx.lostAll, "insert"))
+      .unionByName(tag(cx.gainedFirst, "delete"))
+
   /** SEMI-join view maintenance (`A ⋉ B` — the A rows with ≥1 match,
     * A's columns only, keyed by A's key): membership is a pure function
     * of the per-key match count, so the feed is exactly the four
@@ -268,16 +289,8 @@ object JoinView {
     * in play, the untouched-row lookup reads only the transition keys'
     * buckets. */
   def semiDelta(spark: SparkSession, a: Side, b: Side, bCountView: String,
-                aFeed: DataFrame, bFeed: DataFrame): DataFrame = {
-    val cx = new Corrections(spark, a, b, bCountView, aFeed, bFeed)
-    def tag(rows: DataFrame, t: String): DataFrame =
-      rows.withColumn("_change_type", lit(t))
-    tag(cx.lookup(cx.aDel, !cx.noPre, nullKeyedIn = false), "delete")
-      .unionByName(tag(cx.lookup(cx.aIns, !cx.noPost, nullKeyedIn = false),
-        "insert"))
-      .unionByName(tag(cx.gainedFirst, "insert"))
-      .unionByName(tag(cx.lostAll, "delete"))
-  }
+                aFeed: DataFrame, bFeed: DataFrame): DataFrame =
+    semiFeed(new Corrections(spark, a, b, bCountView, aFeed, bFeed))
 
   /** ANTI-join view maintenance (the A rows with NO match — the exact
     * complement of [[semiDelta]], and row-for-row the A-column
@@ -288,15 +301,18 @@ object JoinView {
     * enters when its key loses its last match and leaves on its first.
     * Same delta bounds as [[semiDelta]]. */
   def antiDelta(spark: SparkSession, a: Side, b: Side, bCountView: String,
-                aFeed: DataFrame, bFeed: DataFrame): DataFrame = {
+                aFeed: DataFrame, bFeed: DataFrame): DataFrame =
+    antiFeed(new Corrections(spark, a, b, bCountView, aFeed, bFeed))
+
+  /** Both complement feeds from ONE [[Corrections]] — a consumer
+    * maintaining the semi AND anti views of the same pair (they
+    * partition A, so serving both is natural) pays the count/transition
+    * machinery and its probe jobs once instead of twice. */
+  def semiAntiDeltas(spark: SparkSession, a: Side, b: Side,
+                     bCountView: String, aFeed: DataFrame,
+                     bFeed: DataFrame): (DataFrame, DataFrame) = {
     val cx = new Corrections(spark, a, b, bCountView, aFeed, bFeed)
-    def tag(rows: DataFrame, t: String): DataFrame =
-      rows.withColumn("_change_type", lit(t))
-    tag(cx.lookup(cx.aDel, cx.noPre, nullKeyedIn = true), "delete")
-      .unionByName(tag(cx.lookup(cx.aIns, cx.noPost, nullKeyedIn = true),
-        "insert"))
-      .unionByName(tag(cx.lostAll, "insert"))
-      .unionByName(tag(cx.gainedFirst, "delete"))
+    (semiFeed(cx), antiFeed(cx))
   }
 
   /** FULL-OUTER join view maintenance: [[leftOuterDelta]]'s feed (inner

@@ -650,8 +650,8 @@ object Etl {
             AtomicPublish.currentVersion(s, aRoot).get)
           val bSide = JoinView.Side(bRoot, "replica", Seq("c_custkey"),
             AtomicPublish.currentVersion(s, bRoot).get)
-          val semi = JoinView.semiDelta(s, aSide, bSide, "bcnt", feedA, feedB)
-          val anti = JoinView.antiDelta(s, aSide, bSide, "bcnt", feedA, feedB)
+          val (semi, anti) =
+            JoinView.semiAntiDeltas(s, aSide, bSide, "bcnt", feedA, feedB)
           try {
             IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
             IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)

@@ -373,10 +373,15 @@ class JoinMaintenanceSpec extends SparkSuite {
         AtomicPublish.currentVersion(spark, aRoot).get)
       val bSide = JoinView.Side(bRoot, "replica", Seq("bjoin"),
         AtomicPublish.currentVersion(spark, bRoot).get)
-      val semi = JoinView.semiDelta(spark, aSide, bSide, "bcnt",
-        feedA, feedB).persist()
-      val anti = JoinView.antiDelta(spark, aSide, bSide, "bcnt",
-        feedA, feedB).persist()
+      // batch 0 exercises the single-form entry points; later batches
+      // the shared-Corrections pair (one probe, both complements)
+      val (semi0, anti0) =
+        if (batch == 0)
+          (JoinView.semiDelta(spark, aSide, bSide, "bcnt", feedA, feedB),
+            JoinView.antiDelta(spark, aSide, bSide, "bcnt", feedA, feedB))
+        else JoinView.semiAntiDeltas(spark, aSide, bSide, "bcnt", feedA, feedB)
+      val semi = semi0.persist()
+      val anti = anti0.persist()
       assert(IncrementalAgg.applyOnceMulti(spark, aRoot, feedA, batch, aT))
       assert(IncrementalAgg.applyOnceMulti(spark, bRoot, feedB, batch, bT))
       assert(IncrementalAgg.applyOnceMulti(spark, sRoot, semi, batch, sT))
