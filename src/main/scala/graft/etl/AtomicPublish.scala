@@ -551,9 +551,32 @@ object AtomicPublish {
       case _: java.io.FileNotFoundException => dirMtime
     }
 
+  /** The RETAINED committed versions under `root`: every immutable
+    * version dir at or below the current pointer, ascending. (Dirs
+    * above the pointer are in-flight or crashed stages — not
+    * committed, not readable.) Empty before the first publish. */
+  def liveVersions(spark: SparkSession, root: String,
+                   store: PointerStore = DefaultStore): Seq[Long] = {
+    val ctx = fc(spark)
+    val cur = store.read(ctx, root).getOrElse(return Nil)
+    val rootPath = new Path(root)
+    if (!ctx.util.exists(rootPath)) return Nil
+    val it = ctx.listStatus(rootPath)
+    Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+      .filter(_.isDirectory)
+      .flatMap(s => if (s.getPath.getName.startsWith("v"))
+        s.getPath.getName.drop(1).toLongOption else None)
+      .filter(_ <= cur).toSeq.sorted
+  }
+
+  /** `protect`: versions NEVER deleted regardless of `keep` — the
+    * cross-store retention hook ([[Coordinator.vacuumMember]] passes
+    * every version a retained cut references, so vacuuming a member
+    * can never break a coordinator snapshot a reader could resolve). */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
              minAgeMs: Long = DefaultVacuumMinAgeMs,
-             store: PointerStore = DefaultStore): Seq[Long] = {
+             store: PointerStore = DefaultStore,
+             protect: Set[Long] = Set.empty): Seq[Long] = {
     val ctx = fc(spark)
     val cur = store.read(ctx, root).getOrElse(return Nil)
     val rootPath = new Path(root)
@@ -586,7 +609,8 @@ object AtomicPublish {
         if (store.read(ctx, root).forall(_ < v))
           ctx.delete(new Path(root, s"v$v"), true)
       }
-    val doomed = versions.map(_._1).filter(_ <= cur - keep).sorted
+    val doomed = versions.map(_._1)
+      .filter(v => v <= cur - keep && !protect(v)).sorted
     doomed.foreach(v => ctx.delete(new Path(root, s"v$v"), true))
     doomed
   }

@@ -41,7 +41,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is one tiny parquet write + one pointer swap, independent of data
   * size; retention/vacuum of member stores must keep every version
   * any RETAINED cut references (same contract as their own time
-  * travel — prune coordinator versions first, then members).
+  * travel — prune coordinator versions first, then members). That
+  * rule is ENFORCED, not prose: vacuum members through
+  * [[vacuumMember]], which protects every version a retained cut
+  * names ([[referencedVersions]]) no matter how small `keep` is.
   */
 object Coordinator {
 
@@ -80,4 +83,91 @@ object Coordinator {
     * of batch N", one consistent historical read across stores. */
   def cutAt(spark: SparkSession, root: String, version: Long): Map[String, Long] =
     decode(spark, AtomicPublish.snapshotAt(spark, root, version))
+
+  /** Every version of member `store` that ANY retained coordinator
+    * cut references — the set a member vacuum must keep or it strands
+    * a resolvable cross-store snapshot. Cost: one tiny parquet read
+    * per retained coordinator version (bounded by the coordinator's
+    * own `keep`, so prune the coordinator FIRST and this set shrinks
+    * with it). */
+  def referencedVersions(spark: SparkSession, root: String,
+                         store: String): Set[Long] =
+    AtomicPublish.liveVersions(spark, root)
+      .flatMap(v => cutAt(spark, root, v).get(store)).toSet
+
+  /** [[AtomicPublish.vacuum]] for a MEMBER store, cut-aware: every
+    * version a retained coordinator cut references is protected from
+    * deletion regardless of `keep`, so a reader resolving any
+    * retained cut ([[cutAt]]) can always open the member versions it
+    * names. The retention ordering the class Scaladoc states — prune
+    * coordinator versions first (its own vacuum), then members (this)
+    * — is thereby safe at BOTH steps instead of by convention.
+    * Returns the versions actually deleted. */
+  def vacuumMember(spark: SparkSession, root: String, store: String,
+                   memberRoot: String, keep: Int = 2,
+                   minAgeMs: Long = AtomicPublish.DefaultVacuumMinAgeMs)
+      : Seq[Long] =
+    AtomicPublish.vacuum(spark, memberRoot, keep, minAgeMs,
+      protect = referencedVersions(spark, root, store))
+
+  /** One member store's advance for [[advanceMembers]]: the store
+    * root, its batch feed, and the seeded target set
+    * ([[IncrementalAgg.applyOnceMulti]]'s arguments). */
+  final case class MemberAdvance(root: String, feed: DataFrame,
+                                 targets: Seq[IncrementalAgg.TargetSpec])
+
+  /** Advance several INDEPENDENT member stores through one batch
+    * CONCURRENTLY — the multi-store round's latency fix: each member's
+    * [[IncrementalAgg.applyOnceMulti]] pays a fixed per-commit price
+    * (touched-bucket probe job + stepped write + manifest + pointer
+    * swap) that is independent of the others', so running the members
+    * back-to-back multiplies that floor by |stores| for no reason.
+    * Here each member commits on its own pool thread (Spark's
+    * scheduler interleaves the jobs), so the batch's wall-clock floor
+    * is ~max over members instead of the sum — at micro-batch cadence
+    * with 5 stores (the composed star-cube shape) that is the
+    * dominant per-batch cost.
+    *
+    * SAFE because the members are DISTINCT roots (required): each
+    * store's exactly-once ledger, staging dirs, and pointer are
+    * private to it, and every cross-store READ in a maintenance round
+    * is version-pinned to the PRE-batch cut (immutable version dirs),
+    * so one member's commit cannot change what another's feed reads.
+    * Callers must persist() any feed whose plan is shared or
+    * expensive (the gates already do) — concurrent first-evaluation
+    * of one unpersisted plan from two members would duplicate work,
+    * never corrupt it.
+    *
+    * Failure semantics are the serial protocol's: if a member throws,
+    * others may already have committed — the cut is NOT taken, readers
+    * stay on the old consistent cut, and re-running the batch no-ops
+    * the committed members via their ledgers ([[commitCut]]'s crash
+    * analysis). The first failure is rethrown after all members
+    * settle. Returns each member's applied flag in input order. */
+  def advanceMembers(spark: SparkSession, batchId: Long,
+                     members: Seq[MemberAdvance],
+                     parallelism: Int = 0): Seq[Boolean] = {
+    require(members.nonEmpty, "no members")
+    require(members.map(_.root).distinct.size == members.size,
+      s"member roots must be distinct: ${members.map(_.root).mkString(",")}")
+    val par = if (parallelism > 0) math.min(parallelism, members.size)
+              else math.min(members.size, 8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = members.map { m =>
+        new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            IncrementalAgg.applyOnceMulti(spark, m.root, m.feed, batchId,
+              m.targets)
+        }
+      }
+      // invokeAll waits for ALL to settle (no member is interrupted
+      // mid-commit by a sibling's failure); .get() rethrows the first
+      // failure in input order
+      pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally { pool.shutdown(); () }
+  }
 }

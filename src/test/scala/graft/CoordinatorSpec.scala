@@ -146,4 +146,134 @@ class CoordinatorSpec extends SparkSuite {
     assert(!servedIds(cut("ann")).exists(_ % 7 == 3),
       "post-cut, the index must hide exactly what the warehouse dropped")
   }
+
+  test("cut-aware member vacuum: versions any RETAINED cut references " +
+    "survive keep=1, pruning the coordinator first shrinks the " +
+    "protected set, and the raw-vacuum hazard the helper closes is " +
+    "pinned") {
+    val base = "/root/repo/target/test-sink/coord_vac"
+    Seq("wh", "wh2", "cut").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val whRoot = s"$base/wh"; val wh2Root = s"$base/wh2"
+    val cutRoot = s"$base/cut"
+    def df(rows: Seq[(Int, String, Double)]) = rows.toDF("id", "g", "x")
+    val grp = Seq("g"); val sums = Seq("total" -> "x")
+    var cur = (0 until 24).map(i => (i, s"g${i % 3}", i * 1.0))
+    IncrementalAgg.publishInitial(spark, whRoot, df(cur), grp, sums,
+      numBuckets = 4)
+    IncrementalAgg.publishInitial(spark, wh2Root, df(cur), grp, sums,
+      numBuckets = 4)
+    Coordinator.commitCut(spark, cutRoot, Map("wh" -> 0L, "wh2" -> 0L))
+    (1 to 3).foreach { b =>
+      val next = cur.filterNot(_._1 == b).map { case (i, g, x) =>
+        if (i % 5 == b % 5) (i, g, x + 10.0) else (i, g, x) }
+      val feed = ChangeFeed.diff(df(cur), df(next), Seq("id"))
+      assert(IncrementalAgg.applyOnce(spark, whRoot, feed, b.toLong, grp, sums))
+      assert(IncrementalAgg.applyOnce(spark, wh2Root, feed, b.toLong, grp, sums))
+      Coordinator.commitCut(spark, cutRoot,
+        Map("wh" -> b.toLong, "wh2" -> b.toLong))
+      cur = next
+    }
+    // all four coordinator versions retained → every member version is
+    // referenced, so a keep=1 member vacuum may delete NOTHING
+    assert(AtomicPublish.liveVersions(spark, cutRoot) === Seq(0L, 1L, 2L, 3L))
+    assert(Coordinator.referencedVersions(spark, cutRoot, "wh")
+      === Set(0L, 1L, 2L, 3L))
+    assert(Coordinator.vacuumMember(spark, cutRoot, "wh", whRoot,
+      keep = 1) === Nil)
+    (0L to 3L).foreach { v =>
+      val c = Coordinator.cutAt(spark, cutRoot, v)
+      assert(IncrementalAgg.readState(spark, whRoot, Some(c("wh")))
+        .count() > 0, s"cut $v must stay resolvable end-to-end")
+    }
+    // THE HAZARD the helper closes: a raw member vacuum ignores the
+    // cuts — it deletes wh2@0..1 although retained cuts name them, and
+    // the reader through cut 0 then fails loudly AFTER the data is gone
+    assert(AtomicPublish.vacuum(spark, wh2Root, keep = 1) === Seq(0L, 1L, 2L))
+    val c0 = Coordinator.cutAt(spark, cutRoot, 0L)
+    intercept[Exception] {
+      IncrementalAgg.readState(spark, wh2Root, Some(c0("wh2"))).count()
+    }
+    // prune the COORDINATOR first (its own vacuum), then the member:
+    // the protected set shrinks to what the retained cuts still name
+    assert(AtomicPublish.vacuum(spark, cutRoot, keep = 2) === Seq(0L, 1L))
+    assert(Coordinator.referencedVersions(spark, cutRoot, "wh")
+      === Set(2L, 3L))
+    assert(Coordinator.vacuumMember(spark, cutRoot, "wh", whRoot,
+      keep = 1) === Seq(0L, 1L))
+    // every still-retained cut resolves end-to-end; the pruned version
+    // is genuinely gone
+    (2L to 3L).foreach { v =>
+      val c = Coordinator.cutAt(spark, cutRoot, v)
+      assert(IncrementalAgg.readState(spark, whRoot, Some(c("wh")))
+        .count() > 0)
+    }
+    assertThrows[IllegalArgumentException](
+      AtomicPublish.snapshotAt(spark, whRoot, 0L))
+  }
+
+  test("advanceMembers: independent member stores commit CONCURRENTLY " +
+    "with the serial protocol's semantics — same results, duplicate " +
+    "roots rejected, a failing member leaves the others committed but " +
+    "the cut untaken, and a plain re-run heals") {
+    val base = "/root/repo/target/test-sink/coord_par"
+    Seq("m1", "m2", "m3", "cut").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val m1 = s"$base/m1"; val m2 = s"$base/m2"; val m3 = s"$base/m3"
+    val cutRoot = s"$base/cut"
+    def df(rows: Seq[(Int, String, Double)]) = rows.toDF("id", "g", "x")
+    val v0 = (0 until 40).map(i => (i, s"g${i % 5}", i * 1.0))
+    val v1 = v0.filterNot(_._1 % 9 == 2).map { case (i, g, x) =>
+      if (i % 4 == 1) (i, g, x * 2) else (i, g, x) }
+    val aggT = Seq(IncrementalAgg.ViewSpec("agg", Seq("g"),
+      Seq("total" -> "x"), numBuckets = 4))
+    val repT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("id"),
+      numBuckets = 4))
+    Seq(m1, m2, m3).foreach(r =>
+      IncrementalAgg.publishInitialMulti(spark, r,
+        df(v0), if (r == m1) aggT else repT))
+    Coordinator.commitCut(spark, cutRoot,
+      Map("m1" -> 0L, "m2" -> 0L, "m3" -> 0L))
+    val feed = ChangeFeed.diff(df(v0), df(v1), Seq("id")).persist()
+    // duplicate roots are a caller bug, not a race to discover later
+    assertThrows[IllegalArgumentException](
+      Coordinator.advanceMembers(spark, 1L, Seq(
+        Coordinator.MemberAdvance(m1, feed, aggT),
+        Coordinator.MemberAdvance(m1, feed, aggT))))
+    // a failing member (its feed lacks the replica's columns) throws
+    // AFTER all members settle; the good members committed, the cut
+    // was never taken — readers stay on the consistent old cut
+    intercept[Exception] {
+      Coordinator.advanceMembers(spark, 1L, Seq(
+        Coordinator.MemberAdvance(m1, feed, aggT),
+        Coordinator.MemberAdvance(m2, feed, repT),
+        Coordinator.MemberAdvance(m3,
+          feed.select("id", "_change_type"), repT)))
+    }
+    assert(Coordinator.currentCut(spark, cutRoot)
+      === Map("m1" -> 0L, "m2" -> 0L, "m3" -> 0L),
+      "the cut must stay at the pre-batch snapshot after a member failure")
+    // recovery IS a re-run: committed members no-op via their ledgers
+    // (false), the failed one applies (true), the cut lands
+    val healed = Coordinator.advanceMembers(spark, 1L, Seq(
+      Coordinator.MemberAdvance(m1, feed, aggT),
+      Coordinator.MemberAdvance(m2, feed, repT),
+      Coordinator.MemberAdvance(m3, feed, repT)))
+    assert(healed === Seq(false, false, true),
+      s"re-run must heal exactly the failed member, got $healed")
+    feed.unpersist()
+    Coordinator.commitCut(spark, cutRoot,
+      Map("m1" -> 1L, "m2" -> 1L, "m3" -> 1L))
+    val cut = Coordinator.currentCut(spark, cutRoot)
+    assert(IncrementalAgg.readView(spark, m1, "agg", Some(cut("m1")))
+      .collect().map(_.toSeq).toSet ===
+      IncrementalAgg.aggregate(df(v1), Seq("g"), Seq("total" -> "x"))
+        .collect().map(_.toSeq).toSet,
+      "the concurrently-advanced aggregate must equal the direct recompute")
+    Seq("m2" -> m2, "m3" -> m3).foreach { case (n, r) =>
+      assert(IncrementalAgg.readView(spark, r, "replica", Some(cut(n)))
+        .collect().map(_.toSeq).toSet === df(v1).collect().map(_.toSeq).toSet,
+        s"replica $n diverged under the concurrent advance")
+    }
+  }
 }
