@@ -42,8 +42,9 @@ import org.apache.spark.sql.functions._
   * [[Coordinator]] cut over the three roots.
   *
   * The full join-type algebra on the same substrate: [[leftOuterDelta]]
-  * (inner + A-side null extensions; RIGHT outer is the same call with
-  * the sides swapped), [[fullOuterDelta]] (extensions on both sides),
+  * (inner + A-side null extensions), [[rightOuterDelta]] (the same
+  * call with the sides swapped), [[fullOuterDelta]] (extensions on
+  * both sides),
   * [[semiDelta]] / [[antiDelta]] (A ⋉ B and its complement — pure
   * functions of the per-key match count, no inner terms at all). All
   * outer/semi/anti decisions come from per-join-key MATCH-COUNT views
@@ -146,9 +147,26 @@ object JoinView {
     * null-safely, so the replica replays it exactly. */
   def leftOuterDelta(spark: SparkSession, a: Side, b: Side,
                      bCountView: String, aFeed: DataFrame,
-                     bFeed: DataFrame): DataFrame = {
-    val inner = joinDeltaFromStores(spark, a, b, aFeed, bFeed)
-    val cx = new Corrections(spark, a, b, bCountView, aFeed, bFeed)
+                     bFeed: DataFrame): DataFrame =
+    leftOuterFrom(joinDeltaFromStores(spark, a, b, aFeed, bFeed),
+      new Corrections(spark, a, b, bCountView, aFeed, bFeed))
+
+  /** RIGHT-OUTER join view maintenance: [[leftOuterDelta]] with the
+    * sides swapped — every B row kept, unmatched B rows null-extended
+    * on the A side, decided from `aCountView` (a count of A rows per
+    * join key co-maintained in A's store). The emitted feed carries
+    * B's columns FIRST, then A's (it is the left-outer feed of
+    * B ⟕ A); the view replica's key is `bKey ++ aKey` accordingly. */
+  def rightOuterDelta(spark: SparkSession, a: Side, b: Side,
+                      aCountView: String, aFeed: DataFrame,
+                      bFeed: DataFrame): DataFrame =
+    leftOuterDelta(spark, b, a, aCountView, bFeed, aFeed)
+
+  /** [[leftOuterDelta]]'s composition from prebuilt parts — the shared
+    * form [[fullOuterDelta]] and [[familyDeltas]] build on so one
+    * `Corrections` (and its probe jobs) serves every consumer of the
+    * same side. */
+  private def leftOuterFrom(inner: DataFrame, cx: Corrections): DataFrame = {
     // b-side columns = the inner feed's columns minus the a-feed's
     val bTable = inner.columns.toSeq
       .filterNot(c => cx.aTable.contains(c) || c == "_change_type")
@@ -329,19 +347,55 @@ object JoinView {
   def fullOuterDelta(spark: SparkSession, a: Side, b: Side,
                      aCountView: String, bCountView: String,
                      aFeed: DataFrame, bFeed: DataFrame): DataFrame = {
-    val lo = leftOuterDelta(spark, a, b, bCountView, aFeed, bFeed)
-    val cx = new Corrections(spark, b, a, aCountView, bFeed, aFeed)
-    val aTable = aFeed.columns.toSeq.filterNot(_ == "_change_type")
+    val inner = joinDeltaFromStores(spark, a, b, aFeed, bFeed)
+    val cxA = new Corrections(spark, a, b, bCountView, aFeed, bFeed)
+    val cxB = new Corrections(spark, b, a, aCountView, bFeed, aFeed)
+    val lo = leftOuterFrom(inner, cxA)
+    lo.unionByName(bSideExtensions(lo, cxA.aTable, cxB))
+  }
+
+  /** The B-side null-extension corrections of a full-outer feed —
+    * `cxB` is a [[Corrections]] with the roles swapped (B is its "A").
+    * `lo` supplies the a-column types to null out. */
+  private def bSideExtensions(lo: DataFrame, aTable: Seq[String],
+                              cxB: Corrections): DataFrame = {
     def nullExtB(bRows: DataFrame, changeType: String): DataFrame =
       bRows.select(aTable.map(c => lit(null).cast(lo.schema(c).dataType).as(c))
-        ++ cx.aTable.map(col) :+ lit(changeType).as("_change_type"): _*)
-    lo
-      .unionByName(nullExtB(cx.lookup(cx.aDel, cx.noPre, nullKeyedIn = true),
-        "delete"))
-      .unionByName(nullExtB(cx.lookup(cx.aIns, cx.noPost, nullKeyedIn = true),
-        "insert"))
-      .unionByName(nullExtB(cx.lostAll, "insert"))
-      .unionByName(nullExtB(cx.gainedFirst, "delete"))
+        ++ cxB.aTable.map(col) :+ lit(changeType).as("_change_type"): _*)
+    nullExtB(cxB.lookup(cxB.aDel, cxB.noPre, nullKeyedIn = true), "delete")
+      .unionByName(nullExtB(cxB.lookup(cxB.aIns, cxB.noPost,
+        nullKeyedIn = true), "insert"))
+      .unionByName(nullExtB(cxB.lostAll, "insert"))
+      .unionByName(nullExtB(cxB.gainedFirst, "delete"))
+  }
+
+  /** Every feed of the join family built from ONE shared substrate.
+    * The five feeds target five DIFFERENT views (inner/leftOuter/
+    * fullOuter keyed `aKey ++ bKey`; semi/anti keyed `aKey`,
+    * A-columns only), so a consumer serving several forms of the same
+    * pair maintains one store per form — but the expensive inputs are
+    * identical across forms and this constructor builds each exactly
+    * once: the two bucket-pruned inner reads, the A-side
+    * [[Corrections]] (shared by leftOuter, fullOuter, semi, anti) and
+    * the B-side one (fullOuter only). Calling the per-form entry
+    * points separately would run the count/transition probe jobs once
+    * PER FORM — up to 4× the per-batch fixed latency this shares. */
+  final case class FamilyFeeds(inner: DataFrame, leftOuter: DataFrame,
+                               fullOuter: DataFrame, semi: DataFrame,
+                               anti: DataFrame)
+
+  /** Build [[FamilyFeeds]] for one batch: one inner read, one
+    * `Corrections` per side, every form derived from those. */
+  def familyDeltas(spark: SparkSession, a: Side, b: Side,
+                   aCountView: String, bCountView: String,
+                   aFeed: DataFrame, bFeed: DataFrame): FamilyFeeds = {
+    val inner = joinDeltaFromStores(spark, a, b, aFeed, bFeed)
+    val cxA = new Corrections(spark, a, b, bCountView, aFeed, bFeed)
+    val cxB = new Corrections(spark, b, a, aCountView, bFeed, aFeed)
+    val lo = leftOuterFrom(inner, cxA)
+    FamilyFeeds(inner, lo,
+      lo.unionByName(bSideExtensions(lo, cxA.aTable, cxB)),
+      semiFeed(cxA), antiFeed(cxA))
   }
 
   /** [[joinDelta]] with each side's pre-state read from its maintained

@@ -786,4 +786,272 @@ class JoinMaintenanceSpec extends SparkSuite {
       aCur = aNext; bCur = bNext
     }
   }
+
+  test("right-outer join maintenance: the swapped leftOuterDelta call " +
+    "EXECUTED against direct RIGHT JOIN recomputes — every B row kept, " +
+    "A-side extensions born/die on A's count transitions") {
+    def dfB3(rows: Seq[(Int, Int, String)]) = rows.toDF("bid", "bjoin", "bval")
+    def directRO(a: Seq[(Int, Option[Int], String)],
+                 b: Seq[(Int, Int, String)]): Set[Seq[Any]] =
+      dfA(a).join(dfB3(b), col("cust") === col("bjoin"), "right_outer")
+        .collect().map(_.toSeq).toSet
+    val base = "/root/repo/target/test-sink/joinro"
+    Seq("a", "b", "v").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"; val vRoot = s"$base/v"
+    // A co-maintains acnt (A rows per join key) — the count view the
+    // B-side extension decisions read under the swap
+    val aT = Seq(
+      IncrementalAgg.ReplicaSpec("replica", Seq("aid"), numBuckets = 4,
+        bucketOn = Seq("cust")),
+      IncrementalAgg.ViewSpec("acnt", Seq("cust"), Nil, numBuckets = 4))
+    val bT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("bid"),
+      numBuckets = 4, bucketOn = Seq("bjoin")))
+    // the view is B ⟕ A under the swap: pair key leads with the kept
+    // side, aid NULL on extension rows
+    val vT = Seq(IncrementalAgg.ReplicaSpec("view", Seq("bid", "aid"),
+      numBuckets = 4))
+    val rnd = new scala.util.Random(97)
+    var aCur = (0 until 30).map(i => (i,
+      if (i % 7 == 2) None: Option[Int] else Some(rnd.nextInt(5)), s"a$i"))
+    // join values 0..5 on the B side; value 5 has no A row — a B-side
+    // extension from birth — and NULL-keyed A rows never match
+    var bCur = (0 until 9).map(j => (j, j % 6, s"b$j"))
+    IncrementalAgg.publishInitialMulti(spark, aRoot, dfA(aCur), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB3(bCur), bT)
+    IncrementalAgg.publishInitialMulti(spark, vRoot,
+      dfA(aCur).join(dfB3(bCur), col("cust") === col("bjoin"), "right_outer"),
+      vT)
+    (0 until 4).foreach { batch =>
+      val bNext0 = bCur.filterNot(_._1 == batch * 2 % 9)
+        .map { case (j, g, v) =>
+          if (j == (batch * 3 + 1) % 9) (j, (g + 2) % 6, v) else (j, g, v) } ++
+        Seq((20 + batch, (batch + 3) % 6, s"nb$batch"))
+      val bn = bNext0.groupBy(_._1).map(_._2.head).toIndexedSeq
+      // A churn crosses the zero boundary both ways: deletions kill the
+      // last A row of some join values (extensions born for UNTOUCHED
+      // B rows), inserts/moves give first matches (extensions die)
+      val aNext = aCur.filterNot(_._1 % 11 == batch)
+        .map { case (i, c, v) =>
+          if (i % 6 == batch % 6) (i, c.map(x => (x + 1) % 5), v + "!")
+          else (i, c, v) } ++
+        Seq((100 + batch, Some(rnd.nextInt(7)), s"new$batch"))
+      val feedA = ChangeFeed.diff(dfA(aCur), dfA(aNext), Seq("aid"))
+      val feedB = ChangeFeed.diff(dfB3(bCur), dfB3(bn), Seq("bid"))
+      val outer = JoinView.rightOuterDelta(spark,
+        JoinView.Side(aRoot, "replica", Seq("cust"),
+          AtomicPublish.currentVersion(spark, aRoot).get),
+        JoinView.Side(bRoot, "replica", Seq("bjoin"),
+          AtomicPublish.currentVersion(spark, bRoot).get),
+        "acnt", feedA, feedB).persist()
+      assert(IncrementalAgg.applyOnceMulti(spark, aRoot, feedA, batch, aT))
+      assert(IncrementalAgg.applyOnceMulti(spark, bRoot, feedB, batch, bT))
+      assert(IncrementalAgg.applyOnceMulti(spark, vRoot, outer, batch, vT))
+      outer.unpersist()
+      assert(IncrementalAgg.readView(spark, vRoot, "view")
+        .collect().map(_.toSeq).toSet === directRO(aNext, bn),
+        s"right-outer view diverged after batch $batch")
+      aCur = aNext; bCur = bn
+    }
+  }
+
+  test("familyDeltas: one shared substrate feeds ALL five join forms — " +
+    "each maintained view equals its direct recompute on every batch " +
+    "of a random chain") {
+    def dfB3(rows: Seq[(Int, Int, String)]) = rows.toDF("bid", "bjoin", "bval")
+    def direct(a: Seq[(Int, Option[Int], String)],
+               b: Seq[(Int, Int, String)], how: String): Set[Seq[Any]] =
+      dfA(a).join(dfB3(b), col("cust") === col("bjoin"), how)
+        .collect().map(_.toSeq).toSet
+    val base = "/root/repo/target/test-sink/joinfam"
+    Seq("a", "b", "vi", "vl", "vf", "vs", "vn").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"
+    // both count views co-maintained — the family needs acnt (B-side
+    // extensions of fullOuter) AND bcnt (everything else)
+    val aT = Seq(
+      IncrementalAgg.ReplicaSpec("replica", Seq("aid"), numBuckets = 4,
+        bucketOn = Seq("cust")),
+      IncrementalAgg.ViewSpec("acnt", Seq("cust"), Nil, numBuckets = 4))
+    val bT = Seq(
+      IncrementalAgg.ReplicaSpec("replica", Seq("bid"), numBuckets = 4,
+        bucketOn = Seq("bjoin")),
+      IncrementalAgg.ViewSpec("bcnt", Seq("bjoin"), Nil, numBuckets = 4))
+    val pairT = Seq(IncrementalAgg.ReplicaSpec("view", Seq("aid", "bid"),
+      numBuckets = 4))
+    val aKeyT = Seq(IncrementalAgg.ReplicaSpec("view", Seq("aid"),
+      numBuckets = 4))
+    val stores = Seq( // (root, targets, join type of the direct oracle)
+      (s"$base/vi", pairT, "inner"),
+      (s"$base/vl", pairT, "left_outer"),
+      (s"$base/vf", pairT, "full_outer"),
+      (s"$base/vs", aKeyT, "left_semi"),
+      (s"$base/vn", aKeyT, "left_anti"))
+    val rnd = new scala.util.Random(101)
+    var aCur = (0 until 30).map(i => (i,
+      if (i % 7 == 2) None: Option[Int] else Some(rnd.nextInt(5)), s"a$i"))
+    var bCur = (0 until 9).map(j => (j, j % 6, s"b$j"))
+    IncrementalAgg.publishInitialMulti(spark, aRoot, dfA(aCur), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB3(bCur), bT)
+    stores.foreach { case (root, t, how) =>
+      IncrementalAgg.publishInitialMulti(spark, root,
+        dfA(aCur).join(dfB3(bCur), col("cust") === col("bjoin"), how), t)
+    }
+    (0 until 3).foreach { batch =>
+      val bNext0 = bCur.filterNot(_._1 == batch * 2 % 9)
+        .map { case (j, g, v) =>
+          if (j == (batch * 3 + 1) % 9) (j, (g + 2) % 6, v) else (j, g, v) } ++
+        Seq((20 + batch, (batch + 3) % 6, s"nb$batch"))
+      val bn = bNext0.groupBy(_._1).map(_._2.head).toIndexedSeq
+      val aNext = aCur.filterNot(_._1 % 11 == batch)
+        .map { case (i, c, v) =>
+          if (i % 6 == batch % 6) (i, c.map(x => (x + 1) % 5), v + "!")
+          else (i, c, v) } ++
+        Seq((100 + batch, Some(rnd.nextInt(7)), s"new$batch"))
+      val feedA = ChangeFeed.diff(dfA(aCur), dfA(aNext), Seq("aid")).persist()
+      val feedB = ChangeFeed.diff(dfB3(bCur), dfB3(bn), Seq("bid")).persist()
+      // ONE call builds every form's feed from one inner read and one
+      // Corrections per side — the shared-probe contract under test
+      val fam = JoinView.familyDeltas(spark,
+        JoinView.Side(aRoot, "replica", Seq("cust"),
+          AtomicPublish.currentVersion(spark, aRoot).get),
+        JoinView.Side(bRoot, "replica", Seq("bjoin"),
+          AtomicPublish.currentVersion(spark, bRoot).get),
+        "acnt", "bcnt", feedA, feedB)
+      val feeds = Seq(fam.inner, fam.leftOuter, fam.fullOuter, fam.semi,
+        fam.anti).map(_.persist())
+      assert(IncrementalAgg.applyOnceMulti(spark, aRoot, feedA, batch, aT))
+      assert(IncrementalAgg.applyOnceMulti(spark, bRoot, feedB, batch, bT))
+      stores.zip(feeds).foreach { case ((root, t, _), feed) =>
+        assert(IncrementalAgg.applyOnceMulti(spark, root, feed, batch, t))
+      }
+      (feedA +: feedB +: feeds).foreach(_.unpersist())
+      stores.foreach { case (root, _, how) =>
+        assert(IncrementalAgg.readView(spark, root, "view")
+          .collect().map(_.toSeq).toSet === direct(aNext, bn, how),
+          s"family form '$how' diverged after batch $batch")
+      }
+      aCur = aNext; bCur = bn
+    }
+  }
+
+  test("GC under composition: the middle-view store is vacuumed " +
+    "mid-stream (cut-aware versions + segments) while layer-2 reads " +
+    "pin cut versions — every batch stays exact, every retained cut " +
+    "stays resolvable, state stays bounded") {
+    import graft.etl.Coordinator
+    def dfB2(rows: Seq[(Int, Int, String)]) = rows.toDF("bid", "nat", "bv")
+    def dfN(rows: Seq[(Int, String)]) = rows.toDF("nid", "nname")
+    def direct3(a: Seq[(Int, Option[Int], String)], b: Seq[(Int, Int, String)],
+                n: Seq[(Int, String)]): Set[Seq[Any]] =
+      dfA(a).join(dfB2(b), col("cust") === col("bid"), "inner")
+        .join(dfN(n), col("nat") === col("nid"), "inner")
+        .collect().map(_.toSeq).toSet
+    val base = "/root/repo/target/test-sink/join3gc"
+    Seq("a", "b", "n", "v1", "g", "cut").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val aRoot = s"$base/a"; val bRoot = s"$base/b"; val nRoot = s"$base/n"
+    val v1Root = s"$base/v1"; val gRoot = s"$base/g"; val cutRoot = s"$base/cut"
+    val aT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("aid"),
+      numBuckets = 4, bucketOn = Seq("cust")))
+    val bT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("bid"),
+      numBuckets = 4))
+    val nT = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("nid"),
+      numBuckets = 4))
+    val v1T = Seq(IncrementalAgg.ReplicaSpec("replica", Seq("aid", "bid"),
+      numBuckets = 4, bucketOn = Seq("nat")))
+    val gT = Seq(IncrementalAgg.ReplicaSpec("view", Seq("aid", "bid", "nid"),
+      numBuckets = 4))
+    val rnd = new scala.util.Random(103)
+    var aCur = (0 until 40).map(i => (i,
+      if (i % 9 == 4) None: Option[Int] else Some(rnd.nextInt(10)), s"a$i"))
+    var bCur = (0 until 10).map(j => (j, j % 4, s"b$j"))
+    var nCur = (0 until 4).map(k => (k, s"n$k"))
+    def j1(a: Seq[(Int, Option[Int], String)], b: Seq[(Int, Int, String)]) =
+      dfA(a).join(dfB2(b), col("cust") === col("bid"), "inner")
+    IncrementalAgg.publishInitialMulti(spark, aRoot, dfA(aCur), aT)
+    IncrementalAgg.publishInitialMulti(spark, bRoot, dfB2(bCur), bT)
+    IncrementalAgg.publishInitialMulti(spark, nRoot, dfN(nCur), nT)
+    IncrementalAgg.publishInitialMulti(spark, v1Root, j1(aCur, bCur), v1T)
+    IncrementalAgg.publishInitialMulti(spark, gRoot,
+      j1(aCur, bCur).join(dfN(nCur), col("nat") === col("nid"), "inner"), gT)
+    Coordinator.commitCut(spark, cutRoot, Map(
+      "a" -> 0L, "b" -> 0L, "n" -> 0L, "v1" -> 0L, "g" -> 0L))
+    def vacuumRound(): Unit = {
+      // the retention ordering under test: coordinator first, then the
+      // middle view's versions (cut-aware) and segments — racing
+      // nothing, because the in-flight reads of THIS cadence always
+      // pin versions the current cut references
+      AtomicPublish.vacuum(spark, cutRoot, keep = 2)
+      Coordinator.vacuumMember(spark, cutRoot, "v1", v1Root, keep = 1)
+      IncrementalAgg.vacuumSegments(spark, v1Root, minAgeMs = 0)
+    }
+    (0 until 5).foreach { batch =>
+      val aNext = aCur.filterNot(_._1 % 9 == batch % 9)
+        .map { case (i, c, v) =>
+          if (i % 6 == batch % 6) (i, c.map(x => (x + 1) % 10), v + "!")
+          else (i, c, v) } ++
+        Seq((200 + batch, Some(rnd.nextInt(11)), s"new$batch"))
+      val bNext = bCur.filterNot(_._1 == 9 - batch)
+        .map { case (j, g, v) =>
+          if (j % 5 == batch % 5) (j, (g + 1) % 4, v) else (j, g, v) } ++
+        Seq((10 + batch, (batch + 2) % 4, s"bn$batch"))
+      val bn = bNext.groupBy(_._1).map(_._2.head).toIndexedSeq
+      val nNext = nCur.map { case (k, v) =>
+        if (k == batch % 4) (k, v + "-R") else (k, v) }
+      val feedA = ChangeFeed.diff(dfA(aCur), dfA(aNext), Seq("aid")).persist()
+      val feedB = ChangeFeed.diff(dfB2(bCur), dfB2(bn), Seq("bid")).persist()
+      val feedN = ChangeFeed.diff(dfN(nCur), dfN(nNext), Seq("nid")).persist()
+      // layer reads pin the LAST cut's versions — exactly the versions
+      // the cut-aware vacuum must never delete
+      val cut = Coordinator.currentCut(spark, cutRoot)
+      val feed1 = JoinView.joinDeltaFromStores(spark,
+        JoinView.Side(aRoot, "replica", Seq("cust"), cut("a")),
+        JoinView.Side(bRoot, "replica", Seq("bid"), cut("b")),
+        feedA, feedB).persist()
+      val feed2 = JoinView.joinDeltaFromStores(spark,
+        JoinView.Side(v1Root, "replica", Seq("nat"), cut("v1")),
+        JoinView.Side(nRoot, "replica", Seq("nid"), cut("n")),
+        feed1, feedN).persist()
+      Coordinator.advanceMembers(spark, batch.toLong, Seq(
+        Coordinator.MemberAdvance(aRoot, feedA, aT),
+        Coordinator.MemberAdvance(bRoot, feedB, bT),
+        Coordinator.MemberAdvance(nRoot, feedN, nT),
+        Coordinator.MemberAdvance(v1Root, feed1, v1T),
+        Coordinator.MemberAdvance(gRoot, feed2, gT)))
+      Coordinator.commitCut(spark, cutRoot, Map(
+        "a" -> AtomicPublish.currentVersion(spark, aRoot).get,
+        "b" -> AtomicPublish.currentVersion(spark, bRoot).get,
+        "n" -> AtomicPublish.currentVersion(spark, nRoot).get,
+        "v1" -> AtomicPublish.currentVersion(spark, v1Root).get,
+        "g" -> AtomicPublish.currentVersion(spark, gRoot).get))
+      Seq(feedA, feedB, feedN, feed1, feed2).foreach(_.unpersist())
+      if (batch % 2 == 1) vacuumRound()
+      val nowCut = Coordinator.currentCut(spark, cutRoot)
+      assert(IncrementalAgg.readView(spark, gRoot, "view", Some(nowCut("g")))
+        .collect().map(_.toSeq).toSet === direct3(aNext, bn, nNext),
+        s"composed view diverged after batch $batch (GC cadence)")
+      aCur = aNext; bCur = bn; nCur = nNext
+    }
+    vacuumRound()
+    // bounded state: the middle view retains at most keep + the
+    // versions the two retained cuts reference
+    val live = AtomicPublish.liveVersions(spark, v1Root)
+    assert(live.size <= 3,
+      s"middle-view versions unbounded under the GC cadence: $live")
+    // EVERY retained cut still resolves end-to-end through the
+    // middle view — the property the cut-aware vacuum exists for —
+    // and the NEWEST one serves exactly the live A⋈B
+    val retainedCuts = AtomicPublish.liveVersions(spark, cutRoot)
+    retainedCuts.foreach { cv =>
+      val c = Coordinator.cutAt(spark, cutRoot, cv)
+      assert(IncrementalAgg.readView(spark, v1Root, "replica", Some(c("v1")))
+        .count() > 0, s"retained cut $cv cannot open its middle-view version")
+    }
+    val newest = Coordinator.cutAt(spark, cutRoot, retainedCuts.max)
+    assert(IncrementalAgg.readView(spark, v1Root, "replica",
+      Some(newest("v1"))).collect().map(_.toSeq).toSet
+      === j1(aCur, bCur).collect().map(_.toSeq).toSet,
+      "the newest cut's middle view must equal the live A⋈B")
+  }
 }
