@@ -498,12 +498,18 @@ object Etl {
           val viewFeed = JoinView.joinDeltaFromStores(s,
             JoinView.Side(aRoot, "replica", Seq("o_custkey"), cut("a")),
             JoinView.Side(bRoot, "replica", Seq("c_custkey"), cut("b")),
-            feedA, feedB)
+            feedA, feedB).persist()
           try {
-            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
-            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
-            IncrementalAgg.applyOnceMulti(s, vRoot, viewFeed, i.toLong, vT)
-          } finally { feedA.unpersist(); feedB.unpersist(); () }
+            // three independent stores, reads pinned to the pre-batch
+            // cut — their per-commit latencies overlap (ask: the
+            // multi-store serial-commit floor)
+            Coordinator.advanceMembers(s, i.toLong, Seq(
+              Coordinator.MemberAdvance(aRoot, feedA, aT),
+              Coordinator.MemberAdvance(bRoot, feedB, bT),
+              Coordinator.MemberAdvance(vRoot, viewFeed, vT)))
+          } finally {
+            feedA.unpersist(); feedB.unpersist(); viewFeed.unpersist(); ()
+          }
           Coordinator.commitCut(s, cutRoot, Map(
             "a" -> AtomicPublish.currentVersion(s, aRoot).get,
             "b" -> AtomicPublish.currentVersion(s, bRoot).get,
@@ -577,12 +583,14 @@ object Etl {
               AtomicPublish.currentVersion(s, aRoot).get),
             JoinView.Side(bRoot, "replica", Seq("c_custkey"),
               AtomicPublish.currentVersion(s, bRoot).get),
-            "bcnt", feedA, feedB)
+            "bcnt", feedA, feedB).persist()
           try {
             IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
             IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
             IncrementalAgg.applyOnceMulti(s, vRoot, outer, i.toLong, vT)
-          } finally { feedA.unpersist(); feedB.unpersist(); () }
+          } finally {
+            feedA.unpersist(); feedB.unpersist(); outer.unpersist(); ()
+          }
       }
       IncrementalAgg.readView(s, vRoot, "view")
         .orderBy("o_orderkey")
@@ -650,14 +658,18 @@ object Etl {
             AtomicPublish.currentVersion(s, aRoot).get)
           val bSide = JoinView.Side(bRoot, "replica", Seq("c_custkey"),
             AtomicPublish.currentVersion(s, bRoot).get)
-          val (semi, anti) =
+          val (semi0, anti0) =
             JoinView.semiAntiDeltas(s, aSide, bSide, "bcnt", feedA, feedB)
+          val semi = semi0.persist(); val anti = anti0.persist()
           try {
             IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
             IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
             IncrementalAgg.applyOnceMulti(s, sRoot, semi, i.toLong, sT)
             IncrementalAgg.applyOnceMulti(s, nRoot, anti, i.toLong, nT)
-          } finally { feedA.unpersist(); feedB.unpersist(); () }
+          } finally {
+            feedA.unpersist(); feedB.unpersist()
+            semi.unpersist(); anti.unpersist(); ()
+          }
       }
       IncrementalAgg.readView(s, sRoot, "semi")
         .withColumn("side", lit("semi"))
@@ -730,12 +742,14 @@ object Etl {
               AtomicPublish.currentVersion(s, aRoot).get),
             JoinView.Side(bRoot, "replica", Seq("c_custkey"),
               AtomicPublish.currentVersion(s, bRoot).get),
-            "acnt", "bcnt", feedA, feedB)
+            "acnt", "bcnt", feedA, feedB).persist()
           try {
             IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
             IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
             IncrementalAgg.applyOnceMulti(s, vRoot, outer, i.toLong, vT)
-          } finally { feedA.unpersist(); feedB.unpersist(); () }
+          } finally {
+            feedA.unpersist(); feedB.unpersist(); outer.unpersist(); ()
+          }
       }
       IncrementalAgg.readView(s, vRoot, "view")
         .orderBy(col("o_orderkey").asc_nulls_last,
@@ -804,12 +818,14 @@ object Etl {
               AtomicPublish.currentVersion(s, aRoot).get),
             JoinView.Side(bRoot, "replica", Seq("c_custkey"),
               AtomicPublish.currentVersion(s, bRoot).get),
-            feedA, feedB)
+            feedA, feedB).persist()
           try {
             IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
             IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
             IncrementalAgg.applyOnceMulti(s, gRoot, viewFeed, i.toLong, gT)
-          } finally { feedA.unpersist(); feedB.unpersist(); () }
+          } finally {
+            feedA.unpersist(); feedB.unpersist(); viewFeed.unpersist(); ()
+          }
       }
       IncrementalAgg.readView(s, gRoot, "cube")
         .select(col("c_mktsegment"), col("o_year"), col("n"),
@@ -832,7 +848,7 @@ object Etl {
     // a customer's nation move migrates its orders' cells through the
     // composed feeds alone.
     "o23_star_cube_maintain" -> ((s, dir) => {
-      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
       import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
       val ordBase = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -909,22 +925,109 @@ object Etl {
               AtomicPublish.currentVersion(s, v1Root).get),
             JoinView.Side(nRoot, "replica", Seq("n_nationkey"),
               AtomicPublish.currentVersion(s, nRoot).get),
-            feed1, feedN)
+            feed1, feedN).persist()
           try {
-            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
-            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
-            IncrementalAgg.applyOnceMulti(s, nRoot, feedN, i.toLong, nT)
-            IncrementalAgg.applyOnceMulti(s, v1Root, feed1, i.toLong, v1T)
-            IncrementalAgg.applyOnceMulti(s, gRoot, feed2, i.toLong, gT)
+            // the five stores are independent (distinct roots, every
+            // cross-store read above version-pinned to the pre-batch
+            // state), so their fixed per-commit latencies OVERLAP —
+            // the batch floor is ~max over members, not the 5× sum
+            Coordinator.advanceMembers(s, i.toLong, Seq(
+              Coordinator.MemberAdvance(aRoot, feedA, aT),
+              Coordinator.MemberAdvance(bRoot, feedB, bT),
+              Coordinator.MemberAdvance(nRoot, feedN, nT),
+              Coordinator.MemberAdvance(v1Root, feed1, v1T),
+              Coordinator.MemberAdvance(gRoot, feed2, gT)))
           } finally {
             feedA.unpersist(); feedB.unpersist()
-            feedN.unpersist(); feed1.unpersist(); ()
+            feedN.unpersist(); feed1.unpersist(); feed2.unpersist(); ()
           }
       }
       IncrementalAgg.readView(s, gRoot, "cube")
         .select(col("n_name"), col("o_year"), col("n"),
           col("sum_price").cast("double").as("sum_price"))
         .orderBy("n_name", "o_year")
+    }),
+
+    // o24 — MAINTAINED RIGHT-OUTER JOIN [extension; the symmetry
+    // witness]: JoinView.rightOuterDelta IS leftOuterDelta with the
+    // sides swapped — this gate EXECUTES that swapped call against a
+    // real RIGHT JOIN oracle so the r17 claim is priced, not prose.
+    // Every customer row is kept; an unmatched customer carries a
+    // NULL-extended order side, and those rows are born/die on the
+    // customer's order-count transitions, decided from `acnt` (orders
+    // per o_custkey) co-maintained in the ORDERS store. o21's chains
+    // force them: batch 1 deletes every order of an o_custkey slice
+    // (untouched customers lose their last match — extensions born),
+    // batch 2 re-adds part of it (extensions die) while customers
+    // churn too (deletes drop their orders from the view entirely;
+    // re-inserts are judged against the post-batch order count). The
+    // oracle is a direct RIGHT JOIN of the final slices.
+    "o24_rightouter_maintain" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
+      val ordBase = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val custBase = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bump = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 4, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val aChain = Seq(
+        ordBase,
+        ordBase.filter(col("o_orderkey") % 10 =!= 3 &&
+          col("o_custkey") % 11 =!= 5),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 3 &&
+          (col("o_custkey") % 11 =!= 5 || col("o_custkey") % 13 === 0))))
+      val bChain = Seq(
+        custBase.filter(col("c_custkey") % 3 =!= 1),
+        custBase.filter(col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2),
+        custBase.filter((col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2) ||
+          (col("c_custkey") % 3 === 1 && col("c_custkey") % 7 === 0)))
+      val base = s"/root/repo/target/sink/o24_ro_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      if (fc.util.exists(bp)) fc.delete(bp, true)
+      val aRoot = s"$base/a"; val bRoot = s"$base/b"; val vRoot = s"$base/v"
+      val aT = Seq(
+        ReplicaSpec("replica", Seq("o_orderkey"), numBuckets = 16,
+          bucketOn = Seq("o_custkey")),
+        ViewSpec("acnt", Seq("o_custkey"), Nil, numBuckets = 16))
+      val bT = Seq(ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16))
+      // the view is B ⟕ A under the swap, so its pair key leads with
+      // the kept side: (c_custkey, o_orderkey), o_orderkey NULL on
+      // extension rows
+      val vT = Seq(ReplicaSpec("view", Seq("c_custkey", "o_orderkey"),
+        numBuckets = 16))
+      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
+      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
+      IncrementalAgg.publishInitialMulti(s, vRoot,
+        aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "right_outer"), vT)
+      aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
+        case (Seq((a0, b0), (a1, b1)), i) =>
+          val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
+          val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
+          val outer = JoinView.rightOuterDelta(s,
+            JoinView.Side(aRoot, "replica", Seq("o_custkey"),
+              AtomicPublish.currentVersion(s, aRoot).get),
+            JoinView.Side(bRoot, "replica", Seq("c_custkey"),
+              AtomicPublish.currentVersion(s, bRoot).get),
+            "acnt", feedA, feedB).persist()
+          try {
+            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
+            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
+            IncrementalAgg.applyOnceMulti(s, vRoot, outer, i.toLong, vT)
+          } finally {
+            feedA.unpersist(); feedB.unpersist(); outer.unpersist(); ()
+          }
+      }
+      IncrementalAgg.readView(s, vRoot, "view")
+        .orderBy(col("c_custkey").asc_nulls_last,
+          col("o_orderkey").asc_nulls_last)
     }),
 
     // o17 — MAINTAINED TOP-K [extension; leaderboard maintenance]:
@@ -1244,6 +1347,27 @@ object Etl {
         |SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
         |FROM o FULL JOIN c ON o_custkey = c_custkey
         |ORDER BY o_orderkey NULLS LAST, c_custkey NULLS LAST""".stripMargin,
+
+    // The final slices RIGHT-joined directly — the swapped-call
+    // maintenance, the acnt view, and the three stores never appear
+    // here, so the hash match proves rightOuterDelta ≡ a from-scratch
+    // RIGHT JOIN (customer-side rows all kept, order side
+    // null-extended). Same slices as o21, so the two oracles also pin
+    // right ≡ full minus the order-side extensions.
+    "o24_rightouter_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |    AND (o_custkey % 11 <> 5 OR o_custkey % 13 = 0)),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE (c_custkey % 3 <> 1 AND c_custkey % 5 <> 2)
+        |     OR (c_custkey % 3 = 1 AND c_custkey % 7 = 0))
+        |SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
+        |FROM o RIGHT JOIN c ON o_custkey = c_custkey
+        |ORDER BY c_custkey NULLS LAST, o_orderkey NULLS LAST""".stripMargin,
 
     // The cube recomputed as a direct join + group-by over the final
     // slices — the six-term feed, the additive maintenance, and the

@@ -329,6 +329,127 @@ object StreamingOps {
         .orderBy("o_orderpriority")
     }),
 
+    // st15 — streaming JOIN-VIEW maintenance over a MULTIPLEXED CDC
+    // topic [extension; the streaming form of o18, hash-gated like
+    // every other st query instead of spec-only]: one stream carries
+    // BOTH tables' change feeds under a super-schema with a _table
+    // tag (the one-topic-many-tables CDC shape); each micro-batch
+    // demultiplexes, computes the six-term join delta with both
+    // pre-states read bucket-pruned AT THE LAST CUT, advances the
+    // three stores CONCURRENTLY (Coordinator.advanceMembers — the
+    // per-commit latencies overlap), and commits one cut. A replayed
+    // batch no-ops every ledger and re-commits an identical cut. The
+    // oracle joins the final slices directly — the feed files, the
+    // demux, the six terms, and the cuts never appear in it.
+    "st15_stream_join_maintain" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
+      import graft.etl.IncrementalAgg.ReplicaSpec
+      val ordBase = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val custBase = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bump = (df: DataFrame) =>
+        df.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 4, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val reseg = (df: DataFrame) =>
+        df.withColumn("c_mktsegment",
+          when(col("c_custkey") % 5 === 0, lit("GRAFTSEG"))
+            .otherwise(col("c_mktsegment")))
+      // 4 versions → 3 multiplexed feed files; both sides churn every
+      // batch (order deletes/re-inserts + price updates beside
+      // customer resegmentations and a customer slice deletion)
+      val aChain = Seq(
+        ordBase,
+        ordBase.filter(col("o_orderkey") % 10 =!= 7),
+        ordBase.filter(col("o_orderkey") % 10 =!= 7 &&
+          col("o_orderkey") % 10 =!= 3),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 3)))
+      val bChain = Seq(
+        custBase,
+        reseg(custBase),
+        reseg(custBase).filter(col("c_custkey") % 7 =!= 3),
+        reseg(custBase).filter(col("c_custkey") % 7 =!= 3))
+      def mux(fa: DataFrame, fb: DataFrame): DataFrame =
+        fa.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            lit(null).cast("bigint").as("c_custkey"),
+            lit(null).cast("string").as("c_mktsegment"),
+            col("_change_type"), lit("a").as("_table"))
+          .unionByName(fb.select(
+            lit(null).cast("bigint").as("o_orderkey"),
+            lit(null).cast("bigint").as("o_custkey"),
+            lit(null).cast("double").as("o_totalprice"),
+            col("c_custkey"), col("c_mktsegment"),
+            col("_change_type"), lit("b").as("_table")))
+      val feedDir = s"/root/repo/target/sink/st15_feeds_${Tables.dirSlug(dir)}"
+      Shared.setupOnce(s, dir, "st15_feeds") {
+        // one subdir per batch, each overwritten idempotently — the
+        // CDC topic's batch boundaries, admitted one per trigger
+        aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
+          case (Seq((a0, b0), (a1, b1)), i) =>
+            mux(ChangeFeed.diff(a0, a1, Seq("o_orderkey")),
+                ChangeFeed.diff(b0, b1, Seq("c_custkey")))
+              .repartition(1).write.mode("overwrite").parquet(s"$feedDir/f$i")
+        }
+      }
+      val base = s"/root/repo/target/sink/st15_jv_${Tables.dirSlug(dir)}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+      val aRoot = s"$base/a"; val bRoot = s"$base/b"
+      val vRoot = s"$base/v"; val cutRoot = s"$base/cut"
+      val aT = Seq(ReplicaSpec("replica", Seq("o_orderkey"), numBuckets = 16,
+        bucketOn = Seq("o_custkey")))
+      val bT = Seq(ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16))
+      val vT = Seq(ReplicaSpec("view", Seq("o_orderkey", "c_custkey"),
+        numBuckets = 16))
+      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
+      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
+      IncrementalAgg.publishInitialMulti(s, vRoot,
+        aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "inner"), vT)
+      Coordinator.commitCut(s, cutRoot, Map("a" -> 0L, "b" -> 0L, "v" -> 0L))
+      val muxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+          "c_custkey BIGINT, c_mktsegment STRING, " +
+          "_change_type STRING, _table STRING")
+      val stream = s.readStream.schema(muxSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$feedDir/*")
+      val chk = s"${Streams.ephemeralChkRoot}/st15_${Tables.dirSlug(dir)}"
+      Streams.runIngest(s, stream, chk) { (batch, batchId) =>
+        if (!batch.isEmpty) {
+          val fA = batch.filter(col("_table") === "a")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "_change_type")
+            .persist()
+          val fB = batch.filter(col("_table") === "b")
+            .select("c_custkey", "c_mktsegment", "_change_type").persist()
+          // pre-state reads pin to the LAST cut, so the concurrent
+          // store advances below cannot race them
+          val cut = Coordinator.currentCut(s, cutRoot)
+          val viewFeed = JoinView.joinDeltaFromStores(s,
+            JoinView.Side(aRoot, "replica", Seq("o_custkey"), cut("a")),
+            JoinView.Side(bRoot, "replica", Seq("c_custkey"), cut("b")),
+            fA, fB).persist()
+          try Coordinator.advanceMembers(s, batchId, Seq(
+            Coordinator.MemberAdvance(aRoot, fA, aT),
+            Coordinator.MemberAdvance(bRoot, fB, bT),
+            Coordinator.MemberAdvance(vRoot, viewFeed, vT)))
+          finally {
+            fA.unpersist(); fB.unpersist(); viewFeed.unpersist(); ()
+          }
+          Coordinator.commitCut(s, cutRoot, Map(
+            "a" -> AtomicPublish.currentVersion(s, aRoot).get,
+            "b" -> AtomicPublish.currentVersion(s, bRoot).get,
+            "v" -> AtomicPublish.currentVersion(s, vRoot).get))
+        }
+      }
+      val cut = Coordinator.currentCut(s, cutRoot)
+      IncrementalAgg.readView(s, vRoot, "view", Some(cut("v")))
+        .orderBy("o_orderkey")
+    }),
+
     // st3 — custom sessionization state: flatMapGroupsWithState per user,
     // splitting the user's event times on gaps > GAP_US. One AvailableNow
     // batch delivers each user's full history, so the emitted sessions
@@ -519,6 +640,25 @@ object StreamingOps {
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
         |    AS DOUBLE) AS total_price
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The final slices joined directly — the multiplexed topic, the
+    // demux, the six-term delta algebra, the three stores, and the
+    // per-batch cuts never appear here, so the hash match proves the
+    // STREAMED join view ≡ a from-scratch join of the final tables.
+    "st15_stream_join_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'GRAFTSEG'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 <> 3)
+        |SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
+        |FROM o JOIN c ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "st12_stream_dq" ->
       """WITH a AS (SELECT
