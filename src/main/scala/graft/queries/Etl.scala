@@ -535,7 +535,7 @@ object Etl {
     // underneath. The oracle is a direct LEFT JOIN of the final
     // slices.
     "o19_leftouter_maintain" -> ((s, dir) => {
-      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
       import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
       val ordBase = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -585,9 +585,10 @@ object Etl {
               AtomicPublish.currentVersion(s, bRoot).get),
             "bcnt", feedA, feedB).persist()
           try {
-            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
-            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
-            IncrementalAgg.applyOnceMulti(s, vRoot, outer, i.toLong, vT)
+            Coordinator.advanceMembers(s, i.toLong, Seq(
+              Coordinator.MemberAdvance(aRoot, feedA, aT),
+              Coordinator.MemberAdvance(bRoot, feedB, bT),
+              Coordinator.MemberAdvance(vRoot, outer, vT)))
           } finally {
             feedA.unpersist(); feedB.unpersist(); outer.unpersist(); ()
           }
@@ -607,7 +608,7 @@ object Etl {
     // recompute pins both the memberships AND their partition of the
     // live orders.
     "o20_semi_anti_maintain" -> ((s, dir) => {
-      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
       import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
       val ordBase = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -662,10 +663,11 @@ object Etl {
             JoinView.semiAntiDeltas(s, aSide, bSide, "bcnt", feedA, feedB)
           val semi = semi0.persist(); val anti = anti0.persist()
           try {
-            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
-            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
-            IncrementalAgg.applyOnceMulti(s, sRoot, semi, i.toLong, sT)
-            IncrementalAgg.applyOnceMulti(s, nRoot, anti, i.toLong, nT)
+            Coordinator.advanceMembers(s, i.toLong, Seq(
+              Coordinator.MemberAdvance(aRoot, feedA, aT),
+              Coordinator.MemberAdvance(bRoot, feedB, bT),
+              Coordinator.MemberAdvance(sRoot, semi, sT),
+              Coordinator.MemberAdvance(nRoot, anti, nT)))
           } finally {
             feedA.unpersist(); feedB.unpersist()
             semi.unpersist(); anti.unpersist(); ()
@@ -690,7 +692,7 @@ object Etl {
     // the final slices, NULLS LAST on both engines so the row order
     // pins too.
     "o21_fullouter_maintain" -> ((s, dir) => {
-      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
       import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
       val ordBase = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -744,9 +746,10 @@ object Etl {
               AtomicPublish.currentVersion(s, bRoot).get),
             "acnt", "bcnt", feedA, feedB).persist()
           try {
-            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
-            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
-            IncrementalAgg.applyOnceMulti(s, vRoot, outer, i.toLong, vT)
+            Coordinator.advanceMembers(s, i.toLong, Seq(
+              Coordinator.MemberAdvance(aRoot, feedA, aT),
+              Coordinator.MemberAdvance(bRoot, feedB, bT),
+              Coordinator.MemberAdvance(vRoot, outer, vT)))
           } finally {
             feedA.unpersist(); feedB.unpersist(); outer.unpersist(); ()
           }
@@ -768,7 +771,7 @@ object Etl {
     // holds ONLY the (segment, year) aggregate — |cube| state, not
     // |join| state.
     "o22_cube_maintain" -> ((s, dir) => {
-      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
       import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
       val ordBase = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
@@ -820,9 +823,10 @@ object Etl {
               AtomicPublish.currentVersion(s, bRoot).get),
             feedA, feedB).persist()
           try {
-            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
-            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
-            IncrementalAgg.applyOnceMulti(s, gRoot, viewFeed, i.toLong, gT)
+            Coordinator.advanceMembers(s, i.toLong, Seq(
+              Coordinator.MemberAdvance(aRoot, feedA, aT),
+              Coordinator.MemberAdvance(bRoot, feedB, bT),
+              Coordinator.MemberAdvance(gRoot, viewFeed, gT)))
           } finally {
             feedA.unpersist(); feedB.unpersist(); viewFeed.unpersist(); ()
           }
@@ -963,7 +967,7 @@ object Etl {
     // re-inserts are judged against the post-batch order count). The
     // oracle is a direct RIGHT JOIN of the final slices.
     "o24_rightouter_maintain" -> ((s, dir) => {
-      import graft.etl.{AtomicPublish, ChangeFeed, IncrementalAgg, JoinView}
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
       import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
       val ordBase = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -1018,9 +1022,10 @@ object Etl {
               AtomicPublish.currentVersion(s, bRoot).get),
             "acnt", feedA, feedB).persist()
           try {
-            IncrementalAgg.applyOnceMulti(s, aRoot, feedA, i.toLong, aT)
-            IncrementalAgg.applyOnceMulti(s, bRoot, feedB, i.toLong, bT)
-            IncrementalAgg.applyOnceMulti(s, vRoot, outer, i.toLong, vT)
+            Coordinator.advanceMembers(s, i.toLong, Seq(
+              Coordinator.MemberAdvance(aRoot, feedA, aT),
+              Coordinator.MemberAdvance(bRoot, feedB, bT),
+              Coordinator.MemberAdvance(vRoot, outer, vT)))
           } finally {
             feedA.unpersist(); feedB.unpersist(); outer.unpersist(); ()
           }
