@@ -370,19 +370,25 @@ object JoinView {
   }
 
   /** Every feed of the join family built from ONE shared substrate.
-    * The five feeds target five DIFFERENT views (inner/leftOuter/
-    * fullOuter keyed `aKey ++ bKey`; semi/anti keyed `aKey`,
-    * A-columns only), so a consumer serving several forms of the same
-    * pair maintains one store per form — but the expensive inputs are
-    * identical across forms and this constructor builds each exactly
-    * once: the two bucket-pruned inner reads, the A-side
+    * The six feeds target six DIFFERENT views (inner/leftOuter/
+    * rightOuter/fullOuter keyed by the pair key; semi/anti keyed
+    * `aKey`, A-columns only), so a consumer serving several forms of
+    * the same pair maintains one store per form — but the expensive
+    * inputs are identical across forms and this constructor builds
+    * each exactly once: the two bucket-pruned inner reads, the A-side
     * [[Corrections]] (shared by leftOuter, fullOuter, semi, anti) and
-    * the B-side one (fullOuter only). Calling the per-form entry
-    * points separately would run the count/transition probe jobs once
-    * PER FORM — up to 4× the per-batch fixed latency this shares. */
+    * the B-side one (shared by rightOuter and fullOuter — rightOuter
+    * is inner ∪ the B-side extension set fullOuter already needs, so
+    * it costs ZERO additional probe work here, unlike the standalone
+    * [[rightOuterDelta]] which re-runs the machinery swapped; its
+    * columns keep the inner feed's A-first order — same content,
+    * name-matched by [[ChangeFeed.applyTo]] either way). Calling the
+    * per-form entry points separately would run the count/transition
+    * probe jobs once PER FORM — up to 5× the per-batch fixed latency
+    * this shares. */
   final case class FamilyFeeds(inner: DataFrame, leftOuter: DataFrame,
-                               fullOuter: DataFrame, semi: DataFrame,
-                               anti: DataFrame)
+                               rightOuter: DataFrame, fullOuter: DataFrame,
+                               semi: DataFrame, anti: DataFrame)
 
   /** Build [[FamilyFeeds]] for one batch: one inner read, one
     * `Corrections` per side, every form derived from those. */
@@ -393,9 +399,9 @@ object JoinView {
     val cxA = new Corrections(spark, a, b, bCountView, aFeed, bFeed)
     val cxB = new Corrections(spark, b, a, aCountView, bFeed, aFeed)
     val lo = leftOuterFrom(inner, cxA)
-    FamilyFeeds(inner, lo,
-      lo.unionByName(bSideExtensions(lo, cxA.aTable, cxB)),
-      semiFeed(cxA), antiFeed(cxA))
+    val bExt = bSideExtensions(lo, cxA.aTable, cxB)
+    FamilyFeeds(inner, lo, inner.unionByName(bExt),
+      lo.unionByName(bExt), semiFeed(cxA), antiFeed(cxA))
   }
 
   /** [[joinDelta]] with each side's pre-state read from its maintained

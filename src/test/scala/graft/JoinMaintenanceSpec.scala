@@ -855,16 +855,16 @@ class JoinMaintenanceSpec extends SparkSuite {
     }
   }
 
-  test("familyDeltas: one shared substrate feeds ALL five join forms — " +
-    "each maintained view equals its direct recompute on every batch " +
-    "of a random chain") {
+  test("familyDeltas: one shared substrate feeds ALL six join forms " +
+    "(right-outer costs zero extra probes) — each maintained view " +
+    "equals its direct recompute on every batch of a random chain") {
     def dfB3(rows: Seq[(Int, Int, String)]) = rows.toDF("bid", "bjoin", "bval")
     def direct(a: Seq[(Int, Option[Int], String)],
                b: Seq[(Int, Int, String)], how: String): Set[Seq[Any]] =
       dfA(a).join(dfB3(b), col("cust") === col("bjoin"), how)
         .collect().map(_.toSeq).toSet
     val base = "/root/repo/target/test-sink/joinfam"
-    Seq("a", "b", "vi", "vl", "vf", "vs", "vn").foreach(d =>
+    Seq("a", "b", "vi", "vl", "vr", "vf", "vs", "vn").foreach(d =>
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
     val aRoot = s"$base/a"; val bRoot = s"$base/b"
     // both count views co-maintained — the family needs acnt (B-side
@@ -884,6 +884,7 @@ class JoinMaintenanceSpec extends SparkSuite {
     val stores = Seq( // (root, targets, join type of the direct oracle)
       (s"$base/vi", pairT, "inner"),
       (s"$base/vl", pairT, "left_outer"),
+      (s"$base/vr", pairT, "right_outer"),
       (s"$base/vf", pairT, "full_outer"),
       (s"$base/vs", aKeyT, "left_semi"),
       (s"$base/vn", aKeyT, "left_anti"))
@@ -918,8 +919,8 @@ class JoinMaintenanceSpec extends SparkSuite {
         JoinView.Side(bRoot, "replica", Seq("bjoin"),
           AtomicPublish.currentVersion(spark, bRoot).get),
         "acnt", "bcnt", feedA, feedB)
-      val feeds = Seq(fam.inner, fam.leftOuter, fam.fullOuter, fam.semi,
-        fam.anti).map(_.persist())
+      val feeds = Seq(fam.inner, fam.leftOuter, fam.rightOuter,
+        fam.fullOuter, fam.semi, fam.anti).map(_.persist())
       assert(IncrementalAgg.applyOnceMulti(spark, aRoot, feedA, batch, aT))
       assert(IncrementalAgg.applyOnceMulti(spark, bRoot, feedB, batch, bT))
       stores.zip(feeds).foreach { case ((root, t, _), feed) =>
