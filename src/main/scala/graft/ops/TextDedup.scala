@@ -191,6 +191,99 @@ object TextDedup {
       .select("snap_id", "batch_id", "est_jaccard")
   }
 
+  // ── the LSH index as a MAINTAINED STORE ────────────────────────────
+  // dd10's incremental probe recomputes the snapshot's signatures per
+  // batch — fine when the snapshot is a parquet slice, wrong at 100 TB
+  // where the signature pass over the corpus costs more than the probe.
+  // The maintained form persists the index as two IncrementalAgg
+  // replicas advanced by the DOCUMENT change feed: `sigs` keyed by the
+  // doc id, and `bands` keyed (id, band) BUCKETED ON `bkey` so a probe
+  // opens only the buckets its band keys hash into (the ir5 postings
+  // pattern). Signature/band rows are pure row-wise functions of a doc
+  // row, so the index feeds derive from the doc feed with no extra
+  // reads, and the stores can never disagree with the corpus they
+  // index when committed under one Coordinator cut.
+
+  /** (idCol, sig) rows — the signature STORE's row shape (public form
+    * of the shared signature pass). Docs under 3 tokens have no
+    * signature and are absent, exactly as in every symmetric form. */
+  def signatureRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    minhashSigs(docs, idCol, textCol).withColumnRenamed("__id", idCol)
+
+  /** (idCol, band, bkey) rows — the band-posting STORE's row shape;
+    * seed/bucket the replica on `bkey` so probes prune. */
+  def bandRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    minhashBands(minhashSigs(docs, idCol, textCol))
+      .withColumnRenamed("__id", idCol)
+
+  /** The index stores' change feeds derived from the DOCUMENT feed
+    * (a [[graft.etl.ChangeFeed.diff]] output): deletes/update-preimages
+    * map to deletes of the doc's signature row and band rows,
+    * inserts/update-postimages to inserts — reclassified to plain
+    * delete+insert so a doc crossing the 3-token signature boundary in
+    * either direction maps exactly (the side with no signature simply
+    * contributes no rows; an update never needs its other half).
+    * Returns (sigFeed, bandFeed). Cost: two signature passes over the
+    * delta (one per polarity) — persist the doc feed, as every
+    * maintenance caller already does. */
+  def indexFeeds(docFeed: DataFrame, idCol: String,
+                 textCol: String): (DataFrame, DataFrame) = {
+    require(docFeed.columns.contains("_change_type"),
+      "indexFeeds takes a ChangeFeed.diff output (missing _change_type)")
+    def half(types: Seq[String], out: String): (DataFrame, DataFrame) = {
+      val sigs = minhashSigs(
+        docFeed.filter(col("_change_type").isin(types: _*)), idCol, textCol)
+      (sigs.withColumnRenamed("__id", idCol)
+        .withColumn("_change_type", lit(out)),
+        minhashBands(sigs).withColumnRenamed("__id", idCol)
+          .withColumn("_change_type", lit(out)))
+    }
+    val (sd, bd) = half(Seq("delete", "update_preimage"), "delete")
+    val (si, bi) = half(Seq("insert", "update_postimage"), "insert")
+    (sd.unionByName(si), bd.unionByName(bi))
+  }
+
+  /** Near-dup probe of a batch against the MAINTAINED index — dd10's
+    * asymmetric semantics with the snapshot side never recomputed OR
+    * fully read: the band store opens only the buckets the batch's
+    * band keys hash into ([[graft.etl.IncrementalAgg.readViewPrunedBy]];
+    * probe cost ∝ the batch's share of the band space, independent of
+    * corpus size), candidates verify against the signature store read
+    * pruned to exactly the candidate ids. Pin both versions from one
+    * Coordinator cut so the two stores are the same corpus. Output:
+    * (snap_id, batch_id, est_jaccard ≥ threshold) — row-identical to
+    * [[incrementalMinhashLsh]] over the corpus the stores maintain
+    * (the differential TrainingDataOpsSpec pins). */
+  def probeMaintainedIndex(spark: org.apache.spark.sql.SparkSession,
+                           bandsRoot: String, sigsRoot: String,
+                           batch: DataFrame, idCol: String, textCol: String,
+                           threshold: Double = 0.5,
+                           bandsView: String = "bands",
+                           sigsView: String = "sigs",
+                           bandsVersion: Option[Long] = None,
+                           sigsVersion: Option[Long] = None): DataFrame = {
+    import graft.etl.IncrementalAgg
+    val bSigs = minhashSigs(batch, idCol, textCol)
+    val bBands = minhashBands(bSigs)
+    val sBands = IncrementalAgg.readViewPrunedBy(spark, bandsRoot, bandsView,
+      Seq("bkey"), bBands.select("bkey"), bandsVersion)
+    val cand = sBands.join(
+        broadcast(bBands.withColumnRenamed("__id", "batch_id")),
+        Seq("band", "bkey"))
+      .select(col(idCol).as("snap_id"), col("batch_id")).distinct()
+    val sSigs = IncrementalAgg.readViewPrunedBy(spark, sigsRoot, sigsView,
+      Seq(idCol), cand.select(col("snap_id").as(idCol)), sigsVersion)
+    broadcast(cand)
+      .join(sSigs.select(col(idCol).as("snap_id"), col("sig").as("sig_a")),
+        "snap_id")
+      .join(broadcast(bSigs.select(col("__id").as("batch_id"),
+        col("sig").as("sig_b"))), "batch_id")
+      .withColumn("est_jaccard",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / 16.0)
+      .filter(col("est_jaccard") >= threshold)
+      .select("snap_id", "batch_id", "est_jaccard")
+  }
+
   /** SimHash near-dup pairs: 48-bit signatures, 4×12-bit chunk banding
     * (pigeonhole-complete for maxHamming ≤ 3), verified hamming.
     * Output: doc_a, doc_b, hamming. */

@@ -156,6 +156,72 @@ object DedupOps {
         .orderBy("snap_id", "batch_id")
     }),
 
+    // dd13 — MAINTAINED LSH INDEX [extension; dd10's scale completion]:
+    // dd10 recomputes the snapshot's signatures per probe — fine for a
+    // parquet slice, wrong at 100 TB where the corpus signature pass
+    // dwarfs the probe. Here the index IS a pair of maintained stores
+    // (sigs keyed doc_id; band postings keyed (doc_id, band) BUCKETED
+    // ON bkey — the ir5 postings pattern) advanced through a 3-version
+    // document chain (insert a slice, delete a slice, EDIT a slice's
+    // text — the edit moves signatures, so its band rows migrate
+    // buckets) by feeds DERIVED from the doc feed (TextDedup.indexFeeds
+    // — no corpus reads), both stores committed per batch under one
+    // Coordinator cut via advanceMembers. The probe (a held-out doc
+    // slice) then opens ONLY the buckets its band keys hash into and
+    // verifies against the sig store pruned to candidate ids. The
+    // oracle recomputes batch-vs-snapshot LSH from the final slices
+    // from scratch — the stores, feeds, cuts, and pruning never appear
+    // in it, so the hash match proves maintained index ≡ recompute.
+    "dd13_maintained_lsh_index" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg}
+      import graft.etl.IncrementalAgg.ReplicaSpec
+      import graft.ops.TextDedup
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val rest = docs.filter(col("doc_id") % 5 =!= 3)
+      val probe = docs.filter(col("doc_id") % 5 === 3)
+      val edit = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("text",
+          when(col("doc_id") % 13 === 1,
+            concat(col("text"), lit(" graft graft")))
+            .otherwise(col("text")))
+      val chain = Seq(
+        rest.filter(col("doc_id") % 11 =!= 4),
+        rest,
+        edit(rest.filter(col("doc_id") % 7 =!= 2)))
+      val base = s"/root/repo/target/sink/dd13_lsh_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      if (fc.util.exists(bp)) fc.delete(bp, true)
+      val bandsRoot = s"$base/bands"; val sigsRoot = s"$base/sigs"
+      val cutRoot = s"$base/cut"
+      val bandsT = Seq(ReplicaSpec("bands", Seq("doc_id", "band"),
+        numBuckets = 16, bucketOn = Seq("bkey")))
+      val sigsT = Seq(ReplicaSpec("sigs", Seq("doc_id"), numBuckets = 16))
+      IncrementalAgg.publishInitialMulti(s, bandsRoot,
+        TextDedup.bandRows(chain.head, "doc_id", "text"), bandsT)
+      IncrementalAgg.publishInitialMulti(s, sigsRoot,
+        TextDedup.signatureRows(chain.head, "doc_id", "text"), sigsT)
+      Coordinator.commitCut(s, cutRoot, Map("bands" -> 0L, "sigs" -> 0L))
+      chain.sliding(2).zipWithIndex.foreach { case (Seq(c0, c1), i) =>
+        val docFeed = ChangeFeed.diff(c0, c1, Seq("doc_id")).persist()
+        val (sigFeed, bandFeed) =
+          TextDedup.indexFeeds(docFeed, "doc_id", "text")
+        try Coordinator.advanceMembers(s, i.toLong, Seq(
+          Coordinator.MemberAdvance(bandsRoot, bandFeed, bandsT),
+          Coordinator.MemberAdvance(sigsRoot, sigFeed, sigsT)))
+        finally { docFeed.unpersist(); () }
+        Coordinator.commitCut(s, cutRoot, Map(
+          "bands" -> AtomicPublish.currentVersion(s, bandsRoot).get,
+          "sigs" -> AtomicPublish.currentVersion(s, sigsRoot).get))
+      }
+      val cut = Coordinator.currentCut(s, cutRoot)
+      TextDedup.probeMaintainedIndex(s, bandsRoot, sigsRoot, probe,
+        "doc_id", "text", bandsVersion = Some(cut("bands")),
+        sigsVersion = Some(cut("sigs")))
+        .orderBy("snap_id", "batch_id")
+    }),
+
     // dd2 — MinHash + LSH: 3-token shingles → 16 minhashes → 4 bands of
     // 4 → bucket-join candidates → signature-estimated Jaccard ≥ 0.5.
     // (Shared.lshPairs: one candidate+verification pass per session,
@@ -361,6 +427,35 @@ object DedupOps {
          |JOIN sizes nb ON inter.doc_b = nb.doc_id
          |WHERE CAST(inter AS DOUBLE) / (na.nsh + nb.nsh - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Batch-vs-snapshot LSH recomputed from scratch over the FINAL
+    // slices (the snapshot side carries the chain's text edit) — the
+    // maintained stores, the derived feeds, the cuts, and the bucket
+    // pruning never appear here, so the hash match proves the
+    // maintained index serves exactly what a full recompute would.
+    "dd13_maintained_lsh_index" -> {
+      val sliced = duckSigCtes.replace("FROM documents", "FROM docs2")
+      s"""WITH docs2 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 1 THEN text || ' graft graft'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 5 <> 3 AND doc_id % 7 <> 2
+         |  UNION ALL
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 3),
+         |$sliced,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS snap_id, b.doc_id AS batch_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey
+         |  WHERE a.doc_id % 5 <> 3 AND b.doc_id % 5 = 3)
+         |SELECT snap_id, batch_id,
+         |  CAST(len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM cand
+         |JOIN sigs sa ON cand.snap_id = sa.doc_id
+         |JOIN sigs sb ON cand.batch_id = sb.doc_id
+         |WHERE len(list_filter(generate_series(1, 16), i -> sa.sig[i] = sb.sig[i])) >= 8
+         |ORDER BY snap_id, batch_id""".stripMargin
+    },
 
     "dd10_incremental_lsh" ->
       s"""WITH sp AS (SELECT (max(doc_id) + 1) // 2 AS split_at FROM documents),

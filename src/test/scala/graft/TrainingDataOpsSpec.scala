@@ -61,6 +61,89 @@ class TrainingDataOpsSpec extends SparkSuite {
     assert(inc.nonEmpty, "fixture should contain cross-split near-dups")
   }
 
+  test("maintained LSH index: a doc chain with inserts, deletes, and " +
+    "text edits keeps the persisted stores exactly at the corpus — the " +
+    "bucket-pruned probe equals incrementalMinhashLsh per batch, and " +
+    "the probe really prunes") {
+    import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg}
+    val base = "/root/repo/target/test-sink/lshidx"
+    Seq("bands", "sigs", "cut").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val bandsRoot = s"$base/bands"; val sigsRoot = s"$base/sigs"
+    val cutRoot = s"$base/cut"
+    val bandsT = Seq(IncrementalAgg.ReplicaSpec("bands",
+      Seq("doc_id", "band"), numBuckets = 8, bucketOn = Seq("bkey")))
+    val sigsT = Seq(IncrementalAgg.ReplicaSpec("sigs", Seq("doc_id"),
+      numBuckets = 8))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val probe = docs.filter(col("doc_id") % 5 === 3)
+    val rest = docs.filter(col("doc_id") % 5 =!= 3)
+    val edit = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("text", when(col("doc_id") % 13 === 1,
+        concat(col("text"), lit(" graft graft"))).otherwise(col("text")))
+    // chain hits every index transition: inserts (slice back), deletes
+    // (slice out), text edits (band rows MIGRATE buckets), and a
+    // degenerate edit slice whose short docs have no signature at all
+    val chain = Seq(
+      rest.filter(col("doc_id") % 11 =!= 4),
+      rest,
+      edit(rest.filter(col("doc_id") % 7 =!= 2)))
+    IncrementalAgg.publishInitialMulti(spark, bandsRoot,
+      TextDedup.bandRows(chain.head, "doc_id", "text"), bandsT)
+    IncrementalAgg.publishInitialMulti(spark, sigsRoot,
+      TextDedup.signatureRows(chain.head, "doc_id", "text"), sigsT)
+    Coordinator.commitCut(spark, cutRoot, Map("bands" -> 0L, "sigs" -> 0L))
+    def probeNow(): Set[(Long, Long)] = {
+      val cut = Coordinator.currentCut(spark, cutRoot)
+      TextDedup.probeMaintainedIndex(spark, bandsRoot, sigsRoot, probe,
+        "doc_id", "text", bandsVersion = Some(cut("bands")),
+        sigsVersion = Some(cut("sigs")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def directNow(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      TextDedup.incrementalMinhashLsh(batch = probe, snapshot = corpus,
+        idCol = "doc_id", textCol = "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probeNow() === directNow(chain.head),
+      "seeded index probe diverged from the direct incremental LSH")
+    chain.sliding(2).zipWithIndex.foreach { case (Seq(c0, c1), i) =>
+      val docFeed = ChangeFeed.diff(c0, c1, Seq("doc_id")).persist()
+      val (sigFeed, bandFeed) = TextDedup.indexFeeds(docFeed, "doc_id", "text")
+      Coordinator.advanceMembers(spark, i.toLong, Seq(
+        Coordinator.MemberAdvance(bandsRoot, bandFeed, bandsT),
+        Coordinator.MemberAdvance(sigsRoot, sigFeed, sigsT)))
+      docFeed.unpersist()
+      Coordinator.commitCut(spark, cutRoot, Map(
+        "bands" -> AtomicPublish.currentVersion(spark, bandsRoot).get,
+        "sigs" -> AtomicPublish.currentVersion(spark, sigsRoot).get))
+      assert(probeNow() === directNow(c1),
+        s"maintained-index probe diverged after batch $i")
+      // the maintained stores equal a from-scratch index of the corpus
+      assert(IncrementalAgg.readView(spark, sigsRoot, "sigs")
+        .collect().map(_.toSeq).toSet ===
+        TextDedup.signatureRows(c1, "doc_id", "text")
+          .collect().map(_.toSeq).toSet,
+        s"signature store diverged after batch $i")
+    }
+    assert(probeNow().nonEmpty,
+      "fixture should contain probe-vs-corpus near-dups")
+    // the probe really prunes: it opens a strict subset of the band
+    // store's buckets whenever the probe's band keys do not cover the
+    // whole bucket space
+    val cut = Coordinator.currentCut(spark, cutRoot)
+    val probeKeys = TextDedup.bandRows(probe.limit(2), "doc_id", "text")
+      .select("bkey")
+    val pruned = IncrementalAgg.readViewPrunedBy(spark, bandsRoot, "bands",
+      Seq("bkey"), probeKeys, Some(cut("bands")))
+    def buckets(d: org.apache.spark.sql.DataFrame): Set[String] =
+      d.inputFiles.flatMap(_.split('/')
+        .find(_.startsWith(s"${IncrementalAgg.BucketCol}="))).toSet
+    assert(buckets(pruned).size <
+      buckets(IncrementalAgg.readView(spark, bandsRoot, "bands",
+        Some(cut("bands")))).size,
+      "a 2-doc probe must open fewer band buckets than the full store")
+  }
+
   test("repetitionScore arithmetic matches hand computation, null text gives null signals") {
     import spark.implicits._
     val docs = Seq(
