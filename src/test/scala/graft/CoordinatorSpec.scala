@@ -145,6 +145,23 @@ class CoordinatorSpec extends SparkSuite {
       Some(cut("wh"))).filter(deadRule).count() === 0L)
     assert(!servedIds(cut("ann")).exists(_ % 7 == 3),
       "post-cut, the index must hide exactly what the warehouse dropped")
+    // the cut-aware vacuum is store-shape-agnostic: the ANN store is a
+    // plain AtomicPublish root, so vacuumMember protects its versions
+    // exactly as it does a warehouse's — both cuts retained, keep=1
+    // deletes nothing, and the PRE-delete index version still SERVES
+    assert(Coordinator.vacuumMember(spark, cutRoot, "ann", annRoot,
+      keep = 1) === Nil,
+      "both retained cuts reference an ann version — nothing may go")
+    val cut0 = Coordinator.cutAt(spark, cutRoot, 0L)
+    assert(servedIds(cut0("ann")).exists(_ % 7 == 3),
+      "the retained pre-delete cut must still serve through the index")
+    // prune the coordinator to the newest cut; now the old index
+    // version is unreferenced and goes, while the serving one survives
+    AtomicPublish.vacuum(spark, cutRoot, keep = 1)
+    assert(Coordinator.vacuumMember(spark, cutRoot, "ann", annRoot,
+      keep = 1) === Seq(cut0("ann")))
+    assert(!servedIds(cut("ann")).exists(_ % 7 == 3),
+      "the current cut's index version must survive the member vacuum")
   }
 
   test("cut-aware member vacuum: versions any RETAINED cut references " +
