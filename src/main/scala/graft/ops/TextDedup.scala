@@ -253,7 +253,12 @@ object TextDedup {
     * Coordinator cut so the two stores are the same corpus. Output:
     * (snap_id, batch_id, est_jaccard ≥ threshold) — row-identical to
     * [[incrementalMinhashLsh]] over the corpus the stores maintain
-    * (the differential TrainingDataOpsSpec pins). */
+    * (the differential TrainingDataOpsSpec pins). Cost note: the
+    * candidate plan (pruned band read ⋈ broadcast batch bands) is
+    * evaluated twice — once by the sig read's bucket-probe job, once
+    * at action time — both delta-bounded; a caller probing the same
+    * batch repeatedly should persist the batch frame, not this
+    * result. */
   def probeMaintainedIndex(spark: org.apache.spark.sql.SparkSession,
                            bandsRoot: String, sigsRoot: String,
                            batch: DataFrame, idCol: String, textCol: String,
