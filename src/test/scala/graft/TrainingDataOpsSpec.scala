@@ -124,6 +124,14 @@ class TrainingDataOpsSpec extends SparkSuite {
         TextDedup.signatureRows(c1, "doc_id", "text")
           .collect().map(_.toSeq).toSet,
         s"signature store diverged after batch $i")
+      // the band store too — row-for-row, which pins the text-edit
+      // case where a row keeps its (doc_id, band) KEY but its bkey
+      // changes, moving it across buckets via the delete+insert pair
+      assert(IncrementalAgg.readView(spark, bandsRoot, "bands")
+        .collect().map(_.toSeq).toSet ===
+        TextDedup.bandRows(c1, "doc_id", "text")
+          .collect().map(_.toSeq).toSet,
+        s"band store diverged after batch $i")
     }
     assert(probeNow().nonEmpty,
       "fixture should contain probe-vs-corpus near-dups")
