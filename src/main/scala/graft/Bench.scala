@@ -98,9 +98,20 @@ object Bench {
     // committed artifacts never hide a flap behind a retry.
     val retryPause = sys.env.get("SPARK_GRAFT_RETRY")
       .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
+    // One timed run = (total_s, seed_s, batch_s): PhaseClock is reset
+    // per run and accumulates wall-clock inside the maintained-store
+    // seed/commit primitives, so every LIFECYCLE query's price splits
+    // into one-time seed + steady-state per-batch maintenance + serve
+    // (= total − seed − batch) — the decomposition the 100 TB operator
+    // prices (a gate rehearses seed + k batches + serve in ONE entry;
+    // production pays the batch slice per commit and the seed never).
+    // Non-lifecycle queries never enter the primitives and read 0/0.
+    final case class Timing(total: Double, seed: Double, batch: Double)
+    val failed = Timing(-1.0, 0.0, 0.0)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                pass: String): Double = {
-      def once(tag: String): Double = {
+                pass: String): Timing = {
+      def once(tag: String): Timing = {
+        PhaseClock.reset()
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
@@ -110,17 +121,20 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (debug) System.err.println(
           f"[bench-debug] +${(System.nanoTime() - benchStart) / 1e9}%.1fs [$tag] $name%-28s ${sec}%.2fs")
-        if (ok) sec else -1.0
+        if (ok) Timing(sec, PhaseClock.seedSeconds, PhaseClock.batchSeconds)
+        else failed
       }
       val first = once(pass)
-      if (first >= 0 || retryPause.isEmpty) first
+      if (first.total >= 0 || retryPause.isEmpty) first
       else {
         Thread.sleep(retryPause.get * 1000L)
         once(s"$pass-retry")
       }
     }
     val ordered = selected.toSeq.sortBy(_._1)
-    val results = ordered.map { case (name, fn) => name -> timeOne(name, fn, "first") }.toMap
+    val firstPass = ordered.map { case (name, fn) =>
+      name -> timeOne(name, fn, "first") }.toMap
+    val results = firstPass.map { case (n, t) => n -> t.total }
     // Second WARM pass, same order: the headline `total` stays the
     // first-pass sum (comparable round-over-round, can't be gamed by
     // warming), but BENCH_FULL.json also carries min2 = min(first, warm)
@@ -131,11 +145,18 @@ object Bench {
     // comparability signal. Skipped under SPARK_GRAFT_ONE_PASS=1 for
     // quick local iteration and for already-failed queries.
     val onePass = sys.env.contains("SPARK_GRAFT_ONE_PASS")
-    val min2 = ordered.map { case (name, fn) =>
-      val first = results(name)
-      val warm = if (onePass || first < 0) -1.0 else timeOne(name, fn, "warm")
-      name -> (if (first < 0) -1.0 else if (warm < 0) first else math.min(first, warm))
+    // best = the pass that produced min2 (its phase split is the one
+    // reported: min2 is the plan-cost signal, so its decomposition is
+    // the plan-cost decomposition)
+    val best = ordered.map { case (name, fn) =>
+      val first = firstPass(name)
+      val warm = if (onePass || first.total < 0) failed
+                 else timeOne(name, fn, "warm")
+      name -> (if (first.total < 0) failed
+               else if (warm.total < 0) first
+               else if (warm.total < first.total) warm else first)
     }.toMap
+    val min2 = best.map { case (n, t) => n -> t.total }
     val calibAfter = math.min(calibOnce(), calibOnce())
     def fmt(v: Double, d: Int): String =
       s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
@@ -150,9 +171,15 @@ object Bench {
     // reported slowest-first and greedily packed into a fixed byte budget;
     // the complete map is written to BENCH_FULL.json for the judge.
     val totalMin2 = if (min2.nonEmpty) min2.values.sum else 0.0
+    // seed/batch only where nonzero (lifecycle queries) — the split of
+    // the min2 pass; "serve" is min2 − seed − batch, derivable
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) =>
-        s"\"" + k + "\":{\"first\":" + fmt(v, 2) + ",\"min2\":" + fmt(min2(k), 2) + "}" }
+        val b = best(k)
+        val phases = if (b.seed > 0 || b.batch > 0)
+          ",\"seed\":" + fmt(b.seed, 2) + ",\"batch\":" + fmt(b.batch, 2)
+        else ""
+        s"\"" + k + "\":{\"first\":" + fmt(v, 2) + ",\"min2\":" + fmt(min2(k), 2) + phases + "}" }
       .mkString(
         s"""{"metric":"total","value":${fmt(total, 2)},"total_min2":${fmt(totalMin2, 2)},$calibJson,"unit":"sec","sf":"$sfTag","nq":${results.size},"queries":{""",
         ",", "}}")

@@ -572,11 +572,19 @@ object AtomicPublish {
   /** `protect`: versions NEVER deleted regardless of `keep` — the
     * cross-store retention hook ([[Coordinator.vacuumMember]] passes
     * every version a retained cut references, so vacuuming a member
-    * can never break a coordinator snapshot a reader could resolve). */
+    * can never break a coordinator snapshot a reader could resolve).
+    * BY-NAME, evaluated exactly once, immediately before the doomed
+    * versions are computed and deleted: a protect set derived from
+    * ANOTHER store's state (the coordinator's retained cuts) is read
+    * as late as possible, so a commit landing while the earlier
+    * staging/claim sweeps ran is still seen. The residual window —
+    * a commit between that read and the deletes — is the microsecond
+    * class the single-writer convention covers (same as the claim
+    * recheck above), not the seconds-long sweep phases this guards. */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2,
              minAgeMs: Long = DefaultVacuumMinAgeMs,
              store: PointerStore = DefaultStore,
-             protect: Set[Long] = Set.empty): Seq[Long] = {
+             protect: => Set[Long] = Set.empty): Seq[Long] = {
     val ctx = fc(spark)
     val cur = store.read(ctx, root).getOrElse(return Nil)
     val rootPath = new Path(root)
@@ -609,8 +617,9 @@ object AtomicPublish {
         if (store.read(ctx, root).forall(_ < v))
           ctx.delete(new Path(root, s"v$v"), true)
       }
+    val prot = protect // single late evaluation (see the param's doc)
     val doomed = versions.map(_._1)
-      .filter(v => v <= cur - keep && !protect(v)).sorted
+      .filter(v => v <= cur - keep && !prot(v)).sorted
     doomed.foreach(v => ctx.delete(new Path(root, s"v$v"), true))
     doomed
   }

@@ -102,6 +102,17 @@ object Coordinator {
     * names. The retention ordering the class Scaladoc states — prune
     * coordinator versions first (its own vacuum), then members (this)
     * — is thereby safe at BOTH steps instead of by convention.
+    *
+    * Concurrency note: `protect` is passed BY NAME, so
+    * [[referencedVersions]] is read inside [[AtomicPublish.vacuum]]
+    * immediately before the doomed set is computed and deleted — a cut
+    * committed while vacuum's staging/claim sweeps ran is still seen.
+    * The residual window (a [[commitCut]] landing between that read
+    * and the deletes, naming an ALREADY-OLD member version — only a
+    * backfill cut built with arbitrary versions can do this; a normal
+    * cut names versions the `keep` floor retains anyway) is covered by
+    * the store's standing single-writer convention: don't run a
+    * backfill commitCut concurrently with a member vacuum.
     * Returns the versions actually deleted. */
   def vacuumMember(spark: SparkSession, root: String, store: String,
                    memberRoot: String, keep: Int = 2,
@@ -146,28 +157,61 @@ object Coordinator {
     * settle. Returns each member's applied flag in input order. */
   def advanceMembers(spark: SparkSession, batchId: Long,
                      members: Seq[MemberAdvance],
-                     parallelism: Int = 0): Seq[Boolean] = {
+                     parallelism: Int = 0): Seq[Boolean] =
+    graft.PhaseClock.batch {
+      advanceMembersImpl(spark, batchId, members, parallelism) }
+
+  private def advanceMembersImpl(spark: SparkSession, batchId: Long,
+                                 members: Seq[MemberAdvance],
+                                 parallelism: Int): Seq[Boolean] = {
     require(members.nonEmpty, "no members")
     require(members.map(_.root).distinct.size == members.size,
       s"member roots must be distinct: ${members.map(_.root).mkString(",")}")
     val par = if (parallelism > 0) math.min(parallelism, members.size)
               else math.min(members.size, 8)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    // Parallelism is a per-call SEMAPHORE over the shared pool, not a
+    // per-call pool size: at micro-batch cadence a fresh pool per batch
+    // churns threads every few seconds, and non-daemon workers would
+    // block JVM exit if a member ever hung. A task holds a pool thread
+    // while it waits on the semaphore — fine at this fan-out (≤ a
+    // handful of member stores), and the cached pool reaps idle
+    // threads after a minute anyway.
+    val gate = new java.util.concurrent.Semaphore(par)
     try {
       import scala.jdk.CollectionConverters._
       val tasks = members.map { m =>
         new java.util.concurrent.Callable[Boolean] {
-          def call(): Boolean =
-            IncrementalAgg.applyOnceMulti(spark, m.root, m.feed, batchId,
+          def call(): Boolean = {
+            gate.acquire()
+            try IncrementalAgg.applyOnceMulti(spark, m.root, m.feed, batchId,
               m.targets)
+            finally gate.release()
+          }
         }
       }
       // invokeAll waits for ALL to settle (no member is interrupted
       // mid-commit by a sibling's failure); .get() rethrows the first
       // failure in input order
-      pool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+      memberPool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
     } catch {
       case e: java.util.concurrent.ExecutionException => throw e.getCause
-    } finally { pool.shutdown(); () }
+    }
   }
+
+  /** Shared daemon-thread pool for [[advanceMembers]] — lazily built
+    * once per JVM, cached (threads reused across batches, reaped after
+    * 60 s idle), daemon so a hung member commit can never block JVM
+    * exit. Unbounded on purpose: concurrency is bounded per CALL by
+    * the semaphore above, so two coordinators advancing different
+    * pairings never starve each other through a shared fixed cap. */
+  private lazy val memberPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-member-advance-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 }

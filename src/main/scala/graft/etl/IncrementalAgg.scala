@@ -967,7 +967,13 @@ object IncrementalAgg {
     * `views` must be the seeded set (same names). Call
     * [[publishInitialMulti]] once to seed the store. */
   def applyOnceMulti(spark: SparkSession, root: String, feed: DataFrame,
-                     batchId: Long, views: Seq[TargetSpec]): Boolean = {
+                     batchId: Long, views: Seq[TargetSpec]): Boolean =
+    graft.PhaseClock.batch {
+      applyOnceMultiImpl(spark, root, feed, batchId, views) }
+
+  private def applyOnceMultiImpl(spark: SparkSession, root: String,
+                                 feed: DataFrame, batchId: Long,
+                                 views: Seq[TargetSpec]): Boolean = {
     import spark.implicits._
     require(views.nonEmpty, "no views")
     require(views.map(_.name).distinct.size == views.size,
@@ -985,11 +991,19 @@ object IncrementalAgg {
       // per target's step (plus a strict replica's preimage probe).
       // Materialize it once for the round — a CDC batch is exactly the
       // thing production pins in memory — with the all-targets
-      // touched-bucket probe as the materializing action.
-      val f = feed.persist()
+      // touched-bucket probe as the materializing action. A feed the
+      // CALLER already persisted is left alone: its cache is shared
+      // (Coordinator.advanceMembers feeds several members one frame,
+      // and derived feeds like a join view's may still be
+      // materializing against it on a sibling thread), so the first
+      // member to finish must not unpersist it out from under the
+      // others — the caller owns that cache's lifetime.
+      val callerCached =
+        feed.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+      val f = if (callerCached) feed else feed.persist()
       try maintainRound(spark, root, snap, f, views,
         applied.unionByName(Seq(batchId).toDF("batch_id")))
-      finally { f.unpersist(); () }
+      finally { if (!callerCached) f.unpersist(); () }
       true
     }
   }
@@ -1028,7 +1042,15 @@ object IncrementalAgg {
   def applyComposedMulti(spark: SparkSession, root: String,
                          feeds: Seq[(Long, DataFrame)], key: Seq[String],
                          views: Seq[TargetSpec],
-                         strict: Boolean = false): Int = {
+                         strict: Boolean = false): Int =
+    graft.PhaseClock.batch {
+      applyComposedMultiImpl(spark, root, feeds, key, views, strict) }
+
+  private def applyComposedMultiImpl(spark: SparkSession, root: String,
+                                     feeds: Seq[(Long, DataFrame)],
+                                     key: Seq[String],
+                                     views: Seq[TargetSpec],
+                                     strict: Boolean): Int = {
     import spark.implicits._
     require(feeds.nonEmpty, "no feeds")
     require(feeds.map(_._1).distinct.size == feeds.size,
@@ -1076,7 +1098,13 @@ object IncrementalAgg {
     * comfortably in one task (10⁸ groups / 1024 buckets ≈ 10⁵ rows per
     * bucket file). */
   def publishInitialMulti(spark: SparkSession, root: String, rows: DataFrame,
-                          views: Seq[TargetSpec]): Long = {
+                          views: Seq[TargetSpec]): Long =
+    graft.PhaseClock.seed {
+      publishInitialMultiImpl(spark, root, rows, views) }
+
+  private def publishInitialMultiImpl(spark: SparkSession, root: String,
+                                      rows: DataFrame,
+                                      views: Seq[TargetSpec]): Long = {
     import spark.implicits._
     require(views.nonEmpty, "no views")
     require(views.map(_.name).distinct.size == views.size,

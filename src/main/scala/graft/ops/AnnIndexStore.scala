@@ -325,7 +325,7 @@ object AnnIndexStore {
     * PREVIOUS lineage are re-appendable against the rebuilt corpus by
     * design — the rebuild replaced them). */
   def publish(spark: SparkSession, root: String, model: IvfPqModel,
-              encoded: DataFrame): Long = {
+              encoded: DataFrame): Long = graft.PhaseClock.seed {
     val modelId = writeModel(spark, root, model)
     val seg = writeSegment(spark, root, encoded)
     publishVersion(spark, root, Manifest(modelId, Seq("seg" -> seg), Seq(seg)))
@@ -354,7 +354,14 @@ object AnnIndexStore {
   def appendEncode(spark: SparkSession, root: String, batch: DataFrame,
                    idCol: String, vecCol: String,
                    segmentId: Option[String] = None,
-                   asOf: Option[Long] = None): Long = {
+                   asOf: Option[Long] = None): Long =
+    graft.PhaseClock.batch {
+      appendEncodeImpl(spark, root, batch, idCol, vecCol, segmentId, asOf) }
+
+  private def appendEncodeImpl(spark: SparkSession, root: String,
+                               batch: DataFrame, idCol: String,
+                               vecCol: String, segmentId: Option[String],
+                               asOf: Option[Long]): Long = {
     val snap = asOf.fold(AtomicPublish.snapshot(spark, root))(
       AtomicPublish.snapshotAt(spark, root, _))
     val m = readManifest(spark, snap)
@@ -393,7 +400,14 @@ object AnnIndexStore {
     * merging); until then deleted rows cost their anti-join probe. */
   def applyDeletes(spark: SparkSession, root: String, deletes: DataFrame,
                    idCol: String, tombstoneId: Option[String] = None,
-                   asOf: Option[Long] = None): Long = {
+                   asOf: Option[Long] = None): Long =
+    graft.PhaseClock.batch {
+      applyDeletesImpl(spark, root, deletes, idCol, tombstoneId, asOf) }
+
+  private def applyDeletesImpl(spark: SparkSession, root: String,
+                               deletes: DataFrame, idCol: String,
+                               tombstoneId: Option[String],
+                               asOf: Option[Long]): Long = {
     val snap = asOf.fold(AtomicPublish.snapshot(spark, root))(
       AtomicPublish.snapshotAt(spark, root, _))
     val m = readManifest(spark, snap)
@@ -500,7 +514,13 @@ object AnnIndexStore {
     * its segment. */
   def compactSegments(spark: SparkSession, root: String,
                       targetBytes: Long = 128L * 1024 * 1024,
-                      minSegments: Int = 2): Long = {
+                      minSegments: Int = 2): Long =
+    graft.PhaseClock.batch {
+      compactSegmentsImpl(spark, root, targetBytes, minSegments) }
+
+  private def compactSegmentsImpl(spark: SparkSession, root: String,
+                                  targetBytes: Long,
+                                  minSegments: Int): Long = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     require(minSegments >= 2, s"minSegments must be >= 2, got $minSegments")
     val snap = AtomicPublish.snapshot(spark, root)

@@ -250,15 +250,17 @@ object TextDedup {
     * probe cost ∝ the batch's share of the band space, independent of
     * corpus size), candidates verify against the signature store read
     * pruned to exactly the candidate ids. Pin both versions from one
-    * Coordinator cut so the two stores are the same corpus. Output:
-    * (snap_id, batch_id, est_jaccard ≥ threshold) — row-identical to
-    * [[incrementalMinhashLsh]] over the corpus the stores maintain
-    * (the differential TrainingDataOpsSpec pins). Cost note: the
-    * candidate plan (pruned band read ⋈ broadcast batch bands) is
-    * evaluated twice — once by the sig read's bucket-probe job, once
-    * at action time — both delta-bounded; a caller probing the same
-    * batch repeatedly should persist the batch frame, not this
-    * result. */
+    * Coordinator cut so the two stores are the same corpus — or use
+    * [[probeAtCut]], which makes a mixed-version probe unrepresentable.
+    * Output: (snap_id, batch_id, est_jaccard ≥ threshold) —
+    * row-identical to [[incrementalMinhashLsh]] over the corpus the
+    * stores maintain (the differential TrainingDataOpsSpec pins).
+    * The candidate plan (pruned band read ⋈ broadcast batch bands) is
+    * evaluated exactly ONCE: its result is materialized driver-side —
+    * the identical rows `broadcast(cand)` would collect to the driver
+    * at action time anyway, so the bound is the broadcast's own — and
+    * both the sig read's bucket probe and the verification join run
+    * over that local relation. */
   def probeMaintainedIndex(spark: org.apache.spark.sql.SparkSession,
                            bandsRoot: String, sigsRoot: String,
                            batch: DataFrame, idCol: String, textCol: String,
@@ -268,14 +270,17 @@ object TextDedup {
                            bandsVersion: Option[Long] = None,
                            sigsVersion: Option[Long] = None): DataFrame = {
     import graft.etl.IncrementalAgg
+    import scala.jdk.CollectionConverters._
     val bSigs = minhashSigs(batch, idCol, textCol)
     val bBands = minhashBands(bSigs)
     val sBands = IncrementalAgg.readViewPrunedBy(spark, bandsRoot, bandsView,
       Seq("bkey"), bBands.select("bkey"), bandsVersion)
-    val cand = sBands.join(
+    val candPlan = sBands.join(
         broadcast(bBands.withColumnRenamed("__id", "batch_id")),
         Seq("band", "bkey"))
       .select(col(idCol).as("snap_id"), col("batch_id")).distinct()
+    val cand = spark.createDataFrame(
+      candPlan.collect().toSeq.asJava, candPlan.schema)
     val sSigs = IncrementalAgg.readViewPrunedBy(spark, sigsRoot, sigsView,
       Seq(idCol), cand.select(col("snap_id").as(idCol)), sigsVersion)
     broadcast(cand)
@@ -287,6 +292,38 @@ object TextDedup {
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v))") / 16.0)
       .filter(col("est_jaccard") >= threshold)
       .select("snap_id", "batch_id", "est_jaccard")
+  }
+
+  /** [[probeMaintainedIndex]] with BOTH store versions pinned from ONE
+    * [[graft.etl.Coordinator]] cut — the enforced form of the "pin both
+    * versions from one cut" rule: the raw entry point's independent
+    * version options default to each store's CURRENT pointer, so a
+    * caller omitting them can probe bands@N against sigs@N−1, exactly
+    * the mixed-version read the coordinator exists to prevent. Here the
+    * cut is resolved once (`cutVersion` = None → the current cut;
+    * Some(v) → time travel to the pairing as of coordinator version v)
+    * and a missing member name fails loudly instead of silently falling
+    * back to an unpinned read. `bandsMember`/`sigsMember` are the
+    * member names the cut records (the dd13 gate commits them as
+    * "bands"/"sigs"). */
+  def probeAtCut(spark: org.apache.spark.sql.SparkSession, cutRoot: String,
+                 bandsRoot: String, sigsRoot: String, batch: DataFrame,
+                 idCol: String, textCol: String, threshold: Double = 0.5,
+                 bandsView: String = "bands", sigsView: String = "sigs",
+                 bandsMember: String = "bands", sigsMember: String = "sigs",
+                 cutVersion: Option[Long] = None): DataFrame = {
+    import graft.etl.Coordinator
+    val cut = cutVersion match {
+      case Some(v) => Coordinator.cutAt(spark, cutRoot, v)
+      case None    => Coordinator.currentCut(spark, cutRoot)
+    }
+    def pinned(member: String): Long = cut.getOrElse(member,
+      throw new IllegalArgumentException(
+        s"cut at $cutRoot names no member '$member' (has: ${cut.keys.toSeq.sorted.mkString(",")})"))
+    probeMaintainedIndex(spark, bandsRoot, sigsRoot, batch, idCol, textCol,
+      threshold, bandsView, sigsView,
+      bandsVersion = Some(pinned(bandsMember)),
+      sigsVersion = Some(pinned(sigsMember)))
   }
 
   /** SimHash near-dup pairs: 48-bit signatures, 4×12-bit chunk banding

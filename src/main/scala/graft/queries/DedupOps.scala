@@ -215,10 +215,10 @@ object DedupOps {
           "bands" -> AtomicPublish.currentVersion(s, bandsRoot).get,
           "sigs" -> AtomicPublish.currentVersion(s, sigsRoot).get))
       }
-      val cut = Coordinator.currentCut(s, cutRoot)
-      TextDedup.probeMaintainedIndex(s, bandsRoot, sigsRoot, probe,
-        "doc_id", "text", bandsVersion = Some(cut("bands")),
-        sigsVersion = Some(cut("sigs")))
+      // the ENFORCED probe form: both store versions pinned from ONE
+      // resolved cut — a mixed-version read is unrepresentable here
+      TextDedup.probeAtCut(s, cutRoot, bandsRoot, sigsRoot, probe,
+        "doc_id", "text")
         .orderBy("snap_id", "batch_id")
     }),
 

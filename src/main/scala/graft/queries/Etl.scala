@@ -1035,6 +1035,144 @@ object Etl {
           col("o_orderkey").asc_nulls_last)
     }),
 
+    // o25 — THE JOIN FAMILY FROM ONE SUBSTRATE, ORACLE-SEALED
+    // [extension; familyDeltas' hash gate]: r18's familyDeltas builds
+    // all six join-form feeds (inner/leftOuter/rightOuter/fullOuter/
+    // semi/anti) from ONE pair of bucket-pruned inner reads and ONE
+    // Corrections per side — but only a spec exercised it; the
+    // per-form gates (o18-o21, o24) each use the standalone entry
+    // points, which re-run the count/transition probe machinery per
+    // form. This gate maintains ALL SIX views of one pair from one
+    // familyDeltas call per batch — o21's chains, so both sides churn
+    // and both extension classes are forced — with all EIGHT stores
+    // (two bases + six views) advanced concurrently and committed
+    // under ONE Coordinator cut, and every final read pinned to that
+    // cut. The oracle recomputes each form directly over the final
+    // slices (JOIN / LEFT / RIGHT / FULL / EXISTS / NOT EXISTS) as a
+    // tagged union — the substrate, the cut, and the stores never
+    // appear in it, so the hash match seals the sharing claim: six
+    // forms, one probe pass, row-identical to six from-scratch joins.
+    "o25_join_family_maintain" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
+      import graft.etl.IncrementalAgg.{ReplicaSpec, ViewSpec}
+      val ordBase = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val custBase = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bump = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 4, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val aChain = Seq(
+        ordBase,
+        ordBase.filter(col("o_orderkey") % 10 =!= 3 &&
+          col("o_custkey") % 11 =!= 5),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 3 &&
+          (col("o_custkey") % 11 =!= 5 || col("o_custkey") % 13 === 0))))
+      val bChain = Seq(
+        custBase.filter(col("c_custkey") % 3 =!= 1),
+        custBase.filter(col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2),
+        custBase.filter((col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2) ||
+          (col("c_custkey") % 3 === 1 && col("c_custkey") % 7 === 0)))
+      val base = s"/root/repo/target/sink/o25_fam_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      if (fc.util.exists(bp)) fc.delete(bp, true)
+      val aRoot = s"$base/a"; val bRoot = s"$base/b"
+      val cutRoot = s"$base/cut"
+      val forms = Seq("inner", "left", "right", "full", "semi", "anti")
+      val vRoots = forms.map(f => f -> s"$base/v_$f").toMap
+      val aT = Seq(
+        ReplicaSpec("replica", Seq("o_orderkey"), numBuckets = 16,
+          bucketOn = Seq("o_custkey")),
+        ViewSpec("acnt", Seq("o_custkey"), Nil, numBuckets = 16))
+      val bT = Seq(
+        ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16),
+        ViewSpec("bcnt", Seq("c_custkey"), Nil, numBuckets = 16))
+      // pair-keyed forms key (o,c) null-safely (extensions carry a
+      // NULL half); semi/anti are A-rows only, keyed by A's key
+      val vT: Map[String, Seq[IncrementalAgg.TargetSpec]] = Map(
+        "inner" -> Seq(ReplicaSpec("view",
+          Seq("o_orderkey", "c_custkey"), numBuckets = 16)),
+        "left" -> Seq(ReplicaSpec("view",
+          Seq("o_orderkey", "c_custkey"), numBuckets = 16)),
+        "right" -> Seq(ReplicaSpec("view",
+          Seq("c_custkey", "o_orderkey"), numBuckets = 16)),
+        "full" -> Seq(ReplicaSpec("view",
+          Seq("o_orderkey", "c_custkey"), numBuckets = 16)),
+        "semi" -> Seq(ReplicaSpec("view", Seq("o_orderkey"),
+          numBuckets = 16)),
+        "anti" -> Seq(ReplicaSpec("view", Seq("o_orderkey"),
+          numBuckets = 16)))
+      val joinType = Map("inner" -> "inner", "left" -> "left_outer",
+        "right" -> "right_outer", "full" -> "full_outer",
+        "semi" -> "left_semi", "anti" -> "left_anti")
+      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
+      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
+      forms.foreach { f =>
+        IncrementalAgg.publishInitialMulti(s, vRoots(f),
+          aChain.head.join(bChain.head,
+            col("o_custkey") === col("c_custkey"), joinType(f)), vT(f))
+      }
+      def allVersions(): Map[String, Long] =
+        (Seq("a" -> aRoot, "b" -> bRoot) ++ forms.map(f => f -> vRoots(f)))
+          .map { case (n, r) =>
+            n -> AtomicPublish.currentVersion(s, r).get }.toMap
+      Coordinator.commitCut(s, cutRoot, allVersions())
+      aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
+        case (Seq((a0, b0), (a1, b1)), i) =>
+          val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
+          val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
+          // ONE substrate: two pruned inner reads + one Corrections per
+          // side, every form's feed derived from those
+          val fam = JoinView.familyDeltas(s,
+            JoinView.Side(aRoot, "replica", Seq("o_custkey"),
+              AtomicPublish.currentVersion(s, aRoot).get),
+            JoinView.Side(bRoot, "replica", Seq("c_custkey"),
+              AtomicPublish.currentVersion(s, bRoot).get),
+            "acnt", "bcnt", feedA, feedB)
+          val feeds = Map(
+            "inner" -> fam.inner.persist(),
+            "left" -> fam.leftOuter.persist(),
+            "right" -> fam.rightOuter.persist(),
+            "full" -> fam.fullOuter.persist(),
+            "semi" -> fam.semi.persist(),
+            "anti" -> fam.anti.persist())
+          try {
+            Coordinator.advanceMembers(s, i.toLong,
+              Coordinator.MemberAdvance(aRoot, feedA, aT) +:
+              Coordinator.MemberAdvance(bRoot, feedB, bT) +:
+              forms.map(f =>
+                Coordinator.MemberAdvance(vRoots(f), feeds(f), vT(f))))
+            Coordinator.commitCut(s, cutRoot, allVersions())
+          } finally {
+            feedA.unpersist(); feedB.unpersist()
+            feeds.values.foreach(_.unpersist()); ()
+          }
+      }
+      // every read pinned to ONE resolved cut — the six views AND the
+      // bases they were derived from are the same batch by construction
+      val cut = Coordinator.currentCut(s, cutRoot)
+      def rd(f: String) =
+        IncrementalAgg.readView(s, vRoots(f), "view", Some(cut(f)))
+      val aOnly = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"),
+        lit(null).cast("long").as("c_custkey"),
+        lit(null).cast("string").as("c_mktsegment"))
+      forms.map { f =>
+        val v = if (f == "semi" || f == "anti") rd(f).select(aOnly: _*)
+                else rd(f)
+        v.withColumn("side", lit(f))
+      }.reduce(_ unionByName _)
+        .select(col("side"), col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("side"), col("o_orderkey").asc_nulls_last,
+          col("c_custkey").asc_nulls_last)
+    }),
+
     // o17 — MAINTAINED TOP-K [extension; leaderboard maintenance]:
     // the general form of o15's extrema (k = 1): per group, the k best
     // ROWS under a pinned total order, maintained by merge-on-insert /
@@ -1373,6 +1511,47 @@ object Etl {
         |SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
         |FROM o RIGHT JOIN c ON o_custkey = c_custkey
         |ORDER BY c_custkey NULLS LAST, o_orderkey NULLS LAST""".stripMargin,
+
+    // All six forms recomputed directly over the final slices as a
+    // tagged union — familyDeltas, the one-Corrections-per-side
+    // sharing, the eight stores, and the cut never appear here, so the
+    // hash match proves the shared substrate serves every form exactly.
+    "o25_join_family_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |    AND (o_custkey % 11 <> 5 OR o_custkey % 13 = 0)),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE (c_custkey % 3 <> 1 AND c_custkey % 5 <> 2)
+        |     OR (c_custkey % 3 = 1 AND c_custkey % 7 = 0))
+        |SELECT * FROM (
+        |  SELECT 'inner' AS side, o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'left', o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o LEFT JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'right', o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o RIGHT JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'full', o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o FULL JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'semi', o_orderkey, o_custkey, o_totalprice,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        |  FROM o WHERE EXISTS (SELECT 1 FROM c WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'anti', o_orderkey, o_custkey, o_totalprice,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        |  FROM o WHERE NOT EXISTS (SELECT 1 FROM c WHERE c_custkey = o_custkey))
+        |ORDER BY side, o_orderkey NULLS LAST, c_custkey NULLS LAST""".stripMargin,
 
     // The cube recomputed as a direct join + group-by over the final
     // slices — the six-term feed, the additive maintenance, and the

@@ -1055,4 +1055,71 @@ class JoinMaintenanceSpec extends SparkSuite {
       === j1(aCur, bCur).collect().map(_.toSeq).toSet,
       "the newest cut's middle view must equal the live A⋈B")
   }
+
+  test("hot-key skew through joinDelta: a delta touching a join key with " +
+    "10^4 matching pre-state rows is exact, and in the no-broadcast worst " +
+    "case AQE's skew split engages on the hot partition") {
+    // The r17/r18 SCALE.md story argued this in prose: a hot key's worst
+    // case inside the six-term delta is OUTPUT-sized (A_keep ⋈ ΔB emits
+    // one pair per matching A row — nothing quadratic), and when the
+    // delta is too big to broadcast the skewed shuffle partition is
+    // AQE's skew-split case. This battery CONSTRUCTS that batch: 10,000
+    // A rows share join key 42; ΔB updates exactly that key (plus cold
+    // churn), so the A_keep ⋈ ΔB± terms each carry the full hot fan-out
+    // through one shuffle partition of the sort-merge join.
+    // 10k hot rows vs ~1.2k cold rows per shuffle partition: the hot
+    // partition must dominate the MEDIAN (AQE's skew test is
+    // size > max(thresholdBytes, factor × median)), so the cold side
+    // stays an order of magnitude below the hot fan-out
+    val hotA = (1 to 10000).map(i => (i, Some(42), s"h$i"))
+    val coldA = (10001 to 15000).map(i => (i, Some(100 + i % 59), s"c$i"))
+    val a0 = hotA ++ coldA
+    val b0 = (Seq(42) ++ (100 to 158)).map(k => (k, s"v$k"))
+    // ΔA: delete a sliver (some hot rows land in the ΔA⁻ ⋈ ΔB± cell);
+    // ΔB: rewrite the HOT key's row, delete one cold key, insert one
+    val a1 = a0.filterNot { case (i, _, _) => i % 1000 == 7 }
+    val b1 = b0.map { case (k, v) => if (k == 42) (k, "HOT!") else (k, v) }
+      .filterNot(_._1 == 157) ++ Seq((200, "new"))
+    val confs = Seq(
+      // the worst case this battery prices: delta NOT broadcastable
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      // spec-scale thresholds: the hot partition (~10^4 rows) must
+      // cross them, the cold ones (~10^2 rows) must not
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
+      // the split target is floored at coalescePartitions.minPartitionSize
+      // (default 1 MiB) — a spec-scale hot partition (~100 KiB) can never
+      // split into >1 piece without lowering the floor too
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "4096")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val feedA = ChangeFeed.diff(dfA(a0), dfA(a1), Seq("aid"))
+      val feedB = ChangeFeed.diff(dfB(b0), dfB(b1), Seq("bid"))
+      val viewFeed = JoinView.joinDelta(spark, dfA(a0), dfB(b0),
+        feedA, feedB, Seq("cust" -> "bid"))
+      // output-sized, not quadratic: the feed carries delete+insert for
+      // every live hot pair + the cold churn — bound it before replay.
+      // Materialize through the feed's OWN QueryExecution (a .count()
+      // would plan a fresh one and the adaptive plan here would never
+      // finalize), then read the FINAL adaptive plan for the markers.
+      val qe = viewFeed.queryExecution
+      val feedRows = qe.executedPlan.execute().count()
+      assert(feedRows < 30000,
+        s"hot-key delta blew past the output-size bound: $feedRows rows")
+      // the executed (adaptive) plan of the materialized feed shows the
+      // skew split engaged: SortMergeJoin(skew=true) / skewed AQE reads
+      val planStr = qe.executedPlan.toString
+      assert(planStr.contains("skew=true") || planStr.contains("skewed"),
+        s"AQE skew split did not engage on the hot partition:\n$planStr")
+      val viewPre = dfA(a0).join(dfB(b0), col("cust") === col("bid"), "inner")
+      val replayed = ChangeFeed.applyTo(viewPre, viewFeed, Seq("aid", "bid"),
+        strict = true).collect().map(_.toSeq).toSet
+      assert(replayed === direct(a1, b1),
+        "hot-key maintenance diverged from the direct join")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }

@@ -152,6 +152,92 @@ class TrainingDataOpsSpec extends SparkSuite {
       "a 2-doc probe must open fewer band buckets than the full store")
   }
 
+  test("cross-store time travel through the maintained-index probe: " +
+    "after churn under a vacuum cadence, probing at a HISTORICAL cut " +
+    "equals the recompute over that cut's corpus — vacuumMember's " +
+    "protection exercised end-to-end on the dd13 pairing") {
+    import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg}
+    val base = "/root/repo/target/test-sink/lshidx_tt"
+    Seq("bands", "sigs", "cut").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val bandsRoot = s"$base/bands"; val sigsRoot = s"$base/sigs"
+    val cutRoot = s"$base/cut"
+    val bandsT = Seq(IncrementalAgg.ReplicaSpec("bands",
+      Seq("doc_id", "band"), numBuckets = 8, bucketOn = Seq("bkey")))
+    val sigsT = Seq(IncrementalAgg.ReplicaSpec("sigs", Seq("doc_id"),
+      numBuckets = 8))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val probe = docs.filter(col("doc_id") % 5 === 3)
+    val rest = docs.filter(col("doc_id") % 5 =!= 3)
+    val edit = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("text", when(col("doc_id") % 13 === 1,
+        concat(col("text"), lit(" graft graft"))).otherwise(col("text")))
+    // 4 corpus versions → 4 cuts; deletes, re-inserts, AND bucket-
+    // migrating edits, so historical reads cross real version churn
+    val chain = Seq(
+      rest.filter(col("doc_id") % 11 =!= 4),
+      rest,
+      edit(rest.filter(col("doc_id") % 7 =!= 2)),
+      edit(rest.filter(col("doc_id") % 7 =!= 2 && col("doc_id") % 9 =!= 5)))
+    IncrementalAgg.publishInitialMulti(spark, bandsRoot,
+      TextDedup.bandRows(chain.head, "doc_id", "text"), bandsT)
+    IncrementalAgg.publishInitialMulti(spark, sigsRoot,
+      TextDedup.signatureRows(chain.head, "doc_id", "text"), sigsT)
+    // coordinator version -> the corpus that cut indexed
+    var corpusAt = Map(
+      Coordinator.commitCut(spark, cutRoot,
+        Map("bands" -> 0L, "sigs" -> 0L)) -> chain.head)
+    chain.sliding(2).zipWithIndex.foreach { case (Seq(c0, c1), i) =>
+      val docFeed = ChangeFeed.diff(c0, c1, Seq("doc_id")).persist()
+      val (sigFeed, bandFeed) = TextDedup.indexFeeds(docFeed, "doc_id", "text")
+      Coordinator.advanceMembers(spark, i.toLong, Seq(
+        Coordinator.MemberAdvance(bandsRoot, bandFeed, bandsT),
+        Coordinator.MemberAdvance(sigsRoot, sigFeed, sigsT)))
+      docFeed.unpersist()
+      corpusAt += Coordinator.commitCut(spark, cutRoot, Map(
+        "bands" -> AtomicPublish.currentVersion(spark, bandsRoot).get,
+        "sigs" -> AtomicPublish.currentVersion(spark, sigsRoot).get)) -> c1
+    }
+    // the GC cadence, in the documented order: coordinator first (its
+    // vacuum shrinks the protected set), then members with keep=1 —
+    // WITHOUT cut protection that would strand every historical cut
+    AtomicPublish.vacuum(spark, cutRoot, keep = 2, minAgeMs = 0)
+    val deletedBands = Coordinator.vacuumMember(spark, cutRoot, "bands",
+      bandsRoot, keep = 1, minAgeMs = 0)
+    val deletedSigs = Coordinator.vacuumMember(spark, cutRoot, "sigs",
+      sigsRoot, keep = 1, minAgeMs = 0)
+    assert(deletedBands.nonEmpty && deletedSigs.nonEmpty,
+      "the cadence must really reclaim member versions " +
+        s"(bands: $deletedBands, sigs: $deletedSigs)")
+    val retained = AtomicPublish.liveVersions(spark, cutRoot)
+    assert(retained.size == 2, s"coordinator keep=2, got $retained")
+    // the HISTORICAL retained cut names member versions BELOW the
+    // members' own keep=1 floor — alive only because vacuumMember
+    // protected them
+    val histCut = Coordinator.cutAt(spark, cutRoot, retained.min)
+    assert(histCut("bands") <
+      AtomicPublish.currentVersion(spark, bandsRoot).get,
+      "the historical cut must reference a non-current member version")
+    // EVERY retained cut probes exactly as the recompute over ITS corpus
+    retained.foreach { cv =>
+      val got = TextDedup.probeAtCut(spark, cutRoot, bandsRoot, sigsRoot,
+        probe, "doc_id", "text", cutVersion = Some(cv))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = TextDedup.incrementalMinhashLsh(batch = probe,
+        snapshot = corpusAt(cv), idCol = "doc_id", textCol = "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"time-travel probe diverged at cut $cv")
+      assert(got.nonEmpty, s"cut $cv should see probe-vs-corpus near-dups")
+    }
+    // a cut the coordinator vacuum dropped is gone — resolving it fails
+    val droppedCut = corpusAt.keys.min
+    assert(!retained.contains(droppedCut))
+    intercept[Exception] {
+      TextDedup.probeAtCut(spark, cutRoot, bandsRoot, sigsRoot, probe,
+        "doc_id", "text", cutVersion = Some(droppedCut)).collect()
+    }
+  }
+
   test("repetitionScore arithmetic matches hand computation, null text gives null signals") {
     import spark.implicits._
     val docs = Seq(
