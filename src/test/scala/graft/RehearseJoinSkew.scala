@@ -87,6 +87,11 @@ object RehearseJoinSkew {
         (256 * 1024).toString)
       spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
         (128 * 1024).toString)
+      // the split target is floored at minPartitionSize (default 1 MiB)
+      // — scaled down with the other knobs so the detector sees fixture
+      // bytes the way production defaults see hundreds-of-MB partitions
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
       try {
         val feedA = ChangeFeed.diff(ordBase, a1, Seq("o_orderkey")).persist()
         val feedB = ChangeFeed.diff(custBase, b1, Seq("c_custkey")).persist()
@@ -109,9 +114,12 @@ object RehearseJoinSkew {
         // differential: apply the feed to the pre-join, compare with the
         // direct join of the post tables (checksum compare — the frames
         // are |join|-sized at sf1, too big for a driver-side set)
-        def sig(df: org.apache.spark.sql.DataFrame): Long =
-          df.select(xxhash64(df.columns.map(col): _*).as("h"))
-            .agg(sum("h")).collect()(0).getLong(0)
+        // decimal-cast sum: a long sum of 5M xxhash64 values overflows
+        // under ANSI mode
+        def sig(df: org.apache.spark.sql.DataFrame): String =
+          df.select(xxhash64(df.columns.map(col): _*)
+              .cast("decimal(38,0)").as("h"))
+            .agg(sum("h")).collect()(0).get(0).toString
         val viewPre = ordBase.join(custBase,
           col("o_custkey") === col("c_custkey"), "inner")
         val replayed = ChangeFeed.applyTo(viewPre, viewFeed,
