@@ -67,6 +67,56 @@ object Bench {
     }
     calibOnce()
     val calibBefore = math.min(calibOnce(), calibOnce())
+    // IO-side calibration (round-19 verdict ask #1): the CPU kernel is
+    // provably blind to the dominant noise on this host — r19's run 4
+    // read CLEAN (0.60→0.45) while the same jar walked to 1.23× the pin
+    // under external IO load. This kernel touches the thing the battery
+    // actually contends on: the fixture/sink VOLUME. 256 MiB sequential
+    // write in 8 MiB chunks with an fsync every 64 MiB (four queue-depth
+    // samples — fsync latency is where an external writer shows up),
+    // then a full read-back, driver-side JVM IO so Spark scheduling
+    // can't launder the reading. The file lands next to the battery's
+    // own sinks (target/), i.e. the same device the stores commit to.
+    // Same protocol as the CPU kernel: one untimed warm pass, then
+    // min-of-two, before and after the battery, shipped in both JSON
+    // artifacts. PIN RULE (SCALE.md): a run is pinnable only when BOTH
+    // kernels read idle-band before AND after — CPU ≲ 0.9 s, IO within
+    // ~1.5× its own quiet floor — otherwise re-run later.
+    val ioProbePath = java.nio.file.Paths.get(
+      sys.props("user.dir"), "target", "bench_io_probe.bin")
+    def ioCalibOnce(): Double = {
+      import java.nio.file.StandardOpenOption._
+      val chunk = new Array[Byte](8 * 1024 * 1024)
+      java.util.Arrays.fill(chunk, 0x5a.toByte)
+      val t0 = System.nanoTime()
+      val wch = java.nio.channels.FileChannel.open(
+        ioProbePath, CREATE, WRITE, TRUNCATE_EXISTING)
+      try {
+        var i = 0
+        while (i < 32) { // 32 × 8 MiB = 256 MiB
+          val buf = java.nio.ByteBuffer.wrap(chunk)
+          while (buf.hasRemaining) wch.write(buf)
+          if ((i & 7) == 7) wch.force(false)
+          i += 1
+        }
+      } finally wch.close()
+      val rch = java.nio.channels.FileChannel.open(ioProbePath, READ)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(8 * 1024 * 1024)
+        while (rch.read(buf) > 0) buf.clear()
+      } finally rch.close()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def ioCalib(): Double =
+      try {
+        val v = math.min(ioCalibOnce(), ioCalibOnce())
+        java.nio.file.Files.deleteIfExists(ioProbePath)
+        v
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] io calib failed: ${e.getMessage}"); -1.0
+      }
+    ioCalibOnce() // warm (file allocation, JIT)
+    val ioCalibBefore = ioCalib()
     // Optional comma-separated query-name filter for local iteration
     // (e.g. SPARK_GRAFT_ONLY=px2_cluster_curation,dd7_cluster_dedup);
     // unset = the full inventory, which is what the driver runs.
@@ -106,7 +156,16 @@ object Bench {
     // prices (a gate rehearses seed + k batches + serve in ONE entry;
     // production pays the batch slice per commit and the seed never).
     // Non-lifecycle queries never enter the primitives and read 0/0.
-    final case class Timing(total: Double, seed: Double, batch: Double)
+    // `stores` = PhaseClock's per-root attribution of the seed+batch
+    // time (labels record even when the global bracket suppresses a
+    // nested/concurrent member, so concurrent members can sum past the
+    // wall-clock split — that is the attribution, not a bug);
+    // `suppressed` > the store count of a serial gate means two
+    // top-level primitives overlapped and the split undercounts
+    // (PhaseClock's per-JVM-sequential assumption, now observable).
+    final case class Timing(total: Double, seed: Double, batch: Double,
+                            stores: Map[String, Double] = Map.empty,
+                            suppressed: Int = 0)
     val failed = Timing(-1.0, 0.0, 0.0)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 pass: String): Timing = {
@@ -121,7 +180,8 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         if (debug) System.err.println(
           f"[bench-debug] +${(System.nanoTime() - benchStart) / 1e9}%.1fs [$tag] $name%-28s ${sec}%.2fs")
-        if (ok) Timing(sec, PhaseClock.seedSeconds, PhaseClock.batchSeconds)
+        if (ok) Timing(sec, PhaseClock.seedSeconds, PhaseClock.batchSeconds,
+          PhaseClock.labeledSeconds, PhaseClock.suppressedBrackets)
         else failed
       }
       val first = once(pass)
@@ -158,11 +218,12 @@ object Bench {
     }.toMap
     val min2 = best.map { case (n, t) => n -> t.total }
     val calibAfter = math.min(calibOnce(), calibOnce())
+    val ioCalibAfter = ioCalib()
     def fmt(v: Double, d: Int): String =
       s"%.${d}f".formatLocal(java.util.Locale.ROOT, v)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfTag = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    val calibJson = s""""calib_before_s":${fmt(calibBefore, 2)},"calib_after_s":${fmt(calibAfter, 2)}"""
+    val calibJson = s""""calib_before_s":${fmt(calibBefore, 2)},"calib_after_s":${fmt(calibAfter, 2)},"io_calib_before_s":${fmt(ioCalibBefore, 2)},"io_calib_after_s":${fmt(ioCalibAfter, 2)}"""
     // The driver captures only the last 2000 chars of stdout (confirmed by
     // BENCH_r01..r04: tail length is exactly 2000 and every full-inventory
     // line overflowed it → "parsed": null). sbt appends its own
@@ -173,12 +234,26 @@ object Bench {
     val totalMin2 = if (min2.nonEmpty) min2.values.sum else 0.0
     // seed/batch only where nonzero (lifecycle queries) — the split of
     // the min2 pass; "serve" is min2 − seed − batch, derivable
+    // store labels are the full roots; strip the repo-local sink prefix
+    // for the artifact (stable across rounds, keeps the map readable)
+    def shortRoot(r: String): String = {
+      val marker = "/target/sink/"
+      val i = r.indexOf(marker)
+      if (i >= 0) r.substring(i + marker.length) else r
+    }
     val fullJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) =>
         val b = best(k)
-        val phases = if (b.seed > 0 || b.batch > 0)
-          ",\"seed\":" + fmt(b.seed, 2) + ",\"batch\":" + fmt(b.batch, 2)
-        else ""
+        val phases = if (b.seed > 0 || b.batch > 0) {
+          val stores = if (b.stores.isEmpty) ""
+            else b.stores.toSeq.map { case (r, s) => shortRoot(r) -> s }
+              .sortBy(-_._2)
+              .map { case (r, s) => "\"" + r + "\":" + fmt(s, 2) }
+              .mkString(",\"stores\":{", ",", "}")
+          val sup = if (b.suppressed > 0) ",\"suppressed\":" + b.suppressed else ""
+          ",\"seed\":" + fmt(b.seed, 2) + ",\"batch\":" + fmt(b.batch, 2) +
+            stores + sup
+        } else ""
         s"\"" + k + "\":{\"first\":" + fmt(v, 2) + ",\"min2\":" + fmt(min2(k), 2) + phases + "}" }
       .mkString(
         s"""{"metric":"total","value":${fmt(total, 2)},"total_min2":${fmt(totalMin2, 2)},$calibJson,"unit":"sec","sf":"$sfTag","nq":${results.size},"queries":{""",

@@ -121,11 +121,25 @@ object Coordinator {
     AtomicPublish.vacuum(spark, memberRoot, keep, minAgeMs,
       protect = referencedVersions(spark, root, store))
 
+  /** One member store's advance for [[advanceMembers]] — either the
+    * one-feed-per-root form ([[MemberAdvance]] →
+    * [[IncrementalAgg.applyOnceMulti]]) or the feed-per-target form
+    * ([[MemberAdvanceFeeds]] → [[IncrementalAgg.applyOnceFeeds]]). */
+  sealed trait MemberCommit { def root: String }
+
   /** One member store's advance for [[advanceMembers]]: the store
     * root, its batch feed, and the seeded target set
     * ([[IncrementalAgg.applyOnceMulti]]'s arguments). */
   final case class MemberAdvance(root: String, feed: DataFrame,
                                  targets: Seq[IncrementalAgg.TargetSpec])
+    extends MemberCommit
+
+  /** A feed-PER-TARGET member ([[IncrementalAgg.applyOnceFeeds]]'
+    * arguments) — one ledgered commit for a whole sibling-view family
+    * whose targets need different feeds. */
+  final case class MemberAdvanceFeeds(root: String,
+                                      targets: Seq[IncrementalAgg.TargetFeed])
+    extends MemberCommit
 
   /** Advance several INDEPENDENT member stores through one batch
     * CONCURRENTLY — the multi-store round's latency fix: each member's
@@ -156,13 +170,13 @@ object Coordinator {
     * analysis). The first failure is rethrown after all members
     * settle. Returns each member's applied flag in input order. */
   def advanceMembers(spark: SparkSession, batchId: Long,
-                     members: Seq[MemberAdvance],
+                     members: Seq[MemberCommit],
                      parallelism: Int = 0): Seq[Boolean] =
     graft.PhaseClock.batch {
       advanceMembersImpl(spark, batchId, members, parallelism) }
 
   private def advanceMembersImpl(spark: SparkSession, batchId: Long,
-                                 members: Seq[MemberAdvance],
+                                 members: Seq[MemberCommit],
                                  parallelism: Int): Seq[Boolean] = {
     require(members.nonEmpty, "no members")
     require(members.map(_.root).distinct.size == members.size,
@@ -183,8 +197,13 @@ object Coordinator {
         new java.util.concurrent.Callable[Boolean] {
           def call(): Boolean = {
             gate.acquire()
-            try IncrementalAgg.applyOnceMulti(spark, m.root, m.feed, batchId,
-              m.targets)
+            try m match {
+              case MemberAdvance(root, feed, targets) =>
+                IncrementalAgg.applyOnceMulti(spark, root, feed, batchId,
+                  targets)
+              case MemberAdvanceFeeds(root, targets) =>
+                IncrementalAgg.applyOnceFeeds(spark, root, batchId, targets)
+            }
             finally gate.release()
           }
         }

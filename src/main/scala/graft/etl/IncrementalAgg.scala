@@ -906,14 +906,19 @@ object IncrementalAgg {
   }
 
   /** The shared maintenance round: read every target's manifest, probe
-    * all touched buckets in one job, advance every target in
-    * dependency order (a target's `dependsOn` siblings must be LISTED
-    * before it — their post-batch state is what its step may rescan),
-    * and commit all new manifests + the ledger delta as ONE atomic
-    * publish. */
+    * all touched buckets in one job PER DISTINCT FEED, advance every
+    * target in dependency order (a target's `dependsOn` siblings must
+    * be LISTED before it — their post-batch state is what its step may
+    * rescan), and commit all new manifests + the ledger delta as ONE
+    * atomic publish. Targets are paired with their feeds — the
+    * single-feed callers pass the same frame for every target (one
+    * probe job, unchanged cost), [[applyOnceFeeds]] passes one per
+    * target (one probe job per distinct feed, each feed-sized). */
   private def maintainRound(spark: SparkSession, root: String,
-                            snap: AtomicPublish.Snapshot, feed: DataFrame,
-                            views: Seq[TargetSpec], ledger: DataFrame): Unit = {
+                            snap: AtomicPublish.Snapshot,
+                            targetFeeds: Seq[(TargetSpec, DataFrame)],
+                            ledger: DataFrame): Unit = {
+    val views = targetFeeds.map(_._1)
     val idx = views.map(_.name).zipWithIndex.toMap
     views.zipWithIndex.foreach { case (v, i) =>
       v.dependsOn.foreach { dep =>
@@ -923,11 +928,18 @@ object IncrementalAgg {
       }
     }
     val manifests = views.map(v => readManifest(spark, snap, v.manifestT))
-    val touched = touchedBuckets(feed,
-      views.zip(manifests).map { case (v, m) => (v, m.numBuckets) })
+    // one touched-bucket probe per DISTINCT feed frame (reference
+    // identity — DataFrames don't define value equality), covering all
+    // of that feed's targets in its one aggregate job
+    val touched: Map[String, Set[Int]] =
+      targetFeeds.zip(manifests).groupBy { case ((_, f), _) => f }
+        .flatMap { case (f, group) =>
+          touchedBuckets(f,
+            group.map { case ((v, _), m) => (v, m.numBuckets) })
+        }
     val stepped = scala.collection.mutable.Map.empty[String, SteppedState]
     val ctx = new StepContext(spark, stepped)
-    val outs = views.zip(manifests).map { case (v, m) =>
+    val outs = targetFeeds.zip(manifests).map { case ((v, feed), m) =>
       val (table, mdf, postBatch) =
         maintainView(spark, snap, feed, v, m, touched(v.name), ctx)
       stepped(v.name) = postBatch
@@ -968,7 +980,7 @@ object IncrementalAgg {
     * [[publishInitialMulti]] once to seed the store. */
   def applyOnceMulti(spark: SparkSession, root: String, feed: DataFrame,
                      batchId: Long, views: Seq[TargetSpec]): Boolean =
-    graft.PhaseClock.batch {
+    graft.PhaseClock.batchAt(root) {
       applyOnceMultiImpl(spark, root, feed, batchId, views) }
 
   private def applyOnceMultiImpl(spark: SparkSession, root: String,
@@ -1001,7 +1013,7 @@ object IncrementalAgg {
       val callerCached =
         feed.storageLevel != org.apache.spark.storage.StorageLevel.NONE
       val f = if (callerCached) feed else feed.persist()
-      try maintainRound(spark, root, snap, f, views,
+      try maintainRound(spark, root, snap, views.map(v => (v, f)),
         applied.unionByName(Seq(batchId).toDF("batch_id")))
       finally { if (!callerCached) f.unpersist(); () }
       true
@@ -1014,6 +1026,96 @@ object IncrementalAgg {
                 sumCols: Seq[(String, String)]): Boolean =
     applyOnceMulti(spark, root, feed, batchId,
       Seq(ViewSpec(DefaultView, groupCols, sumCols)))
+
+  /** One target paired with ITS OWN feed — the unit of
+    * [[applyOnceFeeds]] / [[publishInitialSeeds]]. `rows` is the feed
+    * (a [[ChangeFeed.diff]] output) for maintenance, the seed rows for
+    * the initial publish. Several entries may share one frame (shared
+    * by REFERENCE — it is probed and persisted once). */
+  final case class TargetFeed(target: TargetSpec, rows: DataFrame)
+
+  /** [[applyOnceMulti]] with a feed PER TARGET under ONE root — the
+    * commit-amplification fix the r19 verdict priced (missing #2):
+    * `applyOnceMulti` takes one feed for all of a root's targets, so a
+    * family of views whose six forms need six DIFFERENT feeds (the o25
+    * join family) had to live in six separate stores — six ledgered
+    * commits plus six pointer swaps per batch where the DATA only
+    * needs one. Here all targets share ONE root, ONE exactly-once
+    * ledger, and ONE atomic publish per batch: the per-batch fixed
+    * floor is one commit regardless of how many sibling views the
+    * family maintains, and a reader pinning the root's single version
+    * sees every sibling at the same batch BY CONSTRUCTION (stronger
+    * than a cross-store cut — there is nothing to coordinate).
+    *
+    * Cost note: one touched-bucket probe job per DISTINCT feed frame
+    * (each feed-sized, over the caller's persisted feeds) replaces the
+    * per-store probes the multi-root layout paid anyway — the saving
+    * is pure commit overhead: 1 ledger append + 1 manifest set + 1
+    * pointer CAS instead of k. Exactly-once, crash, and conflict
+    * semantics are [[applyOnceMulti]]'s verbatim (same snapshot pin,
+    * same ledger, same publish). Feeds the caller already persisted
+    * are left alone, same contract as [[applyOnceMulti]]. */
+  def applyOnceFeeds(spark: SparkSession, root: String, batchId: Long,
+                     targets: Seq[TargetFeed]): Boolean =
+    graft.PhaseClock.batchAt(root) {
+      applyOnceFeedsImpl(spark, root, batchId, targets) }
+
+  private def applyOnceFeedsImpl(spark: SparkSession, root: String,
+                                 batchId: Long,
+                                 targets: Seq[TargetFeed]): Boolean = {
+    import spark.implicits._
+    require(targets.nonEmpty, "no targets")
+    require(targets.map(_.target.name).distinct.size == targets.size,
+      s"duplicate view names: ${targets.map(_.target.name).mkString(",")}")
+    val snap = AtomicPublish.snapshot(spark, root)
+    val applied = snap.table(spark, AppliedT)
+    if (!applied.filter(col("batch_id") === batchId).isEmpty) false
+    else {
+      // persist each DISTINCT caller-unpersisted feed for the round
+      // (its touched-bucket probe is the materializing action);
+      // caller-persisted feeds are left alone — applyOnceMulti's
+      // ownership rule, per feed
+      val distinctFeeds = targets.map(_.rows).distinct
+      val toCache = distinctFeeds.filter(
+        _.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      toCache.foreach(_.persist())
+      try maintainRound(spark, root, snap,
+        targets.map(tf => (tf.target, tf.rows)),
+        applied.unionByName(Seq(batchId).toDF("batch_id")))
+      finally { toCache.foreach(_.unpersist()); () }
+      true
+    }
+  }
+
+  /** Seed a per-target-feed store ([[applyOnceFeeds]]' counterpart to
+    * [[publishInitialMulti]]): every target's initial state from ITS
+    * OWN seed rows plus one empty shared ledger, committed as one
+    * atomic publish; returns the version. Frames shared by reference
+    * are persisted once for the seeding round. */
+  def publishInitialSeeds(spark: SparkSession, root: String,
+                          targets: Seq[TargetFeed]): Long =
+    graft.PhaseClock.seedAt(root) {
+      publishInitialSeedsImpl(spark, root, targets) }
+
+  private def publishInitialSeedsImpl(spark: SparkSession, root: String,
+                                      targets: Seq[TargetFeed]): Long = {
+    import spark.implicits._
+    require(targets.nonEmpty, "no targets")
+    require(targets.map(_.target.name).distinct.size == targets.size,
+      s"duplicate view names: ${targets.map(_.target.name).mkString(",")}")
+    val distinctRows = targets.map(_.rows).distinct
+    val toCache = distinctRows.filter(
+      _.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    toCache.foreach(_.persist())
+    try AtomicPublish.publish(spark, root,
+      targets.map { case TargetFeed(v, rows) =>
+        val state = v.seed(rows)
+        val refs = writeSegment(spark, root, state, v.bucketCols, v.numBuckets)
+        v.manifestT -> manifestDF(spark, v.numBuckets, refs, state.schema.toDDL,
+          v.bucketCols)
+      } :+ (AppliedT -> Seq.empty[Long].toDF("batch_id")))
+    finally { toCache.foreach(_.unpersist()); () }
+  }
 
   /** CATCH-UP application: a consumer that fell N batches behind
     * applies them as ONE maintenance round — the unapplied feeds fold
@@ -1043,7 +1145,7 @@ object IncrementalAgg {
                          feeds: Seq[(Long, DataFrame)], key: Seq[String],
                          views: Seq[TargetSpec],
                          strict: Boolean = false): Int =
-    graft.PhaseClock.batch {
+    graft.PhaseClock.batchAt(root) {
       applyComposedMultiImpl(spark, root, feeds, key, views, strict) }
 
   private def applyComposedMultiImpl(spark: SparkSession, root: String,
@@ -1076,7 +1178,7 @@ object IncrementalAgg {
       // re-evaluation
       val netFeed = ChangeFeed.composeAll(todo.map(_._2), key, strict)
         .persist()
-      try maintainRound(spark, root, snap, netFeed, views,
+      try maintainRound(spark, root, snap, views.map(v => (v, netFeed)),
         applied.unionByName(todo.map(_._1).toDF("batch_id")))
       finally { netFeed.unpersist(); () }
       todo.size
@@ -1099,7 +1201,7 @@ object IncrementalAgg {
     * bucket file). */
   def publishInitialMulti(spark: SparkSession, root: String, rows: DataFrame,
                           views: Seq[TargetSpec]): Long =
-    graft.PhaseClock.seed {
+    graft.PhaseClock.seedAt(root) {
       publishInitialMultiImpl(spark, root, rows, views) }
 
   private def publishInitialMultiImpl(spark: SparkSession, root: String,

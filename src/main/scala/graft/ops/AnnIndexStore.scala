@@ -325,7 +325,7 @@ object AnnIndexStore {
     * PREVIOUS lineage are re-appendable against the rebuilt corpus by
     * design — the rebuild replaced them). */
   def publish(spark: SparkSession, root: String, model: IvfPqModel,
-              encoded: DataFrame): Long = graft.PhaseClock.seed {
+              encoded: DataFrame): Long = graft.PhaseClock.seedAt(root) {
     val modelId = writeModel(spark, root, model)
     val seg = writeSegment(spark, root, encoded)
     publishVersion(spark, root, Manifest(modelId, Seq("seg" -> seg), Seq(seg)))
@@ -355,7 +355,7 @@ object AnnIndexStore {
                    idCol: String, vecCol: String,
                    segmentId: Option[String] = None,
                    asOf: Option[Long] = None): Long =
-    graft.PhaseClock.batch {
+    graft.PhaseClock.batchAt(root) {
       appendEncodeImpl(spark, root, batch, idCol, vecCol, segmentId, asOf) }
 
   private def appendEncodeImpl(spark: SparkSession, root: String,
@@ -401,7 +401,7 @@ object AnnIndexStore {
   def applyDeletes(spark: SparkSession, root: String, deletes: DataFrame,
                    idCol: String, tombstoneId: Option[String] = None,
                    asOf: Option[Long] = None): Long =
-    graft.PhaseClock.batch {
+    graft.PhaseClock.batchAt(root) {
       applyDeletesImpl(spark, root, deletes, idCol, tombstoneId, asOf) }
 
   private def applyDeletesImpl(spark: SparkSession, root: String,
@@ -515,7 +515,7 @@ object AnnIndexStore {
   def compactSegments(spark: SparkSession, root: String,
                       targetBytes: Long = 128L * 1024 * 1024,
                       minSegments: Int = 2): Long =
-    graft.PhaseClock.batch {
+    graft.PhaseClock.batchAt(root) {
       compactSegmentsImpl(spark, root, targetBytes, minSegments) }
 
   private def compactSegmentsImpl(spark: SparkSession, root: String,

@@ -249,9 +249,7 @@ object TextDedup {
     * band keys hash into ([[graft.etl.IncrementalAgg.readViewPrunedBy]];
     * probe cost ∝ the batch's share of the band space, independent of
     * corpus size), candidates verify against the signature store read
-    * pruned to exactly the candidate ids. Pin both versions from one
-    * Coordinator cut so the two stores are the same corpus — or use
-    * [[probeAtCut]], which makes a mixed-version probe unrepresentable.
+    * pruned to exactly the candidate ids.
     * Output: (snap_id, batch_id, est_jaccard ≥ threshold) —
     * row-identical to [[incrementalMinhashLsh]] over the corpus the
     * stores maintain (the differential TrainingDataOpsSpec pins).
@@ -260,15 +258,25 @@ object TextDedup {
     * the identical rows `broadcast(cand)` would collect to the driver
     * at action time anyway, so the bound is the broadcast's own — and
     * both the sig read's bucket probe and the verification join run
-    * over that local relation. */
-  def probeMaintainedIndex(spark: org.apache.spark.sql.SparkSession,
+    * over that local relation. EAGER by consequence: constructing the
+    * probe runs the candidate Spark jobs at CALL time and captures the
+    * candidate set then, not at first action — don't build probes
+    * speculatively.
+    *
+    * PRIVATE since r20 (r19 verdict, missing #4): its independent
+    * `bandsVersion`/`sigsVersion` knobs are exactly the mixed-version
+    * hazard (bands@N against sigs@N−1) the coordinator exists to
+    * prevent, so the only public entry is [[probeAtCut]], where both
+    * pins come from ONE resolved cut and the hazard is
+    * unrepresentable. */
+  private def probeMaintainedIndex(spark: org.apache.spark.sql.SparkSession,
                            bandsRoot: String, sigsRoot: String,
                            batch: DataFrame, idCol: String, textCol: String,
-                           threshold: Double = 0.5,
-                           bandsView: String = "bands",
-                           sigsView: String = "sigs",
-                           bandsVersion: Option[Long] = None,
-                           sigsVersion: Option[Long] = None): DataFrame = {
+                           threshold: Double,
+                           bandsView: String,
+                           sigsView: String,
+                           bandsVersion: Option[Long],
+                           sigsVersion: Option[Long]): DataFrame = {
     import graft.etl.IncrementalAgg
     import scala.jdk.CollectionConverters._
     val bSigs = minhashSigs(batch, idCol, textCol)
@@ -294,18 +302,18 @@ object TextDedup {
       .select("snap_id", "batch_id", "est_jaccard")
   }
 
-  /** [[probeMaintainedIndex]] with BOTH store versions pinned from ONE
-    * [[graft.etl.Coordinator]] cut — the enforced form of the "pin both
-    * versions from one cut" rule: the raw entry point's independent
-    * version options default to each store's CURRENT pointer, so a
-    * caller omitting them can probe bands@N against sigs@N−1, exactly
-    * the mixed-version read the coordinator exists to prevent. Here the
-    * cut is resolved once (`cutVersion` = None → the current cut;
-    * Some(v) → time travel to the pairing as of coordinator version v)
-    * and a missing member name fails loudly instead of silently falling
+  /** The maintained-index probe with BOTH store versions pinned from
+    * ONE [[graft.etl.Coordinator]] cut — since r20 the ONLY public
+    * entry (the raw form's independent version options could probe
+    * bands@N against sigs@N−1, exactly the mixed-version read the
+    * coordinator exists to prevent; it is private now). The cut is
+    * resolved once (`cutVersion` = None → the current cut; Some(v) →
+    * time travel to the pairing as of coordinator version v) and a
+    * missing member name fails loudly instead of silently falling
     * back to an unpinned read. `bandsMember`/`sigsMember` are the
     * member names the cut records (the dd13 gate commits them as
-    * "bands"/"sigs"). */
+    * "bands"/"sigs"). EAGER: building the probe runs the candidate
+    * jobs at call time (see the private form's Scaladoc). */
   def probeAtCut(spark: org.apache.spark.sql.SparkSession, cutRoot: String,
                  bandsRoot: String, sigsRoot: String, batch: DataFrame,
                  idCol: String, textCol: String, threshold: Double = 0.5,

@@ -1173,6 +1173,139 @@ object Etl {
           col("c_custkey").asc_nulls_last)
     }),
 
+    // o26 — THE FAMILY UNDER ONE ROOT, ONE COMMIT PER BATCH
+    // [extension; the r19 verdict's commit-amplification reduction
+    // (missing #2)]: o25 proves the six-form family shares one
+    // familyDeltas substrate, but its LAYOUT pays eight ledgered
+    // commits per batch — six view stores exist only because
+    // applyOnceMulti takes ONE feed per root. applyOnceFeeds removes
+    // that constraint: here the SAME six views (same keys, same feeds,
+    // same chains as o25) live in ONE store as six targets each fed
+    // its own familyDeltas output, so a batch is THREE commits (base
+    // A, base B, family) + the cut instead of eight + the cut, and
+    // the six forms are mutually consistent by construction — one
+    // root version IS the family at one batch, nothing to coordinate
+    // between the siblings. The oracle is o25's verbatim (the six
+    // direct joins as a tagged union): a hash match proves the
+    // consolidation changed only the commit layout, never a row.
+    // Bench A/B vs o25 (same machinery, same data, same batches)
+    // prices exactly the per-batch fixed floor the layout saves.
+    "o26_join_family_oneroot" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
+      import graft.etl.IncrementalAgg.{ReplicaSpec, TargetFeed, ViewSpec}
+      val ordBase = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val custBase = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bump = (df: org.apache.spark.sql.DataFrame) =>
+        df.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 4, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val aChain = Seq(
+        ordBase,
+        ordBase.filter(col("o_orderkey") % 10 =!= 3 &&
+          col("o_custkey") % 11 =!= 5),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 3 &&
+          (col("o_custkey") % 11 =!= 5 || col("o_custkey") % 13 === 0))))
+      val bChain = Seq(
+        custBase.filter(col("c_custkey") % 3 =!= 1),
+        custBase.filter(col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2),
+        custBase.filter((col("c_custkey") % 3 =!= 1 &&
+          col("c_custkey") % 5 =!= 2) ||
+          (col("c_custkey") % 3 === 1 && col("c_custkey") % 7 === 0)))
+      val base = s"/root/repo/target/sink/o26_fam1_${Tables.dirSlug(dir)}"
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        s.sparkContext.hadoopConfiguration)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      if (fc.util.exists(bp)) fc.delete(bp, true)
+      val aRoot = s"$base/a"; val bRoot = s"$base/b"
+      val famRoot = s"$base/fam"; val cutRoot = s"$base/cut"
+      val forms = Seq("inner", "left", "right", "full", "semi", "anti")
+      val aT = Seq(
+        ReplicaSpec("replica", Seq("o_orderkey"), numBuckets = 16,
+          bucketOn = Seq("o_custkey")),
+        ViewSpec("acnt", Seq("o_custkey"), Nil, numBuckets = 16))
+      val bT = Seq(
+        ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16),
+        ViewSpec("bcnt", Seq("c_custkey"), Nil, numBuckets = 16))
+      // six sibling targets in ONE store — o25's per-root specs, named
+      // v_<form>; pair-keyed forms key (o,c) null-safely, semi/anti
+      // are A-rows only
+      val famT: Map[String, IncrementalAgg.TargetSpec] = Map(
+        "inner" -> ReplicaSpec("v_inner",
+          Seq("o_orderkey", "c_custkey"), numBuckets = 16),
+        "left" -> ReplicaSpec("v_left",
+          Seq("o_orderkey", "c_custkey"), numBuckets = 16),
+        "right" -> ReplicaSpec("v_right",
+          Seq("c_custkey", "o_orderkey"), numBuckets = 16),
+        "full" -> ReplicaSpec("v_full",
+          Seq("o_orderkey", "c_custkey"), numBuckets = 16),
+        "semi" -> ReplicaSpec("v_semi", Seq("o_orderkey"), numBuckets = 16),
+        "anti" -> ReplicaSpec("v_anti", Seq("o_orderkey"), numBuckets = 16))
+      val joinType = Map("inner" -> "inner", "left" -> "left_outer",
+        "right" -> "right_outer", "full" -> "full_outer",
+        "semi" -> "left_semi", "anti" -> "left_anti")
+      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
+      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
+      IncrementalAgg.publishInitialSeeds(s, famRoot, forms.map { f =>
+        TargetFeed(famT(f), aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), joinType(f)))
+      })
+      def allVersions(): Map[String, Long] =
+        Seq("a" -> aRoot, "b" -> bRoot, "fam" -> famRoot)
+          .map { case (n, r) =>
+            n -> AtomicPublish.currentVersion(s, r).get }.toMap
+      Coordinator.commitCut(s, cutRoot, allVersions())
+      aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
+        case (Seq((a0, b0), (a1, b1)), i) =>
+          val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
+          val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
+          val fam = JoinView.familyDeltas(s,
+            JoinView.Side(aRoot, "replica", Seq("o_custkey"),
+              AtomicPublish.currentVersion(s, aRoot).get),
+            JoinView.Side(bRoot, "replica", Seq("c_custkey"),
+              AtomicPublish.currentVersion(s, bRoot).get),
+            "acnt", "bcnt", feedA, feedB)
+          val feeds = Map(
+            "inner" -> fam.inner.persist(),
+            "left" -> fam.leftOuter.persist(),
+            "right" -> fam.rightOuter.persist(),
+            "full" -> fam.fullOuter.persist(),
+            "semi" -> fam.semi.persist(),
+            "anti" -> fam.anti.persist())
+          try {
+            // THREE member commits where o25 pays eight
+            Coordinator.advanceMembers(s, i.toLong, Seq(
+              Coordinator.MemberAdvance(aRoot, feedA, aT),
+              Coordinator.MemberAdvance(bRoot, feedB, bT),
+              Coordinator.MemberAdvanceFeeds(famRoot,
+                forms.map(f => TargetFeed(famT(f), feeds(f))))))
+            Coordinator.commitCut(s, cutRoot, allVersions())
+          } finally {
+            feedA.unpersist(); feedB.unpersist()
+            feeds.values.foreach(_.unpersist()); ()
+          }
+      }
+      // one resolved cut; the six views share ONE pinned store version
+      val cut = Coordinator.currentCut(s, cutRoot)
+      def rd(f: String) =
+        IncrementalAgg.readView(s, famRoot, s"v_$f", Some(cut("fam")))
+      val aOnly = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"),
+        lit(null).cast("long").as("c_custkey"),
+        lit(null).cast("string").as("c_mktsegment"))
+      forms.map { f =>
+        val v = if (f == "semi" || f == "anti") rd(f).select(aOnly: _*)
+                else rd(f)
+        v.withColumn("side", lit(f))
+      }.reduce(_ unionByName _)
+        .select(col("side"), col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("side"), col("o_orderkey").asc_nulls_last,
+          col("c_custkey").asc_nulls_last)
+    }),
+
     // o17 — MAINTAINED TOP-K [extension; leaderboard maintenance]:
     // the general form of o15's extrema (k = 1): per group, the k best
     // ROWS under a pinned total order, maintained by merge-on-insert /
@@ -1517,6 +1650,47 @@ object Etl {
     // sharing, the eight stores, and the cut never appear here, so the
     // hash match proves the shared substrate serves every form exactly.
     "o25_join_family_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |    AND (o_custkey % 11 <> 5 OR o_custkey % 13 = 0)),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE (c_custkey % 3 <> 1 AND c_custkey % 5 <> 2)
+        |     OR (c_custkey % 3 = 1 AND c_custkey % 7 = 0))
+        |SELECT * FROM (
+        |  SELECT 'inner' AS side, o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'left', o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o LEFT JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'right', o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o RIGHT JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'full', o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o FULL JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'semi', o_orderkey, o_custkey, o_totalprice,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        |  FROM o WHERE EXISTS (SELECT 1 FROM c WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'anti', o_orderkey, o_custkey, o_totalprice,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        |  FROM o WHERE NOT EXISTS (SELECT 1 FROM c WHERE c_custkey = o_custkey))
+        |ORDER BY side, o_orderkey NULLS LAST, c_custkey NULLS LAST""".stripMargin,
+
+    // o25's oracle VERBATIM: o26 maintains the same six forms over the
+    // same chains — only the store layout differs (one root, one
+    // ledgered commit per batch, via applyOnceFeeds), and the layout
+    // must never appear in a row.
+    "o26_join_family_oneroot" ->
       """WITH o AS (
         |  SELECT o_orderkey, o_custkey,
         |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0

@@ -246,6 +246,73 @@ class IncrementalAggSpec extends SparkSuite {
         views :+ views.head))
   }
 
+  test("feed-per-target store (applyOnceFeeds): sibling views over " +
+    "DIFFERENT feeds advance under ONE ledgered commit — one version " +
+    "per batch, per-target correctness, exactly-once, time travel") {
+    import graft.etl.{AtomicPublish, IncrementalAgg}
+    import graft.etl.IncrementalAgg.{TargetFeed, ViewSpec}
+    val root = "/root/repo/target/test-sink/incagg_feeds"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    // two UNRELATED base tables, each with its own chain — exactly the
+    // shape applyOnceMulti cannot host in one root (one feed per root)
+    // and the o26 family gate needs six of
+    val p0 = Seq((1, Some("a"), 1.0), (2, Some("a"), 2.0), (3, Some("b"), 3.0))
+    val p1 = Seq((1, Some("a"), 1.0), (2, Some("b"), 2.0), (4, None, 7.0))
+    val q0 = Seq((10, Some("x"), 5.0), (11, Some("y"), 6.0))
+    val q1 = Seq((10, Some("x"), 5.5), (12, Some("y"), 8.0), (13, Some("z"), 9.0))
+    def df(rows: Seq[(Int, Option[String], Double)]) = rows.toDF("id", "g", "x")
+    val vp = ViewSpec("p_by_g", Seq("g"), Seq("total" -> "x"), numBuckets = 4)
+    val vq = ViewSpec("q_by_g", Seq("g"), Seq("total" -> "x"), numBuckets = 4)
+    assert(IncrementalAgg.publishInitialSeeds(spark, root, Seq(
+      TargetFeed(vp, df(p0)), TargetFeed(vq, df(q0)))) === 0L)
+    def viewSnap(view: String, version: Option[Long] = None): Set[Seq[Any]] =
+      IncrementalAgg.readView(spark, root, view, version)
+        .collect().map(_.toSeq).toSet
+    def recompute(rows: Seq[(Int, Option[String], Double)]): Set[Seq[Any]] =
+      IncrementalAgg.aggregate(df(rows), Seq("g"), Seq("total" -> "x"))
+        .collect().map(_.toSeq).toSet
+    assert(viewSnap("p_by_g") === recompute(p0))
+    assert(viewSnap("q_by_g") === recompute(q0))
+    // TWO feeds, ONE commit: both views advance in one version
+    val feedP = ChangeFeed.diff(df(p0), df(p1), Seq("id"))
+    val feedQ = ChangeFeed.diff(df(q0), df(q1), Seq("id"))
+    val tf = Seq(TargetFeed(vp, feedP), TargetFeed(vq, feedQ))
+    assert(IncrementalAgg.applyOnceFeeds(spark, root, 0L, tf))
+    assert(AtomicPublish.currentVersion(spark, root) === Some(1L),
+      "one batch over two feeds must commit exactly one version")
+    assert(viewSnap("p_by_g") === recompute(p1))
+    assert(viewSnap("q_by_g") === recompute(q1))
+    // exactly-once: the SHARED ledger refuses the replay for both
+    assert(!IncrementalAgg.applyOnceFeeds(spark, root, 0L, tf))
+    assert(AtomicPublish.currentVersion(spark, root) === Some(1L))
+    // cross-sibling time travel from the single version lineage
+    assert(viewSnap("p_by_g", Some(0L)) === recompute(p0))
+    assert(viewSnap("q_by_g", Some(0L)) === recompute(q0))
+    // a frame shared BY REFERENCE between two targets is legal (probed
+    // once) and both targets see it
+    val root2 = "/root/repo/target/test-sink/incagg_feeds_shared"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root2))
+    val sharedSeed = df(p0)
+    IncrementalAgg.publishInitialSeeds(spark, root2, Seq(
+      TargetFeed(vp, sharedSeed), TargetFeed(vq, sharedSeed)))
+    val sharedFeed = feedP
+    assert(IncrementalAgg.applyOnceFeeds(spark, root2, 7L, Seq(
+      TargetFeed(vp, sharedFeed), TargetFeed(vq, sharedFeed))))
+    assert(IncrementalAgg.readView(spark, root2, "p_by_g")
+      .collect().map(_.toSeq).toSet === recompute(p1))
+    assert(IncrementalAgg.readView(spark, root2, "q_by_g")
+      .collect().map(_.toSeq).toSet === recompute(p1))
+    // hygiene: duplicate target names fail fast
+    assertThrows[IllegalArgumentException](
+      IncrementalAgg.applyOnceFeeds(spark, root, 1L,
+        Seq(TargetFeed(vp, feedP), TargetFeed(vp, feedP))))
+    // segment GC still discovers every sibling's manifest
+    AtomicPublish.vacuum(spark, root, keep = 1, minAgeMs = 0)
+    IncrementalAgg.vacuumSegments(spark, root, minAgeMs = 0)
+    assert(viewSnap("p_by_g") === recompute(p1))
+    assert(viewSnap("q_by_g") === recompute(q1))
+  }
+
   test("replica store: a row-level replica advances under feeds with " +
     "touched-bucket writes, co-advances atomically beside an aggregate " +
     "view, and strict mode rejects a mispaired feed") {

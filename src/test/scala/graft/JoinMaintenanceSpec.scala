@@ -1110,9 +1110,25 @@ class JoinMaintenanceSpec extends SparkSuite {
       assert(feedRows < 30000,
         s"hot-key delta blew past the output-size bound: $feedRows rows")
       // the executed (adaptive) plan of the materialized feed shows the
-      // skew split engaged: SortMergeJoin(skew=true) / skewed AQE reads
+      // skew split engaged. Primary assertion is STRUCTURAL — an
+      // AQEShuffleReadExec whose partitionSpecs carry a
+      // PartialReducerPartitionSpec (the skew-split spec type) — so a
+      // Spark plan-string or marker-text change can't flake the suite;
+      // the "skew=true"/"skewed" string markers stay as a fallback for
+      // a release that restructures the read node instead.
+      val finalPlan = qe.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val skewSplits = finalPlan.collect {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+          r.partitionSpecs.count(
+            _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])
+      }.sum
       val planStr = qe.executedPlan.toString
-      assert(planStr.contains("skew=true") || planStr.contains("skewed"),
+      assert(skewSplits > 0 ||
+        planStr.contains("skew=true") || planStr.contains("skewed"),
         s"AQE skew split did not engage on the hot partition:\n$planStr")
       val viewPre = dfA(a0).join(dfB(b0), col("cust") === col("bid"), "inner")
       val replayed = ChangeFeed.applyTo(viewPre, viewFeed, Seq("aid", "bid"),

@@ -139,6 +139,8 @@ object RehearseJoinSkew {
         spark.conf.unset(
           "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
         spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset(
+          "spark.sql.adaptive.coalescePartitions.minPartitionSize")
       }
     }
     runOnce("skew_off", skewOn = false)

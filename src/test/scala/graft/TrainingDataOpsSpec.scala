@@ -93,13 +93,10 @@ class TrainingDataOpsSpec extends SparkSuite {
     IncrementalAgg.publishInitialMulti(spark, sigsRoot,
       TextDedup.signatureRows(chain.head, "doc_id", "text"), sigsT)
     Coordinator.commitCut(spark, cutRoot, Map("bands" -> 0L, "sigs" -> 0L))
-    def probeNow(): Set[(Long, Long)] = {
-      val cut = Coordinator.currentCut(spark, cutRoot)
-      TextDedup.probeMaintainedIndex(spark, bandsRoot, sigsRoot, probe,
-        "doc_id", "text", bandsVersion = Some(cut("bands")),
-        sigsVersion = Some(cut("sigs")))
+    def probeNow(): Set[(Long, Long)] =
+      TextDedup.probeAtCut(spark, cutRoot, bandsRoot, sigsRoot, probe,
+        "doc_id", "text")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    }
     def directNow(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       TextDedup.incrementalMinhashLsh(batch = probe, snapshot = corpus,
         idCol = "doc_id", textCol = "text")
