@@ -937,18 +937,100 @@ object IncrementalAgg {
           touchedBuckets(f,
             group.map { case ((v, _), m) => (v, m.numBuckets) })
         }
-    val stepped = scala.collection.mutable.Map.empty[String, SteppedState]
+    // INDEPENDENT targets advance CONCURRENTLY within the one round —
+    // the intra-root analogue of Coordinator.advanceMembers, and what
+    // keeps the one-commit layout from serializing the six view steps
+    // a multi-root family would run in parallel (the sf1 steady-state
+    // rehearsal measured exactly that trade before this: one-root won
+    // the commit floor at sf0.1 but lost the data-bound regime at sf1
+    // to serialization). Targets are grouped into dependency LAYERS
+    // (a target lands one layer after the deepest sibling it rescans
+    // via StepContext); layers run in order with a barrier, a layer's
+    // targets run on the shared pool. `stepped` is a TrieMap so a
+    // later layer's pool thread safely reads states the previous
+    // layer published. Segment writes are UUID-named (no collision),
+    // manifests are per-target, and NOTHING commits until the single
+    // atomic publish below — concurrency never touches the
+    // exactly-once or crash story.
+    val stepped = scala.collection.concurrent.TrieMap.empty[String, SteppedState]
     val ctx = new StepContext(spark, stepped)
-    val outs = targetFeeds.zip(manifests).map { case ((v, feed), m) =>
-      val (table, mdf, postBatch) =
-        maintainView(spark, snap, feed, v, m, touched(v.name), ctx)
-      stepped(v.name) = postBatch
-      table -> mdf
+    val layerOf = scala.collection.mutable.Map.empty[String, Int]
+    views.foreach { v =>
+      layerOf(v.name) =
+        if (v.dependsOn.isEmpty) 0
+        else v.dependsOn.map(d => layerOf(d) + 1).max
     }
-    AtomicPublish.publish(spark, root, outs :+ (AppliedT -> ledger),
+    val outs = new Array[(String, DataFrame)](views.size)
+    targetFeeds.zip(manifests).zipWithIndex
+      .groupBy { case (((v, _), _), _) => layerOf(v.name) }
+      .toSeq.sortBy(_._1)
+      .foreach { case (_, layer) =>
+        val results = inParallel(layer.map { case (((v, feed), m), i) =>
+          () => (i, v.name,
+            maintainView(spark, snap, feed, v, m, touched(v.name), ctx))
+        })
+        results.foreach { case (i, name, (table, mdf, postBatch)) =>
+          stepped(name) = postBatch
+          outs(i) = table -> mdf
+        }
+      }
+    AtomicPublish.publish(spark, root, outs.toSeq :+ (AppliedT -> ledger),
       expectedBase = Some(Some(snap.version)))
     ()
   }
+
+  /** Run `thunks` concurrently on the shared daemon pool, bounded by a
+    * per-call semaphore (the [[graft.etl.Coordinator.advanceMembers]]
+    * pattern: cached daemon threads reused across batches, per-call
+    * bound so two stores' rounds never starve each other through a
+    * shared cap). Waits for ALL to settle; rethrows the first failure
+    * in input order. A single thunk runs inline — no pool round-trip
+    * for the common single-target store. */
+  private def inParallel[T](thunks: Seq[() => T],
+                            parallelism: Int = 8): Seq[T] =
+    if (thunks.sizeIs <= 1) thunks.map(_())
+    else {
+      import scala.jdk.CollectionConverters._
+      val gate = new java.util.concurrent.Semaphore(
+        math.max(1, math.min(parallelism, thunks.size)))
+      // SparkPlan captures SparkSession.getActiveSession AT CONSTRUCTION
+      // (thread-local): a cached pool thread either has no active
+      // session or — worse — one inherited from whichever thread first
+      // created it, possibly a long-stopped one. Pin the CALLER's
+      // active session in every task so plans built on pool threads
+      // (maintainView's reads, persist's InMemoryRelation) bind to the
+      // session actually driving this round.
+      val callerSession =
+        org.apache.spark.sql.SparkSession.getActiveSession
+      val tasks = thunks.map { t =>
+        new java.util.concurrent.Callable[T] {
+          def call(): T = {
+            callerSession.foreach(
+              org.apache.spark.sql.SparkSession.setActiveSession)
+            gate.acquire()
+            try t() finally gate.release()
+          }
+        }
+      }
+      try stepPool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+      catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }
+
+  /** Shared daemon pool for [[inParallel]] — lazily built once per
+    * JVM, cached (idle threads reaped after 60 s), daemon so a hung
+    * step never blocks JVM exit. */
+  private lazy val stepPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-target-step-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
 
   /** EXACTLY-ONCE application of one CDC batch to EVERY maintained view
     * of a store — the consumer side of a change-feed stream (a
@@ -1107,13 +1189,15 @@ object IncrementalAgg {
     val toCache = distinctRows.filter(
       _.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
     toCache.foreach(_.persist())
+    // independent seeds write their segments concurrently, same as
+    // publishInitialMulti — one atomic publish commits them together
     try AtomicPublish.publish(spark, root,
-      targets.map { case TargetFeed(v, rows) =>
+      inParallel(targets.map { case TargetFeed(v, rows) => () =>
         val state = v.seed(rows)
         val refs = writeSegment(spark, root, state, v.bucketCols, v.numBuckets)
         v.manifestT -> manifestDF(spark, v.numBuckets, refs, state.schema.toDDL,
           v.bucketCols)
-      } :+ (AppliedT -> Seq.empty[Long].toDF("batch_id")))
+      }) :+ (AppliedT -> Seq.empty[Long].toDF("batch_id")))
     finally { toCache.foreach(_.unpersist()); () }
   }
 
@@ -1216,13 +1300,16 @@ object IncrementalAgg {
     // seeds three targets from a corpus-wide tokenize+aggregate) —
     // the same convention as applyOnceMulti's feed persist
     val r = rows.persist()
+    // seeds are independent (a derived target seeds from its base's
+    // SEED FUNCTION, not the sibling's written state) — write every
+    // view's initial segments concurrently, then the one publish
     try AtomicPublish.publish(spark, root,
-      views.map { v =>
+      inParallel(views.map { v => () =>
         val state = v.seed(r)
         val refs = writeSegment(spark, root, state, v.bucketCols, v.numBuckets)
         v.manifestT -> manifestDF(spark, v.numBuckets, refs, state.schema.toDDL,
           v.bucketCols)
-      } :+ (AppliedT -> Seq.empty[Long].toDF("batch_id")))
+      }) :+ (AppliedT -> Seq.empty[Long].toDF("batch_id")))
     finally { r.unpersist(); () }
   }
 

@@ -287,8 +287,32 @@ object TextDedup {
         broadcast(bBands.withColumnRenamed("__id", "batch_id")),
         Seq("band", "bkey"))
       .select(col(idCol).as("snap_id"), col("batch_id")).distinct()
-    val cand = spark.createDataFrame(
-      candPlan.collect().toSeq.asJava, candPlan.schema)
+    // HARD CAP on the driver-side materialization (r19 verdict): the
+    // candidate set is delta-bounded for healthy batches, but a
+    // degenerate one (every doc sharing one band — boilerplate spam,
+    // an empty-text flood) makes it |batch|×|bucket| with no bound
+    // before the collect. limit(cap+1) keeps the fetch itself bounded;
+    // on overflow we pay one extra diagnostic job to name the hot
+    // buckets instead of OOMing the driver. Tunable per session via
+    // graft.dedup.probe.maxCandidates.
+    val maxCand = spark.conf.getOption("graft.dedup.probe.maxCandidates")
+      .map(_.toInt).getOrElse(4000000)
+    val fetched = candPlan.limit(maxCand + 1).collect()
+    if (fetched.length > maxCand) {
+      val hot = sBands
+        .join(broadcast(bBands.withColumnRenamed("__id", "batch_id")),
+          Seq("band", "bkey"))
+        .groupBy("band", "bkey").count()
+        .orderBy(col("count").desc).limit(5).collect()
+        .map(r => s"(band=${r.get(0)}, bkey=${r.get(1)}: ${r.getLong(2)} pairs)")
+      throw new IllegalStateException(
+        s"maintained-index probe: candidate set exceeds " +
+        s"graft.dedup.probe.maxCandidates=$maxCand — the batch's band " +
+        s"distribution is degenerate (hottest buckets: " +
+        s"${hot.mkString(", ")}). Split the batch, drop the hot band " +
+        s"keys, or raise the cap if the driver can hold it.")
+    }
+    val cand = spark.createDataFrame(fetched.toSeq.asJava, candPlan.schema)
     val sSigs = IncrementalAgg.readViewPrunedBy(spark, sigsRoot, sigsView,
       Seq(idCol), cand.select(col("snap_id").as(idCol)), sigsVersion)
     broadcast(cand)

@@ -450,6 +450,166 @@ object StreamingOps {
         .orderBy("o_orderkey")
     }),
 
+    // st16 — the STREAMING form of the one-root join family (o26): the
+    // same multiplexed CDC topic as st15 drives BOTH bases and ALL SIX
+    // join-form views of the pair, the views living as six sibling
+    // targets of ONE maintained store (applyOnceFeeds) — three ledgered
+    // commits and one coordinator cut per micro-batch no matter how
+    // many forms the family maintains. familyDeltas derives the six
+    // view feeds from ONE shared Corrections per side, so each trigger
+    // pays the substrate once; pre-state reads pin to the LAST cut so
+    // the member advances below cannot race them. The final read
+    // resolves ONE cut and reads every view at that cut's single store
+    // version — the streaming analogue of o26's batch gate, against
+    // the same tagged-union oracle shape.
+    "st16_stream_family_maintain" -> ((s, dir) => {
+      import graft.etl.{AtomicPublish, ChangeFeed, Coordinator, IncrementalAgg, JoinView}
+      import graft.etl.IncrementalAgg.{ReplicaSpec, TargetFeed, ViewSpec}
+      val ordBase = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val custBase = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val bump = (df: DataFrame) =>
+        df.withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 4, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val reseg = (df: DataFrame) =>
+        df.withColumn("c_mktsegment",
+          when(col("c_custkey") % 5 === 0, lit("GRAFTSEG"))
+            .otherwise(col("c_mktsegment")))
+      // st15's chains: both sides churn every batch — deletes,
+      // re-inserts, price updates, resegmentations, a customer slice
+      // deletion — so every join form crosses its null-extension /
+      // membership transitions mid-stream
+      val aChain = Seq(
+        ordBase,
+        ordBase.filter(col("o_orderkey") % 10 =!= 7),
+        ordBase.filter(col("o_orderkey") % 10 =!= 7 &&
+          col("o_orderkey") % 10 =!= 3),
+        bump(ordBase.filter(col("o_orderkey") % 10 =!= 3)))
+      val bChain = Seq(
+        custBase,
+        reseg(custBase),
+        reseg(custBase).filter(col("c_custkey") % 7 =!= 3),
+        reseg(custBase).filter(col("c_custkey") % 7 =!= 3))
+      def mux(fa: DataFrame, fb: DataFrame): DataFrame =
+        fa.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            lit(null).cast("bigint").as("c_custkey"),
+            lit(null).cast("string").as("c_mktsegment"),
+            col("_change_type"), lit("a").as("_table"))
+          .unionByName(fb.select(
+            lit(null).cast("bigint").as("o_orderkey"),
+            lit(null).cast("bigint").as("o_custkey"),
+            lit(null).cast("double").as("o_totalprice"),
+            col("c_custkey"), col("c_mktsegment"),
+            col("_change_type"), lit("b").as("_table")))
+      val feedDir = s"/root/repo/target/sink/st16_feeds_${Tables.dirSlug(dir)}"
+      Shared.setupOnce(s, dir, "st16_feeds") {
+        aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
+          case (Seq((a0, b0), (a1, b1)), i) =>
+            mux(ChangeFeed.diff(a0, a1, Seq("o_orderkey")),
+                ChangeFeed.diff(b0, b1, Seq("c_custkey")))
+              .repartition(1).write.mode("overwrite").parquet(s"$feedDir/f$i")
+        }
+      }
+      val base = s"/root/repo/target/sink/st16_fam_${Tables.dirSlug(dir)}"
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(new java.io.File(base))
+      val aRoot = s"$base/a"; val bRoot = s"$base/b"
+      val famRoot = s"$base/fam"; val cutRoot = s"$base/cut"
+      val forms = Seq("inner", "left", "right", "full", "semi", "anti")
+      val aT = Seq(
+        ReplicaSpec("replica", Seq("o_orderkey"), numBuckets = 16,
+          bucketOn = Seq("o_custkey")),
+        ViewSpec("acnt", Seq("o_custkey"), Nil, numBuckets = 16))
+      val bT = Seq(
+        ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16),
+        ViewSpec("bcnt", Seq("c_custkey"), Nil, numBuckets = 16))
+      val famT: Map[String, IncrementalAgg.TargetSpec] = Map(
+        "inner" -> ReplicaSpec("v_inner",
+          Seq("o_orderkey", "c_custkey"), numBuckets = 16),
+        "left" -> ReplicaSpec("v_left",
+          Seq("o_orderkey", "c_custkey"), numBuckets = 16),
+        "right" -> ReplicaSpec("v_right",
+          Seq("c_custkey", "o_orderkey"), numBuckets = 16),
+        "full" -> ReplicaSpec("v_full",
+          Seq("o_orderkey", "c_custkey"), numBuckets = 16),
+        "semi" -> ReplicaSpec("v_semi", Seq("o_orderkey"), numBuckets = 16),
+        "anti" -> ReplicaSpec("v_anti", Seq("o_orderkey"), numBuckets = 16))
+      val joinType = Map("inner" -> "inner", "left" -> "left_outer",
+        "right" -> "right_outer", "full" -> "full_outer",
+        "semi" -> "left_semi", "anti" -> "left_anti")
+      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
+      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
+      IncrementalAgg.publishInitialSeeds(s, famRoot, forms.map { f =>
+        TargetFeed(famT(f), aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), joinType(f)))
+      })
+      def allVersions(): Map[String, Long] =
+        Seq("a" -> aRoot, "b" -> bRoot, "fam" -> famRoot)
+          .map { case (n, r) =>
+            n -> AtomicPublish.currentVersion(s, r).get }.toMap
+      Coordinator.commitCut(s, cutRoot, allVersions())
+      val muxSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+          "c_custkey BIGINT, c_mktsegment STRING, " +
+          "_change_type STRING, _table STRING")
+      val stream = s.readStream.schema(muxSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$feedDir/*")
+      val chk = s"${Streams.ephemeralChkRoot}/st16_${Tables.dirSlug(dir)}"
+      Streams.runIngest(s, stream, chk) { (batch, batchId) =>
+        if (!batch.isEmpty) {
+          val fA = batch.filter(col("_table") === "a")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "_change_type")
+            .persist()
+          val fB = batch.filter(col("_table") === "b")
+            .select("c_custkey", "c_mktsegment", "_change_type").persist()
+          val cut = Coordinator.currentCut(s, cutRoot)
+          val fam = JoinView.familyDeltas(s,
+            JoinView.Side(aRoot, "replica", Seq("o_custkey"), cut("a")),
+            JoinView.Side(bRoot, "replica", Seq("c_custkey"), cut("b")),
+            "acnt", "bcnt", fA, fB)
+          val feeds = Map(
+            "inner" -> fam.inner.persist(),
+            "left" -> fam.leftOuter.persist(),
+            "right" -> fam.rightOuter.persist(),
+            "full" -> fam.fullOuter.persist(),
+            "semi" -> fam.semi.persist(),
+            "anti" -> fam.anti.persist())
+          try {
+            Coordinator.advanceMembers(s, batchId, Seq(
+              Coordinator.MemberAdvance(aRoot, fA, aT),
+              Coordinator.MemberAdvance(bRoot, fB, bT),
+              Coordinator.MemberAdvanceFeeds(famRoot,
+                forms.map(f => TargetFeed(famT(f), feeds(f))))))
+            Coordinator.commitCut(s, cutRoot, allVersions())
+          } finally {
+            fA.unpersist(); fB.unpersist()
+            feeds.values.foreach(_.unpersist()); ()
+          }
+        }
+      }
+      val cut = Coordinator.currentCut(s, cutRoot)
+      def rd(f: String) =
+        IncrementalAgg.readView(s, famRoot, s"v_$f", Some(cut("fam")))
+      val aOnly = Seq(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"),
+        lit(null).cast("long").as("c_custkey"),
+        lit(null).cast("string").as("c_mktsegment"))
+      forms.map { f =>
+        val v = if (f == "semi" || f == "anti") rd(f).select(aOnly: _*)
+                else rd(f)
+        v.withColumn("side", lit(f))
+      }.reduce(_ unionByName _)
+        .select(col("side"), col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("side"), col("o_orderkey").asc_nulls_last,
+          col("c_custkey").asc_nulls_last)
+    }),
+
     // st3 — custom sessionization state: flatMapGroupsWithState per user,
     // splitting the user's event times on gaps > GAP_US. One AvailableNow
     // batch delivers each user's full history, so the emitted sessions
@@ -659,6 +819,47 @@ object StreamingOps {
         |SELECT o_orderkey, o_custkey, o_totalprice, c_custkey, c_mktsegment
         |FROM o JOIN c ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
+
+    // o26's tagged-union oracle shape over st15's final slices — the
+    // topic, the demux, familyDeltas, the one-root store, and the
+    // per-trigger cuts never appear here, so the hash match proves the
+    // STREAMED six-form family ≡ six direct joins of the final tables.
+    "st16_stream_family_maintain" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 <> 3),
+        |c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'GRAFTSEG'
+        |         ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 7 <> 3)
+        |SELECT * FROM (
+        |  SELECT 'inner' AS side, o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'left', o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o LEFT JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'right', o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o RIGHT JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'full', o_orderkey, o_custkey, o_totalprice,
+        |         c_custkey, c_mktsegment
+        |  FROM o FULL JOIN c ON o_custkey = c_custkey
+        |  UNION ALL
+        |  SELECT 'semi', o_orderkey, o_custkey, o_totalprice,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        |  FROM o WHERE EXISTS (SELECT 1 FROM c WHERE c_custkey = o_custkey)
+        |  UNION ALL
+        |  SELECT 'anti', o_orderkey, o_custkey, o_totalprice,
+        |         CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+        |  FROM o WHERE NOT EXISTS (SELECT 1 FROM c WHERE c_custkey = o_custkey))
+        |ORDER BY side, o_orderkey NULLS LAST, c_custkey NULLS LAST""".stripMargin,
 
     "st12_stream_dq" ->
       """WITH a AS (SELECT

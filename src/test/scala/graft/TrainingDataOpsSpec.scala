@@ -235,6 +235,54 @@ class TrainingDataOpsSpec extends SparkSuite {
     }
   }
 
+  test("maintained-index probe: a degenerate one-band batch fails the " +
+    "candidate cap LOUDLY — named hot buckets, no driver-side blow-up — " +
+    "and the same probe passes once the cap admits the set") {
+    import graft.etl.{Coordinator, IncrementalAgg}
+    val base = "/root/repo/target/test-sink/lshidx_cap"
+    Seq("bands", "sigs", "cut").foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(s"$base/$d")))
+    val bandsRoot = s"$base/bands"; val sigsRoot = s"$base/sigs"
+    val cutRoot = s"$base/cut"
+    val bandsT = Seq(IncrementalAgg.ReplicaSpec("bands",
+      Seq("doc_id", "band"), numBuckets = 8, bucketOn = Seq("bkey")))
+    val sigsT = Seq(IncrementalAgg.ReplicaSpec("sigs", Seq("doc_id"),
+      numBuckets = 8))
+    import spark.implicits._
+    // the pathological shape the cap exists for: boilerplate spam —
+    // EVERY corpus doc and EVERY batch doc is the same long text, so
+    // every band bucket the batch probes contains the whole corpus and
+    // the candidate set is |corpus| × |batch| with nothing to prune
+    val spam = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = (0L until 60L).map(i => (i, spam)).toDF("doc_id", "text")
+    val batch = (1000L until 1005L).map(i => (i, spam)).toDF("doc_id", "text")
+    IncrementalAgg.publishInitialMulti(spark, bandsRoot,
+      TextDedup.bandRows(corpus, "doc_id", "text"), bandsT)
+    IncrementalAgg.publishInitialMulti(spark, sigsRoot,
+      TextDedup.signatureRows(corpus, "doc_id", "text"), sigsT)
+    Coordinator.commitCut(spark, cutRoot, Map("bands" -> 0L, "sigs" -> 0L))
+    spark.conf.set("graft.dedup.probe.maxCandidates", "100")
+    try {
+      val e = intercept[IllegalStateException] {
+        TextDedup.probeAtCut(spark, cutRoot, bandsRoot, sigsRoot, batch,
+          "doc_id", "text")
+      }
+      assert(e.getMessage.contains("maxCandidates=100"),
+        s"cap value should be named: ${e.getMessage}")
+      assert(e.getMessage.contains("hottest buckets") &&
+        e.getMessage.contains("300 pairs"),
+        s"diagnosis should name the hot buckets and their pair counts " +
+          s"(60 corpus docs × 5 batch docs share every band): ${e.getMessage}")
+      // raising the cap past the true candidate count (60×5=300 ids per
+      // band, distinct-pair set 300) admits the same probe
+      spark.conf.set("graft.dedup.probe.maxCandidates", "400")
+      val pairs = TextDedup.probeAtCut(spark, cutRoot, bandsRoot, sigsRoot,
+        batch, "doc_id", "text").collect()
+      assert(pairs.length === 300,
+        "every (corpus, batch) pair is an exact dup and must verify")
+    } finally spark.conf.unset("graft.dedup.probe.maxCandidates")
+  }
+
   test("repetitionScore arithmetic matches hand computation, null text gives null signals") {
     import spark.implicits._
     val docs = Seq(
