@@ -353,6 +353,42 @@ object AtomicPublish {
     * was built against (None before the first publish). */
   final case class Staged(root: String, txDir: String, expected: Option[Long])
 
+  /** A small LOCAL output, written driver-side (r20 optimization):
+    * manifests, ledgers and cuts are kilobyte tables whose Spark write
+    * jobs dominated the per-batch fixed floor (~250 ms each against
+    * ~5 ms of actual I/O — profiled in OPTIMIZATION_r20.md). When a
+    * staged output's optimized plan is a [[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]]
+    * of supported primitive types, its rows already sit in the driver
+    * — write them through [[LocalParquet]] instead of scheduling a
+    * job. Same directory layout, same parquet format, same readers.
+    * Size-capped so an accidentally-local BIG relation still goes
+    * through Spark. */
+  private def localTable(df: DataFrame)
+      : Option[(org.apache.spark.sql.types.StructType,
+                Seq[org.apache.spark.sql.Row])] =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if l.data.lengthCompare(500000) <= 0 &&
+            LocalParquet.supported(l.schema) =>
+        import org.apache.spark.sql.types._
+        val fields = l.schema.fields
+        Some((l.schema, l.data.map { ir =>
+          org.apache.spark.sql.Row(fields.indices.map { i =>
+            if (ir.isNullAt(i)) null
+            else fields(i).dataType match {
+              case IntegerType => ir.getInt(i)
+              case LongType => ir.getLong(i)
+              case DoubleType => ir.getDouble(i)
+              case FloatType => ir.getFloat(i)
+              case BooleanType => ir.getBoolean(i)
+              case StringType => ir.getUTF8String(i).toString
+              case other => throw new IllegalStateException(other.toString)
+            }
+          }: _*)
+        }))
+      case _ => None
+    }
+
   /** Write phase: materialize every output under a fresh `tx-<uuid>/`
     * staging dir private to this publisher — concurrent stages never
     * touch each other's files, and a crash mid-stage leaves only an
@@ -387,14 +423,25 @@ object AtomicPublish {
     // first error is what propagates — the siblings' cancellation
     // exceptions are consequences, not causes. Nothing is visible
     // outside the tx dir either way.
-    if (outputs.size == 1) {
-      val (name, df) = outputs.head
+    // split LOCAL outputs (driver-held rows — manifests, ledgers,
+    // cuts) from DISTRIBUTED ones: local tables are written inline at
+    // ~I/O cost, only the distributed ones pay (concurrent) Spark jobs
+    val resolved = outputs.map { case (name, df) => (name, df, localTable(df)) }
+    resolved.foreach {
+      case (name, _, Some((schema, rows))) =>
+        LocalParquet.write(spark.sparkContext.hadoopConfiguration,
+          s"$root/$tx/$name", schema, rows)
+      case _ => ()
+    }
+    val sparkOutputs = resolved.collect { case (name, df, None) => (name, df) }
+    if (sparkOutputs.size == 1) {
+      val (name, df) = sparkOutputs.head
       df.write.mode("overwrite").parquet(s"$root/$tx/$name")
-    } else {
+    } else if (sparkOutputs.nonEmpty) {
       val sc = spark.sparkContext
       val group = s"graft-stage-$tx"
       val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
-      val threads = outputs.map { case (name, df) =>
+      val threads = sparkOutputs.map { case (name, df) =>
         val t = new Thread(() => {
           // job-group tags are thread-local: each writer tags its own
           sc.setJobGroup(group, s"atomic-publish stage $tx/$name",

@@ -69,8 +69,13 @@ object Coordinator {
 
   private def decode(spark: SparkSession,
                      snap: AtomicPublish.Snapshot): Map[String, Long] =
-    snap.table(spark, StoresT).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // DRIVER-SIDE read (r20): a cut is |stores| rows — resolving it
+    // through a Spark job per read was fixed latency on every
+    // version-pinned read path; LocalParquet reads the same files
+    // in-process.
+    LocalParquet.read(spark.sparkContext.hadoopConfiguration,
+      s"${snap.root}/v${snap.version}/$StoresT", Seq("store", "version"))
+      ._2.map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** The current committed cut — resolve ONCE per job and pin every
     * member read to it ([[graft.etl.IncrementalAgg.readView]]'s /

@@ -671,9 +671,25 @@ object IncrementalAgg {
       refs: Map[Int, String], schemaDDL: String,
       bucketCols: Option[Seq[String]])
 
+  /** The exactly-once ledger's batch ids, read DRIVER-SIDE (r20: the
+    * ledger is O(batches) longs — a Spark job per read was pure fixed
+    * latency at micro-batch cadence; [[LocalParquet]] reads the same
+    * files in-process). */
+  private def readLedger(spark: SparkSession,
+                         snap: AtomicPublish.Snapshot): Seq[Long] =
+    LocalParquet.read(spark.sparkContext.hadoopConfiguration,
+      s"${snap.root}/v${snap.version}/$AppliedT", Seq("batch_id"))
+      ._2.map(_.getLong(0))
+
   private def readManifest(spark: SparkSession, snap: AtomicPublish.Snapshot,
                            table: String): StateManifest = {
-    val rows = snap.table(spark, table).collect()
+    // DRIVER-SIDE read (r20): a manifest is O(buckets) rows; the
+    // previous snap.table(...).collect() paid a scan job (plus the
+    // read's file-listing job) per manifest per batch — the same bytes
+    // arrive in-process at ~no scheduling cost. Layout unchanged, so
+    // Spark-written pre-existing manifests read identically.
+    val rows = LocalParquet.read(spark.sparkContext.hadoopConfiguration,
+      s"${snap.root}/v${snap.version}/$table", Seq("bucket", "ref"))._2
     rows.find(_.getInt(0) == FormatBucket).map(_.getString(1)).foreach { f =>
       require(f.toIntOption.exists(_ <= StateFormat),
         s"state manifest '$table' at ${snap.root} v${snap.version} has " +
@@ -930,13 +946,22 @@ object IncrementalAgg {
     val manifests = views.map(v => readManifest(spark, snap, v.manifestT))
     // one touched-bucket probe per DISTINCT feed frame (reference
     // identity — DataFrames don't define value equality), covering all
-    // of that feed's targets in its one aggregate job
-    val touched: Map[String, Set[Int]] =
-      targetFeeds.zip(manifests).groupBy { case ((_, f), _) => f }
-        .flatMap { case (f, group) =>
-          touchedBuckets(f,
-            group.map { case ((v, _), m) => (v, m.numBuckets) })
-        }
+    // of that feed's targets in its one aggregate job. The probes run
+    // CONCURRENTLY (r20): each probe is also its feed's materializing
+    // action, and for a feed-per-target family (applyOnceFeeds — o26's
+    // six familyDeltas outputs) running them one-by-one serialized the
+    // expensive part of the whole batch — the r20 baseline measured the
+    // one-root family SLOWER than eight separate stores (27.7 s vs
+    // 21.0 s batch) purely because the eight stores overlapped their
+    // feed materializations and the one root did not.
+    val touched: Map[String, Set[Int]] = {
+      val groups = targetFeeds.zip(manifests)
+        .groupBy { case ((_, f), _) => f }.toSeq
+      inParallel(groups.map { case (f, group) => () =>
+        touchedBuckets(f,
+          group.map { case ((v, _), m) => (v, m.numBuckets) })
+      }).flatten.toMap
+    }
     // INDEPENDENT targets advance CONCURRENTLY within the one round —
     // the intra-root analogue of Coordinator.advanceMembers, and what
     // keeps the one-commit layout from serializing the six view steps
@@ -1076,8 +1101,8 @@ object IncrementalAgg {
     // (reading the pointer twice would let a publish land in between and
     // surface as a spurious conflict)
     val snap = AtomicPublish.snapshot(spark, root)
-    val applied = snap.table(spark, AppliedT)
-    if (!applied.filter(col("batch_id") === batchId).isEmpty) false
+    val applied = readLedger(spark, snap)
+    if (applied.contains(batchId)) false
     else {
       // The feed is delta-sized by contract but its PLAN need not be
       // delta-cheap (ChangeFeed.diff is a keyed full-outer join over
@@ -1096,7 +1121,7 @@ object IncrementalAgg {
         feed.storageLevel != org.apache.spark.storage.StorageLevel.NONE
       val f = if (callerCached) feed else feed.persist()
       try maintainRound(spark, root, snap, views.map(v => (v, f)),
-        applied.unionByName(Seq(batchId).toDF("batch_id")))
+        (applied :+ batchId).toDF("batch_id"))
       finally { if (!callerCached) f.unpersist(); () }
       true
     }
@@ -1150,8 +1175,8 @@ object IncrementalAgg {
     require(targets.map(_.target.name).distinct.size == targets.size,
       s"duplicate view names: ${targets.map(_.target.name).mkString(",")}")
     val snap = AtomicPublish.snapshot(spark, root)
-    val applied = snap.table(spark, AppliedT)
-    if (!applied.filter(col("batch_id") === batchId).isEmpty) false
+    val applied = readLedger(spark, snap)
+    if (applied.contains(batchId)) false
     else {
       // persist each DISTINCT caller-unpersisted feed for the round
       // (its touched-bucket probe is the materializing action);
@@ -1163,7 +1188,7 @@ object IncrementalAgg {
       toCache.foreach(_.persist())
       try maintainRound(spark, root, snap,
         targets.map(tf => (tf.target, tf.rows)),
-        applied.unionByName(Seq(batchId).toDF("batch_id")))
+        (applied :+ batchId).toDF("batch_id"))
       finally { toCache.foreach(_.unpersist()); () }
       true
     }
@@ -1243,11 +1268,9 @@ object IncrementalAgg {
       s"duplicate batch ids: ${feeds.map(_._1).mkString(",")}")
     require(views.nonEmpty, "no views")
     val snap = AtomicPublish.snapshot(spark, root)
-    val applied = snap.table(spark, AppliedT)
+    val applied = readLedger(spark, snap)
     val ids = feeds.map(_._1)
-    val alreadyApplied = applied
-      .filter(col("batch_id").isin(ids: _*))
-      .select("batch_id").as[Long].collect().toSet
+    val alreadyApplied = applied.toSet.intersect(ids.toSet)
     val todo = feeds.dropWhile { case (id, _) => alreadyApplied(id) }
     val stray = todo.map(_._1).filter(alreadyApplied)
     require(stray.isEmpty,
@@ -1263,7 +1286,7 @@ object IncrementalAgg {
       val netFeed = ChangeFeed.composeAll(todo.map(_._2), key, strict)
         .persist()
       try maintainRound(spark, root, snap, views.map(v => (v, netFeed)),
-        applied.unionByName(todo.map(_._1).toDF("batch_id")))
+        (applied ++ todo.map(_._1)).toDF("batch_id"))
       finally { netFeed.unpersist(); () }
       todo.size
     }

@@ -7,7 +7,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
-import graft.etl.AtomicPublish
+import graft.etl.{AtomicPublish, LocalParquet}
 import graft.ops.VectorSearch.{IvfModel, IvfPqModel}
 
 /** TABLE-persisted ANN serving state — the 100 TB deployment shape the
@@ -167,11 +167,13 @@ object AnnIndexStore {
         s"${snap.root} v${snap.version} is not an ANN index store: " +
           s"no $ManifestT table under the version dir")
     }
-    // explicit schema: a manifest is read on every append/serve, and
-    // footer-based schema inference is pure overhead on a known table
-    val rows = spark.read.schema(manifestSchema)
-      .parquet(s"${snap.root}/v${snap.version}/$ManifestT")
-      .orderBy("seq").collect()
+    // DRIVER-SIDE read (r20): a manifest is O(segments) rows — the
+    // per-read Spark job (scan + sort + collect) was fixed latency on
+    // every append and serve; LocalParquet reads the same files
+    // in-process and the sort is a driver-side sortBy.
+    val rows = LocalParquet.read(spark.sparkContext.hadoopConfiguration,
+      s"${snap.root}/v${snap.version}/$ManifestT", Seq("seq", "kind", "ref"))
+      ._2.sortBy(_.getInt(0)).toArray
     def refs(kind: String): Seq[String] = rows.toSeq
       .filter(_.getAs[String]("kind") == kind).map(_.getAs[String]("ref"))
     refs("format").headOption.foreach { f =>
