@@ -175,8 +175,9 @@ object IncrementalAgg {
     def read(spark: SparkSession, buckets: Option[Set[Int]]): DataFrame = {
       val keep = buckets.fold(refs)(bs => refs.view.filterKeys(bs).toMap)
       if (keep.isEmpty) emptyState(spark, schemaDDL)
-      else spark.read.parquet(keep.values.toSeq.distinct.sorted
-        .map(r => s"$root/state_segments/$r"): _*)
+      else spark.read.schema(readerSchema(schemaDDL))
+        .parquet(keep.values.toSeq.distinct.sorted
+          .map(r => s"$root/state_segments/$r"): _*)
     }
   }
 
@@ -757,6 +758,18 @@ object IncrementalAgg {
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
 
+  /** Reader schema for state-segment reads, from the manifest's
+    * recorded DDL (r20): every segment read previously ran a footer
+    * schema-inference JOB before the actual scan — pure fixed latency
+    * (profiled at ~1 s per read under a concurrent family batch, ×20
+    * reads per gate). The manifest already records the state schema;
+    * fields are forced nullable to match exactly what footer inference
+    * produced, so plans and results are byte-identical. */
+  private def readerSchema(schemaDDL: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)
+        .map(_.copy(nullable = true)))
+
   /** The maintained state of one view, served by a store version
     * (current by default) — the union of every referenced bucket. */
   def readView(spark: SparkSession, root: String, view: String,
@@ -765,8 +778,9 @@ object IncrementalAgg {
       AtomicPublish.snapshotAt(spark, root, _))
     val m = readManifest(spark, snap, s"${view}_manifest")
     if (m.refs.isEmpty) emptyState(spark, m.schemaDDL)
-    else spark.read.parquet(m.refs.values.toSeq.distinct.sorted
-      .map(r => s"${snap.root}/state_segments/$r"): _*)
+    else spark.read.schema(readerSchema(m.schemaDDL))
+      .parquet(m.refs.values.toSeq.distinct.sorted
+        .map(r => s"${snap.root}/state_segments/$r"): _*)
   }
 
   /** BUCKET-PRUNED serving read — the point of bucketing the state in
@@ -817,8 +831,9 @@ object IncrementalAgg {
       }
     val refs = pruned.getOrElse(m.refs)
     if (refs.isEmpty) emptyState(spark, m.schemaDDL)
-    else spark.read.parquet(refs.values.toSeq.distinct.sorted
-      .map(r => s"${snap.root}/state_segments/$r"): _*)
+    else spark.read.schema(readerSchema(m.schemaDDL))
+      .parquet(refs.values.toSeq.distinct.sorted
+        .map(r => s"${snap.root}/state_segments/$r"): _*)
   }
 
   /** [[readViewPruned]] driven by a DATAFRAME of values instead of a
@@ -860,8 +875,9 @@ object IncrementalAgg {
         m.refs.view.filterKeys(buckets).toMap
       }
     if (refs.isEmpty) emptyState(spark, m.schemaDDL)
-    else spark.read.parquet(refs.values.toSeq.distinct.sorted
-      .map(r => s"${snap.root}/state_segments/$r"): _*)
+    else spark.read.schema(readerSchema(m.schemaDDL))
+      .parquet(refs.values.toSeq.distinct.sorted
+        .map(r => s"${snap.root}/state_segments/$r"): _*)
   }
 
   /** [[readView]] of the single-view store's default view. */
@@ -910,7 +926,7 @@ object IncrementalAgg {
       val paths = touched.toSeq.sorted.flatMap(refs.get).distinct
         .map(r => s"${snap.root}/state_segments/$r")
       if (paths.isEmpty) emptyState(spark, schemaDDL)
-      else spark.read.parquet(paths: _*)
+      else spark.read.schema(readerSchema(schemaDDL)).parquet(paths: _*)
     }
     val newRefs = writeSegment(spark, snap.root,
       target.step(prevTouched, feed, ctx),

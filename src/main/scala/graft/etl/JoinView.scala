@@ -196,7 +196,8 @@ object JoinView {
     * that for the complement pair). */
   private final class Corrections(spark: SparkSession, a: Side, b: Side,
                                   bCountView: String, aFeed: DataFrame,
-                                  bFeed: DataFrame) {
+                                  bFeed: DataFrame,
+                                  managed: Boolean = false) {
     require(a.joinCols.size == b.joinCols.size,
       "joinCols of the two sides must pair up")
     Seq(aFeed, bFeed).foreach(f => require(f.columns.contains("_change_type"),
@@ -220,13 +221,22 @@ object JoinView {
         case (ac, bc) => col(ac).as(bc) }: _*), Some(b.version))
       .select(b.joinCols.zip(aJoin).map { case (bc, ac) => col(bc).as(ac) } :+
         col("n").as("_pre"): _*)
-    private val counts = preCnt.as("p").join(dCnt.as("d"),
-        aJoin.map(k => col(s"p.$k") <=> col(s"d.$k")).reduce(_ && _),
-        "full_outer")
-      .select(aJoin.map(k => coalesce(col(s"p.$k"), col(s"d.$k")).as(k)) :+
-        coalesce(col("p._pre"), lit(0L)).as("_pre") :+
-        (coalesce(col("p._pre"), lit(0L)) + coalesce(col("d._d"), lit(0L)))
-          .as("_post"): _*)
+    private val counts = {
+      val c = preCnt.as("p").join(dCnt.as("d"),
+          aJoin.map(k => col(s"p.$k") <=> col(s"d.$k")).reduce(_ && _),
+          "full_outer")
+        .select(aJoin.map(k => coalesce(col(s"p.$k"), col(s"d.$k")).as(k)) :+
+          coalesce(col("p._pre"), lit(0L)).as("_pre") :+
+          (coalesce(col("p._pre"), lit(0L)) + coalesce(col("d._d"), lit(0L)))
+            .as("_post"): _*)
+      // MANAGED mode (r20): this subtree appears once per lookup/
+      // transition term — up to 4× inside one outer feed's plan and
+      // across all six family feeds — and Spark performs no common-
+      // subexpression elimination across join branches, so without a
+      // cache every term re-runs the pruned count read + feed fold.
+      // persist() is lazy (no job here); [[release]] ends the lifetime.
+      if (managed) c.persist() else c
+    }
     val noPre: Column = coalesce(col("c._pre"), lit(0L)) === 0L
     val noPost: Column = coalesce(col("c._post"), lit(0L)) === 0L
     val aDel: DataFrame = aFeed.filter(col("_change_type")
@@ -257,7 +267,7 @@ object JoinView {
       val aPreForTrans = IncrementalAgg.readViewPrunedBy(spark, a.root,
         a.replica, aJoin, transitions.select(aJoin.map(col): _*),
         Some(a.version))
-      aPreForTrans.as("ak").join(
+      val kt = aPreForTrans.as("ak").join(
           aFeed.filter(col("_change_type").isin("delete", "update_preimage"))
             .drop("_change_type").as("ad"),
           aTable.map(c => col(s"ak.$c") <=> col(s"ad.$c")).reduce(_ && _),
@@ -265,6 +275,16 @@ object JoinView {
         .as("kt").join(transitions.as("t"),
           aJoin.map(k => col(s"kt.$k") <=> col(s"t.$k")).reduce(_ && _),
           "inner")
+      // managed for the same reason as counts: lostAll and gainedFirst
+      // both filter this frame, in every consumer of the same side
+      if (managed) kt.persist() else kt
+    }
+
+    /** End the managed frames' cache lifetime (no-op when unmanaged). */
+    def release(): Unit = if (managed) {
+      counts.unpersist()
+      aKeepT.unpersist()
+      ()
     }
     /** Untouched A rows whose key lost its LAST match this batch. */
     val lostAll: DataFrame =
@@ -386,22 +406,38 @@ object JoinView {
     * per-form entry points separately would run the count/transition
     * probe jobs once PER FORM — up to 5× the per-batch fixed latency
     * this shares. */
-  final case class FamilyFeeds(inner: DataFrame, leftOuter: DataFrame,
-                               rightOuter: DataFrame, fullOuter: DataFrame,
-                               semi: DataFrame, anti: DataFrame)
+  final class FamilyFeeds(val inner: DataFrame, val leftOuter: DataFrame,
+                          val rightOuter: DataFrame, val fullOuter: DataFrame,
+                          val semi: DataFrame, val anti: DataFrame,
+                          releaser: () => Unit = () => ()) {
+    /** Unpersist the substrate's MANAGED intermediates (the two
+      * `Corrections`' count/transition frames — r20). Call after the
+      * batch's feeds are consumed (beside the feeds' own unpersist);
+      * feeds already materialized keep their rows, so releasing early
+      * only costs recomputation, never correctness. */
+    def release(): Unit = releaser()
+  }
 
   /** Build [[FamilyFeeds]] for one batch: one inner read, one
-    * `Corrections` per side, every form derived from those. */
+    * `Corrections` per side, every form derived from those. The
+    * corrections' count/transition frames are MANAGED (cached until
+    * [[FamilyFeeds.release]]): each appears in up to four terms of
+    * four of the six feeds, and Spark re-evaluates repeated subtrees —
+    * per r20 profiling the uncached substrate re-ran the pruned count
+    * reads ~12× per batch across the family's materializations. */
   def familyDeltas(spark: SparkSession, a: Side, b: Side,
                    aCountView: String, bCountView: String,
                    aFeed: DataFrame, bFeed: DataFrame): FamilyFeeds = {
     val inner = joinDeltaFromStores(spark, a, b, aFeed, bFeed)
-    val cxA = new Corrections(spark, a, b, bCountView, aFeed, bFeed)
-    val cxB = new Corrections(spark, b, a, aCountView, bFeed, aFeed)
+    val cxA = new Corrections(spark, a, b, bCountView, aFeed, bFeed,
+      managed = true)
+    val cxB = new Corrections(spark, b, a, aCountView, bFeed, aFeed,
+      managed = true)
     val lo = leftOuterFrom(inner, cxA)
     val bExt = bSideExtensions(lo, cxA.aTable, cxB)
-    FamilyFeeds(inner, lo, inner.unionByName(bExt),
-      lo.unionByName(bExt), semiFeed(cxA), antiFeed(cxA))
+    new FamilyFeeds(inner, lo, inner.unionByName(bExt),
+      lo.unionByName(bExt), semiFeed(cxA), antiFeed(cxA),
+      () => { cxA.release(); cxB.release() })
   }
 
   /** [[joinDelta]] with each side's pre-state read from its maintained

@@ -739,19 +739,26 @@ object Etl {
         case (Seq((a0, b0), (a1, b1)), i) =>
           val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
           val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
-          val outer = JoinView.fullOuterDelta(s,
+          // the family substrate's fullOuter is fullOuterDelta's exact
+          // construction (same inner terms, same two Corrections) with
+          // the count/transition frames CACHED for the batch (r20) —
+          // they appear in ~8 terms of this one feed's plan, and the
+          // uncached form re-ran the pruned count reads for each
+          val fam = JoinView.familyDeltas(s,
             JoinView.Side(aRoot, "replica", Seq("o_custkey"),
               AtomicPublish.currentVersion(s, aRoot).get),
             JoinView.Side(bRoot, "replica", Seq("c_custkey"),
               AtomicPublish.currentVersion(s, bRoot).get),
-            "acnt", "bcnt", feedA, feedB).persist()
+            "acnt", "bcnt", feedA, feedB)
+          val outer = fam.fullOuter.persist()
           try {
             Coordinator.advanceMembers(s, i.toLong, Seq(
               Coordinator.MemberAdvance(aRoot, feedA, aT),
               Coordinator.MemberAdvance(bRoot, feedB, bT),
               Coordinator.MemberAdvance(vRoot, outer, vT)))
           } finally {
-            feedA.unpersist(); feedB.unpersist(); outer.unpersist(); ()
+            feedA.unpersist(); feedB.unpersist(); outer.unpersist()
+            fam.release()
           }
       }
       IncrementalAgg.readView(s, vRoot, "view")
@@ -1150,7 +1157,7 @@ object Etl {
             Coordinator.commitCut(s, cutRoot, allVersions())
           } finally {
             feedA.unpersist(); feedB.unpersist()
-            feeds.values.foreach(_.unpersist()); ()
+            feeds.values.foreach(_.unpersist()); fam.release()
           }
       }
       // every read pinned to ONE resolved cut — the six views AND the
@@ -1284,7 +1291,7 @@ object Etl {
             Coordinator.commitCut(s, cutRoot, allVersions())
           } finally {
             feedA.unpersist(); feedB.unpersist()
-            feeds.values.foreach(_.unpersist()); ()
+            feeds.values.foreach(_.unpersist()); fam.release()
           }
       }
       // one resolved cut; the six views share ONE pinned store version

@@ -588,7 +588,7 @@ object StreamingOps {
             Coordinator.commitCut(s, cutRoot, allVersions())
           } finally {
             fA.unpersist(); fB.unpersist()
-            feeds.values.foreach(_.unpersist()); ()
+            feeds.values.foreach(_.unpersist()); fam.release()
           }
         }
       }

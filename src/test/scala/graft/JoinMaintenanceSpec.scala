@@ -927,6 +927,7 @@ class JoinMaintenanceSpec extends SparkSuite {
         assert(IncrementalAgg.applyOnceMulti(spark, root, feed, batch, t))
       }
       (feedA +: feedB +: feeds).foreach(_.unpersist())
+      fam.release()
       stores.foreach { case (root, _, how) =>
         assert(IncrementalAgg.readView(spark, root, "view")
           .collect().map(_.toSeq).toSet === direct(aNext, bn, how),

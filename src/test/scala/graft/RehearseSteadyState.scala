@@ -154,7 +154,7 @@ object RehearseSteadyState {
           Coordinator.advanceMembers(spark, i.toLong, members)
         } finally {
           feedA.unpersist(); feedB.unpersist()
-          feeds.values.foreach(_.unpersist()); ()
+          feeds.values.foreach(_.unpersist()); fam.release()
         }
         val batchS = (System.nanoTime() - tb) / 1e9
         println(s"""{"mode":"$mode","phase":"batch","i":$i,""" +
