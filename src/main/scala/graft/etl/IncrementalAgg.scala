@@ -192,6 +192,28 @@ object IncrementalAgg {
       stepped.getOrElse(name, throw new IllegalStateException(
         s"target '$name' is not maintained before this one in the round " +
           "(order targets so a rescan base precedes its dependents)"))
+    // Frames persisted for THIS round via [[manage]]; the round's owner
+    // (maintainRound) releases them after the publish.
+    private val managedFrames =
+      new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+    /** Cache `df` for the remainder of the round (r20): a step whose
+      * plan references the same derived subtree several times (the
+      * extrema/top-k invalidation frame is consumed by the kept path,
+      * the rescan path, AND the bucket-pruning probe) otherwise
+      * re-evaluates it per reference — Spark has no cross-branch
+      * common-subexpression elimination. persist() here is lazy; the
+      * round's first action populates it, and maintainRound unpersists
+      * every managed frame after the commit. */
+    def manage(df: DataFrame): DataFrame = {
+      val d = df.persist()
+      managedFrames.add(d)
+      d
+    }
+    private[etl] def releaseManaged(): Unit = {
+      import scala.jdk.CollectionConverters._
+      managedFrames.asScala.foreach(_.unpersist())
+      managedFrames.clear()
+    }
     /** Post-batch full state of an already-maintained sibling target;
       * throws if `name` was not maintained before the caller. */
     def baseAfter(name: String): DataFrame = state(name).read(spark, None)
@@ -421,7 +443,10 @@ object IncrementalAgg {
             (if (isMin) col(s"d._del_$out") <= col(s"p.$out")
              else col(s"d._del_$out") >= col(s"p.$out")))
       }.reduce(_ || _)
-      val joined = p.join(d, joinCond, "full_outer")
+      // managed for the round (r20): consumed by the kept filter, the
+      // rescan's group list, and the pruning probe — three evaluations
+      // of the delta-aggregate + full-outer join without the cache
+      val joined = ctx.manage(p.join(d, joinCond, "full_outer")
         .select(
           groupCols.map(g => coalesce(col(s"p.$g"), col(s"d.$g")).as(g)) ++
             Seq((coalesce(col("p.n"), lit(0L)) +
@@ -429,7 +454,7 @@ object IncrementalAgg {
               coalesce(invalidated, lit(false)).as("_rescan")) ++
             outCols.map { case (out, _, isMin) =>
               (if (isMin) least(col(s"p.$out"), col(s"d._ins_$out"))
-               else greatest(col(s"p.$out"), col(s"d._ins_$out"))).as(out) }: _*)
+               else greatest(col(s"p.$out"), col(s"d._ins_$out"))).as(out) }: _*))
       val kept = joined.filter(!col("_rescan"))
         .drop("_rescan")
         .filter(col("n") =!= 0L)
@@ -563,10 +588,12 @@ object IncrementalAgg {
         col("p._m").isNull || col("p._m") < k ||
           col("p._null_member") === 1L || col("d._del_null") === 1L ||
           coalesce(beatsBound, lit(true)))
-      val flags = p.join(d, joinCond, "full_outer")
+      // managed for the round (r20): consumed by both withFlag joins,
+      // the rescan's group list, and the pruning probe
+      val flags = ctx.manage(p.join(d, joinCond, "full_outer")
         .select(
           groupCols.map(g => coalesce(col(s"p.$g"), col(s"d.$g")).as(g)) :+
-            coalesce(invalidated, lit(false)).as("_rescan"): _*)
+            coalesce(invalidated, lit(false)).as("_rescan"): _*))
       def withFlag(rows: DataFrame, alias: String): DataFrame = {
         val r = rows.as(alias)
         val f = flags.as("f")
@@ -1015,8 +1042,9 @@ object IncrementalAgg {
           outs(i) = table -> mdf
         }
       }
-    AtomicPublish.publish(spark, root, outs.toSeq :+ (AppliedT -> ledger),
+    try AtomicPublish.publish(spark, root, outs.toSeq :+ (AppliedT -> ledger),
       expectedBase = Some(Some(snap.version)))
+    finally ctx.releaseManaged()
     ()
   }
 
