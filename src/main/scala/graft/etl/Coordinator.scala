@@ -146,6 +146,62 @@ object Coordinator {
                                       targets: Seq[IncrementalAgg.TargetFeed])
     extends MemberCommit
 
+  /** One member store's initial publish for [[seedMembers]]: either
+    * one-rows-for-all-targets ([[IncrementalAgg.publishInitialMulti]])
+    * or seed-rows-per-target ([[IncrementalAgg.publishInitialSeeds]]). */
+  sealed trait MemberSeed { def root: String }
+  final case class SeedRows(root: String, rows: DataFrame,
+                            targets: Seq[IncrementalAgg.TargetSpec])
+    extends MemberSeed
+  final case class SeedFeeds(root: String,
+                             targets: Seq[IncrementalAgg.TargetFeed])
+    extends MemberSeed
+
+  /** Seed several INDEPENDENT member stores CONCURRENTLY (r20) — the
+    * one-time analogue of [[advanceMembers]]: a multi-store gate that
+    * seeds its roots back-to-back pays each seed's full write+publish
+    * latency serially, for stores that share nothing. Same safety
+    * argument as the batch round (distinct roots required; each
+    * store's publish is its own atomic commit), same pool, same
+    * first-failure propagation. The whole round is ONE PhaseClock seed
+    * bracket (members' own brackets nest and are suppressed globally;
+    * per-root labels still attribute), exactly like advanceMembers'
+    * batch bracket. Returns each member's published version in input
+    * order. */
+  def seedMembers(spark: SparkSession, members: Seq[MemberSeed],
+                  parallelism: Int = 0): Seq[Long] =
+    graft.PhaseClock.seed {
+      require(members.nonEmpty, "no members")
+      require(members.map(_.root).distinct.size == members.size,
+        s"member roots must be distinct: ${members.map(_.root).mkString(",")}")
+      val par = if (parallelism > 0) math.min(parallelism, members.size)
+                else math.min(members.size, 8)
+      val gate = new java.util.concurrent.Semaphore(par)
+      val callerSession = org.apache.spark.sql.SparkSession.getActiveSession
+      try {
+        import scala.jdk.CollectionConverters._
+        val tasks = members.map { m =>
+          new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              callerSession.foreach(
+                org.apache.spark.sql.SparkSession.setActiveSession)
+              gate.acquire()
+              try m match {
+                case SeedRows(root, rows, targets) =>
+                  IncrementalAgg.publishInitialMulti(spark, root, rows, targets)
+                case SeedFeeds(root, targets) =>
+                  IncrementalAgg.publishInitialSeeds(spark, root, targets)
+              }
+              finally gate.release()
+            }
+          }
+        }
+        memberPool.invokeAll(tasks.asJava).asScala.toSeq.map(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
+    }
+
   /** Advance several INDEPENDENT member stores through one batch
     * CONCURRENTLY — the multi-store round's latency fix: each member's
     * [[IncrementalAgg.applyOnceMulti]] pays a fixed per-commit price

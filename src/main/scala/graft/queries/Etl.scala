@@ -484,11 +484,13 @@ object Etl {
       val bT = Seq(ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16))
       val vT = Seq(ReplicaSpec("view", Seq("o_orderkey", "c_custkey"),
         numBuckets = 16))
-      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
-      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
-      IncrementalAgg.publishInitialMulti(s, vRoot,
-        aChain.head.join(bChain.head,
-          col("o_custkey") === col("c_custkey"), "inner"), vT)
+      // independent roots seed CONCURRENTLY (r20) — one-time cost,
+      // previously paid serially per store
+      Coordinator.seedMembers(s, Seq(
+        Coordinator.SeedRows(aRoot, aChain.head, aT),
+        Coordinator.SeedRows(bRoot, bChain.head, bT),
+        Coordinator.SeedRows(vRoot, aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "inner"), vT)))
       Coordinator.commitCut(s, cutRoot, Map("a" -> 0L, "b" -> 0L, "v" -> 0L))
       aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
         case (Seq((a0, b0), (a1, b1)), i) =>
@@ -569,11 +571,11 @@ object Etl {
         ViewSpec("bcnt", Seq("c_custkey"), Nil, numBuckets = 16))
       val vT = Seq(ReplicaSpec("view", Seq("o_orderkey", "c_custkey"),
         numBuckets = 16))
-      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
-      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
-      IncrementalAgg.publishInitialMulti(s, vRoot,
-        aChain.head.join(bChain.head,
-          col("o_custkey") === col("c_custkey"), "left_outer"), vT)
+      Coordinator.seedMembers(s, Seq(
+        Coordinator.SeedRows(aRoot, aChain.head, aT),
+        Coordinator.SeedRows(bRoot, bChain.head, bT),
+        Coordinator.SeedRows(vRoot, aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "left_outer"), vT)))
       aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
         case (Seq((a0, b0), (a1, b1)), i) =>
           val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
@@ -643,14 +645,13 @@ object Etl {
         ViewSpec("bcnt", Seq("c_custkey"), Nil, numBuckets = 16))
       val sT = Seq(ReplicaSpec("semi", Seq("o_orderkey"), numBuckets = 16))
       val nT = Seq(ReplicaSpec("anti", Seq("o_orderkey"), numBuckets = 16))
-      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
-      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
-      IncrementalAgg.publishInitialMulti(s, sRoot,
-        aChain.head.join(bChain.head,
-          col("o_custkey") === col("c_custkey"), "left_semi"), sT)
-      IncrementalAgg.publishInitialMulti(s, nRoot,
-        aChain.head.join(bChain.head,
-          col("o_custkey") === col("c_custkey"), "left_anti"), nT)
+      Coordinator.seedMembers(s, Seq(
+        Coordinator.SeedRows(aRoot, aChain.head, aT),
+        Coordinator.SeedRows(bRoot, bChain.head, bT),
+        Coordinator.SeedRows(sRoot, aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "left_semi"), sT),
+        Coordinator.SeedRows(nRoot, aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "left_anti"), nT)))
       aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
         case (Seq((a0, b0), (a1, b1)), i) =>
           val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
@@ -730,11 +731,11 @@ object Etl {
         ViewSpec("bcnt", Seq("c_custkey"), Nil, numBuckets = 16))
       val vT = Seq(ReplicaSpec("view", Seq("o_orderkey", "c_custkey"),
         numBuckets = 16))
-      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
-      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
-      IncrementalAgg.publishInitialMulti(s, vRoot,
-        aChain.head.join(bChain.head,
-          col("o_custkey") === col("c_custkey"), "full_outer"), vT)
+      Coordinator.seedMembers(s, Seq(
+        Coordinator.SeedRows(aRoot, aChain.head, aT),
+        Coordinator.SeedRows(bRoot, bChain.head, bT),
+        Coordinator.SeedRows(vRoot, aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "full_outer"), vT)))
       aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
         case (Seq((a0, b0), (a1, b1)), i) =>
           val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
@@ -815,10 +816,10 @@ object Etl {
       def joined(a: org.apache.spark.sql.DataFrame,
                  b: org.apache.spark.sql.DataFrame) =
         a.join(b, col("o_custkey") === col("c_custkey"), "inner")
-      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
-      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
-      IncrementalAgg.publishInitialMulti(s, gRoot,
-        joined(aChain.head, bChain.head), gT)
+      Coordinator.seedMembers(s, Seq(
+        Coordinator.SeedRows(aRoot, aChain.head, aT),
+        Coordinator.SeedRows(bRoot, bChain.head, bT),
+        Coordinator.SeedRows(gRoot, joined(aChain.head, bChain.head), gT)))
       aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
         case (Seq((a0, b0), (a1, b1)), i) =>
           val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
@@ -911,13 +912,13 @@ object Etl {
       def j2(v: org.apache.spark.sql.DataFrame,
              n: org.apache.spark.sql.DataFrame) =
         v.join(n, col("c_nationkey") === col("n_nationkey"), "inner")
-      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
-      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
-      IncrementalAgg.publishInitialMulti(s, nRoot, nChain.head, nT)
-      IncrementalAgg.publishInitialMulti(s, v1Root,
-        j1(aChain.head, bChain.head), v1T)
-      IncrementalAgg.publishInitialMulti(s, gRoot,
-        j2(j1(aChain.head, bChain.head), nChain.head), gT)
+      Coordinator.seedMembers(s, Seq(
+        Coordinator.SeedRows(aRoot, aChain.head, aT),
+        Coordinator.SeedRows(bRoot, bChain.head, bT),
+        Coordinator.SeedRows(nRoot, nChain.head, nT),
+        Coordinator.SeedRows(v1Root, j1(aChain.head, bChain.head), v1T),
+        Coordinator.SeedRows(gRoot,
+          j2(j1(aChain.head, bChain.head), nChain.head), gT)))
       aChain.zip(bChain).zip(nChain).sliding(2).zipWithIndex.foreach {
         case (Seq(((a0, b0), n0), ((a1, b1), n1)), i) =>
           val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
@@ -1013,11 +1014,11 @@ object Etl {
       // extension rows
       val vT = Seq(ReplicaSpec("view", Seq("c_custkey", "o_orderkey"),
         numBuckets = 16))
-      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
-      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
-      IncrementalAgg.publishInitialMulti(s, vRoot,
-        aChain.head.join(bChain.head,
-          col("o_custkey") === col("c_custkey"), "right_outer"), vT)
+      Coordinator.seedMembers(s, Seq(
+        Coordinator.SeedRows(aRoot, aChain.head, aT),
+        Coordinator.SeedRows(bRoot, bChain.head, bT),
+        Coordinator.SeedRows(vRoot, aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "right_outer"), vT)))
       aChain.zip(bChain).sliding(2).zipWithIndex.foreach {
         case (Seq((a0, b0), (a1, b1)), i) =>
           val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
@@ -1117,13 +1118,14 @@ object Etl {
       val joinType = Map("inner" -> "inner", "left" -> "left_outer",
         "right" -> "right_outer", "full" -> "full_outer",
         "semi" -> "left_semi", "anti" -> "left_anti")
-      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
-      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
-      forms.foreach { f =>
-        IncrementalAgg.publishInitialMulti(s, vRoots(f),
+      // all EIGHT independent roots seed concurrently (r20): the
+      // serial form paid eight publish latencies back-to-back
+      Coordinator.seedMembers(s,
+        Coordinator.SeedRows(aRoot, aChain.head, aT) +:
+        Coordinator.SeedRows(bRoot, bChain.head, bT) +:
+        forms.map(f => Coordinator.SeedRows(vRoots(f),
           aChain.head.join(bChain.head,
-            col("o_custkey") === col("c_custkey"), joinType(f)), vT(f))
-      }
+            col("o_custkey") === col("c_custkey"), joinType(f)), vT(f))))
       def allVersions(): Map[String, Long] =
         (Seq("a" -> aRoot, "b" -> bRoot) ++ forms.map(f => f -> vRoots(f)))
           .map { case (n, r) =>
@@ -1253,12 +1255,13 @@ object Etl {
       val joinType = Map("inner" -> "inner", "left" -> "left_outer",
         "right" -> "right_outer", "full" -> "full_outer",
         "semi" -> "left_semi", "anti" -> "left_anti")
-      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
-      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
-      IncrementalAgg.publishInitialSeeds(s, famRoot, forms.map { f =>
-        TargetFeed(famT(f), aChain.head.join(bChain.head,
-          col("o_custkey") === col("c_custkey"), joinType(f)))
-      })
+      Coordinator.seedMembers(s, Seq(
+        Coordinator.SeedRows(aRoot, aChain.head, aT),
+        Coordinator.SeedRows(bRoot, bChain.head, bT),
+        Coordinator.SeedFeeds(famRoot, forms.map { f =>
+          TargetFeed(famT(f), aChain.head.join(bChain.head,
+            col("o_custkey") === col("c_custkey"), joinType(f)))
+        })))
       def allVersions(): Map[String, Long] =
         Seq("a" -> aRoot, "b" -> bRoot, "fam" -> famRoot)
           .map { case (n, r) =>

@@ -405,11 +405,11 @@ object StreamingOps {
       val bT = Seq(ReplicaSpec("replica", Seq("c_custkey"), numBuckets = 16))
       val vT = Seq(ReplicaSpec("view", Seq("o_orderkey", "c_custkey"),
         numBuckets = 16))
-      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
-      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
-      IncrementalAgg.publishInitialMulti(s, vRoot,
-        aChain.head.join(bChain.head,
-          col("o_custkey") === col("c_custkey"), "inner"), vT)
+      Coordinator.seedMembers(s, Seq(
+        Coordinator.SeedRows(aRoot, aChain.head, aT),
+        Coordinator.SeedRows(bRoot, bChain.head, bT),
+        Coordinator.SeedRows(vRoot, aChain.head.join(bChain.head,
+          col("o_custkey") === col("c_custkey"), "inner"), vT)))
       Coordinator.commitCut(s, cutRoot, Map("a" -> 0L, "b" -> 0L, "v" -> 0L))
       val muxSchema = org.apache.spark.sql.types.StructType.fromDDL(
         "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
@@ -542,12 +542,13 @@ object StreamingOps {
       val joinType = Map("inner" -> "inner", "left" -> "left_outer",
         "right" -> "right_outer", "full" -> "full_outer",
         "semi" -> "left_semi", "anti" -> "left_anti")
-      IncrementalAgg.publishInitialMulti(s, aRoot, aChain.head, aT)
-      IncrementalAgg.publishInitialMulti(s, bRoot, bChain.head, bT)
-      IncrementalAgg.publishInitialSeeds(s, famRoot, forms.map { f =>
-        TargetFeed(famT(f), aChain.head.join(bChain.head,
-          col("o_custkey") === col("c_custkey"), joinType(f)))
-      })
+      Coordinator.seedMembers(s, Seq(
+        Coordinator.SeedRows(aRoot, aChain.head, aT),
+        Coordinator.SeedRows(bRoot, bChain.head, bT),
+        Coordinator.SeedFeeds(famRoot, forms.map { f =>
+          TargetFeed(famT(f), aChain.head.join(bChain.head,
+            col("o_custkey") === col("c_custkey"), joinType(f)))
+        })))
       def allVersions(): Map[String, Long] =
         Seq("a" -> aRoot, "b" -> bRoot, "fam" -> famRoot)
           .map { case (n, r) =>
