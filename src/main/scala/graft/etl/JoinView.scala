@@ -353,6 +353,40 @@ object JoinView {
     (semiFeed(cx), antiFeed(cx))
   }
 
+  /** MANAGED single-form entry points (r20): identical feeds to the
+    * unmanaged forms, with the corrections' count/transition frames
+    * cached until the returned release thunk runs — a correction frame
+    * appears in ~4 terms of one outer/semi/anti feed's plan (8 across
+    * the semi+anti pair), and Spark re-evaluates each term's copy
+    * without the cache. Call release after the feed is consumed (it is
+    * safe beside the feed's own unpersist — a materialized feed keeps
+    * its rows). The unmanaged forms stay for callers without a
+    * consumption point. */
+  def leftOuterDeltaManaged(spark: SparkSession, a: Side, b: Side,
+                            bCountView: String, aFeed: DataFrame,
+                            bFeed: DataFrame): (DataFrame, () => Unit) = {
+    val cx = new Corrections(spark, a, b, bCountView, aFeed, bFeed,
+      managed = true)
+    (leftOuterFrom(joinDeltaFromStores(spark, a, b, aFeed, bFeed), cx),
+      () => cx.release())
+  }
+
+  /** [[rightOuterDelta]], managed — see [[leftOuterDeltaManaged]]. */
+  def rightOuterDeltaManaged(spark: SparkSession, a: Side, b: Side,
+                             aCountView: String, aFeed: DataFrame,
+                             bFeed: DataFrame): (DataFrame, () => Unit) =
+    leftOuterDeltaManaged(spark, b, a, aCountView, bFeed, aFeed)
+
+  /** [[semiAntiDeltas]], managed — see [[leftOuterDeltaManaged]]. */
+  def semiAntiDeltasManaged(spark: SparkSession, a: Side, b: Side,
+                            bCountView: String, aFeed: DataFrame,
+                            bFeed: DataFrame)
+      : (DataFrame, DataFrame, () => Unit) = {
+    val cx = new Corrections(spark, a, b, bCountView, aFeed, bFeed,
+      managed = true)
+    (semiFeed(cx), antiFeed(cx), () => cx.release())
+  }
+
   /** FULL-OUTER join view maintenance: [[leftOuterDelta]]'s feed (inner
     * pairs + A-side null extensions) plus the SYMMETRIC corrections —
     * B rows whose A-match count crossed zero get `(NULL a-cols, b-row)`

@@ -580,19 +580,20 @@ object Etl {
         case (Seq((a0, b0), (a1, b1)), i) =>
           val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
           val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
-          val outer = JoinView.leftOuterDelta(s,
+          val (outer0, release) = JoinView.leftOuterDeltaManaged(s,
             JoinView.Side(aRoot, "replica", Seq("o_custkey"),
               AtomicPublish.currentVersion(s, aRoot).get),
             JoinView.Side(bRoot, "replica", Seq("c_custkey"),
               AtomicPublish.currentVersion(s, bRoot).get),
-            "bcnt", feedA, feedB).persist()
+            "bcnt", feedA, feedB)
+          val outer = outer0.persist()
           try {
             Coordinator.advanceMembers(s, i.toLong, Seq(
               Coordinator.MemberAdvance(aRoot, feedA, aT),
               Coordinator.MemberAdvance(bRoot, feedB, bT),
               Coordinator.MemberAdvance(vRoot, outer, vT)))
           } finally {
-            feedA.unpersist(); feedB.unpersist(); outer.unpersist(); ()
+            feedA.unpersist(); feedB.unpersist(); outer.unpersist(); release()
           }
       }
       IncrementalAgg.readView(s, vRoot, "view")
@@ -660,8 +661,9 @@ object Etl {
             AtomicPublish.currentVersion(s, aRoot).get)
           val bSide = JoinView.Side(bRoot, "replica", Seq("c_custkey"),
             AtomicPublish.currentVersion(s, bRoot).get)
-          val (semi0, anti0) =
-            JoinView.semiAntiDeltas(s, aSide, bSide, "bcnt", feedA, feedB)
+          val (semi0, anti0, release) =
+            JoinView.semiAntiDeltasManaged(s, aSide, bSide, "bcnt",
+              feedA, feedB)
           val semi = semi0.persist(); val anti = anti0.persist()
           try {
             Coordinator.advanceMembers(s, i.toLong, Seq(
@@ -671,7 +673,7 @@ object Etl {
               Coordinator.MemberAdvance(nRoot, anti, nT)))
           } finally {
             feedA.unpersist(); feedB.unpersist()
-            semi.unpersist(); anti.unpersist(); ()
+            semi.unpersist(); anti.unpersist(); release()
           }
       }
       IncrementalAgg.readView(s, sRoot, "semi")
@@ -1023,19 +1025,20 @@ object Etl {
         case (Seq((a0, b0), (a1, b1)), i) =>
           val feedA = ChangeFeed.diff(a0, a1, Seq("o_orderkey")).persist()
           val feedB = ChangeFeed.diff(b0, b1, Seq("c_custkey")).persist()
-          val outer = JoinView.rightOuterDelta(s,
+          val (outer0, release) = JoinView.rightOuterDeltaManaged(s,
             JoinView.Side(aRoot, "replica", Seq("o_custkey"),
               AtomicPublish.currentVersion(s, aRoot).get),
             JoinView.Side(bRoot, "replica", Seq("c_custkey"),
               AtomicPublish.currentVersion(s, bRoot).get),
-            "acnt", feedA, feedB).persist()
+            "acnt", feedA, feedB)
+          val outer = outer0.persist()
           try {
             Coordinator.advanceMembers(s, i.toLong, Seq(
               Coordinator.MemberAdvance(aRoot, feedA, aT),
               Coordinator.MemberAdvance(bRoot, feedB, bT),
               Coordinator.MemberAdvance(vRoot, outer, vT)))
           } finally {
-            feedA.unpersist(); feedB.unpersist(); outer.unpersist(); ()
+            feedA.unpersist(); feedB.unpersist(); outer.unpersist(); release()
           }
       }
       IncrementalAgg.readView(s, vRoot, "view")
