@@ -77,7 +77,23 @@ object IncrementalAgg {
 
   /** Apply a [[ChangeFeed.diff]] to `prev` (a state produced by
     * [[aggregate]] with the same `groupCols`/`sumCols`), yielding the
-    * state [[aggregate]] would produce on the feed's `to` side. */
+    * state [[aggregate]] would produce on the feed's `to` side.
+    *
+    * SHAPE (r20, guide §2.3/§2.4): one UNION + one aggregation, not a
+    * per-feed aggregate full-outer-joined back to `prev`. The previous
+    * form shuffled the delta twice (partial/final aggregate, then a
+    * re-exchange for the sort-merge full-outer join) and `prev` once,
+    * plus two sorts; folding the prev rows into the aggregation as
+    * ready-made partial states shuffles each input exactly once and
+    * sorts nothing. VALUE-IDENTICAL, not just row-identical: the state
+    * sums live in the exact decimal group (`D`), whose addition is
+    * associative and commutative, so regrouping `prev + Σdelta` into
+    * `Σ(prev ∪ delta)` cannot move a single bit — the same argument
+    * that makes the state mergeable at all. (With FLOAT sums this
+    * rewrite would be wrong — reordering float addition changes
+    * results — which is one more reason the state is decimal.) The
+    * group key groups NULLs together under GROUP BY exactly as the old
+    * null-safe join condition matched them. */
   def maintain(prev: DataFrame, feed: DataFrame, groupCols: Seq[String],
                sumCols: Seq[(String, String)]): DataFrame = {
     val expected = groupCols ++ ("n" +: sumCols.map(_._1))
@@ -88,23 +104,22 @@ object IncrementalAgg {
       "feed must be a ChangeFeed.diff output (missing _change_type)")
     val sign = when(col("_change_type").isin("insert", "update_postimage"),
       lit(1L)).otherwise(lit(-1L))
-    val delta = feed.groupBy(groupCols.map(col): _*)
-      .agg(sum(sign).as("n"),
-        sumCols.map { case (out, src) =>
-          sum((col(src).cast(D)) * sign).cast(D).as(out) }: _*)
-    val p = prev.as("p")
-    val d = delta.as("d")
-    val joinCond = groupCols.map(g => col(s"p.$g") <=> col(s"d.$g"))
-      .reduce(_ && _)
     val zero = lit(0).cast(D)
-    p.join(d, joinCond, "full_outer")
-      .select(
-        groupCols.map(g => coalesce(col(s"p.$g"), col(s"d.$g")).as(g)) ++
-          Seq((coalesce(col("p.n"), lit(0L)) +
-            coalesce(col("d.n"), lit(0L))).as("n")) ++
-          sumCols.map { case (out, _) =>
-            (coalesce(col(s"p.$out"), zero) +
-              coalesce(col(s"d.$out"), zero)).cast(D).as(out) }: _*)
+    // each feed row as a one-row partial state: ±1 count, ±value sums
+    // (NULL source values contribute NULL, which SUM skips — as before)
+    val deltaRows = feed.select(
+      groupCols.map(col) ++
+        Seq(sign.as("n")) ++
+        sumCols.map { case (out, src) =>
+          ((col(src).cast(D)) * sign).cast(D).as(out) }: _*)
+    prev.unionByName(deltaRows)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("n")).as("n"),
+        sumCols.map { case (out, _) =>
+          // coalesce: a NEW group whose every contribution is NULL must
+          // read 0 (the additive identity), matching aggregate()'s
+          // normalization — SUM alone would yield NULL
+          coalesce(sum(col(out)), zero).cast(D).as(out) }: _*)
       // a consistently-emptied group has n = 0 AND every sum exactly 0
       // (decimal arithmetic) and leaves the state; n = 0 with a nonzero
       // residual sum is the zero-count face of feed corruption and

@@ -205,30 +205,42 @@ object JoinView {
     val aTable: Seq[String] = aFeed.columns.toSeq.filterNot(_ == "_change_type")
     private val aJoin = a.joinCols
     private val nullKeyed = aJoin.map(col(_).isNull).reduce(_ || _)
-    // per-key count delta from ΔB, and the pre-batch count view pruned
-    // to the keys in play (ΔA's and ΔB's) — renamed to a-side names so
-    // one frame serves every lookup
+    // per-key ±1 contributions from ΔB, and the pre-batch count view
+    // pruned to the keys in play (ΔA's and ΔB's) — renamed to a-side
+    // names so one frame serves every lookup
     private val isPost = col("_change_type").isin("insert", "update_postimage")
     private val keyAs = b.joinCols.zip(aJoin).map { case (bc, ac) => col(bc).as(ac) }
-    private val dCnt = bFeed
+    private val dRows = bFeed
       .select(keyAs :+ when(isPost, lit(1L)).otherwise(lit(-1L)).as("_d"): _*)
       .filter(!nullKeyed) // NULL-keyed B rows never match anything
-      .groupBy(aJoin.map(col): _*).agg(sum(col("_d")).as("_d"))
     private val keysInPlay = aFeed.select(aJoin.map(col): _*)
-      .unionByName(dCnt.select(aJoin.map(col): _*))
+      .unionByName(dRows.select(aJoin.map(col): _*))
     private val preCnt = IncrementalAgg.readViewPrunedBy(spark, b.root,
       bCountView, b.joinCols, keysInPlay.select(aJoin.zip(b.joinCols).map {
         case (ac, bc) => col(ac).as(bc) }: _*), Some(b.version))
       .select(b.joinCols.zip(aJoin).map { case (bc, ac) => col(bc).as(ac) } :+
         col("n").as("_pre"): _*)
     private val counts = {
-      val c = preCnt.as("p").join(dCnt.as("d"),
-          aJoin.map(k => col(s"p.$k") <=> col(s"d.$k")).reduce(_ && _),
-          "full_outer")
-        .select(aJoin.map(k => coalesce(col(s"p.$k"), col(s"d.$k")).as(k)) :+
-          coalesce(col("p._pre"), lit(0L)).as("_pre") :+
-          (coalesce(col("p._pre"), lit(0L)) + coalesce(col("d._d"), lit(0L)))
-            .as("_post"): _*)
+      // ONE union + ONE aggregation (r20, guide §2.3/§2.4): the
+      // previous form aggregated ΔB's ±1s per key (two exchanges with
+      // the partial/final split) and full-outer sort-merge-joined the
+      // fold back to the pruned pre-counts (one exchange per side plus
+      // two sorts). Folding the pre-count rows in as ready-made
+      // partials shuffles each input once and sorts nothing; long
+      // addition is exact, so `pre + Σd` regrouped as `Σ(pre ∪ d)` is
+      // value-identical, and GROUP BY groups NULL keys together
+      // exactly as the old null-safe join condition matched them.
+      // Keys only in ΔB sum _pre = 0 (the old coalesce); pruning
+      // cohabitants (preCnt is a bucket SUPERSET) carry _d = 0 so
+      // _post = _pre, never a transition — as before.
+      val c = preCnt.select(aJoin.map(col) :+ col("_pre") :+
+          lit(0L).as("_d"): _*)
+        .unionByName(dRows.select(aJoin.map(col) :+ lit(0L).as("_pre") :+
+          col("_d"): _*))
+        .groupBy(aJoin.map(col): _*)
+        .agg(sum(col("_pre")).as("_pre"), sum(col("_d")).as("_d"))
+        .select(aJoin.map(col) :+ col("_pre") :+
+          (col("_pre") + col("_d")).as("_post"): _*)
       // MANAGED mode (r20): this subtree appears once per lookup/
       // transition term — up to 4× inside one outer feed's plan and
       // across all six family feeds — and Spark performs no common-
