@@ -434,42 +434,62 @@ object IncrementalAgg {
         "feed must be a ChangeFeed.diff output (missing _change_type)")
       val isPost = col("_change_type").isin("insert", "update_postimage")
       val sign = when(isPost, lit(1L)).otherwise(lit(-1L))
-      // one feed pass: per group, the count delta, the insert-side
-      // extrema (merge candidates) and the delete-side extrema
-      // (invalidation witnesses)
-      val delta = feed.groupBy(groupCols.map(col): _*)
-        .agg(sum(sign).as("_d_n"),
-          outCols.flatMap { case (out, src, isMin) => Seq(
-            (if (isMin) min(when(isPost, col(src)))
-             else max(when(isPost, col(src)))).as(s"_ins_$out"),
-            (if (isMin) min(when(!isPost, col(src)))
-             else max(when(!isPost, col(src)))).as(s"_del_$out")) }: _*)
-      val p = prev.as("p")
-      val d = delta.as("d")
-      val joinCond = groupCols.map(g => col(s"p.$g") <=> col(s"d.$g"))
-        .reduce(_ && _)
+      // ONE union + ONE aggregation (r20, the maintain() rewrite's
+      // shape): the previous form aggregated the feed per group and
+      // full-outer sort-merge-joined the fold back to prev — three
+      // exchanges and two sorts for the round's most-consumed frame.
+      // Each input row becomes a tagged partial: prev rows carry their
+      // state (count, extrema) and a presence flag; feed rows carry ±1
+      // and the insert-side / delete-side witness values. min/max/sum
+      // are order-independent, so the regrouping is value-identical,
+      // and GROUP BY groups NULL keys exactly as the old null-safe
+      // join condition matched them.
+      val nul = lit(null)
+      val prevRows = prev.select(
+        groupCols.map(col) ++
+          Seq(col("n").as("_n"), lit(1L).as("_has_prev")) ++
+          outCols.flatMap { case (out, _, _) => Seq(
+            col(out).as(s"_p_$out"),
+            nul.cast(prev.schema(out).dataType).as(s"_ins_$out"),
+            nul.cast(prev.schema(out).dataType).as(s"_del_$out")) }: _*)
+      val feedRows = feed.select(
+        groupCols.map(col) ++
+          Seq(sign.as("_n"), lit(0L).as("_has_prev")) ++
+          outCols.flatMap { case (out, src, _) => Seq(
+            nul.cast(feed.schema(src).dataType).as(s"_p_$out"),
+            when(isPost, col(src)).as(s"_ins_$out"),
+            when(!isPost, col(src)).as(s"_del_$out")) }: _*)
+      val agg = prevRows.unionByName(feedRows)
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum(col("_n")).as("n"),
+          (max(col("_has_prev")) === 1L).as("_has_prev") +:
+          outCols.flatMap { case (out, _, isMin) => Seq(
+            // ≤1 prev row per group, so min() recovers its value (or
+            // NULL when the group is new / the stored extremum is NULL)
+            min(col(s"_p_$out")).as(s"_p_$out"),
+            (if (isMin) min(col(s"_ins_$out"))
+             else max(col(s"_ins_$out"))).as(s"_ins_$out"),
+            (if (isMin) min(col(s"_del_$out"))
+             else max(col(s"_del_$out"))).as(s"_del_$out")) }: _*)
       // a group needs a rescan iff some delete could have moved an
       // extremum: the deleted-side witness ties-or-beats the current
       // one, OR the group has deletes but no previous state (a feed
       // the state never saw — the replica is ground truth there)
       val invalidated = outCols.map { case (out, _, isMin) =>
-        col(s"d._del_$out").isNotNull &&
-          (col("p.n").isNull ||
-            (if (isMin) col(s"d._del_$out") <= col(s"p.$out")
-             else col(s"d._del_$out") >= col(s"p.$out")))
+        col(s"_del_$out").isNotNull &&
+          (!col("_has_prev") ||
+            (if (isMin) col(s"_del_$out") <= col(s"_p_$out")
+             else col(s"_del_$out") >= col(s"_p_$out")))
       }.reduce(_ || _)
       // managed for the round (r20): consumed by the kept filter, the
       // rescan's group list, and the pruning probe — three evaluations
-      // of the delta-aggregate + full-outer join without the cache
-      val joined = ctx.manage(p.join(d, joinCond, "full_outer")
-        .select(
-          groupCols.map(g => coalesce(col(s"p.$g"), col(s"d.$g")).as(g)) ++
-            Seq((coalesce(col("p.n"), lit(0L)) +
-              coalesce(col("d._d_n"), lit(0L))).as("n"),
-              coalesce(invalidated, lit(false)).as("_rescan")) ++
-            outCols.map { case (out, _, isMin) =>
-              (if (isMin) least(col(s"p.$out"), col(s"d._ins_$out"))
-               else greatest(col(s"p.$out"), col(s"d._ins_$out"))).as(out) }: _*))
+      // of the union-aggregate without the cache
+      val joined = ctx.manage(agg.select(
+        groupCols.map(col) ++
+          Seq(col("n"), coalesce(invalidated, lit(false)).as("_rescan")) ++
+          outCols.map { case (out, _, isMin) =>
+            (if (isMin) least(col(s"_p_$out"), col(s"_ins_$out"))
+             else greatest(col(s"_p_$out"), col(s"_ins_$out"))).as(out) }: _*))
       val kept = joined.filter(!col("_rescan"))
         .drop("_rescan")
         .filter(col("n") =!= 0L)
@@ -569,46 +589,54 @@ object IncrementalAgg {
       require(feed.columns.contains("_change_type"),
         "feed must be a ChangeFeed.diff output (missing _change_type)")
       val isPost = col("_change_type").isin("insert", "update_postimage")
-      // per-group invalidation witnesses from ONE feed pass: how many
-      // deletes, their most-dangerous sort value, whether any deleted
-      // value is NULL (NULLS LAST can still be a member of a not-full
-      // group — conservatively dangerous)
-      val delBest = if (ascending) min(when(!isPost, col(sortCol)))
-                    else max(when(!isPost, col(sortCol)))
-      val delta = feed.groupBy(groupCols.map(col): _*)
-        .agg(sum(when(!isPost, lit(1L)).otherwise(lit(0L))).as("_del_n"),
+      // ONE union + ONE aggregation (r20, the maintain() rewrite's
+      // shape — the old form aggregated prev and feed separately and
+      // full-outer sort-merge-joined the two folds): each input row
+      // becomes a tagged partial — prev rows contribute to the
+      // boundary/membership witnesses, feed deletes to the danger
+      // witnesses — and one GROUP BY folds them. count/min/max/sum are
+      // order-independent, so the flags are value-identical; GROUP BY
+      // groups NULL keys exactly as the old null-safe join did.
+      val isPrev = col("_is_prev") === 1L
+      val isDel = col("_is_prev") === 0L && !col("_is_post")
+      val prevRows = prev.select(groupCols.map(col) ++ Seq(
+        col(sortCol).as("_sort"), lit(1L).as("_is_prev"),
+        lit(false).as("_is_post")): _*)
+      val feedRows = feed.select(groupCols.map(col) ++ Seq(
+        col(sortCol).as("_sort"), lit(0L).as("_is_prev"),
+        isPost.as("_is_post")): _*)
+      val bound = if (ascending) max(when(isPrev, col("_sort")))
+                  else min(when(isPrev, col("_sort")))
+      val delBest = if (ascending) min(when(isDel, col("_sort")))
+                    else max(when(isDel, col("_sort")))
+      val agg = prevRows.unionByName(feedRows)
+        .groupBy(groupCols.map(col): _*)
+        .agg(bound.as("_bound"),
+          sum(col("_is_prev")).as("_m"),
+          max(when(isPrev && col("_sort").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("_null_member"),
+          sum(when(isDel, lit(1L)).otherwise(lit(0L))).as("_del_n"),
           delBest.as("_del_best"),
-          max(when(!isPost && col(sortCol).isNull, lit(1L))
-            .otherwise(lit(0L))).as("_del_null"))
-      // per-group boundary from the touched state: the worst member's
-      // value, membership count, and whether a member's value is NULL
-      val bound = if (ascending) max(col(sortCol)) else min(col(sortCol))
-      val prevAgg = prev.groupBy(groupCols.map(col): _*)
-        .agg(bound.as("_bound"), count(lit(1)).as("_m"),
-          max(when(col(sortCol).isNull, lit(1L)).otherwise(lit(0L)))
-            .as("_null_member"))
-      val p = prevAgg.as("p")
-      val d = delta.as("d")
-      val joinCond = groupCols.map(g => col(s"p.$g") <=> col(s"d.$g"))
-        .reduce(_ && _)
+          max(when(isDel && col("_sort").isNull, lit(1L)).otherwise(lit(0L)))
+            .as("_del_null"))
       // dangerous delete: the group could have lost a member — the
       // deleted value ties-or-beats the boundary under the order
       // (ties conservative), membership is below k (every live row is
-      // a member), the state never saw the group, or NULLs make the
-      // value compare unusable
+      // a member — this also covers a group the state never saw,
+      // whose membership folds to 0), or NULLs make the value compare
+      // unusable
       val beatsBound =
-        if (ascending) col("d._del_best") <= col("p._bound")
-        else col("d._del_best") >= col("p._bound")
-      val invalidated = col("d._del_n") > 0L && (
-        col("p._m").isNull || col("p._m") < k ||
-          col("p._null_member") === 1L || col("d._del_null") === 1L ||
+        if (ascending) col("_del_best") <= col("_bound")
+        else col("_del_best") >= col("_bound")
+      val invalidated = col("_del_n") > 0L && (
+        col("_m") < k ||
+          col("_null_member") === 1L || col("_del_null") === 1L ||
           coalesce(beatsBound, lit(true)))
       // managed for the round (r20): consumed by both withFlag joins,
       // the rescan's group list, and the pruning probe
-      val flags = ctx.manage(p.join(d, joinCond, "full_outer")
-        .select(
-          groupCols.map(g => coalesce(col(s"p.$g"), col(s"d.$g")).as(g)) :+
-            coalesce(invalidated, lit(false)).as("_rescan"): _*))
+      val flags = ctx.manage(agg.select(
+        groupCols.map(col) :+
+          coalesce(invalidated, lit(false)).as("_rescan"): _*))
       def withFlag(rows: DataFrame, alias: String): DataFrame = {
         val r = rows.as(alias)
         val f = flags.as("f")
