@@ -457,10 +457,12 @@ object JoinView {
                           val semi: DataFrame, val anti: DataFrame,
                           releaser: () => Unit = () => ()) {
     /** Unpersist the substrate's MANAGED intermediates (the two
-      * `Corrections`' count/transition frames — r20). Call after the
-      * batch's feeds are consumed (beside the feeds' own unpersist);
-      * feeds already materialized keep their rows, so releasing early
-      * only costs recomputation, never correctness. */
+      * `Corrections`' count/transition frames, the inner/leftOuter/
+      * extension pieces, and the fused tagged union the six feeds
+      * filter — r20). Call after the batch's feeds are consumed
+      * (beside the feeds' own unpersist); feeds already materialized
+      * keep their rows, so releasing early only costs recomputation,
+      * never correctness. */
     def release(): Unit = releaser()
   }
 
@@ -493,17 +495,56 @@ object JoinView {
       managed = true))
     val fCxB = pinned(new Corrections(spark, b, a, aCountView, bFeed, aFeed,
       managed = true))
-    val inner = Await.result(fInner, Duration.Inf)
+    val inner = Await.result(fInner, Duration.Inf).persist()
     val cxA = Await.result(fCxA, Duration.Inf)
     val cxB = Await.result(fCxB, Duration.Inf)
-    val lo = leftOuterFrom(inner, cxA)
+    val lo = leftOuterFrom(inner, cxA).persist()
     // bExt feeds BOTH rightOuter and fullOuter: persist it for the
     // batch like the corrections frames, or each consumer re-runs its
     // four lookup joins
     val bExt = bSideExtensions(lo, cxA.aTable, cxB).persist()
-    new FamilyFeeds(inner, lo, inner.unionByName(bExt),
-      lo.unionByName(bExt), semiFeed(cxA), antiFeed(cxA),
-      () => { cxA.release(); cxB.release(); bExt.unpersist(); () })
+    // ONE MATERIALIZATION PASS for the whole family (r20 pass 2): even
+    // with every shared frame cached, serving the six feeds as six
+    // separate DataFrames meant six separate queries at the consumer's
+    // materializing actions — and broadcast builds are rebuilt and AQE
+    // stages re-scheduled PER QUERY (exchange reuse never spans
+    // queries); profiled at 9–20 stage jobs per feed, the dominant
+    // per-batch block after the substrate caches. The family is
+    // instead exposed as filters over ONE cached tagged union: the
+    // first consumer action materializes every form in a single query
+    // (broadcasts built once, identical subplans deduped by exchange
+    // reuse), and the other five read the cache. Row multisets are
+    // unchanged — each branch is the original feed's plan plus a
+    // literal tag (semi/anti pad B's columns with NULLs and project
+    // them back off), and feeds are unordered multisets, so filtering
+    // the union by tag returns exactly the branch's rows.
+    val aT = cxA.aTable
+    val bT = inner.columns.toSeq
+      .filterNot(c => aT.contains(c) || c == "_change_type")
+    val pairCols = (aT ++ bT :+ "_change_type").map(col)
+    val padB = bT.map(c => lit(null).cast(inner.schema(c).dataType).as(c))
+    def tagged(rows: DataFrame, form: String, aOnly: Boolean): DataFrame = {
+      val projected =
+        if (aOnly) rows.select(aT.map(col) ++ padB :+ col("_change_type"): _*)
+        else rows.select(pairCols: _*)
+      projected.withColumn("_form", lit(form))
+    }
+    val fused = tagged(inner, "inner", aOnly = false)
+      .unionByName(tagged(lo, "left", aOnly = false))
+      .unionByName(tagged(inner.unionByName(bExt), "right", aOnly = false))
+      .unionByName(tagged(lo.unionByName(bExt), "full", aOnly = false))
+      .unionByName(tagged(semiFeed(cxA), "semi", aOnly = true))
+      .unionByName(tagged(antiFeed(cxA), "anti", aOnly = true))
+      .persist()
+    def pick(form: String): DataFrame =
+      fused.filter(col("_form") === form).select(pairCols: _*)
+    def pickA(form: String): DataFrame =
+      fused.filter(col("_form") === form)
+        .select(aT.map(col) :+ col("_change_type"): _*)
+    new FamilyFeeds(pick("inner"), pick("left"), pick("right"),
+      pick("full"), pickA("semi"), pickA("anti"),
+      () => { cxA.release(); cxB.release(); bExt.unpersist()
+        lo.unpersist(); inner.unpersist(); fused.unpersist(); () })
   }
 
   /** Shared daemon pool for [[familyDeltas]]' concurrent substrate
